@@ -1,0 +1,9 @@
+"""Importing this package registers all processors (the analog of the
+reference's generated plugin imports, plugins.yml:17-110)."""
+
+from ilogtail_spark.operators import base as base  # noqa: F401
+from ilogtail_spark.operators import regex as _regex  # noqa: F401
+from ilogtail_spark.operators import filters as _filters  # noqa: F401
+from ilogtail_spark.operators import transform as _transform  # noqa: F401
+
+from ilogtail_spark.operators.base import PROCESSORS, build, register  # noqa: F401

@@ -1,0 +1,167 @@
+"""processor_regex / processor_parse_regex_native.
+
+Semantics (plugins/processor/regex/regex.go:83-130 and native twin
+core/plugin/processor/ProcessorParseRegexNative.cpp):
+
+* pattern compiled with ``(?s)`` (dot matches newline), applied to
+  ``fields[SourceKey]`` (default: reserved key ``content``);
+* parse SUCCEEDS when the pattern is found (FullMatch=false) or the
+  first match spans the entire value (FullMatch=true) AND the pattern
+  has at least ``len(Keys)`` capture groups;
+* on success capture group i is inserted as ``Keys[i]`` (groups that
+  did not participate in the match are skipped) and the source key is
+  REMOVED unless ``KeepSource``;
+* on failure nothing is inserted; the source key is kept when
+  ``KeepSource or KeepSourceIfParseError`` (default true). Rows are
+  never dropped.
+
+Spark mapping: the default ``expr`` engine compiles to
+``rlike`` + per-group ``regexp_extract`` Column expressions —
+JVM-side, whole-stage codegen, no Python. The ``pandas`` engine is a
+fused-able dict transform used when exact unmatched-group semantics
+matter (``regexp_extract`` cannot distinguish an empty match from a
+non-participating group) or when the pattern needs Python-only
+syntax. ``engine='auto'`` picks ``expr`` unless the pattern contains
+optional/alternated groups where the distinction is observable.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+from typing import Callable, ClassVar
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ilogtail_spark.model import CONTENT_KEY, FIELDS_COL
+from ilogtail_spark.operators.base import (
+    FieldsProcessor,
+    PandasFieldsProcessor,
+    register,
+)
+from ilogtail_spark.functions.recache import compile_cached
+
+_OPTIONAL_GROUP = re.compile(r"\((?!\?)")  # any capturing group
+
+
+def _count_groups(pattern: str) -> int:
+    return re.compile(pattern, re.DOTALL).groups
+
+
+@register
+@dataclass
+class ProcessorRegex(FieldsProcessor):
+    """Column-expression engine (the hot path)."""
+
+    TYPE: ClassVar[str] = "processor_regex"
+
+    Regex: str = ""
+    Keys: list[str] = dc_field(default_factory=list)
+    FullMatch: bool = False
+    NoKeyError: bool = False
+    NoMatchError: bool = True
+    KeepSource: bool = False
+    KeepSourceIfParseError: bool = True
+    SourceKey: str = CONTENT_KEY
+    Engine: str = "expr"  # expr | pandas
+
+    def __post_init__(self):
+        if not self.Keys:
+            raise ValueError("processor_regex: Keys must be non-empty")
+        self._n_groups = _count_groups(self.Regex)
+
+    # -- expression engine ------------------------------------------------
+    def fields_expr(self, fields: Column) -> Column:
+        pat = "(?s)" + self.Regex
+        v = fields.getItem(self.SourceKey)
+        if self._n_groups < len(self.Keys):
+            matched = F.lit(False)
+        elif self.FullMatch:
+            matched = v.rlike("(?s)\\A(?:" + self.Regex + ")\\z")
+        else:
+            matched = v.rlike(pat)
+        matched = v.isNotNull() & matched
+
+        kv: list[Column] = []
+        for i, k in enumerate(self.Keys[: self._n_groups]):
+            kv += [F.lit(k), F.regexp_extract(v, pat, i + 1)]
+        parsed = F.create_map(*kv)
+
+        keep_on_ok = self.KeepSource
+        keep_on_fail = self.KeepSource or self.KeepSourceIfParseError
+        without_src = F.map_filter(fields, lambda k, _: k != F.lit(self.SourceKey))
+
+        ok_fields = F.map_concat(fields if keep_on_ok else without_src, parsed)
+        fail_fields = fields if keep_on_fail else without_src
+        return F.when(matched, ok_fields).otherwise(fail_fields)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        if self.Engine == "pandas":
+            from ilogtail_spark.plans.pipeline import apply_pandas_chain
+
+            return apply_pandas_chain(df, [self.make_fn()])
+        return df.withColumn(FIELDS_COL, self.fields_expr(F.col(FIELDS_COL)))
+
+    # -- pandas engine (exact semantics, fusable) -------------------------
+    def make_fn(self) -> Callable[[dict], dict | None]:
+        pattern = "(?s)" + self.Regex
+        keys = list(self.Keys)
+        src = self.SourceKey
+        full = self.FullMatch
+        keep_src = self.KeepSource
+        keep_on_err = self.KeepSourceIfParseError
+
+        def fn(d: dict) -> dict:
+            val = d.get(src)
+            ok = False
+            if val is not None:
+                pat = compile_cached(pattern)
+                m = pat.search(val)
+                if m is not None and (not full or (m.start() == 0 and m.end() == len(val))):
+                    groups = m.groups()
+                    if len(groups) >= len(keys):
+                        ok = True
+                        if not keep_src:
+                            d = {k: v for k, v in d.items() if k != src}
+                        else:
+                            d = dict(d)
+                        for i, k in enumerate(keys):
+                            g = m.group(i + 1)
+                            if g is not None:
+                                d[k] = g
+                        return d
+            if not ok and not (keep_src or keep_on_err):
+                d = {k: v for k, v in d.items() if k != src}
+            return d
+
+        return fn
+
+
+@register
+@dataclass
+class ProcessorParseRegexNative(ProcessorRegex):
+    """Native twin (core/plugin/processor/ProcessorParseRegexNative.cpp).
+
+    Same observable field semantics; the native plugin's whole-line
+    mode (regex == ``(.*)``) degenerates to a rename of the source
+    key, which the expr engine already produces.
+    """
+
+    TYPE: ClassVar[str] = "processor_parse_regex_native"
+
+
+def regex_pandas(**cfg) -> "ProcessorRegexPandas":
+    cfg.setdefault("Engine", "pandas")
+    return ProcessorRegexPandas(**cfg)
+
+
+@register
+@dataclass
+class ProcessorRegexPandas(ProcessorRegex, PandasFieldsProcessor):
+    """Fusable pandas flavor — registered so configs can force it via
+    ``{"Type": "processor_regex_pandas", ...}`` and the compiler will
+    fuse it with adjacent python stages."""
+
+    TYPE: ClassVar[str] = "processor_regex_pandas"
+    Engine: str = "pandas"

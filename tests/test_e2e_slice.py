@@ -1,0 +1,170 @@
+"""End-to-end slice (SURVEY.md §7.1 step 1): synthetic transcripts ->
+regex parse -> router -> multi-sink write + per-sink aggregates +
+lineage manifest. Correctness vs an INDEPENDENT pure-Python oracle
+(re module over collected rows), mirroring the reference's e2e
+verifiers (test/engine/verify/{count,log_field,log_context}.go).
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from ilogtail_spark.model import to_events
+from ilogtail_spark.plans.lineage import RunManifest, run_pipeline
+from ilogtail_spark.plans.pipeline import Pipeline
+from ilogtail_spark.sinks import writers
+from ilogtail_spark.sources.transcripts import generate_transcripts
+
+N = 3000
+
+APPLOG_RE = r"^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3}) (\d+) \[([^\]]+)\] (\w+)  (.*)$"
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    df = generate_transcripts(spark, n_turns=N, seed=42)
+    df.cache()
+    df.count()
+    return df
+
+
+def pipeline():
+    return Pipeline(
+        processors=[
+            {
+                "Type": "processor_regex",
+                "SourceKey": "content",
+                "Regex": APPLOG_RE,
+                "Keys": ["log_time", "tid", "thread", "level", "msg"],
+                "KeepSource": True,
+            },
+        ],
+        router={
+            "Mode": "first_match",
+            "SourceKey": "role",
+            "RouterRegex": ["user|assistant", "tool"],
+            "RouterLogstore": ["sink_chat", "sink_tool"],
+            "DefaultLogstore": "sink_default",
+        },
+        flushers=[
+            {"Name": "sink_chat"},
+            {"Name": "sink_tool"},
+            {"Name": "sink_default"},
+        ],
+    )
+
+
+def python_oracle(rows):
+    """Independent reimplementation with stdlib re only."""
+    pat = re.compile("(?s)" + APPLOG_RE)
+    out = []
+    for r in rows:
+        # empty string is a present key with empty value (the reference's
+        # contents map keeps empty values; only ABSENT keys are missing)
+        fields = {"content": r["text"], "role": r["role"], "tool": r["tool"]}
+        m = pat.search(r["text"])
+        if m:
+            for k, v in zip(["log_time", "tid", "thread", "level", "msg"], m.groups()):
+                fields[k] = v
+        role = r["role"]
+        if role in ("user", "assistant"):
+            sink = "sink_chat"
+        elif role == "tool":
+            sink = "sink_tool"
+        else:
+            sink = "sink_default"
+        out.append((r["conv_id"], r["turn_idx"], sink, fields))
+    return out
+
+
+def test_generator_is_deterministic(spark):
+    a = generate_transcripts(spark, n_turns=500, seed=42).collect()
+    b = generate_transcripts(spark, n_turns=500, seed=42).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_generator_schema_and_skew(transcripts):
+    assert [f.name for f in transcripts.schema.fields] == [
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        "ts",
+    ]
+    per_conv = transcripts.groupBy("conv_id").count().collect()
+    counts = sorted((r["count"] for r in per_conv), reverse=True)
+    assert counts[0] > 5 * counts[len(counts) // 2]  # hot conversations exist
+
+
+def test_e2e_counts_fields_and_resume(spark, transcripts, tmp_path):
+    out_root = str(tmp_path / "out")
+    run_id = "r1"
+    events = to_events(transcripts)
+    manifest = run_pipeline(
+        spark, events, pipeline(), out_root, run_id, agg_keys=["role", "tool"]
+    )
+
+    rows = transcripts.collect()
+    oracle = python_oracle(rows)
+
+    # per-sink routed-row counts (verify/count.go analog)
+    expected_counts: dict = {}
+    for _, _, sink, _ in oracle:
+        expected_counts[sink] = expected_counts.get(sink, 0) + 1
+    assert manifest.sink_counts == expected_counts
+    assert manifest.metrics["in_events_total"] == N
+    assert manifest.metrics["out_events_total"] == N  # first_match w/o drop
+
+    # per-turn field equality incl. text round-trip under stable order
+    # (verify/log_field.go + log_order.go analog)
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["sink"], dict(r["fields"]))
+        for r in spark.read.parquet(writers.events_path(out_root, run_id)).collect()
+    }
+    assert len(got) == N
+    for conv_id, turn_idx, sink, fields in oracle:
+        g_sink, g_fields = got[(conv_id, turn_idx)]
+        assert g_sink == sink
+        assert g_fields == fields, (conv_id, turn_idx)
+
+    # aggregate table == oracle counts per (sink, bucket, role, tool)
+    agg = spark.read.parquet(writers.agg_path(out_root, run_id))
+    assert agg.agg(F.sum("events_total")).collect()[0][0] == N
+
+    # resume: a finished run is a no-op (manifest short-circuits)
+    m2 = run_pipeline(spark, events, pipeline(), out_root, run_id)
+    assert m2.finished and m2.sink_counts == expected_counts
+
+
+def test_crash_resume_no_duplicates(spark, transcripts, tmp_path):
+    out_root = str(tmp_path / "out2")
+    events = to_events(transcripts.limit(300))
+    # simulate a crash after the events phase, before aggregates
+    m1 = run_pipeline(
+        spark, events, pipeline(), out_root, "rX", fail_after_phase="events"
+    )
+    assert m1.phases.get("events") and not m1.phases.get("aggregates")
+    assert not m1.finished
+
+    m2 = run_pipeline(spark, events, pipeline(), out_root, "rX")
+    assert m2.finished
+    total = spark.read.parquet(writers.events_path(out_root, "rX")).count()
+    assert total == 300  # no duplicated sink rows after resume
+    assert sum(m2.sink_counts.values()) == 300
+
+
+def test_stable_turn_ordering(spark, transcripts):
+    from ilogtail_spark.model import stable_order
+
+    ordered = stable_order(to_events(transcripts))
+    pdf = ordered.select("conv_id", "turn_idx").toPandas()
+    # within each partition-contiguous conv block, turn_idx ascends
+    last = {}
+    violations = 0
+    for conv, idx in zip(pdf["conv_id"], pdf["turn_idx"]):
+        if conv in last and idx <= last[conv]:
+            violations += 1
+        last[conv] = idx
+    assert violations == 0
