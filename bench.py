@@ -1,0 +1,98 @@
+"""Benchmark harness (driver-run per round).
+
+Runs the headline queries from ``__spark_entry__.queries()`` plus the
+end-to-end transcripts pipeline at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The end-to-end pipeline bench (parse -> enrich -> route -> aggregate
+over synthetic transcripts) is the BASELINE.json metric analog; its
+turns/sec is included under ``extra``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _sf_of(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1).rstrip(".")) if m else 0.0
+
+
+def _consume(df) -> int:
+    """Force full execution without driver-side row transfer."""
+    try:
+        df.write.format("noop").mode("overwrite").save()
+        return -1
+    except Exception:
+        return df.count()
+
+
+def bench_pipeline_transcripts(spark, n_turns: int) -> dict:
+    """End-to-end: generate -> parse(regex+json+kv) -> enrich -> route
+    -> per-sink aggregate; the BASELINE.json headline metric."""
+    from ilogtail_spark.benchflow import build_headline_pipeline
+
+    t0 = time.time()
+    agg = build_headline_pipeline(spark, n_turns)
+    _consume(agg)
+    dt = time.time() - t0
+    return {"sec": dt, "turns": n_turns, "turns_per_sec": n_turns / dt}
+
+
+def main() -> int:
+    from ilogtail_spark.session import get_spark
+
+    import __spark_entry__ as e
+
+    spark = get_spark(
+        app_name="ilogtail_spark_bench", master=f"local[{CPUS}]"
+    )
+    sf = _sf_of(SF_DIR)
+
+    per_query: dict[str, float] = {}
+    for name, fn in e.queries().items():
+        t0 = time.time()
+        _consume(fn(spark, SF_DIR))
+        per_query[name] = round(time.time() - t0, 3)
+
+    # headline: end-to-end transcripts pipeline, sized to sf
+    n_turns = max(100_000, int(6_000_000 * sf))
+    pipe = bench_pipeline_transcripts(spark, n_turns)
+    per_query["pipeline_transcripts_e2e"] = round(pipe["sec"], 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total headline query wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "extra": {
+                    "pipeline_turns": pipe["turns"],
+                    "pipeline_turns_per_sec": round(pipe["turns_per_sec"]),
+                    "cpus": CPUS,
+                },
+            },
+            sort_keys=True,
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

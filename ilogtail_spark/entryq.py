@@ -1,0 +1,509 @@
+"""Query registry backing ``__spark_entry__.py``.
+
+One entry per implemented operator (SURVEY.md §2): each query runs the
+operator through the real pipeline surface (``to_events`` →
+processors → router → aggregates) over the driver's parquet tables,
+and each has an ANSI-SQL oracle DuckDB can run on the same tables.
+
+Design notes for oracle parity:
+  * every computed column is aliased IDENTICALLY in the Spark plan and
+    the SQL (the driver hash-compares values after sorting columns by
+    name);
+  * floats are avoided or rounded the same way on both sides;
+  * log-line parsing queries SYNTHESIZE the line deterministically
+    from table columns inside the query on BOTH sides (format_string
+    vs printf), then parse it back — proving parse parity on identical
+    inputs without external fixtures.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ilogtail_spark.model import FIELDS_COL, to_events
+from ilogtail_spark.plans.pipeline import Pipeline, compile_processors
+from ilogtail_spark.plans.router import SINK_COL, route
+from ilogtail_spark.sinks.writers import sink_aggregates
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def ensure_conf(spark: SparkSession) -> None:
+    """Runtime confs the pipeline depends on, set defensively because
+    the driver may hand us a session built without them.
+
+    LAST_WIN: ``map_concat(old, parsed)`` must let later writes win —
+    the reference's insert-or-overwrite content semantics
+    (plugins/processor/regex/regex.go:105-129)."""
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_conf(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table as a pipeline event stream: the JSON ``props``
+    payload is the raw content; event_type/user_id ride as fields."""
+    df = _t(spark, sf_dir, "events")
+    return to_events(
+        df,
+        content_col="props",
+        field_cols=["event_type", "user_id"],
+        id_cols=["event_id", "ts"],
+    )
+
+
+K_REGEX = r'\{"k": (\d+)\}'
+
+
+# ---------------------------------------------------------------------------
+# processor_regex — extract k from the JSON-ish props via regex, aggregate
+# ---------------------------------------------------------------------------
+@query(
+    "regex_parse",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(regexp_extract(props, '\\{"k": (\\d+)\\}', 1) AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_regex_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    run = compile_processors(
+        [{"Type": "processor_regex", "Regex": K_REGEX, "Keys": ["k"]}]
+    )
+    out = run(ev)
+    f = F.col(FIELDS_COL)
+    return (
+        out.groupBy(f.getItem("event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(f.getItem("k").cast("long")).alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# processor_filter_regex — Include/Exclude regex predicates
+# ---------------------------------------------------------------------------
+@query(
+    "filter_regex",
+    """
+    SELECT event_type, count(*) AS n
+    FROM (
+      SELECT event_type,
+             regexp_extract(props, '\\{"k": (\\d+)\\}', 1) AS k
+      FROM events
+      WHERE regexp_matches(event_type, '^(?:error|purchase)$')
+    )
+    WHERE NOT regexp_matches(k, '^1')
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    run = compile_processors(
+        [
+            {"Type": "processor_regex", "Regex": K_REGEX, "Keys": ["k"]},
+            {
+                "Type": "processor_filter_regex",
+                "Include": {"event_type": "^(?:error|purchase)$"},
+                "Exclude": {"k": "^1"},
+            },
+        ]
+    )
+    out = run(ev)
+    f = F.col(FIELDS_COL)
+    return (
+        out.groupBy(f.getItem("event_type").alias("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# processor_filter_native — boolean expression tree (AND/OR/NOT over regex)
+# ---------------------------------------------------------------------------
+@query(
+    "filter_condition_tree",
+    """
+    SELECT event_type, count(*) AS n
+    FROM (
+      SELECT event_type,
+             regexp_extract(props, '\\{"k": (\\d+)\\}', 1) AS k
+      FROM events
+    )
+    WHERE regexp_matches(event_type, 'error')
+       OR (regexp_matches(event_type, 'purchase')
+           AND regexp_matches(k, '^[5-9][0-9]$'))
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_filter_condition_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    tree = {
+        "operator": "or",
+        "operands": [
+            {"key": "event_type", "exp": "error"},
+            {
+                "operator": "and",
+                "operands": [
+                    {"key": "event_type", "exp": "purchase"},
+                    {"key": "k", "exp": "^[5-9][0-9]$"},
+                ],
+            },
+        ],
+    }
+    run = compile_processors(
+        [
+            {"Type": "processor_regex", "Regex": K_REGEX, "Keys": ["k"]},
+            {"Type": "processor_filter_native", "ConditionExp": tree},
+        ]
+    )
+    out = run(ev)
+    f = F.col(FIELDS_COL)
+    return (
+        out.groupBy(f.getItem("event_type").alias("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# router first_match — Go logstore_router semantics (full-anchored regex,
+# first match wins, default store)
+# ---------------------------------------------------------------------------
+@query(
+    "router_first_match",
+    """
+    SELECT CASE
+             WHEN regexp_full_match(event_type, 'click|view') THEN 'sink_web'
+             WHEN regexp_full_match(event_type, 'purchase|signup') THEN 'sink_account'
+             ELSE 'sink_default'
+           END AS sink,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    ORDER BY sink
+    """,
+)
+def q_router_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    routed = route(
+        ev,
+        {
+            "Mode": "first_match",
+            "SourceKey": "event_type",
+            "RouterRegex": ["click|view", "purchase|signup"],
+            "RouterLogstore": ["sink_web", "sink_account"],
+            "DefaultLogstore": "sink_default",
+        },
+        [],
+    )
+    return (
+        routed.groupBy(F.col(SINK_COL).alias("sink"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("sink")
+    )
+
+
+# ---------------------------------------------------------------------------
+# router multicast — C++ Router semantics: a row is COPIED to every
+# matching flusher (rows may land in several sinks)
+# ---------------------------------------------------------------------------
+@query(
+    "router_multicast",
+    """
+    WITH k AS (
+      SELECT event_type,
+             regexp_extract(props, '\\{"k": (\\d+)\\}', 1) AS k
+      FROM events
+    )
+    SELECT sink, count(*) AS n FROM (
+      SELECT 'sink_all' AS sink FROM k
+      UNION ALL
+      SELECT 'sink_errors' AS sink FROM k
+        WHERE regexp_full_match(event_type, 'error')
+      UNION ALL
+      SELECT 'sink_hot' AS sink FROM k
+        WHERE regexp_matches(k, '^[5-9][0-9]$')
+    )
+    GROUP BY sink
+    ORDER BY sink
+    """,
+)
+def q_router_multicast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    run = compile_processors(
+        [{"Type": "processor_regex", "Regex": K_REGEX, "Keys": ["k"], "KeepSource": True}]
+    )
+    parsed = run(ev)
+    flushers = [
+        {"Name": "sink_all"},
+        {"Name": "sink_errors", "Match": {"Type": "field", "Key": "event_type", "Value": "error"}},
+        {
+            "Name": "sink_hot",
+            "Match": {"Type": "expr", "Exp": {"key": "k", "exp": "^[5-9][0-9]$"}},
+        },
+    ]
+    routed = route(parsed, {"Mode": "multicast"}, flushers)
+    return (
+        routed.groupBy(F.col(SINK_COL).alias("sink"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("sink")
+    )
+
+
+# ---------------------------------------------------------------------------
+# field transforms: add_fields / rename / md5 / base64 / pick_key chained
+# ---------------------------------------------------------------------------
+@query(
+    "transform_fields",
+    """
+    SELECT event_id,
+           regexp_extract(props, '\\{"k": (\\d+)\\}', 1) AS kval,
+           md5(props) AS props_md5,
+           to_base64(event_type::BLOB) AS type_b64,
+           'ilogtail-spark' AS origin
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_transform_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    run = compile_processors(
+        [
+            {"Type": "processor_regex", "Regex": K_REGEX, "Keys": ["k"], "KeepSource": True},
+            {"Type": "processor_add_fields", "Fields": {"origin": "ilogtail-spark"}},
+            {"Type": "processor_rename", "SourceKeys": ["k"], "DestKeys": ["kval"]},
+            {"Type": "processor_md5", "SourceKey": "content", "MD5Key": "props_md5"},
+            {
+                "Type": "processor_base64_encoding",
+                "SourceKey": "event_type",
+                "NewKey": "type_b64",
+            },
+            {
+                "Type": "processor_pick_key",
+                "Include": ["kval", "props_md5", "type_b64", "origin"],
+            },
+        ]
+    )
+    out = run(ev)
+    f = F.col(FIELDS_COL)
+    return out.select(
+        F.col("event_id"),
+        f.getItem("kval").alias("kval"),
+        f.getItem("props_md5").alias("props_md5"),
+        f.getItem("type_b64").alias("type_b64"),
+        f.getItem("origin").alias("origin"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# processor_fields_with_condition — switch/case, first matching case wins
+# ---------------------------------------------------------------------------
+@query(
+    "fields_with_condition",
+    """
+    SELECT CASE
+             WHEN event_type = 'error' THEN 'high'
+             WHEN event_type = 'purchase' OR event_type = 'signup' THEN 'mid'
+             ELSE 'low'
+           END AS severity,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    ORDER BY severity
+    """,
+)
+def q_fields_with_condition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    run = compile_processors(
+        [
+            {
+                "Type": "processor_fields_with_condition",
+                "Switch": [
+                    {
+                        "Case": {"FieldConditions": {"event_type": "error"}},
+                        "Actions": [
+                            {"Type": "processor_add_fields", "Fields": {"severity": "high"}}
+                        ],
+                    },
+                    {
+                        "Case": {
+                            "LogicalOperator": "or",
+                            "FieldConditions": {
+                                "event_type": "purchase",
+                                "event_type2_unused": "never",
+                            },
+                        },
+                        "Actions": [
+                            {"Type": "processor_add_fields", "Fields": {"severity": "mid"}}
+                        ],
+                    },
+                    {
+                        "Case": {"FieldConditions": {"event_type": "signup"}},
+                        "Actions": [
+                            {"Type": "processor_add_fields", "Fields": {"severity": "mid"}}
+                        ],
+                    },
+                ],
+            }
+        ]
+    )
+    out = run(ev)
+    f = F.col(FIELDS_COL)
+    return (
+        out.groupBy(F.coalesce(f.getItem("severity"), F.lit("low")).alias("severity"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("severity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# processor_rate_limit — cap N rows per (key combo, time bucket)
+# ---------------------------------------------------------------------------
+@query(
+    "rate_limit",
+    """
+    SELECT event_type, count(*) AS n
+    FROM (
+      SELECT event_type
+      FROM events
+      QUALIFY row_number() OVER (
+        PARTITION BY event_type, CAST(floor(epoch(ts) / 60) AS BIGINT)
+        ORDER BY ts, event_id
+      ) <= 3
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    run = compile_processors(
+        [
+            {
+                "Type": "processor_rate_limit",
+                "Fields": ["event_type"],
+                "Limit": "3/m",
+                "OrderColumns": ("ts", "event_id"),
+            }
+        ]
+    )
+    out = run(ev)
+    f = F.col(FIELDS_COL)
+    return (
+        out.groupBy(f.getItem("event_type").alias("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# processor_desensitize — regex scan-replace (mask the number after "k": )
+# ---------------------------------------------------------------------------
+@query(
+    "desensitize",
+    """
+    SELECT event_id,
+           regexp_replace(props, '("k": )[0-9]+', '\\1********', 'g') AS masked
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_desensitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    run = compile_processors(
+        [
+            {
+                "Type": "processor_desensitize",
+                "SourceKey": "content",
+                "Method": "const",
+                "Match": "regex",
+                "ReplaceString": "********",
+                "RegexBegin": '"k": ',
+                "RegexContent": "[0-9]+",
+            }
+        ]
+    )
+    out = run(ev)
+    return out.select(
+        F.col("event_id"), F.col(FIELDS_COL).getItem("content").alias("masked")
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# processor_timestamp_filter_native + per-sink aggregates (the flagship
+# end-to-end: parse -> filter -> route -> hourly per-sink counts)
+# ---------------------------------------------------------------------------
+PIPELINE_E2E = Pipeline(
+    processors=[
+        {"Type": "processor_regex", "Regex": K_REGEX, "Keys": ["k"], "KeepSource": True},
+        {
+            "Type": "processor_filter_regex",
+            "Include": {"k": "^[0-9]+$"},
+        },
+    ],
+    router={
+        "Mode": "first_match",
+        "SourceKey": "event_type",
+        "RouterRegex": ["click|view", "purchase|signup"],
+        "RouterLogstore": ["sink_web", "sink_account"],
+        "DefaultLogstore": "sink_default",
+    },
+    flushers=[],
+)
+
+
+@query(
+    "e2e_sink_hourly_counts",
+    """
+    SELECT CASE
+             WHEN regexp_full_match(event_type, 'click|view') THEN 'sink_web'
+             WHEN regexp_full_match(event_type, 'purchase|signup') THEN 'sink_account'
+             ELSE 'sink_default'
+           END AS sink,
+           date_trunc('hour', ts) AS bucket_ts,
+           event_type,
+           count(*) AS events_total
+    FROM events
+    WHERE regexp_matches(regexp_extract(props, '\\{"k": (\\d+)\\}', 1), '^[0-9]+$')
+    GROUP BY 1, 2, 3
+    ORDER BY sink, bucket_ts, event_type
+    """,
+)
+def q_e2e_sink_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    routed = PIPELINE_E2E.route(ev)
+    agg = sink_aggregates(routed, keys=["event_type"], time_bucket="1 hour")
+    return agg.orderBy("sink", "bucket_ts", "event_type")
+
+
+def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Driver smoke entry: the flagship end-to-end pipeline."""
+    return q_e2e_sink_hourly_counts(spark, sf_dir)
