@@ -504,6 +504,466 @@ def q_e2e_sink_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy("sink", "bucket_ts", "event_type")
 
 
+# ---------------------------------------------------------------------------
+# processor_grok — parse a synthesized access-log line; the oracle
+# reconstructs the fields from the same deterministic construction
+# ---------------------------------------------------------------------------
+@query(
+    "grok_parse",
+    """
+    SELECT event_id,
+           printf('10.0.%d.%d', user_id % 200, event_id % 250) AS client,
+           event_type AS method,
+           printf('/api/%s/%d', event_type, event_id % 1000) AS request,
+           CAST(user_id AS VARCHAR) AS bytes,
+           CAST(event_id % 97 AS VARCHAR) AS duration
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events")
+    line = F.format_string(
+        "10.0.%d.%d %s /api/%s/%d %d %d",
+        F.col("user_id") % 200,
+        F.col("event_id") % 250,
+        F.col("event_type"),
+        F.col("event_type"),
+        F.col("event_id") % 1000,
+        F.col("user_id"),
+        F.col("event_id") % 97,
+    )
+    ev = to_events(
+        df.withColumn("line", line),
+        content_col="line",
+        field_cols=[],
+        id_cols=["event_id"],
+    )
+    run = compile_processors(
+        [
+            {
+                "Type": "processor_grok",
+                "CustomPatterns": {
+                    "HTTP": "%{IP:client} %{WORD:method} %{URIPATHPARAM:request} %{NUMBER:bytes} %{NUMBER:duration}"
+                },
+                "Match": ["%{HTTP}"],
+                "KeepSource": False,
+            }
+        ]
+    )
+    out = run(ev)
+    f = F.col(FIELDS_COL)
+    return out.select(
+        "event_id",
+        f.getItem("client").alias("client"),
+        f.getItem("method").alias("method"),
+        f.getItem("request").alias("request"),
+        f.getItem("bytes").alias("bytes"),
+        f.getItem("duration").alias("duration"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# processor_json — dynamic flatten incl. nested objects and arrays
+# ---------------------------------------------------------------------------
+@query(
+    "json_flatten",
+    """
+    SELECT event_id,
+           CAST(user_id % 50 AS VARCHAR) AS a_b,
+           CAST(event_id % 7 AS VARCHAR) AS arr0,
+           event_type AS arr1_x,
+           CAST(user_id AS VARCHAR) AS v
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events")
+    doc = F.format_string(
+        '{"a":{"b":%d},"arr":[%d,{"x":"%s"}],"v":%d}',
+        F.col("user_id") % 50,
+        F.col("event_id") % 7,
+        F.col("event_type"),
+        F.col("user_id"),
+    )
+    ev = to_events(
+        df.withColumn("doc", doc), content_col="doc", field_cols=[], id_cols=["event_id"]
+    )
+    run = compile_processors(
+        [
+            {
+                "Type": "processor_json",
+                "SourceKey": "content",
+                "ExpandArray": True,
+                "KeepSource": False,
+            }
+        ]
+    )
+    out = run(ev)
+    f = F.col(FIELDS_COL)
+    return out.select(
+        "event_id",
+        f.getItem("_a_b").alias("a_b"),
+        f.getItem("_arr[0]").alias("arr0"),
+        f.getItem("_arr[1]_x").alias("arr1_x"),
+        f.getItem("_v").alias("v"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# processor_csv — RFC-4180 with a quoted field containing the separator
+# ---------------------------------------------------------------------------
+@query(
+    "split_csv",
+    """
+    SELECT event_id,
+           CAST(event_id AS VARCHAR) AS c1,
+           event_type AS c2,
+           printf('q,%d', user_id % 10) AS c3,
+           CAST(user_id AS VARCHAR) AS c4
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_split_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events")
+    line = F.format_string(
+        '%d,%s,"q,%d",%d',
+        F.col("event_id"),
+        F.col("event_type"),
+        F.col("user_id") % 10,
+        F.col("user_id"),
+    )
+    ev = to_events(
+        df.withColumn("line", line), content_col="line", field_cols=[], id_cols=["event_id"]
+    )
+    run = compile_processors(
+        [
+            {
+                "Type": "processor_csv",
+                "SourceKey": "content",
+                "SplitKeys": ["c1", "c2", "c3", "c4"],
+            }
+        ]
+    )
+    out = run(ev)
+    f = F.col(FIELDS_COL)
+    return out.select(
+        "event_id",
+        *[f.getItem(c).alias(c) for c in ["c1", "c2", "c3", "c4"]],
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# processor_split_key_value — incl. empty-key and no-separator fallbacks
+# ---------------------------------------------------------------------------
+@query(
+    "split_key_value",
+    """
+    SELECT event_id,
+           event_type AS type,
+           CAST(user_id AS VARCHAR) AS uid,
+           printf('v%d', event_id % 5) AS empty_key_0,
+           printf('stray%d', user_id % 3) AS no_separator_key_0
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_split_key_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events")
+    line = F.format_string(
+        "type:%s\tuid:%d\t:v%d\tstray%d",
+        F.col("event_type"),
+        F.col("user_id"),
+        F.col("event_id") % 5,
+        F.col("user_id") % 3,
+    )
+    ev = to_events(
+        df.withColumn("line", line), content_col="line", field_cols=[], id_cols=["event_id"]
+    )
+    run = compile_processors(
+        [{"Type": "processor_split_key_value", "SourceKey": "content"}]
+    )
+    out = run(ev)
+    f = F.col(FIELDS_COL)
+    return out.select(
+        "event_id",
+        f.getItem("type").alias("type"),
+        f.getItem("uid").alias("uid"),
+        f.getItem("empty_key_0").alias("empty_key_0"),
+        f.getItem("no_separator_key_0").alias("no_separator_key_0"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# processor_parse_delimiter_native — overflow EXTEND policy
+# ---------------------------------------------------------------------------
+@query(
+    "split_delimiter",
+    """
+    SELECT event_id,
+           CAST(event_id AS VARCHAR) AS a,
+           event_type AS b,
+           CAST(user_id AS VARCHAR) AS col2,
+           CAST(event_id % 13 AS VARCHAR) AS col3
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_split_delimiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events")
+    line = F.format_string(
+        "%d|%s|%d|%d",
+        F.col("event_id"),
+        F.col("event_type"),
+        F.col("user_id"),
+        F.col("event_id") % 13,
+    )
+    ev = to_events(
+        df.withColumn("line", line), content_col="line", field_cols=[], id_cols=["event_id"]
+    )
+    run = compile_processors(
+        [
+            {
+                "Type": "processor_parse_delimiter_native",
+                "SourceKey": "content",
+                "Separator": "|",
+                "Keys": ["a", "b"],
+                "OverflowedFieldsTreatment": "extend",
+                "KeepingSourceWhenParseSucceed": False,
+            }
+        ]
+    )
+    out = run(ev)
+    f = F.col(FIELDS_COL)
+    return out.select(
+        "event_id",
+        f.getItem("a").alias("a"),
+        f.getItem("b").alias("b"),
+        f.getItem("__column2__").alias("col2"),
+        f.getItem("__column3__").alias("col3"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# processor_strptime — round-trip the event time through a string field
+# ---------------------------------------------------------------------------
+@query(
+    "strptime_time",
+    """
+    SELECT event_id, date_trunc('second', ts) AS parsed_ts
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_strptime_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events")
+    tstr = F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss")
+    ev = to_events(
+        df.withColumn("tstr", tstr).drop("ts"),
+        content_col="props",
+        field_cols=["tstr"],
+        id_cols=["event_id"],
+    )
+    run = compile_processors(
+        [
+            {
+                "Type": "processor_strptime",
+                "SourceKey": "tstr",
+                "Format": "%Y-%m-%d %H:%M:%S",
+            }
+        ]
+    )
+    out = run(ev)
+    return out.select("event_id", F.col("ts").alias("parsed_ts")).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# processor_gotime — Go-layout reformat of a time field
+# ---------------------------------------------------------------------------
+@query(
+    "gotime_reformat",
+    """
+    SELECT event_id, strftime(ts, '%Y/%m/%d') AS d
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_gotime_reformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events")
+    tstr = F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss")
+    ev = to_events(
+        df.withColumn("tstr", tstr).drop("ts"),
+        content_col="props",
+        field_cols=["tstr"],
+        id_cols=["event_id"],
+    )
+    run = compile_processors(
+        [
+            {
+                "Type": "processor_gotime",
+                "SourceKey": "tstr",
+                "SourceFormat": "2006-01-02 15:04:05",
+                "DestKey": "d",
+                "DestFormat": "2006/01/02",
+                "SetTime": False,
+            }
+        ]
+    )
+    out = run(ev)
+    return out.select(
+        "event_id", F.col(FIELDS_COL).getItem("d").alias("d")
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# processor_dict_map — broadcast lookup enrich (miss leaves row untouched)
+# ---------------------------------------------------------------------------
+EVENT_CLASS = {
+    "click": "engagement",
+    "view": "engagement",
+    "purchase": "revenue",
+    "signup": "growth",
+    # 'error' intentionally unmapped
+}
+
+
+@query(
+    "dict_map_enrich",
+    """
+    SELECT CASE event_type
+             WHEN 'click' THEN 'engagement'
+             WHEN 'view' THEN 'engagement'
+             WHEN 'purchase' THEN 'revenue'
+             WHEN 'signup' THEN 'growth'
+             ELSE ''
+           END AS category,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    ORDER BY category
+    """,
+)
+def q_dict_map_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    run = compile_processors(
+        [
+            {
+                "Type": "processor_dict_map",
+                "SourceKey": "event_type",
+                "DestKey": "category",
+                "MapDict": EVENT_CLASS,
+            }
+        ]
+    )
+    out = run(ev)
+    f = F.col(FIELDS_COL)
+    return (
+        out.groupBy(F.coalesce(f.getItem("category"), F.lit("")).alias("category"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("category")
+    )
+
+
+# ---------------------------------------------------------------------------
+# processor_lookup_join — broadcast join against a dimension table
+# ---------------------------------------------------------------------------
+@query(
+    "lookup_join_enrich",
+    """
+    SELECT n.n_name AS nation, count(*) AS n
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def q_lookup_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events").withColumn(
+        "nk", (F.col("user_id") % 25).cast("string")
+    )
+    ev = to_events(df, content_col="props", field_cols=["nk"], id_cols=["event_id"])
+    run = compile_processors(
+        [
+            {
+                "Type": "processor_lookup_join",
+                "SourceKey": "nk",
+                "DimPath": f"{sf_dir}/nation.parquet",
+                "KeyColumn": "n_nationkey",
+                "AttachColumns": ["n_name"],
+            }
+        ]
+    )
+    out = run(ev)
+    f = F.col(FIELDS_COL)
+    return (
+        out.filter(f.getItem("n_name").isNotNull())
+        .groupBy(f.getItem("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# packjson + appender + string_replace — chained transforms
+# ---------------------------------------------------------------------------
+@query(
+    "transform_pack_append",
+    """
+    SELECT event_id,
+           printf('{"event_type":"%s","uid":"%d"}', event_type, user_id) AS packed,
+           concat(event_type, '-suffixed') AS appended,
+           regexp_replace(CAST(user_id AS VARCHAR), '[0-9]', 'N', 'g') AS masked_uid
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_transform_pack_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events")
+    ev = to_events(
+        df, content_col="props", field_cols=["event_type", "user_id"], id_cols=["event_id"]
+    )
+    # seed 'appended' with event_type (appender concatenates onto the
+    # existing value), then run the chain
+    seeded = compile_processors(
+        [
+            {"Type": "processor_rename", "SourceKeys": ["user_id"], "DestKeys": ["uid"]},
+            {
+                "Type": "processor_packjson",
+                "SourceKeys": ["event_type", "uid"],
+                "DestKey": "packed",
+            },
+        ]
+    )(ev)
+    seeded = seeded.withColumn(
+        FIELDS_COL,
+        F.map_concat(
+            F.col(FIELDS_COL),
+            F.create_map(F.lit("appended"), F.col(FIELDS_COL).getItem("event_type")),
+        ),
+    )
+    out = compile_processors(
+        [
+            {"Type": "processor_appender", "Key": "appended", "Value": "-suffixed"},
+            {
+                "Type": "processor_string_replace",
+                "SourceKey": "uid",
+                "Method": "regex",
+                "Match": "[0-9]",
+                "ReplaceString": "N",
+                "DestKey": "masked_uid",
+            },
+        ]
+    )(seeded)
+    f = F.col(FIELDS_COL)
+    return out.select(
+        "event_id",
+        f.getItem("packed").alias("packed"),
+        f.getItem("appended").alias("appended"),
+        f.getItem("masked_uid").alias("masked_uid"),
+    ).orderBy("event_id")
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the flagship end-to-end pipeline."""
     return q_e2e_sink_hourly_counts(spark, sf_dir)

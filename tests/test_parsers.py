@@ -1,0 +1,507 @@
+"""Grok / JSON / split / csv / kv / anchor parser tests, mirroring the
+reference's table-driven vectors (plugins/processor/*/..._test.go)."""
+
+from __future__ import annotations
+
+from ilogtail_spark.plans.pipeline import compile_processors
+from tests.helpers import events_df, fields_of, one
+
+
+def run_one(spark, procs, fields: dict) -> dict:
+    df = events_df(spark, [fields])
+    return one(compile_processors(procs)(df))
+
+
+def run_many(spark, procs, rows: list[dict]) -> list[dict]:
+    df = events_df(spark, rows)
+    return fields_of(compile_processors(procs)(df))
+
+
+# -- grok (processor_grok_test.go:120-300) ---------------------------------
+class TestGrok:
+    def test_single_pattern(self, spark):
+        out = run_one(
+            spark,
+            [{"Type": "processor_grok", "Match": ["%{WORD:word1} %{NUMBER:request_time} %{WORD:word2}"]}],
+            {"content": "begin 123.456 end"},
+        )
+        assert out == {
+            "content": "begin 123.456 end",
+            "word1": "begin",
+            "request_time": "123.456",
+            "word2": "end",
+        }
+
+    def test_no_match_keeps_source(self, spark):
+        out = run_one(
+            spark,
+            [{"Type": "processor_grok", "Match": ["%{WORD:w} %{NUMBER:n} %{WORD:w2}"]}],
+            {"content": "asdfdsafdsf"},
+        )
+        assert out == {"content": "asdfdsafdsf"}
+
+    def test_multiple_patterns_first_match_wins(self, spark):
+        procs = [
+            {
+                "Type": "processor_grok",
+                "KeepSource": False,
+                "CustomPatterns": {
+                    "HTTP": "%{IP:client} %{WORD:method} %{URIPATHPARAM:request} %{NUMBER:bytes} %{NUMBER:duration}"
+                },
+                "Match": [
+                    "%{HTTP}",
+                    "%{WORD:word1} %{NUMBER:request_time} %{WORD:word2}",
+                    "%{YEAR:year} %{MONTH:month} %{MONTHDAY:day} %{QUOTEDSTRING:motto}",
+                ],
+            }
+        ]
+        rows = [
+            {"content": "begin 123.456 end"},
+            {"content": '2019 June 24 "I am iron man"'},
+            {"content": "WRONG LOG"},
+            {"content": "10.0.0.0 GET /index.html 15824 0.043"},
+        ]
+        out = run_many(spark, procs, rows)
+        assert {"word1": "begin", "request_time": "123.456", "word2": "end"} in out
+        assert {
+            "year": "2019",
+            "month": "June",
+            "day": "24",
+            "motto": '"I am iron man"',
+        } in out
+        # parse failure + IgnoreParseFailure default true -> source kept
+        assert {"content": "WRONG LOG"} in out
+        assert {
+            "client": "10.0.0.0",
+            "method": "GET",
+            "request": "/index.html",
+            "bytes": "15824",
+            "duration": "0.043",
+        } in out
+
+    def test_unicode(self, spark):
+        out = run_one(
+            spark,
+            [{"Type": "processor_grok", "Match": ["%{WORD:word1} %{WORD:word2}"]}],
+            {"content": "hello こんにちは"},
+        )
+        assert out["word1"] == "hello"
+        assert out["word2"] == "こんにちは"
+
+    def test_discard_on_failure(self, spark):
+        out = run_one(
+            spark,
+            [
+                {
+                    "Type": "processor_grok",
+                    "Match": ["%{NUMBER:n} only"],
+                    "IgnoreParseFailure": False,
+                }
+            ],
+            {"content": "no numbers here", "other": "x"},
+        )
+        # source field removed; row survives
+        assert out == {"other": "x"}
+
+    def test_cycle_detection(self):
+        import pytest
+        from ilogtail_spark.functions.grok import GrokCompileError, compile_grok
+
+        with pytest.raises(GrokCompileError):
+            compile_grok("%{A}", {"A": "%{B}", "B": "%{A}"})
+
+
+# -- json (processor_json_test.go) -----------------------------------------
+class TestJson:
+    NESTED = '{"k1":{"k2":{"k3":{"k4":{"k51":"51","k52":"52"},"k41":"41"}}},"k6":[{"x":"a"},{"x":"b"}],"k7":[]}'
+
+    def test_flatten_default_depth_source_prefix(self, spark):
+        out = run_one(
+            spark,
+            [
+                {
+                    "Type": "processor_json",
+                    "SourceKey": "js_key",
+                    "ExpandConnector": "-",
+                    "UseSourceKeyAsPrefix": True,
+                }
+            ],
+            {"js_key": self.NESTED},
+        )
+        assert out["js_key-k1-k2-k3-k4-k51"] == "51"
+        assert out["js_key-k1-k2-k3-k4-k52"] == "52"
+        assert out["js_key-k1-k2-k3-k41"] == "41"
+        assert out["js_key-k6"] == '[{"x":"a"},{"x":"b"}]'
+        assert out["js_key-k7"] == "[]"
+        assert out["js_key"] == self.NESTED  # KeepSource default true
+
+    def test_prefix_and_ignore_first_connector(self, spark):
+        out = run_one(
+            spark,
+            [
+                {
+                    "Type": "processor_json",
+                    "SourceKey": "js_key",
+                    "ExpandConnector": "-",
+                    "Prefix": "j",
+                    "IgnoreFirstConnector": True,
+                    "KeepSource": False,
+                }
+            ],
+            {"js_key": self.NESTED},
+        )
+        assert out["jk1-k2-k3-k4-k51"] == "51"
+        assert out["jk6"] == '[{"x":"a"},{"x":"b"}]'
+        assert "js_key" not in out
+
+    def test_depth_limit(self, spark):
+        out = run_one(
+            spark,
+            [
+                {
+                    "Type": "processor_json",
+                    "SourceKey": "js_key",
+                    "ExpandConnector": "-",
+                    "UseSourceKeyAsPrefix": True,
+                    "ExpandDepth": 1,
+                }
+            ],
+            {"js_key": self.NESTED},
+        )
+        assert (
+            out["js_key-k1"]
+            == '{"k2":{"k3":{"k4":{"k51":"51","k52":"52"},"k41":"41"}}}'
+        )
+
+    def test_expand_array(self, spark):
+        out = run_one(
+            spark,
+            [
+                {
+                    "Type": "processor_json",
+                    "SourceKey": "j",
+                    "ExpandArray": True,
+                }
+            ],
+            {"j": '{"a":[1,{"b":"x"}],"c":"2.50"}'},
+        )
+        assert out["_a[0]"] == "1"
+        assert out["_a[1]_b"] == "x"
+        assert out["_c"] == "2.50"
+
+    def test_parse_error_keeps_source(self, spark):
+        out = run_one(
+            spark,
+            [{"Type": "processor_json", "SourceKey": "j", "KeepSource": False}],
+            {"j": "not json"},
+        )
+        assert out == {"j": "not json"}  # KeepSourceIfParseError default
+
+    def test_raw_number_preserved(self, spark):
+        out = run_one(
+            spark,
+            [{"Type": "processor_json", "SourceKey": "j"}],
+            {"j": '{"a":5.0,"b":1e3,"c":true,"d":null}'},
+        )
+        assert out["_a"] == "5.0"
+        assert out["_b"] == "1e3"
+        assert out["_c"] == "true"
+        assert out["_d"] == "null"
+
+    def test_json_expr_fast_path(self, spark):
+        out = run_one(
+            spark,
+            [
+                {
+                    "Type": "processor_json_expr",
+                    "SourceKey": "j",
+                    "Paths": {"svc": "$.service", "lat": "$.nested.latency"},
+                }
+            ],
+            {"j": '{"service":"s1","nested":{"latency":12}}'},
+        )
+        assert out["svc"] == "s1"
+        assert out["lat"] == "12"
+
+
+# -- split char / string (split/*_test.go) ---------------------------------
+class TestSplit:
+    def test_split_char_basic(self, spark):
+        out = run_one(
+            spark,
+            [
+                {
+                    "Type": "processor_split_char",
+                    "SourceKey": "content",
+                    "SplitSep": "|",
+                    "SplitKeys": ["a", "b", "c"],
+                }
+            ],
+            {"content": "1|2|3"},
+        )
+        assert out == {"a": "1", "b": "2", "c": "3"}
+
+    def test_split_char_preserve_others(self, spark):
+        out = run_one(
+            spark,
+            [
+                {
+                    "Type": "processor_split_char",
+                    "SourceKey": "content",
+                    "SplitSep": "|",
+                    "SplitKeys": ["a", "b"],
+                    "PreserveOthers": True,
+                }
+            ],
+            {"content": "1|2|3|4"},
+        )
+        assert out == {"a": "1", "b": "2", "_split_preserve_": "3|4"}
+
+    def test_split_char_quote(self, spark):
+        out = run_one(
+            spark,
+            [
+                {
+                    "Type": "processor_split_char",
+                    "SourceKey": "content",
+                    "SplitSep": ",",
+                    "Quote": '"',
+                    "QuoteFlag": True,
+                    "SplitKeys": ["a", "b", "c"],
+                }
+            ],
+            {"content": '1,"x,y",3'},
+        )
+        assert out == {"a": "1", "b": "x,y", "c": "3"}
+
+    def test_split_char_doubled_quote_escape(self, spark):
+        out = run_one(
+            spark,
+            [
+                {
+                    "Type": "processor_split_char",
+                    "SourceKey": "content",
+                    "SplitSep": ",",
+                    "Quote": '"',
+                    "QuoteFlag": True,
+                    "SplitKeys": ["a", "b"],
+                }
+            ],
+            {"content": '"say ""hi""",2'},
+        )
+        assert out == {"a": 'say "hi"', "b": "2"}
+
+    def test_split_string_multichar(self, spark):
+        out = run_one(
+            spark,
+            [
+                {
+                    "Type": "processor_split_string",
+                    "SourceKey": "content",
+                    "SplitSep": "::",
+                    "SplitKeys": ["x", "y"],
+                }
+            ],
+            {"content": "a::b::c::d"},
+        )
+        assert out == {"x": "a", "y": "b"}
+
+    def test_split_string_preserve(self, spark):
+        out = run_one(
+            spark,
+            [
+                {
+                    "Type": "processor_split_string",
+                    "SourceKey": "content",
+                    "SplitSep": "::",
+                    "SplitKeys": ["x", "y"],
+                    "PreserveOthers": True,
+                }
+            ],
+            {"content": "a::b::c::d"},
+        )
+        assert out == {"x": "a", "y": "b", "_split_preserve_": "c::d"}
+
+    def test_split_string_expand_others(self, spark):
+        out = run_one(
+            spark,
+            [
+                {
+                    "Type": "processor_split_string",
+                    "SourceKey": "content",
+                    "SplitSep": ",",
+                    "SplitKeys": ["x"],
+                    "PreserveOthers": True,
+                    "ExpandOthers": True,
+                    "ExpandKeyPrefix": "expand_",
+                }
+            ],
+            {"content": "a,b,c"},
+        )
+        assert out == {"x": "a", "expand_1": "b", "expand_2": "c"}
+
+    def test_split_string_shortened(self, spark):
+        out = run_one(
+            spark,
+            [
+                {
+                    "Type": "processor_split_string",
+                    "SourceKey": "content",
+                    "SplitSep": ",",
+                    "SplitKeys": ["x", "y", "z"],
+                }
+            ],
+            {"content": "a,b"},
+        )
+        assert out == {"x": "a", "y": "b"}
+
+
+class TestCSVAndDelimiter:
+    def test_csv_basic(self, spark):
+        out = run_one(
+            spark,
+            [
+                {
+                    "Type": "processor_csv",
+                    "SourceKey": "content",
+                    "SplitKeys": ["a", "b", "c"],
+                }
+            ],
+            {"content": '1,"x, y",3'},
+        )
+        assert out == {"a": "1", "b": "x, y", "c": "3"}
+
+    def test_csv_expand_overflow(self, spark):
+        out = run_one(
+            spark,
+            [
+                {
+                    "Type": "processor_csv",
+                    "SourceKey": "content",
+                    "SplitKeys": ["a"],
+                    "ExpandOthers": True,
+                    "ExpandKeyPrefix": "ex_",
+                }
+            ],
+            {"content": "1,2,3"},
+        )
+        assert out == {"a": "1", "ex_1": "2", "ex_2": "3"}
+
+    def test_delimiter_native_extend(self, spark):
+        out = run_one(
+            spark,
+            [
+                {
+                    "Type": "processor_parse_delimiter_native",
+                    "SourceKey": "content",
+                    "Separator": ",",
+                    "Keys": ["a", "b"],
+                    "OverflowedFieldsTreatment": "extend",
+                    "KeepingSourceWhenParseSucceed": False,
+                }
+            ],
+            {"content": "1,2,3,4"},
+        )
+        assert out == {"a": "1", "b": "2", "__column2__": "3", "__column3__": "4"}
+
+    def test_delimiter_native_keep_overflow(self, spark):
+        out = run_one(
+            spark,
+            [
+                {
+                    "Type": "processor_parse_delimiter_native",
+                    "SourceKey": "content",
+                    "Separator": ",",
+                    "Keys": ["a", "b"],
+                    "OverflowedFieldsTreatment": "keep",
+                    "KeepingSourceWhenParseSucceed": False,
+                }
+            ],
+            {"content": "1,2,3,4"},
+        )
+        assert out == {"a": "1", "b": "2,3,4"}
+
+
+class TestKeyValue:
+    def test_kv_defaults(self, spark):
+        out = run_one(
+            spark,
+            [{"Type": "processor_split_key_value", "SourceKey": "content"}],
+            {"content": "class:main\tuser:root\tlatency:12"},
+        )
+        assert out == {"class": "main", "user": "root", "latency": "12"}
+
+    def test_kv_fallback_keys(self, spark):
+        out = run_one(
+            spark,
+            [{"Type": "processor_split_key_value", "SourceKey": "content"}],
+            {"content": ":v0\tstray\tk:v"},
+        )
+        assert out == {"empty_key_0": "v0", "no_separator_key_0": "stray", "k": "v"}
+
+    def test_kv_discard_no_separator(self, spark):
+        out = run_one(
+            spark,
+            [
+                {
+                    "Type": "processor_split_key_value",
+                    "SourceKey": "content",
+                    "DiscardWhenSeparatorNotFound": True,
+                }
+            ],
+            {"content": "a:1\tstray\tb:2"},
+        )
+        assert out == {"a": "1", "b": "2"}
+
+    def test_kv_quoted_value_with_delimiter(self, spark):
+        out = run_one(
+            spark,
+            [
+                {
+                    "Type": "processor_split_key_value",
+                    "SourceKey": "content",
+                    "Delimiter": " ",
+                    "Separator": "=",
+                    "Quote": '"',
+                }
+            ],
+            {"content": 'a="hello world" b=2'},
+        )
+        assert out == {"a": "hello world", "b": "2"}
+
+
+class TestAnchor:
+    def test_anchor_string(self, spark):
+        out = run_one(
+            spark,
+            [
+                {
+                    "Type": "processor_anchor",
+                    "SourceKey": "content",
+                    "Anchors": [
+                        {"Start": "time:", "Stop": " ", "FieldName": "time"},
+                        {"Start": "status:", "Stop": "", "FieldName": "status"},
+                    ],
+                }
+            ],
+            {"content": "time:12:34 level:info status:ok"},
+        )
+        assert out["time"] == "12:34"
+        assert out["status"] == "ok"
+
+    def test_anchor_json(self, spark):
+        out = run_one(
+            spark,
+            [
+                {
+                    "Type": "processor_anchor",
+                    "SourceKey": "content",
+                    "KeepSource": False,
+                    "Anchors": [
+                        {"Start": "json:", "Stop": "|end", "FieldName": "j", "FieldType": "json"}
+                    ],
+                }
+            ],
+            {"content": 'json:{"a":{"b":"1"}}|end'},
+        )
+        assert out == {"j_a_b": "1"}
