@@ -24,12 +24,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    import ilogtail_spark.entryq_data  # noqa: F401 — registers dataops queries
     from ilogtail_spark.entryq import QUERIES
 
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    import ilogtail_spark.entryq_data  # noqa: F401
     from ilogtail_spark.entryq import ORACLES
 
     return dict(ORACLES)

@@ -1,0 +1,291 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard.
+
+Hashing is md5-based (portable across Spark / DuckDB / any engine —
+the oracle queries compute the identical signatures in SQL). MinHash
+uses the lexicographic minimum of salted md5 hex digests per hash
+function — a valid min-wise permutation family over the shingle set.
+
+Scale story (100 TB):
+  * exact: one shuffle on the content hash; Catalyst partial-agg
+    combines map-side, AQE coalesces output partitions.
+  * minhash signatures: computed scan-side per row (no shuffle);
+    banding groups by (band_idx, band_hash) — the ONLY shuffle, and
+    bucket sizes are small by construction, so the candidate-pair
+    self-join never materializes O(n^2).
+  * jaccard verification: inverted-index join on shingles with a
+    document-frequency cap on hot shingles (a shingle appearing in
+    >max_df docs carries no discriminative signal and would create a
+    quadratic hot key — the salting analog for similarity joins).
+  * simhash: per-row expression (no shuffle); near-dup candidates =
+    exact match on rotated bit-blocks (pigeonhole over hamming
+    distance), again a bucket groupBy.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens (empties removed)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles via a sequence/transform expression —
+    JVM-side, no UDF. 0-based array subscripts in the SQL lambda."""
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    joined = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, joined).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content md5: keeper = min(id).
+    One hash-aggregate shuffle on the 32-byte digest, never on the
+    document text itself (don't shuffle payloads, shuffle hashes)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Append minhash columns mh0..mh{k-1}: lexicographic min over
+    shingles of md5('{i}:' || shingle). Pure expression — computed in
+    the scan stage, no shuffle, no UDF."""
+    sh = shingles_col(F.col(text_col), shingle_n)
+    out = df.withColumn("__sh__", sh)
+
+    def salted(i: int):
+        # factory closure: Spark counts lambda params, so a default-arg
+        # binding (lambda s, i=i) would become a 2-arg (elem, index) fn
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    for i in range(num_hashes):
+        out = out.withColumn(
+            f"mh{i}", F.array_min(F.transform(F.col("__sh__"), salted(i)))
+        )
+    return out.drop("__sh__")
+
+
+def minhash_bands(
+    df: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: band j hash = md5(mh_{j*r} || .. || mh_{j*r+r-1}).
+    Returns (id, band_idx, band_hash) — the join key for candidate
+    pairs. Docs agreeing on ANY band are candidates."""
+    bands = []
+    for j in range(num_hashes // band_size):
+        cols = [F.col(f"mh{j * band_size + r}") for r in range(band_size)]
+        bands.append(
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    return df.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash"))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing at least one LSH band.
+    The self-join happens WITHIN band buckets only."""
+    sig = minhash_signature(df.select(id_col, text_col), text_col, num_hashes)
+    bands = minhash_bands(sig, num_hashes, band_size, id_col)
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over distinct n-gram shingle sets, computed with
+    an inverted-index join (explode -> join on shingle -> count
+    intersections) instead of an O(n^2) cross join.
+
+    ``max_df`` drops shingles occurring in more than max_df documents
+    before the join — at 100 TB a stop-shingle ("the end of the")
+    otherwise becomes a quadratic hot key. Dropping it can only
+    UNDERcount intersections for pairs glued solely by boilerplate,
+    which is the desired behavior for near-dup mining.
+    """
+    sh = (
+        df.select(F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("s"))
+        .distinct()
+    )
+    if max_df is not None:
+        hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(F.broadcast(hot.filter(F.col("df_") > max_df)), "s", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
+        .groupBy(
+            F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash_expr(
+    df: DataFrame,
+    text_col: str = "text",
+    nbits: int = 32,
+) -> DataFrame:
+    """SimHash over whitespace tokens as a pure Column expression:
+    token hash = first 15 hex chars of md5 (60-bit bigint, portable);
+    bit b of the simhash = sign of sum over tokens of (2*bit_b - 1).
+
+    Expression engine keeps it scan-side (no shuffle, no Python); for
+    64-bit signatures over long documents prefer
+    :func:`simhash_pandas`, which is O(tokens) per row instead of
+    O(tokens*bits) expression nodes.
+    """
+    toks = tokens_col(F.col(text_col))
+    hs = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    out = df.withColumn("__hs__", hs)
+
+    def voter(b: int):
+        return lambda a, h: a + F.when(
+            h.bitwiseAND(F.lit(1 << b)) != 0, 1
+        ).otherwise(-1)
+
+    acc = F.lit(0).cast("long")
+    for b in range(nbits):
+        vote = F.aggregate(F.col("__hs__"), F.lit(0).cast("long"), voter(b))
+        acc = acc + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+    return out.withColumn("simhash", acc).drop("__hs__")
+
+
+def simhash_pandas(df: DataFrame, text_col: str = "text", nbits: int = 64) -> DataFrame:
+    """64-bit SimHash as a vectorized pandas UDF (Arrow batches; one
+    md5 per token, bit votes in numpy)."""
+    @F.pandas_udf("long")
+    def _simhash(s: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        out = []
+        for text in s:
+            if text is None:
+                out.append(None)
+                continue
+            votes = np.zeros(nbits, dtype=np.int64)
+            for t in text.split():
+                h = int.from_bytes(
+                    hashlib.md5(t.encode()).digest()[:8], "big"
+                ) & ((1 << nbits) - 1)
+                for b in range(nbits):
+                    votes[b] += 1 if (h >> b) & 1 else -1
+            sig = 0
+            for b in range(nbits):
+                if votes[b] > 0:
+                    sig |= 1 << b
+            # keep within signed 64-bit
+            if sig >= 1 << 63:
+                sig -= 1 << 64
+            out.append(sig)
+        return pd.Series(out, dtype="object")
+
+    return df.withColumn("simhash", _simhash(F.col(text_col)))
+
+
+def simhash_candidates(
+    df_with_simhash: DataFrame,
+    id_col: str = "doc_id",
+    nbits: int = 32,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup candidates by the pigeonhole block trick: split the
+    signature into ``blocks`` bit-blocks; docs within hamming distance
+    < blocks agree on at least one block -> bucket groupBy per block,
+    self-join within buckets."""
+    width = nbits // blocks
+    mask = (1 << width) - 1
+    parts = []
+    for j in range(blocks):
+        parts.append(
+            F.struct(
+                F.lit(j).alias("block_idx"),
+                F.shiftright(F.col("simhash"), j * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("block_val"),
+            )
+        )
+    blocked = df_with_simhash.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*parts)).alias("p")
+    ).select(id_col, "simhash", "p.block_idx", "p.block_val")
+    l, r = blocked.alias("l"), blocked.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.block_idx") == F.col("r.block_idx"))
+            & (F.col("l.block_val") == F.col("r.block_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )

@@ -1,0 +1,97 @@
+"""Text analysis: token counting, quality scoring, language ID,
+document fingerprinting. All pure Column expressions — scan-side,
+codegen'd, zero Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ilogtail_spark.dataops.dedup import tokens_col
+
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be",
+]
+
+# a BPE-ish subword token proxy: runs of letters, runs of digits, or a
+# single non-alnum non-space char each count as one token
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, n_bpe_tokens, avg_token_len)."""
+    toks = tokens_col(F.col(text_col))
+    n_tok = F.size(toks)
+    n_bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0))
+    total_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(total_len / F.greatest(n_tok, F.lit(1)), 6).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + a composite score in [0,1]:
+    length band, punctuation ratio, stopword ratio, repetition
+    (distinct/total tokens). The shape of a C4/Gopher-style quality
+    filter, kept deterministic and engine-portable."""
+    t = F.col(text_col)
+    n = F.length(t)
+    toks = tokens_col(t)
+    n_tok = F.size(toks)
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    punct_ratio = F.round(punct / F.greatest(n, F.lit(1)), 6)
+    stop_hits = F.size(
+        F.filter(toks, lambda x: F.lower(x).isin(EN_STOPWORDS))
+    )
+    stop_ratio = F.round(stop_hits / F.greatest(n_tok, F.lit(1)), 6)
+    distinct_ratio = F.round(
+        F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)), 6
+    )
+    len_ok = F.when((n >= 50) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = F.round(
+        0.25 * len_ok
+        + 0.25 * F.when(punct_ratio <= 0.2, 1.0).otherwise(0.0)
+        + 0.25 * F.least(stop_ratio * 10, F.lit(1.0))
+        + 0.25 * distinct_ratio,
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N-gram-free heuristic language ID: ascii-ratio gate + English
+    stopword-hit ratio -> 'en' | 'unknown'. (A full fastText-style
+    model is out of scope; the operator surface — per-doc label
+    column usable as a filter key — is what matters.)"""
+    t = F.col(text_col)
+    ascii_ratio = F.length(F.regexp_replace(t, r"[^\x00-\x7F]", "")) / F.greatest(
+        F.length(t), F.lit(1)
+    )
+    toks = tokens_col(t)
+    stop_ratio = F.size(
+        F.filter(toks, lambda x: F.lower(x).isin(EN_STOPWORDS))
+    ) / F.greatest(F.size(toks), F.lit(1))
+    pred = F.when((ascii_ratio >= 0.9) & (stop_ratio >= 0.03), F.lit("en")).otherwise(
+        F.lit("unknown")
+    )
+    return df.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical-form fingerprint (the classic key-collision method):
+    md5 of the sorted distinct lowercase tokens. Word-order- and
+    duplication-insensitive near-dup key; one expression, groupable."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    return df.select(F.col(id_col), F.md5(canon).alias("fingerprint"))

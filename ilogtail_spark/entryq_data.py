@@ -1,0 +1,356 @@
+"""Training-data operation queries (dedup / similarity / text
+analysis / multimodal) with DuckDB oracles over the ``documents`` and
+``embeddings`` tables. Oracle SQL for the hash-based operators is
+GENERATED programmatically so it provably mirrors the Spark-side
+construction (same salted-md5 signatures, same literal hyperplanes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ilogtail_spark.dataops import dedup, multimodal, similarity, textstats
+from ilogtail_spark.entryq import _t, query
+
+# shared SQL fragments -----------------------------------------------------
+SQL_TOKENS = "list_filter(string_split_regex({col}, '\\s+'), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup — hash groupBy
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM documents GROUP BY 1 ORDER BY keep_id
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents")).orderBy("keep_id")
+
+
+# ---------------------------------------------------------------------------
+# minhash signatures (4 hash functions over 3-gram shingles)
+# ---------------------------------------------------------------------------
+def _minhash_oracle(num_hashes: int) -> str:
+    mins = ",\n           ".join(
+        f"list_aggregate(list_transform(s, x -> md5('{i}:' || x)), 'min') AS mh{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(col="text")} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(range(len(w) - 2),
+                                      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+                  ELSE [] END AS s
+      FROM toks
+    )
+    SELECT doc_id, {mins}
+    FROM sh ORDER BY doc_id
+    """
+
+
+@query("dedup_minhash_sig", _minhash_oracle(4))
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = dedup.minhash_signature(docs, num_hashes=4)
+    return sig.select("doc_id", "mh0", "mh1", "mh2", "mh3").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# minhash LSH candidate pairs (8 hashes, band size 2)
+# ---------------------------------------------------------------------------
+def _minhash_pairs_oracle() -> str:
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {j} AS band_idx, "
+        f"md5(mh{2 * j} || '|' || mh{2 * j + 1}) AS band_hash FROM sig"
+        for j in range(4)
+    )
+    mins = ", ".join(
+        f"list_aggregate(list_transform(s, x -> md5('{i}:' || x)), 'min') AS mh{i}"
+        for i in range(8)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(col="text")} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(range(len(w) - 2),
+                                      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+                  ELSE [] END AS s
+      FROM toks
+    ), sig AS (
+      SELECT doc_id, {mins} FROM sh
+    ), bands AS (
+{band_selects}
+    )
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM bands l JOIN bands r
+      ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+     AND l.doc_id < r.doc_id
+    ORDER BY a, b
+    """
+
+
+@query("dedup_minhash_pairs", _minhash_pairs_oracle())
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.minhash_candidate_pairs(docs).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, unnest(
+        CASE WHEN len(w) >= 3
+             THEN list_transform(range(len(w) - 2),
+                                 i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+             ELSE [] END) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+    ORDER BY a, b
+    """,
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.2).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# simhash (32-bit expression engine)
+# ---------------------------------------------------------------------------
+def _simhash_oracle(nbits: int) -> str:
+    votes = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(nbits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(col="text")} AS w FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             list_transform(w, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+      FROM toks
+    )
+    SELECT doc_id, CAST({votes} AS BIGINT) AS simhash
+    FROM hashed ORDER BY doc_id
+    """
+
+
+@query("dedup_simhash", _simhash_oracle(32))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.simhash_expr(docs, nbits=32).select("doc_id", "simhash").orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k (exact baseline ANN)
+# ---------------------------------------------------------------------------
+DIM = 64
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range({DIM}), i -> {a}[i+1] * {b}[i+1]))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+        f" * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+    )
+
+
+@query(
+    "sim_cosine_topk",
+    f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), q AS (SELECT * FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+             {_cosine_sql("c.e", "q.e")} AS cos_raw
+      FROM v c JOIN q ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id, nbr_id, rk, round(cos_raw, 6) AS cos
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_raw DESC, nbr_id
+      ) AS rk
+      FROM scored
+    )
+    WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk(emb, queries, k=5).orderBy("query_id", "rk")
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN: bucket assignment (the scale path's partitioner)
+# ---------------------------------------------------------------------------
+def _lsh_bucket_oracle(num_planes: int = 8) -> str:
+    bit_exprs = []
+    for p in range(num_planes):
+        terms = " + ".join(
+            f"e[{d + 1}] * ({similarity.hyperplane_component(p, d):.1f})"
+            for d in range(DIM)
+        )
+        bit_exprs.append(f"(CASE WHEN {terms} >= 0 THEN '1' ELSE '0' END)")
+    concat = " || ".join(bit_exprs)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    )
+    SELECT {concat} AS bucket, count(*) AS n, min(vec_id) AS min_vec_id
+    FROM v GROUP BY 1 ORDER BY bucket
+    """
+
+
+@query("sim_lsh_buckets", _lsh_bucket_oracle())
+def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    b = similarity.lsh_bucket(emb, dim=DIM, num_planes=8)
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("min_vec_id"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+@query(
+    "text_token_stats",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, {SQL_TOKENS.format(col="text")} AS w FROM documents
+    )
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           round(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+                 / greatest(len(w), 1), 6) AS avg_token_len
+    FROM toks ORDER BY doc_id
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS)
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, {SQL_TOKENS.format(col="text")} AS w FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             round(CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / greatest(len(text), 1), 6) AS punct_ratio,
+             round(CAST(len(list_filter(w, x -> list_contains([{_STOP_SQL}], lower(x)))) AS DOUBLE)
+                   / greatest(len(w), 1), 6) AS stopword_ratio,
+             round(CAST(len(list_distinct(w)) AS DOUBLE) / greatest(len(w), 1), 6) AS distinct_ratio,
+             len(text) AS n
+      FROM toks
+    )
+    SELECT doc_id, punct_ratio, stopword_ratio, distinct_ratio,
+           round(0.25 * (CASE WHEN n BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END)
+                 + 0.25 * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+                 + 0.25 * least(stopword_ratio * 10, 1.0)
+                 + 0.25 * distinct_ratio, 6) AS quality_score
+    FROM feat ORDER BY doc_id
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@query(
+    "text_lang_id",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, {SQL_TOKENS.format(col="text")} AS w FROM documents
+    )
+    SELECT CASE WHEN CAST(len(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS DOUBLE)
+                     / greatest(len(text), 1) >= 0.9
+                 AND CAST(len(list_filter(w, x -> list_contains([{_STOP_SQL}], lower(x)))) AS DOUBLE)
+                     / greatest(len(w), 1) >= 0.03
+                THEN 'en' ELSE 'unknown' END AS lang_pred,
+           count(*) AS n
+    FROM toks GROUP BY 1 ORDER BY lang_pred
+    """,
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textstats.lang_id(_t(spark, sf_dir, "documents"))
+    return (
+        out.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n")).orderBy("lang_pred")
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fingerprint
+    FROM toks ORDER BY doc_id
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing — mapInPandas feature extraction over binary
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+             AS media_type,
+           strlen(text) AS n_bytes,
+           list_sum(list_transform(range(strlen(text)),
+                                   i -> ord(substr(text, CAST(i + 1 AS INT), 1))))
+             AS byte_sum,
+           lower(hex(substr(text, 1, 8)::BLOB)) AS head_hex
+    FROM documents ORDER BY media_id
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media).orderBy("media_id")

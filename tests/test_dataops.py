@@ -1,0 +1,172 @@
+"""Semantic tests for dedup / similarity / multimodal beyond the
+oracle-parity harness: known duplicates are found, LSH candidates
+cover true near-dups, ANN agrees with brute force on its bucket."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ilogtail_spark.dataops import dedup, multimodal, similarity, textstats
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the sleepy dog"),  # near dup of 0
+    (3, "completely different content about spark pipelines"),
+    (4, "spark pipelines about content different completely"),  # permutation of 3
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+class TestDedup:
+    def test_exact(self, spark):
+        out = dedup.exact_dedup(docs_df(spark)).collect()
+        groups = {r["keep_id"]: r["dup_count"] for r in out}
+        assert groups[0] == 2  # docs 0,1 identical
+        assert groups[2] == 1
+
+    def test_minhash_identical_docs_same_signature(self, spark):
+        sig = dedup.minhash_signature(docs_df(spark)).collect()
+        by_id = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(8)) for r in sig}
+        assert by_id[0] == by_id[1]
+        assert by_id[0] != by_id[3]
+
+    def test_minhash_candidates_include_exact_dups(self, spark):
+        pairs = {
+            (r["a"], r["b"])
+            for r in dedup.minhash_candidate_pairs(docs_df(spark)).collect()
+        }
+        assert (0, 1) in pairs
+
+    def test_jaccard_pairs(self, spark):
+        out = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(docs_df(spark), threshold=0.1).collect()
+        }
+        assert out[(0, 1)] == 1.0
+        assert 0.1 < out[(0, 2)] < 1.0
+
+    def test_jaccard_max_df_drops_hot_shingles(self, spark):
+        full = dedup.ngram_jaccard_pairs(docs_df(spark), threshold=0.01)
+        capped = dedup.ngram_jaccard_pairs(docs_df(spark), threshold=0.01, max_df=1)
+        assert capped.count() <= full.count()
+
+    def test_simhash_expr_identical_and_close(self, spark):
+        rows = dedup.simhash_expr(docs_df(spark), nbits=32).collect()
+        h = {r["doc_id"]: r["simhash"] for r in rows}
+        assert h[0] == h[1]
+        ham02 = bin(h[0] ^ h[2]).count("1")
+        ham03 = bin(h[0] ^ h[3]).count("1")
+        assert ham02 < ham03  # near dup closer than unrelated
+        # simhash over a token SET is order-insensitive with identical
+        # token multisets -> doc 3 vs its permutation doc 4
+        assert h[3] == h[4]
+
+    def test_simhash_pandas_matches_properties(self, spark):
+        rows = dedup.simhash_pandas(docs_df(spark)).collect()
+        h = {r["doc_id"]: r["simhash"] for r in rows}
+        assert h[0] == h[1]
+        assert h[3] == h[4]
+
+    def test_simhash_candidates(self, spark):
+        sh = dedup.simhash_expr(docs_df(spark), nbits=32)
+        pairs = {
+            (r["a"], r["b"])
+            for r in dedup.simhash_candidates(sh, nbits=32, blocks=4).collect()
+        }
+        assert (0, 1) in pairs and (3, 4) in pairs
+
+
+class TestSimilarity:
+    def _emb(self, spark):
+        import math
+
+        rows = []
+        for i in range(20):
+            ang = i * math.pi / 40
+            rows.append((i, [math.cos(ang), math.sin(ang), 0.0, 0.0]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_topk_orders_by_angle(self, spark):
+        emb = self._emb(spark)
+        q = emb.filter(F.col("vec_id") == 0)
+        out = similarity.cosine_topk(emb, q, k=3).collect()
+        assert [r["nbr_id"] for r in out] == [1, 2, 3]
+        assert out[0]["cos"] > out[1]["cos"] > out[2]["cos"]
+
+    def test_lsh_bucket_deterministic(self, spark):
+        emb = self._emb(spark)
+        b1 = {r["vec_id"]: r["bucket"] for r in similarity.lsh_bucket(emb, dim=4).collect()}
+        b2 = {r["vec_id"]: r["bucket"] for r in similarity.lsh_bucket(emb, dim=4).collect()}
+        assert b1 == b2
+        assert all(len(v) == 8 for v in b1.values())
+
+    def test_ann_subset_of_bruteforce_scores(self, spark):
+        emb = self._emb(spark)
+        q = emb.filter(F.col("vec_id") == 0)
+        ann = similarity.ann_lsh_topk(emb, q, dim=4, k=5).collect()
+        brute = similarity.cosine_topk(emb, q, k=20).collect()
+        brute_cos = {r["nbr_id"]: r["cos"] for r in brute}
+        for r in ann:
+            assert abs(brute_cos[r["nbr_id"]] - r["cos"]) < 1e-6
+
+
+class TestTextStats:
+    def test_token_stats(self, spark):
+        out = textstats.token_stats(docs_df(spark)).collect()
+        r0 = next(r for r in out if r["doc_id"] == 0)
+        assert r0["n_tokens"] == 9
+        assert r0["n_bpe_tokens"] == 9
+
+    def test_fingerprint_order_insensitive(self, spark):
+        out = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprint(docs_df(spark)).collect()}
+        assert out[3] == out[4]
+        assert out[0] != out[3]
+
+    def test_quality_and_lang(self, spark):
+        q = {r["doc_id"]: r["quality_score"] for r in textstats.quality_score(docs_df(spark)).collect()}
+        assert 0.0 <= min(q.values()) and max(q.values()) <= 1.0
+        langs = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_id(docs_df(spark)).collect()}
+        assert langs[0] == "en"
+
+
+class TestMultimodal:
+    def _media(self, spark):
+        rows = [
+            (1, "image", bytearray(b"\x89PNG1234abcd"), {"w": "2"}),
+            (2, "audio", bytearray(b"RIFF\x00\x01\x02\x03"), {}),
+            (3, "video", None, {}),
+        ]
+        return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    def test_extract_features(self, spark):
+        out = {r["media_id"]: r for r in multimodal.extract_features(self._media(spark)).collect()}
+        assert out[1]["n_bytes"] == 12
+        assert out[1]["head_hex"] == b"\x89PNG1234".hex()
+        assert out[2]["byte_sum"] == sum(b"RIFF\x00\x01\x02\x03")
+        assert out[3]["n_bytes"] == 0
+
+    def test_registered_decoder_overrides(self, spark):
+        multimodal.register_decoder(
+            "image", lambda p: {"n_bytes": -1, "byte_sum": -1, "head_hex": "custom"}
+        )
+        try:
+            out = {
+                r["media_id"]: r
+                for r in multimodal.extract_features(self._media(spark)).collect()
+            }
+            assert out[1]["head_hex"] == "custom"
+            assert out[2]["head_hex"] != "custom"  # audio uses the fake
+        finally:
+            multimodal._DECODERS.pop("image", None)
+
+    def test_frame_sample(self, spark):
+        out = multimodal.frame_sample_stub(self._media(spark), every_n_bytes=4).collect()
+        by_id = {}
+        for r in out:
+            by_id.setdefault(r["media_id"], []).append(r["frame_off"])
+        assert by_id[1] == [0, 4, 8]
+        assert 3 not in by_id  # null payload skipped
