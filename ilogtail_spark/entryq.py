@@ -964,6 +964,172 @@ def q_transform_pack_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# ---------------------------------------------------------------------------
+# processor_split_log_string — 1 event -> N events (explode)
+# ---------------------------------------------------------------------------
+@query(
+    "split_log_string",
+    """
+    SELECT event_id, line FROM (
+      SELECT event_id, event_type AS line FROM events
+      UNION ALL
+      SELECT event_id, CAST(user_id AS VARCHAR) AS line FROM events
+    )
+    ORDER BY event_id, line
+    """,
+)
+def q_split_log_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events")
+    two_lines = F.format_string("%s\n%d", F.col("event_type"), F.col("user_id"))
+    ev = to_events(
+        df.withColumn("tl", two_lines), content_col="tl", field_cols=[], id_cols=["event_id"]
+    )
+    out = compile_processors([{"Type": "processor_split_log_string"}])(ev)
+    return out.select(
+        "event_id", F.col(FIELDS_COL).getItem("content").alias("line")
+    ).orderBy("event_id", "line")
+
+
+# ---------------------------------------------------------------------------
+# processor_merge_multiline_log — N physical lines -> logical events
+# ---------------------------------------------------------------------------
+@query(
+    "merge_multiline",
+    """
+    WITH lines AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_id % 3 = 0 THEN 'START ' || event_id
+                  ELSE 'cont ' || event_id END AS content
+      FROM events
+    ), evts AS (
+      SELECT *, sum(CASE WHEN content LIKE 'START%' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS UNBOUNDED PRECEDING) AS evt
+      FROM lines
+    )
+    SELECT user_id, evt, string_agg(content, chr(10) ORDER BY event_id) AS merged
+    FROM evts WHERE evt > 0
+    GROUP BY user_id, evt
+    ORDER BY user_id, evt
+    """,
+)
+def q_merge_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events")
+    content = F.when(
+        F.col("event_id") % 3 == 0,
+        F.format_string("START %d", F.col("event_id")),
+    ).otherwise(F.format_string("cont %d", F.col("event_id")))
+    ev = to_events(
+        df.withColumn("line", content),
+        content_col="line",
+        field_cols=[],
+        id_cols=["user_id", "event_id"],
+    )
+    out = compile_processors(
+        [
+            {
+                "Type": "processor_merge_multiline_log",
+                "StartPattern": "START.*",
+                "GroupColumns": ["user_id"],
+                "OrderColumns": ["event_id"],
+                "UnmatchedContentTreatment": "discard",
+            }
+        ]
+    )(ev)
+    return out.select(
+        "user_id",
+        F.col("__evt__").alias("evt"),
+        F.col(FIELDS_COL).getItem("content").alias("merged"),
+    ).orderBy("user_id", "evt")
+
+
+# ---------------------------------------------------------------------------
+# processor_log_to_sls_metric — log -> metric event reshape
+# ---------------------------------------------------------------------------
+@query(
+    "log_to_metric",
+    """
+    SELECT event_id,
+           'k_metric' AS mname,
+           'env#$#prod|event_type#$#' || event_type AS mlabels,
+           CAST(CAST(floor(epoch(ts)) AS BIGINT) * 1000000000 AS VARCHAR) AS mtime_nano,
+           CAST(regexp_extract(props, '\\{"k": (\\d+)\\}', 1) AS DOUBLE) AS mvalue
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_log_to_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = compile_processors(
+        [
+            {"Type": "processor_regex", "Regex": K_REGEX, "Keys": ["k"], "KeepSource": True},
+            {
+                "Type": "processor_log_to_sls_metric",
+                "MetricLabelKeys": ["event_type"],
+                "CustomMetricLabels": {"env": "prod"},
+                "MetricValues": {"k_metric": "k"},
+            },
+        ]
+    )(ev)
+    return out.select(
+        "event_id",
+        F.col("__name__").alias("mname"),
+        F.col("__labels__").alias("mlabels"),
+        F.col("__time_nano__").alias("mtime_nano"),
+        F.col("__value__").alias("mvalue"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# skew-safe salted count — two-phase aggregate must equal the plain one
+# ---------------------------------------------------------------------------
+@query(
+    "skew_salted_count",
+    """
+    SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY event_type
+    """,
+)
+def q_skew_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ilogtail_spark.plans.skew import salted_count
+
+    df = _t(spark, sf_dir, "events").withColumn(
+        "turn_idx", F.col("event_id").cast("int")
+    )
+    return salted_count(df, key="event_type", salt_buckets=8).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# processor_encrypt — AES-CBC (no portable SQL analog: rows-only check
+# plus a Spark-side decrypt round-trip inside the query)
+# ---------------------------------------------------------------------------
+@query("encrypt_roundtrip")  # no oracle: DuckDB has no AES builtin
+def q_encrypt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = "00112233445566778899aabbccddeeff"
+    iv = "000102030405060708090a0b0c0d0e0f"
+    ev = _events(spark, sf_dir)
+    out = compile_processors(
+        [
+            {
+                "Type": "processor_encrypt",
+                "SourceKeys": ["event_type"],
+                "EncryptionParameters": {"Key": key, "IV": iv},
+            }
+        ]
+    )(ev)
+    f = F.col(FIELDS_COL)
+    decrypted = F.expr(
+        f"CAST(aes_decrypt(unhex(fields['event_type']), unhex('{key}'), "
+        f"'CBC', 'PKCS') AS STRING)"
+    )
+    # decrypt(encrypt(x)) rides along so the rows-only check still
+    # proves a real AES round-trip
+    return out.select(
+        "event_id",
+        f.getItem("event_type").alias("cipher_hex"),
+        decrypted.alias("plain"),
+    ).orderBy("event_id")
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the flagship end-to-end pipeline."""
     return q_e2e_sink_hourly_counts(spark, sf_dir)

@@ -10,5 +10,6 @@ from ilogtail_spark.operators import jsonop as _jsonop  # noqa: F401
 from ilogtail_spark.operators import splitop as _splitop  # noqa: F401
 from ilogtail_spark.operators import timeops as _timeops  # noqa: F401
 from ilogtail_spark.operators import enrich as _enrich  # noqa: F401
+from ilogtail_spark.operators import reshape as _reshape  # noqa: F401
 
 from ilogtail_spark.operators.base import PROCESSORS, build, register  # noqa: F401

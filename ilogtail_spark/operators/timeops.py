@@ -141,7 +141,7 @@ class ProcessorStrptime(Processor):
     def apply(self, df: DataFrame) -> DataFrame:
         v = F.col(FIELDS_COL).getItem(self.SourceKey)
         if self.Format == "%s":
-            parsed = F.to_timestamp(F.timestamp_seconds(v.cast("long")))
+            parsed = F.to_timestamp(F.timestamp_seconds(v.try_cast("long")))
         else:
             java_fmt = strptime_to_java(self.Format)
             parsed = F.try_to_timestamp(v, F.lit(java_fmt))
@@ -201,7 +201,7 @@ class ProcessorGotime(Processor):
         if self.SourceFormat in self._FIXED:
             div = self._FIXED[self.SourceFormat]
             parsed = F.timestamp_seconds(
-                (v.cast("decimal(26,6)") / div).cast("decimal(26,6)")
+                (v.try_cast("decimal(26,6)") / div).cast("decimal(26,6)")
             )
         else:
             parsed = F.try_to_timestamp(

@@ -1,0 +1,95 @@
+"""Partitioning / skew handling.
+
+Reference analogs:
+  * aggregator_shardhash — shard = xxhash64(concat(key values,
+    connector)) % ShardCount (power of two <= 512)
+    (plugins/aggregator/shardhash/aggregator_shardhash.go:67-85,
+    157-161). Spark's built-in ``F.xxhash64`` is the same xxhash64
+    (seed 42 in Spark vs 0 in the reference — shard MEMBERSHIP
+    differs but the distribution contract, what the operator is for,
+    is identical; we expose the seed).
+  * aggregator_context — per-source ordering
+    (plugins/aggregator/context/aggregator_context.go:44-62) ->
+    repartition(conv_id) + sortWithinPartitions.
+
+Skew: conversation traffic is Zipf-distributed (BASELINE.json: hot
+conversations at 10^12-turn scale). A plain ``repartition(conv_id)``
+sends a hot conversation to ONE task. ``salted_repartition`` splits
+each conversation across ``salt_buckets`` sub-partitions; operations
+that don't need conversation co-location (parse, filter, route,
+sink write) use it freely, and per-conversation aggregates do a
+two-phase aggregate (partial per salt, final merge) — the classic
+salting pattern AQE's skew-join handling complements.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shardhash(
+    df: DataFrame,
+    keys: list[str],
+    shard_count: int = 32,
+    connector: str = "_",
+    seed: int = 42,
+    shard_col: str = "__shard__",
+) -> DataFrame:
+    """Append the shard id column and repartition by it: the
+    aggregator_shardhash analog. shard_count must be a power of two
+    <= 512 (reference constraint, kept)."""
+    if shard_count <= 0 or shard_count > 512 or shard_count & (shard_count - 1):
+        raise ValueError("ShardCount must be a power of two in (0, 512]")
+    concat = F.concat_ws(connector, *[F.col(k).cast("string") for k in keys])
+    shard = F.pmod(F.xxhash64(F.lit(seed), concat), F.lit(shard_count))
+    return df.withColumn(shard_col, shard).repartition(shard_count, F.col(shard_col))
+
+
+def salt_col(key: Column, salt_buckets: int) -> Column:
+    """Deterministic per-row salt derived from row identity would
+    defeat dedup of a key; instead spread by a hash of secondary
+    identity (turn_idx) so the same (conv, turn) always lands in the
+    same bucket — idempotent across retries."""
+    return F.pmod(F.xxhash64(key, F.col("turn_idx")), F.lit(salt_buckets))
+
+
+def salted_repartition(
+    df: DataFrame,
+    key: str = "conv_id",
+    salt_buckets: int = 8,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Repartition on (key, salt) so a hot key spreads over
+    ``salt_buckets`` tasks instead of one."""
+    salted = df.withColumn("__salt__", salt_col(F.col(key), salt_buckets))
+    if partitions:
+        out = salted.repartition(partitions, F.col(key), F.col("__salt__"))
+    else:
+        out = salted.repartition(F.col(key), F.col("__salt__"))
+    return out.drop("__salt__")
+
+
+def salted_count(
+    df: DataFrame,
+    key: str = "conv_id",
+    salt_buckets: int = 8,
+    count_alias: str = "n",
+) -> DataFrame:
+    """Two-phase skew-safe per-key count: partial count per
+    (key, salt) — map-side combine keeps hot-key partials small —
+    then final merge per key. Identical result to groupBy(key).count()
+    with the hot key's work spread over salt_buckets reducers."""
+    salted = df.withColumn("__salt__", salt_col(F.col(key), salt_buckets))
+    partial = salted.groupBy(key, "__salt__").agg(
+        F.count(F.lit(1)).alias("__partial__")
+    )
+    return partial.groupBy(key).agg(F.sum("__partial__").alias(count_alias))
+
+
+def stable_turn_order(df: DataFrame, conv_col: str = "conv_id", idx_col: str = "turn_idx") -> DataFrame:
+    """aggregator_context analog: co-locate a conversation and order
+    its turns — repartition + sortWithinPartitions, NO global sort
+    (a total order across 10^12 turns is never needed; per-sink files
+    are conversation-contiguous which is the observable contract)."""
+    return df.repartition(F.col(conv_col)).sortWithinPartitions(conv_col, idx_col)

@@ -1,0 +1,263 @@
+"""Line split / multiline merge / log->metric / encrypt / tags /
+shardhash / salted skew handling tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ilogtail_spark.plans import skew
+from ilogtail_spark.plans.pipeline import compile_processors
+from tests.helpers import events_df, fields_of
+
+
+class TestSplitMerge:
+    def test_split_log_string(self, spark):
+        df = events_df(spark, [{"content": "l1\nl2\nl3", "k": "v"}])
+        out = fields_of(
+            compile_processors([{"Type": "processor_split_log_string"}])(df)
+        )
+        assert [d["content"] for d in out] == ["l1", "l2", "l3"]
+        assert all(d["k"] == "v" for d in out)
+
+    def test_split_log_missing_key_passthrough(self, spark):
+        df = events_df(spark, [{"other": "x"}])
+        out = fields_of(
+            compile_processors([{"Type": "processor_split_log_string"}])(df)
+        )
+        assert out == [{"other": "x"}]
+
+    def test_merge_multiline(self, spark):
+        rows = [
+            {"content": "2026-01-01 start A"},
+            {"content": "  continuation A1"},
+            {"content": "  continuation A2"},
+            {"content": "2026-01-01 start B"},
+            {"content": "  continuation B1"},
+        ]
+        df = events_df(spark, rows).withColumn(
+            "conv_id", F.lit("c1")
+        )
+        from pyspark.sql import Window  # noqa: F401
+
+        df = df.withColumn(
+            "turn_idx",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+                    F.monotonically_increasing_id()
+                )
+            ),
+        )
+        out = fields_of(
+            compile_processors(
+                [
+                    {
+                        "Type": "processor_merge_multiline_log",
+                        "StartPattern": r"\d{4}-\d{2}-\d{2} start.*",
+                    }
+                ]
+            )(df)
+        )
+        contents = sorted(d["content"] for d in out)
+        assert contents == [
+            "2026-01-01 start A\n  continuation A1\n  continuation A2",
+            "2026-01-01 start B\n  continuation B1",
+        ]
+
+    def test_merge_discard_unmatched_head(self, spark):
+        rows = [
+            {"content": "orphan line"},
+            {"content": "START x"},
+            {"content": "tail"},
+        ]
+        df = (
+            events_df(spark, rows)
+            .withColumn("conv_id", F.lit("c"))
+            .withColumn(
+                "turn_idx",
+                F.row_number().over(
+                    __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+                        F.monotonically_increasing_id()
+                    )
+                ),
+            )
+        )
+        out = fields_of(
+            compile_processors(
+                [
+                    {
+                        "Type": "processor_merge_multiline_log",
+                        "StartPattern": "START.*",
+                        "UnmatchedContentTreatment": "discard",
+                    }
+                ]
+            )(df)
+        )
+        assert [d["content"] for d in out] == ["START x\ntail"]
+
+
+class TestLogToMetric:
+    def test_metric_shape(self, spark):
+        df = events_df(
+            spark,
+            [{"latency": "12.5", "qps": "100", "svc": "a", "region": "eu"}],
+        ).withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+        out = compile_processors(
+            [
+                {
+                    "Type": "processor_log_to_sls_metric",
+                    "MetricLabelKeys": ["svc", "region"],
+                    "CustomMetricLabels": {"env": "prod"},
+                    "MetricValues": {"latency_ms": "latency", "req_qps": "qps"},
+                }
+            ]
+        )(df).collect()
+        assert len(out) == 2
+        by_name = {r["__name__"]: r for r in out}
+        assert by_name["latency_ms"]["__value__"] == 12.5
+        assert by_name["req_qps"]["__value__"] == 100.0
+        assert by_name["latency_ms"]["__labels__"] == "env#$#prod|region#$#eu|svc#$#a"
+        assert by_name["latency_ms"]["__time_nano__"] == str(1767225600 * 10**9)
+
+    def test_metric_time_key_magnitudes(self, spark):
+        df = events_df(spark, [{"v": "1", "t": "1767225600000"}]).withColumn(
+            "ts", F.to_timestamp(F.lit("2000-01-01"))
+        )
+        out = compile_processors(
+            [
+                {
+                    "Type": "processor_log_to_sls_metric",
+                    "MetricTimeKey": "t",
+                    "MetricLabelKeys": ["t"],
+                    "MetricValues": {"m": "v"},
+                }
+            ]
+        )(df).collect()
+        assert out[0]["__time_nano__"] == str(1767225600000 * 10**6)
+
+    def test_non_numeric_dropped(self, spark):
+        df = events_df(spark, [{"v": "not-a-number", "l": "x"}]).withColumn(
+            "ts", F.to_timestamp(F.lit("2000-01-01"))
+        )
+        out = compile_processors(
+            [
+                {
+                    "Type": "processor_log_to_sls_metric",
+                    "MetricLabelKeys": ["l"],
+                    "MetricValues": {"m": "v"},
+                }
+            ]
+        )(df).collect()
+        assert out == []
+
+
+class TestEncryptTags:
+    def test_encrypt_roundtrip(self, spark):
+        key = "00112233445566778899aabbccddeeff"
+        iv = "000102030405060708090a0b0c0d0e0f"
+        df = events_df(spark, [{"secret": "hello", "open": "world"}])
+        out = compile_processors(
+            [
+                {
+                    "Type": "processor_encrypt",
+                    "SourceKeys": ["secret"],
+                    "EncryptionParameters": {"Key": key, "IV": iv},
+                }
+            ]
+        )(df)
+        row = fields_of(out)[0]
+        assert row["open"] == "world"
+        assert row["secret"] != "hello"
+        # decrypt back with Spark's aes_decrypt to prove real AES-CBC
+        dec = spark.sql(
+            f"SELECT CAST(aes_decrypt(unhex('{row['secret']}'), "
+            f"unhex('{key}'), 'CBC', 'PKCS') AS STRING) AS d"
+        ).collect()[0]["d"]
+        assert dec == "hello"
+
+    def test_cloud_meta_and_tags(self, spark):
+        import socket
+
+        df = events_df(spark, [{"a": "1"}])
+        out = compile_processors(
+            [
+                {"Type": "processor_cloud_meta", "Metadata": ["__cloud_instance_id__"]},
+                {"Type": "processor_tag_native", "Tags": {"team": "infra"}},
+            ]
+        )(df)
+        row = out.collect()[0]
+        assert dict(row["fields"])["__cloud_instance_id__"] == socket.gethostname()
+        assert dict(row["tags"])["team"] == "infra"
+        assert dict(row["tags"])["__hostname__"] == socket.gethostname()
+
+    def test_content_value_group_tags(self, spark):
+        df = events_df(spark, [{"svc": "a", "x": "1"}, {"svc": "b", "x": "2"}])
+        out = compile_processors(
+            [{"Type": "aggregator_content_value_group", "GroupKeys": ["svc"]}]
+        )(df).collect()
+        tags = {dict(r["fields"])["svc"]: dict(r["tags"]) for r in out}
+        assert tags["a"]["svc"] == "a"
+        assert tags["b"]["svc"] == "b"
+
+
+class TestSkew:
+    def _skewed(self, spark, n=2000):
+        from ilogtail_spark.sources.transcripts import generate_transcripts
+
+        return generate_transcripts(spark, n_turns=n)
+
+    def test_shardhash_partitions(self, spark):
+        df = self._skewed(spark)
+        sharded = skew.shardhash(df, ["conv_id"], shard_count=8)
+        assert sharded.rdd.getNumPartitions() == 8
+        shards = sharded.select("__shard__").distinct().collect()
+        assert all(0 <= r["__shard__"] < 8 for r in shards)
+        # same key -> same shard (deterministic)
+        again = skew.shardhash(df, ["conv_id"], shard_count=8)
+        a = {
+            (r["conv_id"], r["turn_idx"]): r["__shard__"]
+            for r in sharded.select("conv_id", "turn_idx", "__shard__").collect()
+        }
+        b = {
+            (r["conv_id"], r["turn_idx"]): r["__shard__"]
+            for r in again.select("conv_id", "turn_idx", "__shard__").collect()
+        }
+        assert a == b
+
+    def test_shardhash_power_of_two_enforced(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError):
+            skew.shardhash(self._skewed(spark, 100), ["conv_id"], shard_count=3)
+
+    def test_salted_count_equals_plain_count(self, spark):
+        df = self._skewed(spark)
+        plain = {
+            r["conv_id"]: r["n"]
+            for r in df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        salted = {
+            r["conv_id"]: r["n"] for r in skew.salted_count(df, "conv_id").collect()
+        }
+        assert plain == salted
+
+    def test_salted_repartition_spreads_hot_key(self, spark):
+        df = self._skewed(spark, 4000)
+        hot = df.groupBy("conv_id").count().orderBy(F.desc("count")).first()["conv_id"]
+        parts = (
+            skew.salted_repartition(
+                df.filter(F.col("conv_id") == hot), salt_buckets=8, partitions=8
+            )
+            .withColumn("pid", F.spark_partition_id())
+            .select("pid")
+            .distinct()
+            .count()
+        )
+        assert parts > 1  # the hot conversation spans multiple tasks
+
+    def test_stable_turn_order(self, spark):
+        df = self._skewed(spark, 1000)
+        ordered = skew.stable_turn_order(df)
+        pdf = ordered.withColumn("pid", F.spark_partition_id()).toPandas()
+        for (_, _), grp in pdf.groupby(["pid", "conv_id"]):
+            idx = list(grp["turn_idx"])
+            assert idx == sorted(idx)
