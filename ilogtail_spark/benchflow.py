@@ -81,3 +81,90 @@ def build_headline_pipeline(spark: SparkSession, n_turns: int) -> DataFrame:
     ev = to_events(df)
     routed = headline_pipeline().route(ev)
     return sink_aggregates(routed, keys=["role", "tool"], time_bucket="1 hour")
+
+
+def build_headline_enriched(spark: SparkSession, n_turns: int) -> DataFrame:
+    """The full BASELINE.json shape: parse -> ENRICH (broadcast
+    dict_map on tool) -> route -> aggregate."""
+    from ilogtail_spark.plans.pipeline import Pipeline
+
+    df = generate_transcripts(spark, n_turns=n_turns)
+    ev = to_events(df)
+    pipe = headline_pipeline()
+    pipe = Pipeline(
+        processors=pipe.processors
+        + [
+            {
+                "Type": "processor_dict_map",
+                "SourceKey": "tool",
+                "DestKey": "tool_class",
+                "MapDict": {
+                    "search": "retrieval",
+                    "code": "execution",
+                    "browser": "retrieval",
+                    "calc": "execution",
+                },
+            }
+        ],
+        router=pipe.router,
+        flushers=pipe.flushers,
+    )
+    routed = pipe.route(ev)
+    return sink_aggregates(routed, keys=["role", "tool"], time_bucket="1 hour")
+
+
+def main() -> int:
+    """Single-process benchmark runner: times the headline pipeline at
+    the session's master (used by tools/scaling_bench.py to measure
+    the two-parallelism scaling criterion in separate JVMs)."""
+    import argparse
+    import json
+    import time
+
+    from ilogtail_spark.session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=1_000_000)
+    ap.add_argument("--warmup-turns", type=int, default=50_000)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--enriched", action="store_true")
+    ap.add_argument(
+        "--repeats",
+        type=int,
+        default=5,
+        help="best-of-N wall time (min): robust to co-tenant CPU steal "
+        "on shared hosts, which otherwise dominates local[32] runs",
+    )
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="ilogtail_spark_scaling", master=args.master)
+    build = build_headline_enriched if args.enriched else build_headline_pipeline
+
+    def consume(df: DataFrame) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    consume(build(spark, args.warmup_turns))  # JIT/codegen warmup
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.time()
+        consume(build(spark, args.turns))
+        times.append(time.time() - t0)
+    dt = min(times)
+    print(
+        json.dumps(
+            {
+                "master": spark.sparkContext.master,
+                "turns": args.turns,
+                "sec": round(dt, 3),
+                "turns_per_sec": round(args.turns / dt),
+                "all_secs": [round(x, 3) for x in times],
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

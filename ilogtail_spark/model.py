@@ -51,6 +51,7 @@ def to_events(
     field_cols: list[str] | None = None,
     id_cols: list[str] | None = None,
     tags: dict[str, str] | None = None,
+    keep_field_cols: bool = True,
 ) -> DataFrame:
     """Wrap a typed table as an event stream.
 
@@ -58,6 +59,15 @@ def to_events(
     ``field_cols`` becomes ``fields[name]`` (stringified, null
     entries omitted — the reference's map simply lacks absent keys).
     ``id_cols`` stay top-level.
+
+    ``keep_field_cols`` (default) ALSO keeps the field columns
+    top-level: once processors rebuild the ``fields`` map, any
+    ``fields[k]`` read downstream (router predicate, aggregate key)
+    re-evaluates the entire map-construction expression tree under
+    Catalyst's projection collapse — a routed+aggregated plan would
+    run the parse regexes several extra times per row. Top-level
+    copies cost a few pointer-width columns and keep those reads
+    O(1); router and aggregates prefer them automatically.
     """
     if id_cols is None:
         id_cols = [c for c in TRANSCRIPT_ID_COLS if c in df.columns]
@@ -79,11 +89,24 @@ def to_events(
         F.create_map(*tag_kv) if tag_kv else F.create_map().cast(FIELDS_TYPE)
     )
 
+    extra = (
+        [F.col(c).cast("string").alias(c) for c in field_cols if c not in id_cols]
+        if keep_field_cols
+        else []
+    )
     return df.select(
         *[F.col(c) for c in id_cols],
+        *extra,
         fields.alias(FIELDS_COL),
         tags_col.alias(TAGS_COL),
     )
+
+
+def event_field(df: DataFrame, key: str) -> Column:
+    """Read an event field, preferring a top-level column of the same
+    name (cheap) over the ``fields`` map entry (re-evaluates the map
+    construction under projection collapse)."""
+    return F.col(key) if key in df.columns else F.col(FIELDS_COL).getItem(key)
 
 
 def field(key: str) -> Column:

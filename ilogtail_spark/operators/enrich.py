@@ -78,11 +78,16 @@ class ProcessorDictMap(Processor):
         self._in_place = not self.DestKey or self.DestKey == self.SourceKey
 
     def apply(self, df: DataFrame) -> DataFrame:
+        from ilogtail_spark.model import event_field
+
         spark = df.sparkSession
         dim = spark.createDataFrame(
             list(self._dict.items()), "__dict_k__ string, __dict_v__ string"
         )
-        src_val = F.col(FIELDS_COL).getItem(self.SourceKey)
+        # join key prefers the top-level mirror column (to_events keeps
+        # field_cols top-level): reading fields[k] here would re-run
+        # the whole upstream map construction per row
+        src_val = event_field(df, self.SourceKey)
         joined = df.join(
             F.broadcast(dim), src_val == F.col("__dict_k__"), "left"
         )

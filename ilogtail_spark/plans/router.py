@@ -96,7 +96,9 @@ def _route_first_match(df: DataFrame, router: dict) -> DataFrame:
     default = router.get("DefaultLogstore", "sink_default")
     drop_dismatch = router.get("DropDisMatch", False)
 
-    v = F.col(FIELDS_COL).getItem(src)
+    from ilogtail_spark.model import event_field
+
+    v = event_field(df, src)
     expr = None
     for pat, store in zip(regexes, stores):
         c = _full_match(v, pat)

@@ -1,0 +1,178 @@
+"""Structured Streaming surface: the same pipeline compiled over a
+file stream, with checkpointed exactly-once sink writes and
+watermarked windowed aggregates.
+
+Reference mapping (SURVEY.md §1.2, §3): the reference tails files
+continuously and flushes on timers; the Spark analog is a file-source
+stream with ``Trigger.AvailableNow`` (drain-everything-then-stop — the
+resumable incremental-batch model) or a processing-time trigger for
+continuous operation. Its per-file read-offset checkpoints
+(core/file_server/checkpoint/*) map onto Structured Streaming's
+checkpoint directory: the file source tracks which files are
+committed, giving exactly-once per input file across restarts — the
+same contract as InputStaticFileCheckpointManager.
+
+Operator compatibility: every stateless processor (parse, transform,
+filter, router, dict_map broadcast enrich) compiles unchanged onto a
+streaming DataFrame. Window-rank operators (rate_limit) and the
+multiline merge need state — the streaming rate limiter below uses
+``applyInPandasWithState`` (a REAL token bucket, closer to the
+reference than the batch analog's bucket-cap divergence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ilogtail_spark.model import TRANSCRIPT_SCHEMA, to_events
+from ilogtail_spark.plans.pipeline import Pipeline
+from ilogtail_spark.plans.router import SINK_COL
+
+
+def read_transcripts_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    r = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(path)
+
+
+def run_streaming_pipeline(
+    stream_df: DataFrame,
+    pipeline: Pipeline,
+    out_root: str,
+    checkpoint_root: str,
+    content_col: str = "text",
+    available_now: bool = True,
+):
+    """events stream -> processors -> router -> per-sink partitioned
+    parquet, exactly-once via the checkpoint dir. Returns the started
+    StreamingQuery (caller awaits termination)."""
+    events = to_events(stream_df, content_col=content_col)
+    routed = pipeline.route(events)
+    routed = routed.withColumnRenamed(SINK_COL, "sink")
+    writer = (
+        routed.writeStream.format("parquet")
+        .option("path", f"{out_root}/events")
+        .option("checkpointLocation", f"{checkpoint_root}/events")
+        .partitionBy("sink")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_streaming_aggregates(
+    stream_df: DataFrame,
+    pipeline: Pipeline,
+    out_root: str,
+    checkpoint_root: str,
+    content_col: str = "text",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Per-sink windowed counts — the streaming form of
+    sink_aggregates. Two modes:
+
+    * ``available_now=True`` (drain-and-stop, the resumable
+      incremental-batch model): COMPLETE output through foreachBatch,
+      atomically replacing the aggregate table each commit — the
+      parquet stand-in for Iceberg ``overwritePartitions``. Append
+      mode would hold every window open until a LATER batch advances
+      the watermark, so a single drain would emit nothing.
+    * ``available_now=False`` (continuous): watermarked APPEND — each
+      window emits once, ``watermark`` bounds state and drops late
+      rows (documented divergence: the reference's timer flush has no
+      late-data semantics at all).
+    """
+    events = to_events(stream_df, content_col=content_col)
+    routed = pipeline.route(events).withColumnRenamed(SINK_COL, "sink")
+    grouped = routed if available_now else routed.withWatermark("ts", watermark)
+    agg = (
+        grouped.groupBy(
+            F.col("sink"),
+            F.window("ts", window).alias("w"),
+            F.col("fields").getItem("role").alias("role"),
+        )
+        .agg(F.count(F.lit(1)).alias("events_total"))
+        .select(
+            "sink",
+            F.col("w.start").alias("bucket_ts"),
+            "role",
+            "events_total",
+        )
+    )
+    if available_now:
+
+        def commit(batch_df, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(f"{out_root}/aggregates")
+
+        return (
+            agg.writeStream.foreachBatch(commit)
+            .option("checkpointLocation", f"{checkpoint_root}/aggregates")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", f"{out_root}/aggregates")
+        .option("checkpointLocation", f"{checkpoint_root}/aggregates")
+        .outputMode("append")
+        .start()
+    )
+
+
+def streaming_rate_limit(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    limit_per_sec: float,
+    burst: int,
+    ts_col: str = "ts",
+):
+    """True token-bucket rate limiting as a custom STATEFUL streaming
+    operator (applyInPandasWithState) — the faithful analog of
+    processor_rate_limit's bucket
+    (plugins/processor/ratelimit/token_bucket.go): per key-combination
+    state holds (tokens, last event-time); each event consumes one
+    token; tokens refill at ``limit_per_sec`` in EVENT time. The batch
+    operator documents its divergence (bucket-cap); this one is the
+    real thing for streaming jobs.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = stream_df.schema
+    state_schema = "tokens double, last_ts double"
+
+    def limiter(key, pdfs, state: GroupState):
+        if state.exists:
+            tokens, last_ts = state.get
+        else:
+            tokens, last_ts = float(burst), None
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for _, row in pdf.iterrows():
+                t = row[ts_col].timestamp()
+                if last_ts is not None and t > last_ts:
+                    tokens = min(float(burst), tokens + (t - last_ts) * limit_per_sec)
+                last_ts = t if last_ts is None else max(last_ts, t)
+                if tokens >= 1.0:
+                    tokens -= 1.0
+                    rows.append(row)
+        state.update((tokens, last_ts if last_ts is not None else 0.0))
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return stream_df.groupBy(*[F.col(c) for c in key_cols]).applyInPandasWithState(
+        limiter,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
