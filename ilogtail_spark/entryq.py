@@ -1130,6 +1130,160 @@ def q_encrypt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# ---------------------------------------------------------------------------
+# processor_parse_apsara_native — Apsara header + k:v tail
+# ---------------------------------------------------------------------------
+@query(
+    "apsara_parse",
+    """
+    SELECT event_id,
+           'INFO' AS level,
+           CAST(user_id AS VARCHAR) AS thread,
+           event_type AS k1,
+           CAST(CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) * 1000000
+                AS VARCHAR) AS microtime
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_apsara_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events")
+    line = F.format_string(
+        "[%s]\t[INFO]\t[%d]\tk1:%s",
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss"),
+        F.col("user_id"),
+        F.col("event_type"),
+    )
+    ev = to_events(
+        df.withColumn("line", line).drop("ts"),
+        content_col="line",
+        field_cols=[],
+        id_cols=["event_id"],
+    )
+    out = compile_processors(
+        [{"Type": "processor_parse_apsara_native", "SourceKey": "content"}]
+    )(ev)
+    f = F.col(FIELDS_COL)
+    return out.select(
+        "event_id",
+        f.getItem("__LEVEL__").alias("level"),
+        f.getItem("__THREAD__").alias("thread"),
+        f.getItem("k1").alias("k1"),
+        f.getItem("microtime").alias("microtime"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# processor_geoip — IP range broadcast lookup
+# ---------------------------------------------------------------------------
+@query(
+    "geoip_enrich",
+    """
+    SELECT CASE
+             WHEN user_id % 256 < 64 THEN 'region-a'
+             WHEN user_id % 256 < 128 THEN 'region-b'
+             ELSE NULL
+           END AS city,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    ORDER BY city NULLS FIRST
+    """,
+)
+def q_geoip_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    # range dim: 10.0.0.0-10.0.63.255 -> region-a, 10.0.64.0-10.0.127.255 -> region-b
+    dim_dir = os.path.join(tempfile.gettempdir(), "ilogtail_spark_geoip_dim")
+    spark.createDataFrame(
+        [
+            (167772160, 167788543, "region-a", "p", "c"),
+            (167788544, 167804927, "region-b", "p", "c"),
+        ],
+        "net_start long, net_end long, city string, province string, country string",
+    ).write.mode("overwrite").parquet(dim_dir)
+    df = _t(spark, sf_dir, "events").withColumn(
+        "ip", F.format_string("10.0.%d.%d", F.col("user_id") % 256, F.col("event_id") % 256)
+    )
+    ev = to_events(df, content_col="props", field_cols=["ip"], id_cols=["event_id"])
+    out = compile_processors(
+        [{"Type": "processor_geoip", "SourceKey": "ip", "DimPath": dim_dir}]
+    )(ev)
+    f = F.col(FIELDS_COL)
+    return (
+        out.groupBy(f.getItem("city").alias("city"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("city").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# processor_otel_metric — OTel metric reshape
+# ---------------------------------------------------------------------------
+@query(
+    "otel_metric",
+    """
+    SELECT event_id,
+           'k_gauge' AS metric_name,
+           CAST(CAST(floor(epoch(ts)) AS BIGINT) * 1000000000 AS BIGINT) AS time_unix_nano,
+           CAST(regexp_extract(props, '\\{"k": (\\d+)\\}', 1) AS DOUBLE) AS value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_otel_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = compile_processors(
+        [
+            {"Type": "processor_regex", "Regex": K_REGEX, "Keys": ["k"], "KeepSource": True},
+            {
+                "Type": "processor_otel_metric",
+                "MetricValues": {"k_gauge": "k"},
+                "AttributeKeys": ["event_type"],
+            },
+        ]
+    )(ev)
+    return out.select(
+        "event_id", "metric_name", "time_unix_nano", "value"
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# sls output record format (converter custom_single)
+# ---------------------------------------------------------------------------
+@query(
+    "sls_record_format",
+    """
+    SELECT event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS time,
+           '{"time":' || CAST(floor(epoch(ts)) AS BIGINT) ||
+           ',"contents":{"content":' || to_json(props) ||
+           ',"event_type":' || to_json(event_type) || '},"tags":{}}' AS record
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_sls_record_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events")
+    ev = to_events(
+        df, content_col="props", field_cols=["event_type"], id_cols=["event_id", "ts"]
+    )
+    # same projection as extras.to_sls_record, keeping event_id for
+    # the oracle compare
+    time_col = F.unix_timestamp(F.col("ts")).cast("long")
+    rec = F.to_json(
+        F.struct(
+            time_col.alias("time"),
+            F.col(FIELDS_COL).alias("contents"),
+            F.col("tags").alias("tags"),
+        )
+    )
+    return ev.select(
+        "event_id", time_col.alias("time"), rec.alias("record")
+    ).orderBy("event_id")
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the flagship end-to-end pipeline."""
     return q_e2e_sink_hourly_counts(spark, sf_dir)

@@ -210,6 +210,10 @@ class ProcessorGotime(Processor):
         parsed = parsed + F.make_interval(
             hours=F.lit(self.DestLocation - self.SourceLocation)
         )
+        # event time FIRST: parsed references fields[SourceKey], which a
+        # DestKey==SourceKey in-place reformat below would overwrite
+        if self.SetTime:
+            df = _set_event_time(df, parsed, self.TimeColumn)
         if self.DestKey:
             if self.DestFormat in self._FIXED:
                 mult = self._FIXED[self.DestFormat]
@@ -229,8 +233,6 @@ class ProcessorGotime(Processor):
                     ),
                 ).otherwise(F.col(FIELDS_COL)),
             )
-        if self.SetTime:
-            df = _set_event_time(df, parsed, self.TimeColumn)
         if not self.KeepSource:
             df = df.withColumn(
                 FIELDS_COL,

@@ -59,4 +59,11 @@ def _master_cores(master: str) -> int:
             return int(inner)
         except ValueError:
             return 8
+    if master.startswith("local-cluster["):
+        # local-cluster[numWorkers,coresPerWorker,memPerWorkerMB]
+        try:
+            workers, cores, _mem = master[len("local-cluster[") : -1].split(",")
+            return int(workers) * int(cores)
+        except ValueError:
+            return 8
     return 32

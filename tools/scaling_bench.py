@@ -54,9 +54,25 @@ def main() -> int:
         "comparable conditions",
     )
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
+    ap.add_argument(
+        "--mode",
+        choices=["local", "local-cluster"],
+        default="local-cluster",
+        help="local-cluster[N workers, 8 cores each] runs REAL separate "
+        "executor JVMs — the faithful stand-in for N vs 4N executors "
+        "(and per-executor GC, shuffle over loopback, serialized task "
+        "dispatch, exactly as on a cluster)",
+    )
     args = ap.parse_args()
 
-    masters = [f"local[{args.n}]", f"local[{args.n * 4}]"]
+    if args.mode == "local-cluster":
+        mem_mb = 8192
+        masters = [
+            f"local-cluster[1,{args.n},{mem_mb}]",
+            f"local-cluster[4,{args.n},{mem_mb}]",
+        ]
+    else:
+        masters = [f"local[{args.n}]", f"local[{args.n * 4}]"]
     best: dict[str, dict] = {}
     samples: dict[str, list] = {m: [] for m in masters}
     for _ in range(args.rounds):
