@@ -186,16 +186,19 @@ def main() -> int:
             "overwrite"
         ).parquet(input_dir)
 
-        def run() -> None:
+        def run(limit: int | None = None) -> None:
             pipe = (
                 enriched_pipeline() if args.enriched else headline_pipeline()
             )
-            ev = to_events(spark.read.parquet(input_dir))
+            src = spark.read.parquet(input_dir)
+            if limit:
+                src = src.limit(limit)
+            ev = to_events(src)
             routed = pipe.route(ev)
             consume(routed)  # parse+enrich+route, fields materialized
             consume(headline_aggregates(routed))  # per-sink counts
 
-        run()  # JIT/codegen warmup
+        run(limit=args.warmup_turns)  # JIT/codegen warmup, small slice
         times = []
         for _ in range(args.repeats):
             t0 = time.time()

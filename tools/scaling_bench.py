@@ -20,7 +20,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_one(master: str, turns: int, repeats: int = 1) -> dict:
+def run_one(master: str, turns: int, repeats: int = 2) -> dict:
     cmd = [
         sys.executable,
         "-m",
