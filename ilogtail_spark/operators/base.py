@@ -59,6 +59,9 @@ def build(config: dict) -> "Processor":
 @dataclass
 class Processor:
     TYPE: ClassVar[str] = ""
+    # True when apply() can change the row count (filters, explodes,
+    # merges) — drives where the self-monitor stage counters observe
+    CHANGES_CARDINALITY: ClassVar[bool] = False
 
     def apply(self, df: DataFrame) -> DataFrame:
         raise NotImplementedError
@@ -78,6 +81,8 @@ class FieldsProcessor(Processor):
 @dataclass
 class FilterProcessor(Processor):
     """Row predicate; apply == df.filter(predicate)."""
+
+    CHANGES_CARDINALITY: ClassVar[bool] = True
 
     def predicate(self, fields: Column) -> Column:
         raise NotImplementedError

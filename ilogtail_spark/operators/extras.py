@@ -187,6 +187,7 @@ class ProcessorOtelMetric(Processor):
     processor_log_to_sls_metric with OTel field names."""
 
     TYPE: ClassVar[str] = "processor_otel_metric"
+    CHANGES_CARDINALITY: ClassVar[bool] = True
 
     MetricValues: dict = dc_field(default_factory=dict)
     AttributeKeys: list = dc_field(default_factory=list)
@@ -225,6 +226,7 @@ class ProcessorOtelTrace(Processor):
     time_unix_nano, attributes."""
 
     TYPE: ClassVar[str] = "processor_otel_trace"
+    CHANGES_CARDINALITY: ClassVar[bool] = True
 
     TraceIDKey: str = "trace_id"
     SpanIDKey: str = "span_id"

@@ -169,6 +169,7 @@ class ProcessorFieldsWithCondition(Processor):
     """
 
     TYPE: ClassVar[str] = "processor_fields_with_condition"
+    CHANGES_CARDINALITY: ClassVar[bool] = True
 
     DropIfNotMatchCondition: bool = False
     Switch: list = dc_field(default_factory=list)
@@ -254,6 +255,7 @@ class ProcessorRateLimit(Processor):
     """
 
     TYPE: ClassVar[str] = "processor_rate_limit"
+    CHANGES_CARDINALITY: ClassVar[bool] = True
 
     Fields: list = dc_field(default_factory=list)
     Limit: str = "100/s"

@@ -26,6 +26,7 @@ class ProcessorSplitLogString(Processor):
     through unchanged."""
 
     TYPE: ClassVar[str] = "processor_split_log_string"
+    CHANGES_CARDINALITY: ClassVar[bool] = True
 
     SplitKey: str = CONTENT_KEY
     SplitSep: str = "\n"
@@ -70,6 +71,7 @@ class ProcessorMergeMultilineLog(Processor):
     """
 
     TYPE: ClassVar[str] = "processor_merge_multiline_log"
+    CHANGES_CARDINALITY: ClassVar[bool] = True
 
     StartPattern: str = ""
     MergeSep: str = "\n"
@@ -141,6 +143,7 @@ class ProcessorLogToSlsMetric(Processor):
     per row in one pass, no UDF."""
 
     TYPE: ClassVar[str] = "processor_log_to_sls_metric"
+    CHANGES_CARDINALITY: ClassVar[bool] = True
 
     MetricTimeKey: str = ""
     MetricLabelKeys: list = dc_field(default_factory=list)

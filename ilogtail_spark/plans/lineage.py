@@ -80,21 +80,32 @@ def run_pipeline(
         return manifest
 
     if not manifest.phases.get("events"):
+        from ilogtail_spark.plans.pipeline import StageObserver
+
         obs_in = Observation()
-        obs_routed = Observation()
         observed = df.observe(obs_in, F.count(F.lit(1)).alias("in_events_total"))
-        routed = pipeline.route(observed)
-        routed = routed.observe(
-            obs_routed, F.count(F.lit(1)).alias("out_events_total")
-        )
+        stages = StageObserver()
+        routed = pipeline.route(observed, stage_observer=stages)
         writers.write_routed(routed, out_root, run_id)
         manifest.input_files = sorted(df.inputFiles()) if df.isStreaming is False else []
+        stage_metrics = stages.collect()
         manifest.metrics["in_events_total"] = obs_in.get["in_events_total"]
-        manifest.metrics["out_events_total"] = obs_routed.get["out_events_total"]
+        router_stage = next(
+            (v for k, v in reversed(stage_metrics.items()) if k.startswith("router")),
+            None,
+        )
+        manifest.metrics["out_events_total"] = (
+            router_stage["out_events_total"]
+            if router_stage
+            else manifest.metrics["in_events_total"]
+        )
         manifest.metrics["discarded_events_total"] = (
             manifest.metrics["in_events_total"]
             - manifest.metrics["out_events_total"]
         )
+        # per-stage self-monitor counters (in/out/discarded per plugin,
+        # pkg/selfmonitor/metrics_constants_plugin.go:38-41)
+        manifest.metrics["stages"] = stage_metrics
         manifest.phases["events"] = True
         manifest.save(out_root)
     if fail_after_phase == "events":

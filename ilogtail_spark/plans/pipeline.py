@@ -76,11 +76,18 @@ def apply_pandas_chain(df: DataFrame, fns: list[RowFn]) -> DataFrame:
 
 def compile_processors(
     configs: Iterable[dict | Processor],
+    stage_observer: "StageObserver | None" = None,
 ) -> Callable[[DataFrame], DataFrame]:
     """Compile an ordered processor list into a single df->df stage.
 
     Consecutive PandasFieldsProcessors are fused; everything else is
     applied in order (expression stages collapse under Catalyst).
+
+    ``stage_observer`` inserts a ``df.observe`` count after every
+    row-count-changing stage (filters, explodes, merges) — the
+    self-monitor in/out/discarded counters
+    (pkg/selfmonitor/metrics_constants_plugin.go:38-41) collected for
+    free when the sink action runs, no extra pass.
     """
     procs: list[Processor] = [
         p if isinstance(p, Processor) else build(p) for p in configs
@@ -94,17 +101,55 @@ def compile_processors(
             if pending:
                 d = apply_pandas_chain(d, pending)
                 pending = []
+                if stage_observer is not None:
+                    d = stage_observer.observe(d, "pandas_chain")
             return d
 
+        if stage_observer is not None:
+            df = stage_observer.observe(df, "input")
         for p in procs:
             if isinstance(p, PandasFieldsProcessor):
                 pending.append(p.make_fn())
             else:
                 df = flush(df)
                 df = p.apply(df)
+                if stage_observer is not None and p.CHANGES_CARDINALITY:
+                    df = stage_observer.observe(df, p.TYPE)
         return flush(df)
 
     return run
+
+
+class StageObserver:
+    """Collects per-stage row counters via ``df.observe`` — the
+    metrics materialize when the FIRST action on the observed frame
+    completes; ``collect()`` then returns
+    ``{stage: {"out_events_total": n, "discarded_events_total": d}}``
+    with discards derived from consecutive counts."""
+
+    def __init__(self) -> None:
+        from pyspark.sql import Observation
+
+        self._obs: list[tuple[str, Observation]] = []
+        self._Observation = Observation
+
+    def observe(self, df: DataFrame, stage: str) -> DataFrame:
+        ob = self._Observation()
+        name = f"{stage}#{len(self._obs)}"
+        self._obs.append((name, ob))
+        return df.observe(ob, F.count(F.lit(1)).alias("n"))
+
+    def collect(self) -> dict:
+        out: dict = {}
+        prev: int | None = None
+        for name, ob in self._obs:
+            n = ob.get["n"]
+            entry = {"out_events_total": n}
+            if prev is not None:
+                entry["discarded_events_total"] = prev - n
+            out[name] = entry
+            prev = n
+        return out
 
 
 @dataclass
@@ -121,11 +166,16 @@ class Pipeline:
     router: dict | None = None
     flushers: list = dc_field(default_factory=list)
 
-    def transform(self, df: DataFrame) -> DataFrame:
-        return compile_processors(self.processors)(df)
+    def transform(
+        self, df: DataFrame, stage_observer: StageObserver | None = None
+    ) -> DataFrame:
+        return compile_processors(self.processors, stage_observer)(df)
 
-    def route(self, df: DataFrame):
+    def route(self, df: DataFrame, stage_observer: StageObserver | None = None):
         from ilogtail_spark.plans.router import route
 
-        df = self.transform(df)
-        return route(df, self.router or {}, self.flushers)
+        df = self.transform(df, stage_observer)
+        routed = route(df, self.router or {}, self.flushers)
+        if stage_observer is not None:
+            routed = stage_observer.observe(routed, "router")
+        return routed

@@ -34,8 +34,20 @@ def run_one(master: str, turns: int, repeats: int = 2) -> dict:
         "--enriched",
     ]
     out = subprocess.run(
-        cmd, cwd=REPO, capture_output=True, text=True, timeout=1800, check=True
+        cmd, cwd=REPO, capture_output=True, text=True, timeout=1800
     )
+    if out.returncode != 0 or not out.stdout.strip():
+        print(
+            json.dumps(
+                {
+                    "error": f"bench subprocess failed rc={out.returncode}",
+                    "master": master,
+                    "stderr_tail": out.stderr[-500:],
+                }
+            ),
+            flush=True,
+        )
+        raise RuntimeError(f"bench subprocess failed for {master}")
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
 
@@ -43,7 +55,7 @@ def run_one(master: str, turns: int, repeats: int = 2) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--turns", type=int, default=2_000_000)
-    ap.add_argument("--n", type=int, default=8, help="small parallelism N (big is 4N)")
+    ap.add_argument("--n", type=int, default=4, help="cores per executor; masters are 1 vs 4 executors")
     ap.add_argument(
         "--rounds",
         type=int,
