@@ -136,10 +136,16 @@ def ann_lsh_topk(
         (F.col("bucket") == F.col("qbucket")) & (F.col("nbr_id") != F.col("query_id")),
     )
     cos = _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
+    # rank on the UNROUNDED score (round only for presentation) so tie
+    # ordering matches any engine computing the same doubles
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos_raw__").desc(), F.col("nbr_id").asc()
+    )
     return (
-        joined.withColumn("cos", F.round(cos, 6))
+        joined.withColumn("__cos_raw__", cos)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("query_id", "nbr_id", "rk", "cos")
+        .select(
+            "query_id", "nbr_id", "rk", F.round(F.col("__cos_raw__"), 6).alias("cos")
+        )
     )
