@@ -167,6 +167,11 @@ def main() -> int:
             # parse stage below the core count (at 100 TB the default
             # is right — there are always enough splits)
             "spark.sql.files.maxPartitionBytes": "8m",
+            # standard straggler hygiene (deterministic tasks + noop /
+            # idempotent sinks make re-execution safe)
+            "spark.speculation": "true",
+            "spark.speculation.multiplier": "2",
+            "spark.speculation.quantile": "0.9",
         },
     )
 

@@ -124,4 +124,30 @@ def _route_multicast(df: DataFrame, flushers: list[dict]) -> DataFrame:
     )
     matched = F.filter(arr, lambda x: x.isNotNull())
     # rows matching no sink are discarded (Router.cpp routes to none)
-    return df.withColumn(SINK_COL, F.explode(matched))
+    out = df.withColumn(SINK_COL, F.explode(matched))
+
+    # Match.DiscardingTag (Condition.cpp:109-111, :184-188): the COPY
+    # delivered to a tag-matched flusher drops the matched tag —
+    # post-explode each copy knows its sink, so the drop is a
+    # conditional map_filter on that copy only
+    def drop_key(key: str):
+        # factory: Spark counts lambda params, so a default-arg capture
+        # would be treated as a 3-arg lambda
+        return lambda k, _v: k != F.lit(key)
+
+    discard_expr = None
+    for fl in flushers:
+        m = fl.get("Match") or {}
+        if m.get("Type", "tag") == "tag" and m.get("DiscardingTag"):
+            cond = F.col(SINK_COL) == F.lit(fl["Name"])
+            stripped = F.map_filter(F.col(TAGS_COL), drop_key(m["Key"]))
+            discard_expr = (
+                F.when(cond, stripped)
+                if discard_expr is None
+                else discard_expr.when(cond, stripped)
+            )
+    if discard_expr is not None:
+        out = out.withColumn(
+            TAGS_COL, discard_expr.otherwise(F.col(TAGS_COL))
+        )
+    return out

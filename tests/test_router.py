@@ -96,3 +96,24 @@ def test_multicast_row_matching_no_sink_is_discarded(spark):
         events_df(spark, [{"lvl": "INFO"}]), {"Mode": "multicast"}, flushers
     )
     assert routed.count() == 0
+
+
+def test_multicast_discarding_tag(spark):
+    """Match.DiscardingTag (Condition.cpp:109-111): the copy delivered
+    to a tag-matched flusher drops the matched tag; other sinks'
+    copies keep it."""
+    from tests.helpers import events_df
+    from ilogtail_spark.plans.router import route
+
+    df = events_df(spark, [{"a": "1"}], tags=[{"env": "prod", "keep": "x"}])
+    flushers = [
+        {"Name": "sink_all"},
+        {
+            "Name": "sink_prod",
+            "Match": {"Type": "tag", "Key": "env", "Value": "prod", "DiscardingTag": True},
+        },
+    ]
+    out = route(df, {"Mode": "multicast"}, flushers).collect()
+    tags = {r["__sink__"]: dict(r["tags"]) for r in out}
+    assert tags["sink_prod"] == {"keep": "x"}
+    assert tags["sink_all"] == {"env": "prod", "keep": "x"}
