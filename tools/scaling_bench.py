@@ -65,7 +65,9 @@ def main() -> int:
         "and taking each one's best round samples both under "
         "comparable conditions",
     )
-    ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
+    # default to a separate file so reproduction runs do not clobber
+    # the curated multi-run evidence in BENCH.md
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_AUTO.md"))
     ap.add_argument(
         "--mode",
         choices=["local", "local-cluster"],
