@@ -122,7 +122,14 @@ def minhash_bands(
 ) -> DataFrame:
     """LSH banding: band j hash = md5(mh_{j*r} || .. || mh_{j*r+r-1}).
     Returns (id, band_idx, band_hash) — the join key for candidate
-    pairs. Docs agreeing on ANY band are candidates."""
+    pairs. Docs agreeing on ANY band are candidates.
+
+    Docs with NULL signatures (fewer than shingle_n tokens) are
+    EXCLUDED: concat_ws would silently skip the nulls and hash every
+    signature-less doc to md5('') in every band — one quadratic hot
+    bucket of false-positive pairs. A doc with no shingles has no
+    LSH identity; exact dedup is the right tool for those."""
+    df = df.filter(F.col("mh0").isNotNull())
     bands = []
     for j in range(num_hashes // band_size):
         cols = [F.col(f"mh{j * band_size + r}") for r in range(band_size)]

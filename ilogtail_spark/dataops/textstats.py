@@ -35,10 +35,18 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic quality features + a composite score in [0,1]:
-    length band, punctuation ratio, stopword ratio, repetition
-    (distinct/total tokens). The shape of a C4/Gopher-style quality
-    filter, kept deterministic and engine-portable."""
+    """Heuristic quality features + a composite score, length band,
+    punctuation ratio, stopword ratio, repetition (distinct/total
+    tokens) — the shape of a C4/Gopher-style quality filter, kept
+    deterministic and engine-portable.
+
+    The composite is emitted in FIXED POINT (micro-units, BIGINT
+    ``quality_score_micro`` in [0, 1_000_000]): a float weighted sum
+    can land on a decimal .5 tie where Spark's HALF_UP round and
+    DuckDB/IEEE double rounding disagree by 1 ulp. All micro ratios
+    are floor(num * 1e6 / den) — exact in binary doubles for any
+    realistic doc length — and the /4 weights are powers of two, so
+    every engine computes bit-identical integers."""
     t = F.col(text_col)
     n = F.length(t)
     toks = tokens_col(t)
@@ -52,20 +60,23 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     distinct_ratio = F.round(
         F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)), 6
     )
-    len_ok = F.when((n >= 50) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
-    score = F.round(
-        0.25 * len_ok
-        + 0.25 * F.when(punct_ratio <= 0.2, 1.0).otherwise(0.0)
-        + 0.25 * F.least(stop_ratio * 10, F.lit(1.0))
-        + 0.25 * distinct_ratio,
-        6,
+    mega = F.lit(1_000_000).cast("long")  # long: int*int would overflow at ~2k chars
+    punct_micro = F.floor(punct * mega / F.greatest(n, F.lit(1)))
+    stop_micro = F.floor(stop_hits * mega / F.greatest(n_tok, F.lit(1)))
+    distinct_micro = F.floor(
+        F.size(F.array_distinct(toks)) * mega / F.greatest(n_tok, F.lit(1))
     )
+    len_part = F.when((n >= 50) & (n <= 10000), F.lit(250_000)).otherwise(F.lit(0))
+    punct_part = F.when(punct_micro <= 200_000, F.lit(250_000)).otherwise(F.lit(0))
+    stop_part = F.floor(F.least(stop_micro * 10, F.lit(1_000_000)) / 4)
+    distinct_part = F.floor(distinct_micro / 4)
+    score_micro = (len_part + punct_part + stop_part + distinct_part).cast("long")
     return df.select(
         F.col(id_col),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
         distinct_ratio.alias("distinct_ratio"),
-        score.alias("quality_score"),
+        score_micro.alias("quality_score_micro"),
     )
 
 

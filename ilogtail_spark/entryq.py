@@ -82,7 +82,8 @@ K_REGEX = r'\{"k": (\d+)\}'
     """
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(regexp_extract(props, '\\{"k": (\\d+)\\}', 1) AS BIGINT)) AS sum_k
+           CAST(sum(CAST(regexp_extract(props, '\\{"k": (\\d+)\\}', 1) AS BIGINT))
+                AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -1007,7 +1008,8 @@ def q_split_log_string(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS UNBOUNDED PRECEDING) AS evt
       FROM lines
     )
-    SELECT user_id, evt, string_agg(content, chr(10) ORDER BY event_id) AS merged
+    SELECT user_id, CAST(evt AS BIGINT) AS evt,
+           string_agg(content, chr(10) ORDER BY event_id) AS merged
     FROM evts WHERE evt > 0
     GROUP BY user_id, evt
     ORDER BY user_id, evt
@@ -1099,10 +1101,24 @@ def q_skew_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# processor_encrypt — AES-CBC (no portable SQL analog: rows-only check
-# plus a Spark-side decrypt round-trip inside the query)
+# processor_encrypt — AES-CBC. DuckDB has no AES builtin, so the oracle
+# checks the DETERMINISTIC observables: the decrypted plaintext (the
+# in-plan aes_decrypt(aes_encrypt(x)) round-trip) and the ciphertext
+# length, which for Spark's CBC+PKCS (output = 16-byte IV || cipher)
+# is an exact function of the plaintext byte length:
+# 2 * (16 + 16 * (floor(len/16) + 1)) hex chars.
 # ---------------------------------------------------------------------------
-@query("encrypt_roundtrip")  # no oracle: DuckDB has no AES builtin
+@query(
+    "encrypt_roundtrip",
+    """
+    SELECT event_id,
+           event_type AS plain,
+           CAST(2 * (16 + 16 * (floor(strlen(event_type) / 16) + 1)) AS BIGINT)
+             AS cipher_hex_len
+    FROM events
+    ORDER BY event_id
+    """,
+)
 def q_encrypt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = "00112233445566778899aabbccddeeff"
     iv = "000102030405060708090a0b0c0d0e0f"
@@ -1121,12 +1137,10 @@ def q_encrypt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(aes_decrypt(unhex(fields['event_type']), unhex('{key}'), "
         f"'CBC', 'PKCS') AS STRING)"
     )
-    # decrypt(encrypt(x)) rides along so the rows-only check still
-    # proves a real AES round-trip
     return out.select(
         "event_id",
-        f.getItem("event_type").alias("cipher_hex"),
         decrypted.alias("plain"),
+        F.length(f.getItem("event_type")).cast("long").alias("cipher_hex_len"),
     ).orderBy("event_id")
 
 

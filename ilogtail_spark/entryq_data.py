@@ -316,20 +316,30 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS)
       SELECT doc_id, text, {SQL_TOKENS.format(col="text")} AS w FROM documents
     ), feat AS (
       SELECT doc_id,
-             round(CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-                   / greatest(len(text), 1), 6) AS punct_ratio,
-             round(CAST(len(list_filter(w, x -> list_contains([{_STOP_SQL}], lower(x)))) AS DOUBLE)
-                   / greatest(len(w), 1), 6) AS stopword_ratio,
-             round(CAST(len(list_distinct(w)) AS DOUBLE) / greatest(len(w), 1), 6) AS distinct_ratio,
+             len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
+             len(list_filter(w, x -> list_contains([{_STOP_SQL}], lower(x)))) AS stop_hits,
+             len(list_distinct(w)) AS n_distinct,
+             len(w) AS n_tok,
              len(text) AS n
       FROM toks
+    ), micro AS (
+      SELECT doc_id,
+             round(CAST(punct AS DOUBLE) / greatest(n, 1), 6) AS punct_ratio,
+             round(CAST(stop_hits AS DOUBLE) / greatest(n_tok, 1), 6) AS stopword_ratio,
+             round(CAST(n_distinct AS DOUBLE) / greatest(n_tok, 1), 6) AS distinct_ratio,
+             CAST(floor(punct * 1000000 / greatest(n, 1)) AS BIGINT) AS punct_micro,
+             CAST(floor(stop_hits * 1000000 / greatest(n_tok, 1)) AS BIGINT) AS stop_micro,
+             CAST(floor(n_distinct * 1000000 / greatest(n_tok, 1)) AS BIGINT) AS distinct_micro,
+             n
+      FROM feat
     )
     SELECT doc_id, punct_ratio, stopword_ratio, distinct_ratio,
-           round(0.25 * (CASE WHEN n BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END)
-                 + 0.25 * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
-                 + 0.25 * least(stopword_ratio * 10, 1.0)
-                 + 0.25 * distinct_ratio, 6) AS quality_score
-    FROM feat ORDER BY doc_id
+           CAST((CASE WHEN n BETWEEN 50 AND 10000 THEN 250000 ELSE 0 END)
+                + (CASE WHEN punct_micro <= 200000 THEN 250000 ELSE 0 END)
+                + CAST(floor(least(stop_micro * 10, 1000000) / 4.0) AS BIGINT)
+                + CAST(floor(distinct_micro / 4.0) AS BIGINT)
+             AS BIGINT) AS quality_score_micro
+    FROM micro ORDER BY doc_id
     """,
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,11 +394,11 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS media_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
              AS media_type,
-           strlen(text) AS n_bytes,
-           list_sum(list_transform(range(strlen(text)),
-                                   i -> ord(substr(text, CAST(i + 1 AS INT), 1))))
-             AS byte_sum,
-           lower(hex(substr(text, 1, 8)::BLOB)) AS head_hex
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(range(octet_length(encode(text))),
+                i -> ('0x' || substr(hex(encode(text)), CAST(2*i+1 AS INT), 2))::INT))
+             AS BIGINT) AS byte_sum,
+           lower(substr(hex(encode(text)), 1, 16)) AS head_hex
     FROM documents ORDER BY media_id
     """,
 )

@@ -92,6 +92,22 @@ class ProcessorMergeMultilineLog(Processor):
         df = df.withColumn("__evt__", F.sum(is_start).over(w))
         if self.UnmatchedContentTreatment == "discard":
             df = df.filter(F.col("__evt__") > 0)
+        else:
+            # single_line (ProcessorMergeMultilineLogNative.cpp:353-380,
+            # SINGLE_LINE): each line BEFORE the first StartPattern match
+            # is its own single-line event, not one concatenated blob.
+            # Give every running-sum-0 row a unique negative event id so
+            # the downstream groupBy yields singleton groups; same
+            # window partitioning, so no extra shuffle.
+            w_rn = Window.partitionBy(
+                *[F.col(c) for c in self.GroupColumns]
+            ).orderBy(*[F.col(c) for c in self.OrderColumns])
+            df = df.withColumn(
+                "__evt__",
+                F.when(F.col("__evt__") > 0, F.col("__evt__")).otherwise(
+                    -F.row_number().over(w_rn).cast("long")
+                ),
+            )
         # order INSIDE the aggregate: collect (order cols, line) structs
         # and array_sort them — deterministic under any shuffle, and the
         # groupBy is the only exchange (a pre-repartition on the group

@@ -141,7 +141,13 @@ class ProcessorStrptime(Processor):
     def apply(self, df: DataFrame) -> DataFrame:
         v = F.col(FIELDS_COL).getItem(self.SourceKey)
         if self.Format == "%s":
-            parsed = F.to_timestamp(F.timestamp_seconds(v.try_cast("long")))
+            # reference truncates to the first 10 chars before parsing
+            # (strptime.go processLog: value[0:10]) so a 13-digit
+            # epoch-millis value parses as its SECONDS prefix, not a
+            # far-future timestamp — mirror that exactly
+            parsed = F.to_timestamp(
+                F.timestamp_seconds(F.substring(v, 1, 10).try_cast("long"))
+            )
         else:
             java_fmt = strptime_to_java(self.Format)
             parsed = F.try_to_timestamp(v, F.lit(java_fmt))

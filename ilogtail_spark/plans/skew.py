@@ -5,9 +5,12 @@ Reference analogs:
     connector)) % ShardCount (power of two <= 512)
     (plugins/aggregator/shardhash/aggregator_shardhash.go:67-85,
     157-161). Spark's built-in ``F.xxhash64`` is the same xxhash64
-    (seed 42 in Spark vs 0 in the reference — shard MEMBERSHIP
-    differs but the distribution contract, what the operator is for,
-    is identical; we expose the seed).
+    function but its seed is FIXED at 42 (the reference uses seed 0),
+    so shard MEMBERSHIP can never match aggregator_shardhash's; the
+    distribution contract — uniform spread over a power-of-two shard
+    count — is what the operator is for and is identical. The
+    ``seed`` parameter below only perturbs the hash INPUT (an extra
+    hashed column), it does not re-seed xxhash64.
   * aggregator_context — per-source ordering
     (plugins/aggregator/context/aggregator_context.go:44-62) ->
     repartition(conv_id) + sortWithinPartitions.
@@ -38,7 +41,11 @@ def shardhash(
 ) -> DataFrame:
     """Append the shard id column and repartition by it: the
     aggregator_shardhash analog. shard_count must be a power of two
-    <= 512 (reference constraint, kept)."""
+    <= 512 (reference constraint, kept). ``seed`` is hashed as an
+    extra input column (Spark's xxhash64 seed itself is fixed at 42
+    and cannot be changed), so it varies the shard assignment but
+    cannot reproduce the reference's seed-0 membership — see module
+    docstring."""
     if shard_count <= 0 or shard_count > 512 or shard_count & (shard_count - 1):
         raise ValueError("ShardCount must be a power of two in (0, 512]")
     concat = F.concat_ws(connector, *[F.col(k).cast("string") for k in keys])

@@ -127,8 +127,8 @@ class TestTextStats:
         assert out[0] != out[3]
 
     def test_quality_and_lang(self, spark):
-        q = {r["doc_id"]: r["quality_score"] for r in textstats.quality_score(docs_df(spark)).collect()}
-        assert 0.0 <= min(q.values()) and max(q.values()) <= 1.0
+        q = {r["doc_id"]: r["quality_score_micro"] for r in textstats.quality_score(docs_df(spark)).collect()}
+        assert 0 <= min(q.values()) and max(q.values()) <= 1_000_000
         langs = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_id(docs_df(spark)).collect()}
         assert langs[0] == "en"
 

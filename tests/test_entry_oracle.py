@@ -26,6 +26,14 @@ TABLES = [
 
 
 def _norm(v):
+    # numpy scalars (pandas fetch path) -> Python scalars, so an
+    # oracle HUGEINT that pandas widened to float64 normalizes
+    # differently from a Spark BIGINT and the mismatch is CAUGHT here,
+    # like the driver's hash compare would catch it
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        v = v.item()
+    if v is not None and type(v).__name__ == "Timestamp":
+        v = v.to_pydatetime()
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -70,9 +78,11 @@ def test_query_matches_oracle(spark, ddb, name, fn, oracle):
         assert len(spark_rows) >= 0
         return
 
-    cur = ddb.execute(oracle)
-    duck_cols = [d[0] for d in cur.description]
-    duck_rows = cur.fetchall()
+    # fetch through pandas — the driver's compare path — so DuckDB
+    # type widenings (HUGEINT -> float64) surface as local failures
+    pdf = ddb.execute(oracle).fetch_df()
+    duck_cols = list(pdf.columns)
+    duck_rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
