@@ -25,6 +25,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import ilogtail_spark.entryq_data  # noqa: F401 — registers dataops queries
+    import ilogtail_spark.entryq_ops  # noqa: F401 — registers operator-coverage queries
     from ilogtail_spark.entryq import QUERIES
 
     return dict(QUERIES)
@@ -32,6 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     import ilogtail_spark.entryq_data  # noqa: F401
+    import ilogtail_spark.entryq_ops  # noqa: F401
     from ilogtail_spark.entryq import ORACLES
 
     return dict(ORACLES)
