@@ -231,54 +231,88 @@ def simhash_expr(
     token hash = first 15 hex chars of md5 (60-bit bigint, portable);
     bit b of the simhash = sign of sum over tokens of (2*bit_b - 1).
 
-    Expression engine keeps it scan-side (no shuffle, no Python); for
-    64-bit signatures over long documents prefer
-    :func:`simhash_pandas`, which is O(tokens) per row instead of
-    O(tokens*bits) expression nodes.
+    Single-pass vote aggregate: ONE traversal of the token-hash array
+    builds the whole vote vector (zip_with against a constant-folded
+    mask array), instead of one interpreted ``F.aggregate`` pass per
+    bit (the previous form — nbits full array traversals per row).
+    Scan-side, no shuffle, no Python; for very long documents
+    :func:`simhash_pandas` (numpy bit-unpacking) is the batch path.
     """
     toks = tokens_col(F.col(text_col))
     hs = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
     )
     out = df.withColumn("__hs__", hs)
-
-    def voter(b: int):
-        return lambda a, h: a + F.when(
-            h.bitwiseAND(F.lit(1 << b)) != 0, 1
-        ).otherwise(-1)
-
-    acc = F.lit(0).cast("long")
-    for b in range(nbits):
-        vote = F.aggregate(F.col("__hs__"), F.lit(0).cast("long"), voter(b))
-        acc = acc + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
-    return out.withColumn("simhash", acc).drop("__hs__")
+    # bit masks as an array literal — ConstantFolding collapses this to
+    # a single Literal node, so plan size is O(1) in nbits. Bit 63 is
+    # the signed-long min value (two's complement), not 1<<63.
+    masks = F.array(
+        *[
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+            for b in range(nbits)
+        ]
+    )
+    zeros = F.array_repeat(F.lit(0).cast("long"), nbits)
+    votes = F.aggregate(
+        F.col("__hs__"),
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            votes, masks, lambda vt, m: F.when(vt > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return out.withColumn("simhash", sig).drop("__hs__")
 
 
 def simhash_pandas(df: DataFrame, text_col: str = "text", nbits: int = 64) -> DataFrame:
-    """64-bit SimHash as a vectorized pandas UDF (Arrow batches; one
-    md5 per token, bit votes in numpy)."""
+    """64-bit SimHash as a vectorized pandas UDF: one md5 per token,
+    then numpy ``unpackbits`` + column-sum for the votes — O(tokens)
+    numpy work per doc instead of a per-token-per-bit Python loop."""
     @F.pandas_udf("long")
     def _simhash(s: pd.Series) -> pd.Series:
         import hashlib
 
         import numpy as np
 
+        mask = (1 << nbits) - 1
         out = []
         for text in s:
             if text is None:
                 out.append(None)
                 continue
-            votes = np.zeros(nbits, dtype=np.int64)
-            for t in text.split():
-                h = int.from_bytes(
-                    hashlib.md5(t.encode()).digest()[:8], "big"
-                ) & ((1 << nbits) - 1)
-                for b in range(nbits):
-                    votes[b] += 1 if (h >> b) & 1 else -1
-            sig = 0
-            for b in range(nbits):
-                if votes[b] > 0:
-                    sig |= 1 << b
+            toks = text.split()
+            if not toks:
+                out.append(0)
+                continue
+            hs = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                    & mask
+                    for t in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            # little-endian byte view + bitorder='little' => column i is
+            # bit i of the hash; votes = 2*ones - n
+            bits = np.unpackbits(
+                hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )[:, :nbits]
+            votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(toks)
+            sig = int(
+                np.bitwise_or.reduce(
+                    (votes > 0).astype(np.uint64) << np.arange(nbits, dtype=np.uint64)
+                )
+            )
             # keep within signed 64-bit
             if sig >= 1 << 63:
                 sig -= 1 << 64

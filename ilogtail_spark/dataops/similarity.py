@@ -14,6 +14,7 @@ bucket assignment is scan-side expression work.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -92,21 +93,96 @@ def lsh_bucket(
     dim: int,
     num_planes: int = 8,
     vec_col: str = "embedding",
+    engine: str = "expr",
 ) -> DataFrame:
     """Append ``bucket``: the sign-bit string of ``num_planes``
-    hyperplane projections. Scan-side expression, no shuffle; the
-    planes are literal constants (no per-row hashing)."""
+    hyperplane projections. Scan-side, no shuffle.
+
+    ``expr`` engine: the plane matrix is an ``array<array<double>>``
+    LITERAL (ConstantFolding collapses it to a single Literal node),
+    and each projection is a sequential ``aggregate(zip_with(...))``
+    — plan size is O(1) in ``dim``, unlike the previous unrolled
+    multiply-add chain that emitted num_planes x dim expression nodes
+    (tens of thousands at dim>=512: Catalyst plan blowup + codegen
+    fallback). The sequential fold adds components in index order, so
+    the doubles — and therefore the sign bits — are bit-identical to
+    the SQL oracle's list_sum.
+
+    ``pandas`` engine: one numpy matmul per Arrow batch — the
+    throughput path for very high dims; summation order differs
+    (pairwise), so a projection within 1 ulp of zero could bucket
+    differently from the expr engine. Use it when recall, not
+    bit-parity, is the contract."""
+    if engine == "pandas":
+        return lsh_bucket_pandas(df, dim, num_planes, vec_col)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     df = df.withColumn("__vec__", v)
-    bits = []
-    for p in range(num_planes):
-        proj = F.lit(0.0)
-        for d in range(dim):
-            proj = proj + F.try_element_at(F.col("__vec__"), F.lit(d + 1)) * F.lit(
-                hyperplane_component(p, d)
+    planes = F.array(
+        *[
+            F.array(*[F.lit(hyperplane_component(p, d)) for d in range(dim)])
+            for p in range(num_planes)
+        ]
+    )  # folds to ONE ArrayType literal
+    bits = F.transform(
+        planes,
+        lambda plane: F.when(
+            F.aggregate(
+                F.zip_with(plane, F.col("__vec__"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
             )
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return df.withColumn("bucket", F.concat(*bits)).drop("__vec__")
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return df.withColumn("bucket", F.array_join(bits, "")).drop("__vec__")
+
+
+def lsh_bucket_pandas(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch LSH bucketing: one float64 matmul (n x dim) @ (dim x
+    planes) per Arrow batch."""
+    import numpy as np
+
+    mat = np.array(
+        [[hyperplane_component(p, d) for d in range(dim)] for p in range(num_planes)],
+        dtype=np.float64,
+    ).T  # dim x planes
+
+    @F.pandas_udf("string")
+    def _bucket(s: pd.Series) -> pd.Series:
+        vecs = np.vstack([np.asarray(v, dtype=np.float64) for v in s])
+        signs = (vecs @ mat) >= 0
+        chars = np.where(signs, "1", "0")
+        return pd.Series(["".join(row) for row in chars])
+
+    return df.withColumn("bucket", _bucket(F.col(vec_col)))
+
+
+def probe_buckets(bucket: Column, num_planes: int, probes: int) -> Column:
+    """Multi-probe bucket set: the query's own bucket plus, when
+    ``probes >= 1``, every bucket at Hamming distance 1 (each sign bit
+    flipped once) — the standard multi-probe LSH recall lever: a
+    near-neighbor whose projection sits just across one hyperplane
+    lands one bit-flip away."""
+    variants = [bucket]
+    if probes >= 1:
+        for i in range(num_planes):
+            flipped = F.when(
+                F.substring(bucket, i + 1, 1) == "1", F.lit("0")
+            ).otherwise(F.lit("1"))
+            variants.append(
+                F.concat(
+                    F.substring(bucket, 1, i),
+                    flipped,
+                    F.substring(bucket, i + 2, num_planes - i - 1),
+                )
+            )
+    return F.array(*variants)
 
 
 def ann_lsh_topk(
@@ -117,10 +193,15 @@ def ann_lsh_topk(
     num_planes: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to the
-    query's LSH bucket. Recall improves with multi-probe (not needed
-    for the correctness surface); cost drops ~2^num_planes-fold."""
+    query's LSH bucket(s). ``probes=1`` additionally searches every
+    bucket one bit-flip away (num_planes+1 probes per query) —
+    recall rises toward exact at ~(num_planes+1)x the candidate cost,
+    still ~2^num_planes/(num_planes+1)-fold below brute force. Only
+    the tiny broadcast query side explodes; the corpus is still
+    scanned once and never shuffled."""
     cb = lsh_bucket(corpus, dim, num_planes, vec_col)
     qb = lsh_bucket(queries, dim, num_planes, vec_col)
     c = with_double_vec(cb, vec_col).select(
@@ -128,7 +209,7 @@ def ann_lsh_topk(
     )
     q = with_double_vec(qb, vec_col).select(
         F.col(id_col).alias("query_id"),
-        F.col("bucket").alias("qbucket"),
+        F.explode(probe_buckets(F.col("bucket"), num_planes, probes)).alias("qbucket"),
         F.col("__vec__").alias("qv"),
     )
     joined = c.join(

@@ -274,6 +274,58 @@ def q_sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", "rk")
 
 
+def _ann_multiprobe_oracle(num_planes: int = 8) -> str:
+    bit_exprs = []
+    for p in range(num_planes):
+        terms = " + ".join(
+            f"e[{d + 1}] * ({similarity.hyperplane_component(p, d):.1f})"
+            for d in range(DIM)
+        )
+        bit_exprs.append(f"(CASE WHEN {terms} >= 0 THEN '1' ELSE '0' END)")
+    bucket = " || ".join(bit_exprs)
+    flips = ", ".join(
+        f"substr(bucket, 1, {i}) || "
+        f"(CASE WHEN substr(bucket, {i + 1}, 1) = '1' THEN '0' ELSE '1' END) || "
+        f"substr(bucket, {i + 2}, {num_planes - i - 1})"
+        for i in range(num_planes)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), b AS (
+      SELECT vec_id, e, {bucket} AS bucket FROM v
+    ), q0 AS (SELECT * FROM b WHERE vec_id < 20),
+    q AS (
+      SELECT vec_id, e, unnest([bucket, {flips}]) AS qbucket FROM q0
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+             {_cosine_sql("c.e", "q.e")} AS cos_raw
+      FROM b c JOIN q ON c.bucket = q.qbucket AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, nbr_id, rk, round(cos_raw, 6) AS cos
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_raw DESC, nbr_id
+      ) AS rk
+      FROM scored
+    )
+    WHERE rk <= 3
+    ORDER BY query_id, rk
+    """
+
+
+@query("sim_ann_multiprobe", _ann_multiprobe_oracle())
+def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = similarity.ann_lsh_topk(
+        emb, queries, dim=DIM, k=3, num_planes=8, probes=1
+    )
+    return out.orderBy("query_id", "rk")
+
+
 @query("sim_lsh_buckets", _lsh_bucket_oracle())
 def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")

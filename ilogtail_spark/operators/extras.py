@@ -46,13 +46,26 @@ class ProcessorParseApsaraNative(Processor):
     def apply(self, df: DataFrame) -> DataFrame:
         fields = F.col(FIELDS_COL)
         v = fields.getItem(self.SourceKey)
-        time_str = F.regexp_extract(v, self._HEAD, 1)
-        matched = v.isNotNull() & (time_str != "")
-        parsed_ts = F.coalesce(
-            F.try_to_timestamp(time_str, F.lit("yyyy-MM-dd HH:mm:ss.SSSSSS")),
-            F.try_to_timestamp(time_str, F.lit("yyyy-MM-dd HH:mm:ss.SSS")),
-            F.try_to_timestamp(time_str, F.lit("yyyy-MM-dd HH:mm:ss")),
+        # the _HEAD engine runs ONCE on the (possibly long) line: the
+        # whole matched header is materialized through a temp column —
+        # CollapseProject won't inline a multiply-referenced non-cheap
+        # expression, so the 5 group extracts below run against the
+        # short header string, not the full line (previously the same
+        # pattern executed 6x per row on the full value)
+        df = df.withColumn("__h__", F.regexp_extract(v, self._HEAD, 0))
+        h = F.col("__h__")
+        matched = v.isNotNull() & (h != "")
+        df = df.withColumn("__tstr__", F.regexp_extract(h, self._HEAD, 1))
+        tstr = F.col("__tstr__")
+        df = df.withColumn(
+            "__pts__",
+            F.coalesce(
+                F.try_to_timestamp(tstr, F.lit("yyyy-MM-dd HH:mm:ss.SSSSSS")),
+                F.try_to_timestamp(tstr, F.lit("yyyy-MM-dd HH:mm:ss.SSS")),
+                F.try_to_timestamp(tstr, F.lit("yyyy-MM-dd HH:mm:ss")),
+            ),
         )
+        parsed_ts = F.col("__pts__")
         # timestamp -> decimal keeps the sub-second fraction
         # (unix_timestamp would truncate to whole seconds)
         microtime = (
@@ -64,19 +77,23 @@ class ProcessorParseApsaraNative(Processor):
             F.lit("microtime"),
             microtime,
             F.lit("__LEVEL__"),
-            F.regexp_extract(v, self._HEAD, 2),
+            F.regexp_extract(h, self._HEAD, 2),
             F.lit("__THREAD__"),
-            F.regexp_extract(v, self._HEAD, 3),
+            F.regexp_extract(h, self._HEAD, 3),
             F.lit("__FILE__"),
-            F.regexp_extract(v, self._HEAD, 4),
+            F.regexp_extract(h, self._HEAD, 4),
             F.lit("__LINE__"),
-            F.regexp_extract(v, self._HEAD, 5),
+            F.regexp_extract(h, self._HEAD, 5),
         ]
         base = F.map_filter(
             F.create_map(*base_kv), lambda k, x: x.isNotNull() & (x != "")
         )
-        # k:v tail after the bracketed header fields
-        tail = F.regexp_replace(v, self._HEAD + r"\t?", "")
+        # k:v tail after the bracketed header: plain substring past the
+        # matched header (plus its trailing tab) — no second regex pass
+        rest = F.substring(v, F.length(h) + 1, F.lit(2_147_483_647))
+        tail = F.when(
+            rest.startswith("\t"), F.substring(rest, 2, 2_147_483_647)
+        ).otherwise(rest)
         kv_map = F.when(
             tail.contains(":"),
             F.str_to_map(tail, F.lit("\t"), F.lit(":")),
@@ -102,7 +119,9 @@ class ProcessorParseApsaraNative(Processor):
                     F.col(self.TimeColumn)
                 ),
             )
-        return out.withColumn(FIELDS_COL, new_fields)
+        return out.withColumn(FIELDS_COL, new_fields).drop(
+            "__h__", "__tstr__", "__pts__"
+        )
 
 
 @register

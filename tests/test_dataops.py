@@ -113,6 +113,49 @@ class TestSimilarity:
         for r in ann:
             assert abs(brute_cos[r["nbr_id"]] - r["cos"]) < 1e-6
 
+    @staticmethod
+    def _recall(ann_rows, brute_rows, k):
+        truth, got = {}, {}
+        for r in brute_rows:
+            if r["rk"] <= k:
+                truth.setdefault(r["query_id"], set()).add(r["nbr_id"])
+        for r in ann_rows:
+            got.setdefault(r["query_id"], set()).add(r["nbr_id"])
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        total = sum(len(t) for t in truth.values())
+        return hits / max(total, 1)
+
+    def test_ann_multiprobe_improves_recall(self, spark):
+        emb = self._emb(spark)
+        q = emb.filter(F.col("vec_id") < 8)
+        k = 3
+        brute = similarity.cosine_topk(emb, q, k=k).collect()
+        single = similarity.ann_lsh_topk(emb, q, dim=4, k=k, probes=0).collect()
+        multi = similarity.ann_lsh_topk(emb, q, dim=4, k=k, probes=1).collect()
+        r0 = self._recall(single, brute, k)
+        r1 = self._recall(multi, brute, k)
+        # multi-probe may only add candidates, never lose them
+        assert r1 >= r0
+        assert r1 > 0.5  # on this smooth circle fixture recall is high
+
+    def test_probe_buckets_hamming1(self, spark):
+        df = spark.createDataFrame([("1010",)], "b string")
+        out = df.select(
+            F.explode(similarity.probe_buckets(F.col("b"), 4, 1)).alias("p")
+        ).collect()
+        probes = [r["p"] for r in out]
+        assert probes[0] == "1010"
+        assert sorted(probes[1:]) == sorted(["0010", "1110", "1000", "1011"])
+
+    def test_lsh_bucket_pandas_matches_expr(self, spark):
+        emb = self._emb(spark)
+        a = {r["vec_id"]: r["bucket"] for r in similarity.lsh_bucket(emb, dim=4).collect()}
+        b = {
+            r["vec_id"]: r["bucket"]
+            for r in similarity.lsh_bucket_pandas(emb, dim=4).collect()
+        }
+        assert a == b
+
 
 class TestTextStats:
     def test_token_stats(self, spark):
