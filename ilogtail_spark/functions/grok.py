@@ -58,10 +58,25 @@ DEFAULT_PATTERNS: dict[str, str] = {
         r"(?:[0-9A-Fa-f]{1,4}:){1,4}(?::[0-9A-Fa-f]{1,4}){1,3}|::)"
     ),
     "IP": r"(?:%{IPV6}|%{IPV4})",
+    # single-char lookbehind is fixed-width, so stdlib ``re`` accepts it
+    "BASE16FLOAT": (
+        r"\b(?<![0-9A-Fa-f.])(?:[+-]?(?:0x)?"
+        r"(?:(?:[0-9A-Fa-f]+(?:\.[0-9A-Fa-f]*)?)|(?:\.[0-9A-Fa-f]+)))\b"
+    ),
+    "URN": (
+        r"urn:[0-9A-Za-z][0-9A-Za-z-]{0,31}:"
+        r"(?:%[0-9a-fA-F]{2}|[0-9A-Za-z()+,.:=@;$_!*'/?#-])+"
+    ),
+    "CISCOMAC": r"(?:(?:[A-Fa-f0-9]{4}\.){2}[A-Fa-f0-9]{4})",
+    "WINDOWSMAC": r"(?:(?:[A-Fa-f0-9]{2}-){5}[A-Fa-f0-9]{2})",
+    "COMMONMAC": r"(?:(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2})",
+    "MAC": r"(?:%{CISCOMAC}|%{WINDOWSMAC}|%{COMMONMAC})",
+    "TTY": r"(?:/dev/(?:pts|tty(?:[pq])?)(?:\w+)?/?(?:[0-9]+))",
     "HOSTNAME": (
         r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})"
         r"(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b"
     ),
+    "HOST": r"%{HOSTNAME}",
     "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
     "HOSTPORT": r"%{IPORHOST}:%{POSINT}",
     "PATH": r"(?:%{UNIXPATH}|%{WINPATH})",
@@ -100,7 +115,10 @@ DEFAULT_PATTERNS: dict[str, str] = {
     "DATESTAMP": r"%{DATE}[- ]%{TIME}",
     "TZ": r"(?:[A-Z]{3,4}|[+-]\d{4})",
     "DATESTAMP_RFC822": r"%{DAY} %{MONTH} %{MONTHDAY} %{YEAR} %{TIME} %{TZ}",
+    "DATESTAMP_RFC2822": r"%{DAY}, %{MONTHDAY} %{MONTH} %{YEAR} %{TIME} %{ISO8601_TIMEZONE}",
     "DATESTAMP_OTHER": r"%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{TZ} %{YEAR}",
+    "DATESTAMP_EVENTLOG": r"%{YEAR}%{MONTHNUM2}%{MONTHDAY}%{HOUR}%{MINUTE}%{SECOND}",
+    "HTTPDERROR_DATE": r"%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{YEAR}",
     "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
     "SYSLOGTIMESTAMP": r"%{MONTH} +%{MONTHDAY} %{TIME}",
     # syslog
@@ -118,6 +136,18 @@ DEFAULT_PATTERNS: dict[str, str] = {
         r"%{NUMBER:response} (?:%{NUMBER:bytes}|-)"
     ),
     "COMBINEDAPACHELOG": r"%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}",
+    "HTTPD20_ERRORLOG": (
+        r"\[%{HTTPDERROR_DATE:timestamp}\] \[%{LOGLEVEL:loglevel}\] "
+        r"(?:\[client %{IPORHOST:clientip}\] ){0,1}%{GREEDYDATA:errormsg}"
+    ),
+    "HTTPD24_ERRORLOG": (
+        r"\[%{HTTPDERROR_DATE:timestamp}\] \[%{WORD:module}:%{LOGLEVEL:loglevel}\] "
+        r"\[pid %{POSINT:pid}:tid %{NUMBER:tid}\]"
+        r"(?: \(%{POSINT:proxy_errorcode}\)%{DATA:proxy_errormessage}:)?"
+        r"(?: \[client %{IPORHOST:client}:%{POSINT:clientport}\])? "
+        r"%{DATA:errorcode}: %{GREEDYDATA:message}"
+    ),
+    "HTTPD_ERRORLOG": r"%{HTTPD20_ERRORLOG}|%{HTTPD24_ERRORLOG}",
     "QS": r"%{QUOTEDSTRING}",
     "LOGLEVEL": (
         r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|"

@@ -7,18 +7,43 @@ frame is written ``partitionBy(__sink__)`` — at cluster scale this is
 the difference between 1 job and N jobs over the same 100 TB scan.
 
 On a real cluster the writes below target Iceberg
-(``writeTo(table).overwritePartitions()``) — the jars aren't in this
-image, so the writer falls back to directory-partitioned parquet with
-the same layout and idempotency contract (overwrite run_id=...).
+(``writeTo(table).overwritePartitions()``) — detected at runtime via
+``iceberg_available``. The jars are absent from this image (verified:
+no iceberg-spark-runtime on the classpath, no network to fetch one),
+so the writer falls back to directory-partitioned parquet with the
+same layout and idempotency contract (overwrite of run_id=...); the
+snapshot-range incremental-read model the reference's checkpoint
+protocol implies (core/protobuf/sls/checkpoint.proto:18-38) is
+covered by the run_id manifest in plans/lineage.py instead.
 """
 
 from __future__ import annotations
+
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ilogtail_spark.model import FIELDS_COL
 from ilogtail_spark.plans.router import SINK_COL, TOPIC_COL
+
+
+@lru_cache(maxsize=1)
+def iceberg_available(spark: SparkSession | None = None) -> bool:
+    """True when the Iceberg Spark runtime is on the JVM classpath.
+    Checked once per process; drives the writeTo() upgrade path."""
+    try:
+        from pyspark.sql import SparkSession as _S
+
+        s = spark or _S.getActiveSession()
+        if s is None:
+            return False
+        s._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkSessionCatalog"
+        )
+        return True
+    except Exception:
+        return False
 
 
 def events_path(out_root: str, run_id: str) -> str:
@@ -49,6 +74,22 @@ def write_routed(
     if TOPIC_COL in routed.columns:
         out = out.withColumnRenamed(TOPIC_COL, "topic")
         partition_cols.append("topic")
+    if iceberg_available(routed.sparkSession):
+        # Iceberg path (UNEXERCISED in this image — no runtime jar; see
+        # module docstring): one table partitioned by (run_id, sink),
+        # overwritePartitions replaces exactly this run's partitions in
+        # one atomic snapshot commit — same idempotency contract as the
+        # directory overwrite below, plus snapshot-range time travel.
+        table = "ilogtail.events"
+        out = out.withColumn("run_id", F.lit(run_id))
+        try:
+            out.writeTo(table).overwritePartitions()
+        except Exception:
+            # first write: create the partitioned table, then commit
+            out.writeTo(table).partitionedBy(
+                F.col("run_id"), *[F.col(c) for c in partition_cols]
+            ).createOrReplace()
+        return table
     (
         out.write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)

@@ -127,6 +127,39 @@ def run_streaming_aggregates(
     )
 
 
+def token_bucket_admit(
+    ts_seconds: list[float],
+    limit_per_sec: float,
+    burst: int,
+    tokens: float | None = None,
+    last_ts: float | None = None,
+) -> tuple[list[bool], float, float | None]:
+    """Pure token-bucket admission over SORTED event times (the core of
+    the stateful operator below, extracted so its contract is
+    property-testable without a stream): per event, refill
+    ``limit_per_sec`` tokens per elapsed event-time second capped at
+    ``burst``, admit iff a whole token is available.
+
+    Invariant (the documented relationship to the batch analog's
+    bucket-cap): within ANY window of length T seconds, admissions
+    <= burst + limit_per_sec * T — the batch operator's per-bucket cap
+    of ``burst + rate*bucket`` is therefore always an upper bound.
+    """
+    if tokens is None:
+        tokens = float(burst)
+    flags: list[bool] = []
+    for t in ts_seconds:
+        if last_ts is not None and t > last_ts:
+            tokens = min(float(burst), tokens + (t - last_ts) * limit_per_sec)
+        last_ts = t if last_ts is None else max(last_ts, t)
+        if tokens >= 1.0:
+            tokens -= 1.0
+            flags.append(True)
+        else:
+            flags.append(False)
+    return flags, tokens, last_ts
+
+
 def streaming_rate_limit(
     stream_df: DataFrame,
     key_cols: list[str],
@@ -152,18 +185,19 @@ def streaming_rate_limit(
     def limiter(key, pdfs, state: GroupState):
         if state.exists:
             tokens, last_ts = state.get
+            if last_ts == 0.0:
+                last_ts = None
         else:
             tokens, last_ts = float(burst), None
         rows = []
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
-            for _, row in pdf.iterrows():
-                t = row[ts_col].timestamp()
-                if last_ts is not None and t > last_ts:
-                    tokens = min(float(burst), tokens + (t - last_ts) * limit_per_sec)
-                last_ts = t if last_ts is None else max(last_ts, t)
-                if tokens >= 1.0:
-                    tokens -= 1.0
+            times = [row[ts_col].timestamp() for _, row in pdf.iterrows()]
+            flags, tokens, last_ts = token_bucket_admit(
+                times, limit_per_sec, burst, tokens, last_ts
+            )
+            for (_, row), admit in zip(pdf.iterrows(), flags):
+                if admit:
                     rows.append(row)
         state.update((tokens, last_ts if last_ts is not None else 0.0))
         if rows:

@@ -168,3 +168,12 @@ def test_stable_turn_ordering(spark, transcripts):
             violations += 1
         last[conv] = idx
     assert violations == 0
+
+
+def test_iceberg_capability_documented(spark):
+    """The Iceberg upgrade path is gated on the runtime jar; in this
+    image it must be absent (no jar, no network) so the writer takes
+    the parquet fallback — executable documentation of the blocker."""
+    from ilogtail_spark.sinks.writers import iceberg_available
+
+    assert iceberg_available(spark) is False

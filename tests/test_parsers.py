@@ -110,6 +110,74 @@ class TestGrok:
         with pytest.raises(GrokCompileError):
             compile_grok("%{A}", {"A": "%{B}", "B": "%{A}"})
 
+    def test_default_bank_parity_count(self):
+        # reference ships 78 defaults
+        # (processor_grok_default_patterns.go:19-96); the bank must
+        # cover the same names
+        from ilogtail_spark.functions.grok import DEFAULT_PATTERNS
+
+        assert len(DEFAULT_PATTERNS) >= 78
+
+    def test_default_bank_all_compile(self):
+        from ilogtail_spark.functions.grok import DEFAULT_PATTERNS, compile_grok
+
+        for name in DEFAULT_PATTERNS:
+            compile_grok("%{" + name + "}")  # raises on bad regex/cycle
+
+    def test_added_pattern_vectors(self):
+        """Full-match vectors for the patterns added for bank parity
+        (shapes from processor_grok_test.go and the public grok
+        language)."""
+        import re
+
+        from ilogtail_spark.functions.grok import compile_grok
+
+        vectors = {
+            # leading +/-/. can never match: the pattern opens with \b
+            # (same quirk as the reference's regexp2 form)
+            "BASE16FLOAT": ["0x1f.ab", "3A.F", "1F"],
+            "URN": ["urn:isbn:0451450523", "urn:ietf:rfc:2648"],
+            "MAC": ["00:1B:44:11:3A:B7", "00-1B-44-11-3A-B7", "001b.4411.3ab7"],
+            "HOST": ["example.com", "node-1.internal"],
+            "TTY": ["/dev/pts/3", "/dev/tty0"],
+            "DATESTAMP_RFC2822": ["Mon, 02 Jan 2006 15:04:05 -07:00"],
+            "DATESTAMP_EVENTLOG": ["20240817153045"],
+            "HTTPDERROR_DATE": ["Mon Jan 02 15:04:05 2006"],
+        }
+        for name, samples in vectors.items():
+            src, _ = compile_grok("%{" + name + "}")
+            pat = re.compile(src)
+            for s in samples:
+                assert pat.fullmatch(s), f"{name} failed on {s!r}"
+
+    def test_httpd_errorlog_captures(self):
+        import re
+
+        from ilogtail_spark.functions.grok import compile_grok, grok_match_all
+
+        src, groups = compile_grok("%{HTTPD20_ERRORLOG}")
+        pat = re.compile(src)
+        out = grok_match_all(
+            pat,
+            groups,
+            "[Mon Jan 02 15:04:05 2006] [error] [client 1.2.3.4] File not found",
+        )
+        assert out["loglevel"] == "error"
+        assert out["clientip"] == "1.2.3.4"
+        assert out["errormsg"] == "File not found"
+
+        src24, groups24 = compile_grok("%{HTTPD24_ERRORLOG}")
+        out24 = grok_match_all(
+            re.compile(src24),
+            groups24,
+            "[Mon Jan 02 15:04:05 2006] [core:notice] [pid 100:tid 200] "
+            "AH00094: Command line: 'httpd'",
+        )
+        assert out24["module"] == "core"
+        assert out24["loglevel"] == "notice"
+        assert out24["pid"] == "100"
+        assert out24["errorcode"] == "AH00094"
+
 
 # -- json (processor_json_test.go) -----------------------------------------
 class TestJson:

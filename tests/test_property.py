@@ -211,3 +211,71 @@ class TestJaccardDifferential:
                 expected = round(inter / len(sa | sb), 6)
                 if expected >= 0.01:
                     assert abs(got[(ida, idb)] - expected) < 1e-9, (ida, idb)
+
+
+class TestTokenBucketProperty:
+    """Documented batch-vs-streaming divergence bound
+    (streaming/stream.py token_bucket_admit docstring): in any window
+    of T seconds the token bucket admits at most burst + rate*T, so the
+    batch operator's per-bucket cap is always an upper bound."""
+
+    def test_window_bound_random_streams(self):
+        rng = random.Random(7)
+        from ilogtail_spark.streaming.stream import token_bucket_admit
+
+        for trial in range(50):
+            rate = rng.choice([0.1, 0.25, 0.5, 1.0, 2.0])
+            burst = rng.randint(1, 5)
+            # bursty arrivals: clusters + gaps
+            t, times = 0.0, []
+            for _ in range(rng.randint(1, 200)):
+                t += rng.choice([0.01, 0.1, 0.5, 2.0, 30.0]) * rng.random()
+                times.append(t)
+            flags, _, _ = token_bucket_admit(times, rate, burst)
+            admitted = [t for t, f in zip(times, flags) if f]
+            for T in (1.0, 10.0, 60.0):
+                cap = burst + rate * T + 1e-9
+                for i, start in enumerate(admitted):
+                    in_win = sum(1 for x in admitted[i:] if x < start + T)
+                    assert in_win <= cap, (trial, rate, burst, T, in_win)
+
+    def test_batch_cap_upper_bounds_streaming(self):
+        """Same stream through the batch bucket-cap analog: per minute
+        bucket, batch admits min(n, L); with L = burst + 60*rate the
+        streaming admissions per bucket never exceed the batch cap."""
+        rng = random.Random(11)
+        from ilogtail_spark.streaming.stream import token_bucket_admit
+
+        rate, burst = 0.25, 3
+        L = burst + int(60 * rate)
+        t, times = 0.0, []
+        for _ in range(500):
+            t += rng.choice([0.05, 0.3, 1.5, 20.0]) * rng.random()
+            times.append(t)
+        flags, _, _ = token_bucket_admit(times, rate, burst)
+        buckets: dict[int, int] = {}
+        for x, f in zip(times, flags):
+            if f:
+                b = int(x // 60)
+                buckets[b] = buckets.get(b, 0) + 1
+        assert all(n <= L for n in buckets.values())
+
+    def test_state_carry_across_batches(self):
+        """Splitting a stream into micro-batches with carried state is
+        identical to one pass — exactly the stateful operator's resume
+        contract."""
+        from ilogtail_spark.streaming.stream import token_bucket_admit
+
+        rng = random.Random(3)
+        t, times = 0.0, []
+        for _ in range(300):
+            t += rng.random()
+            times.append(t)
+        one, _, _ = token_bucket_admit(times, 0.5, 2)
+        split, tokens, last = [], None, None
+        for i in range(0, len(times), 37):
+            f, tokens, last = token_bucket_admit(
+                times[i : i + 37], 0.5, 2, tokens, last
+            )
+            split.extend(f)
+        assert one == split
