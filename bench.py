@@ -52,6 +52,33 @@ def bench_pipeline_transcripts(spark, n_turns: int) -> dict:
     return {"sec": dt, "turns": n_turns, "turns_per_sec": n_turns / dt}
 
 
+def bench_ann_recall(spark, n_queries: int = 20, k: int = 3) -> dict:
+    """Recall of the LSH ANN (single-probe and multi-probe) against
+    exact cosine top-k over the embeddings table — the quality side of
+    the ANN speed/recall trade."""
+    from pyspark.sql import functions as F
+
+    from ilogtail_spark.dataops import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < n_queries)
+    truth: dict[int, set] = {}
+    for r in similarity.cosine_topk(emb, queries, k=k).collect():
+        truth.setdefault(r["query_id"], set()).add(r["nbr_id"])
+
+    def recall(probes: int) -> float:
+        got: dict[int, set] = {}
+        rows = similarity.ann_lsh_topk(
+            emb, queries, dim=64, k=k, num_planes=8, probes=probes
+        ).collect()
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["nbr_id"])
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        return round(hits / max(sum(len(t) for t in truth.values()), 1), 4)
+
+    return {"k": k, "probes0": recall(0), "probes1": recall(1)}
+
+
 def main() -> int:
     from ilogtail_spark.session import get_spark
 
@@ -73,6 +100,8 @@ def main() -> int:
     pipe = bench_pipeline_transcripts(spark, n_turns)
     per_query["pipeline_transcripts_e2e"] = round(pipe["sec"], 3)
 
+    ann_recall = bench_ann_recall(spark)
+
     total = round(sum(per_query.values()), 3)
     print(
         json.dumps(
@@ -86,6 +115,7 @@ def main() -> int:
                     "pipeline_turns": pipe["turns"],
                     "pipeline_turns_per_sec": round(pipe["turns_per_sec"]),
                     "cpus": CPUS,
+                    "ann_recall": ann_recall,
                 },
             },
             sort_keys=True,

@@ -48,34 +48,39 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     realistic doc length — and the /4 weights are powers of two, so
     every engine computes bit-identical integers."""
     t = F.col(text_col)
-    n = F.length(t)
     toks = tokens_col(t)
-    n_tok = F.size(toks)
-    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
-    punct_ratio = F.round(punct / F.greatest(n, F.lit(1)), 6)
-    stop_hits = F.size(
-        F.filter(toks, lambda x: F.lower(x).isin(EN_STOPWORDS))
+    # materialize the expensive counters ONCE: each feeds both a ratio
+    # and a micro column, and inlined they'd run twice per row (the
+    # regexp_replace + the stopword filter + array_distinct dominate)
+    feat = df.select(
+        F.col(id_col),
+        F.length(t).alias("__n__"),
+        F.size(toks).alias("__ntok__"),
+        F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")).alias("__punct__"),
+        F.size(F.filter(toks, lambda x: F.lower(x).isin(EN_STOPWORDS))).alias(
+            "__stop__"
+        ),
+        F.size(F.array_distinct(toks)).alias("__dist__"),
     )
-    stop_ratio = F.round(stop_hits / F.greatest(n_tok, F.lit(1)), 6)
-    distinct_ratio = F.round(
-        F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)), 6
-    )
+    n = F.col("__n__")
+    n_tok = F.col("__ntok__")
+    punct = F.col("__punct__")
+    stop_hits = F.col("__stop__")
+    n_distinct = F.col("__dist__")
     mega = F.lit(1_000_000).cast("long")  # long: int*int would overflow at ~2k chars
     punct_micro = F.floor(punct * mega / F.greatest(n, F.lit(1)))
     stop_micro = F.floor(stop_hits * mega / F.greatest(n_tok, F.lit(1)))
-    distinct_micro = F.floor(
-        F.size(F.array_distinct(toks)) * mega / F.greatest(n_tok, F.lit(1))
-    )
+    distinct_micro = F.floor(n_distinct * mega / F.greatest(n_tok, F.lit(1)))
     len_part = F.when((n >= 50) & (n <= 10000), F.lit(250_000)).otherwise(F.lit(0))
     punct_part = F.when(punct_micro <= 200_000, F.lit(250_000)).otherwise(F.lit(0))
     stop_part = F.floor(F.least(stop_micro * 10, F.lit(1_000_000)) / 4)
     distinct_part = F.floor(distinct_micro / 4)
     score_micro = (len_part + punct_part + stop_part + distinct_part).cast("long")
-    return df.select(
+    return feat.select(
         F.col(id_col),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        distinct_ratio.alias("distinct_ratio"),
+        F.round(punct / F.greatest(n, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(stop_hits / F.greatest(n_tok, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(n_distinct / F.greatest(n_tok, F.lit(1)), 6).alias("distinct_ratio"),
         score_micro.alias("quality_score_micro"),
     )
 

@@ -144,14 +144,69 @@ def main() -> int:
     q6 = entryq.QUERIES["dedup_minhash_sig"](spark, SF_DIR)
     p6 = formatted(q6)
     audit(
-        "minhash signatures (scan-side expressions)",
+        "minhash signatures (codegen hash-aggregate over exploded shingles)",
         q6,
         [
-            ("no shuffle except the presentation orderBy", n_shuffles(p6) <= 1),
+            # shape since the explode+hash-aggregate rework (7x faster
+            # than the interpreted array_min(transform) form): ONE
+            # aggregation exchange carrying |docs| x k digests (partial
+            # agg collapses each doc map-side, the shingles themselves
+            # never shuffle), plus the presentation orderBy
+            ("<= 2 shuffles (digest agg + presentation sort)", n_shuffles(p6) <= 2),
+            ("null-signature join-back is broadcast", "BroadcastHashJoin" in p6),
             ("no Python/Arrow stage", "Python" not in p6 and "ArrowEvalPython" not in p6),
         ],
-        "Signatures are pure Column expressions computed in the scan "
-        "stage; the only exchange is the final presentation sort.",
+        "Every md5 runs inside whole-stage codegen; the aggregation "
+        "exchange carries 32-byte digests, never shingle text.",
+    )
+
+    # 7. LSH bucket plan stays O(1) in embedding dim (the round-1 weak
+    # plan emitted num_planes*dim literal multiply-add nodes)
+    from ilogtail_spark.dataops import similarity
+
+    emb512 = spark.createDataFrame(
+        [(i, [float((i + d) % 9 - 4) for d in range(512)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    q7 = similarity.lsh_bucket(emb512, dim=512, num_planes=16)
+    p7 = formatted(q7)
+    opt7 = q7._jdf.queryExecution().optimizedPlan().toString()
+    audit(
+        "LSH bucket at dim=512 (constant-folded plane matrix)",
+        q7,
+        [
+            # the plane matrix must fold to ONE array literal: the
+            # optimized plan then holds the 8192 doubles as data, not
+            # as 8192 multiply-add expression nodes — string length is
+            # a faithful proxy (the unrolled form exceeded 400k chars)
+            ("optimized plan < 120k chars at dim=512", len(opt7) < 120_000),
+            ("single aggregate/zip_with per plane (no '+ embedding[511]' chains)",
+             "[511]" not in opt7),
+            ("scan-side: no shuffle", n_shuffles(p7) == 0),
+        ],
+        "Plan size must not scale with embedding dim: the hyperplane "
+        "matrix is one folded array literal and projections are "
+        "sequential folds, so dim=4096 embeddings plan in O(1).",
+    )
+
+    # 8. simhash: one vote-vector aggregate, not one pass per bit
+    from ilogtail_spark.dataops import dedup as dedup_ops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q8 = dedup_ops.simhash_expr(docs.select("doc_id", "text"), nbits=64)
+    opt8 = q8._jdf.queryExecution().optimizedPlan().toString()
+    audit(
+        "simhash 64-bit (single-pass vote aggregate)",
+        q8,
+        [
+            # the old form ran one interpreted aggregate() per bit —
+            # 64 'aggregate(' occurrences; the new form has exactly 2
+            # (vote vector + final reduction)
+            ("exactly 2 aggregate() nodes", opt8.count("aggregate(") == 2),
+            ("no shuffle", n_shuffles(formatted(q8)) == 0),
+        ],
+        "The vote vector is built in ONE traversal of the token-hash "
+        "array; bit count changes data width, not pass count.",
     )
 
     out = (
