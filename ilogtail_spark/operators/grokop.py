@@ -18,11 +18,15 @@ executors receive the source strings and compile/cache per process.
 The per-row loop runs as a fusable pandas stage (one Arrow pass even
 when chained with other python processors).
 
-Divergence (documented): the reference bounds pathological regex
+Per-record timeout: the reference bounds pathological regex
 backtracking with a 100 ms wall-clock per-log timeout
-(TimeoutMilliSeconds); a distributed batch engine cannot kill a regex
-mid-row portably, so we validate patterns at plan-build time instead
-and rely on non-pathological pattern construction.
+(TimeoutMilliSeconds, processor_grok.go:46,148-158). When the PyPI
+``regex`` module is present (it is in this image) the same guard runs
+here — patterns compile under ``regex`` and every scan passes
+``timeout=TimeoutMilliSeconds/1000``; a timed-out record is treated
+as unmatched, the reference's timeout-and-alarm path. Without the
+module the scan falls back to stdlib ``re`` (unbounded) and the
+plan-build-time pattern validation is the only guard.
 """
 
 from __future__ import annotations
@@ -31,7 +35,12 @@ from dataclasses import dataclass, field as dc_field
 from typing import Callable, ClassVar
 
 from ilogtail_spark.functions.grok import compile_grok
-from ilogtail_spark.functions.recache import compile_cached
+from ilogtail_spark.functions.recache import (
+    HAS_REGEX_MODULE,
+    compile_cached,
+    findall_matches_bounded,
+    pattern_may_backtrack,
+)
 from ilogtail_spark.model import CONTENT_KEY
 from ilogtail_spark.operators.base import PandasFieldsProcessor, register
 
@@ -64,15 +73,27 @@ class ProcessorGrok(PandasFieldsProcessor):
         src = self.SourceKey
         keep_src = self.KeepSource
         ignore_fail = self.IgnoreParseFailure
+        # the bounded engine costs ~3x per scan, so it is enabled
+        # PER PATTERN, only where the static nested-quantifier check
+        # says backtracking can actually blow up
+        base_timeout = (
+            self.TimeoutMilliSeconds / 1000.0
+            if self.TimeoutMilliSeconds and HAS_REGEX_MODULE
+            else None
+        )
+        timeouts = [
+            base_timeout if base_timeout and pattern_may_backtrack(source) else None
+            for source, _ in compiled
+        ]
 
         def fn(d: dict) -> dict:
             val = d.get(src)
             if val is None:
                 return d
             captured: dict | None = None
-            for source, groups in compiled:
-                pat = compile_cached(source)
-                for m in pat.finditer(val):
+            for (source, groups), t_sec in zip(compiled, timeouts):
+                pat = compile_cached(source, prefer_regex_module=t_sec is not None)
+                for m in findall_matches_bounded(pat, val, t_sec):
                     gd = m.groupdict()
                     for g, (alias, _t) in groups.items():
                         cap = gd.get(g)

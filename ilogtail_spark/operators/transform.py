@@ -369,7 +369,10 @@ class ProcessorDesensitize(FieldsProcessor):
 @dataclass
 class ProcessorDesensitizePandas(PandasFieldsProcessor):
     """Exact scan-replace loop incl. Method=md5 per matched span
-    (processor_desensitize.go:146-184)."""
+    (processor_desensitize.go:146-184). Per-record regex timeout
+    (processor_desensitize.go:158-168) enforced via the ``regex``
+    module when present: a timed-out scan leaves the remainder of the
+    value unmasked, like the reference's timeout-and-alarm path."""
 
     TYPE: ClassVar[str] = "processor_desensitize_pandas"
 
@@ -379,14 +382,42 @@ class ProcessorDesensitizePandas(PandasFieldsProcessor):
     ReplaceString: str = "********"
     RegexBegin: str = ""
     RegexContent: str = ""
+    TimeoutMilliSeconds: int = 100
 
     def make_fn(self) -> Callable[[dict], dict | None]:
+        from ilogtail_spark.functions.recache import (
+            HAS_REGEX_MODULE,
+            pattern_may_backtrack,
+            search_bounded,
+        )
+
         src = self.SourceKey
         method = self.Method
         match = self.Match
         repl = self.ReplaceString
         begin_pat = self.RegexBegin
         content_pat = self.RegexContent
+        # bounded engine only when the patterns can actually blow up
+        # (the static nested-quantifier check) — it costs ~3x per scan
+        timeout_sec = (
+            self.TimeoutMilliSeconds / 1000.0
+            if self.TimeoutMilliSeconds
+            and HAS_REGEX_MODULE
+            and (
+                pattern_may_backtrack(begin_pat)
+                or pattern_may_backtrack(content_pat)
+            )
+            else None
+        )
+        use_regex_mod = timeout_sec is not None
+
+        def _match_bounded(pat, value: str, pos: int):
+            try:
+                if timeout_sec and type(pat).__module__.startswith("regex"):
+                    return pat.match(value, pos, timeout=timeout_sec)
+                return pat.match(value, pos)
+            except TimeoutError:
+                return None
 
         def fn(d: dict) -> dict:
             val = d.get(src)
@@ -399,15 +430,17 @@ class ProcessorDesensitizePandas(PandasFieldsProcessor):
                     else repl
                 )
             else:
-                begin = compile_cached(begin_pat)
-                content = compile_cached(content_pat)
+                begin = compile_cached(begin_pat, prefer_regex_module=use_regex_mod)
+                content = compile_cached(
+                    content_pat, prefer_regex_module=use_regex_mod
+                )
                 out = []
                 pos = 0
                 while pos < len(val):
-                    mb = begin.search(val, pos)
+                    mb = search_bounded(begin, val, pos, timeout_sec)
                     if mb is None:
                         break
-                    mc = content.match(val, mb.end())
+                    mc = _match_bounded(content, val, mb.end())
                     if mc is None:
                         out.append(val[pos : mb.end()])
                         pos = mb.end()

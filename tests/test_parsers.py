@@ -110,6 +110,93 @@ class TestGrok:
         with pytest.raises(GrokCompileError):
             compile_grok("%{A}", {"A": "%{B}", "B": "%{A}"})
 
+    def test_timeout_guards_catastrophic_backtracking(self):
+        """The reference's per-log TimeoutMilliSeconds
+        (processor_grok.go:46,148-158): a pathological pattern on a
+        hostile input must time out and count as UNMATCHED, not hang
+        the executor. Runs the row fn directly (no Spark) so the
+        wall-clock assertion is tight."""
+        import time
+
+        import pytest
+
+        from ilogtail_spark.functions.recache import HAS_REGEX_MODULE
+        from ilogtail_spark.operators.base import build
+
+        if not HAS_REGEX_MODULE:
+            pytest.skip("regex module absent: timeout guard unavailable")
+        p = build(
+            {
+                "Type": "processor_grok",
+                "CustomPatterns": {"EVIL": r"(a+)+c"},
+                "Match": ["%{EVIL:x}"],
+                "KeepSource": True,
+                "TimeoutMilliSeconds": 50,
+            }
+        )
+        fn = p.make_fn()
+        hostile = {"content": "a" * 40 + "b"}  # (a+)+c backtracks ~2^40
+        t0 = time.time()
+        out = fn(dict(hostile))
+        elapsed = time.time() - t0
+        assert elapsed < 2.0, f"timeout guard did not bound the scan ({elapsed:.1f}s)"
+        assert "x" not in out  # timed out => unmatched
+        assert out["content"] == hostile["content"]
+        # sane input still parses under the same config
+        ok = fn({"content": "aaac end"})
+        assert ok["x"] == "aaac"
+
+    def test_desensitize_timeout_guard(self):
+        import time
+
+        import pytest
+
+        from ilogtail_spark.functions.recache import HAS_REGEX_MODULE
+        from ilogtail_spark.operators.base import build
+
+        if not HAS_REGEX_MODULE:
+            pytest.skip("regex module absent")
+        p = build(
+            {
+                "Type": "processor_desensitize_pandas",
+                "SourceKey": "content",
+                "Method": "md5",
+                "Match": "regex",
+                "RegexBegin": r"(x+)+y",
+                "RegexContent": "[0-9]+",
+                "TimeoutMilliSeconds": 50,
+            }
+        )
+        fn = p.make_fn()
+        hostile = "x" * 40 + "z tail"
+        t0 = time.time()
+        out = fn({"content": hostile})
+        assert time.time() - t0 < 2.0
+        assert out["content"] == hostile  # timed out scan leaves value as-is
+
+    def test_pattern_may_backtrack_heuristic(self):
+        from ilogtail_spark.functions.grok import compile_grok
+        from ilogtail_spark.functions.recache import pattern_may_backtrack
+
+        risky = [r"(a+)+c", r"(\w*)*x", r"(?:/[\w%-]*)+", r"(a{2,})+"]
+        safe = [
+            r"(?:ab)+",
+            r"a+b*c{2,3}",
+            r"(abc|def)g",
+            r"(?:(?:25[0-5]|2[0-4][0-9])\.){3}",
+        ]
+        for s in risky:
+            assert pattern_may_backtrack(s), s
+        for s in safe:
+            assert not pattern_may_backtrack(s), s
+        # the common bank patterns keep the stdlib fast path
+        for expr in ("%{COMBINEDAPACHELOG}", "%{SYSLOGBASE}", "%{TIMESTAMP_ISO8601}"):
+            src, _ = compile_grok(expr)
+            assert not pattern_may_backtrack(src), expr
+        # URIPATH's (?:/[...]*)+ genuinely nests unbounded quantifiers
+        src, _ = compile_grok("%{URIPATH:p}")
+        assert pattern_may_backtrack(src)
+
     def test_default_bank_parity_count(self):
         # reference ships 78 defaults
         # (processor_grok_default_patterns.go:19-96); the bank must
