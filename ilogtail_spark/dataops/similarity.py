@@ -163,6 +163,42 @@ def lsh_bucket_pandas(
     return df.withColumn("bucket", _bucket(F.col(vec_col)))
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >=
+    threshold), candidate-pruned by LSH: the self-join runs WITHIN
+    sign-buckets only — same scale shape as the minhash banding join,
+    never all-pairs. Recall is bounded by the bucketing (a near-dup
+    pair split across a hyperplane is missed; lower num_planes or add
+    multi-probe to trade cost for recall)."""
+    b = lsh_bucket(df, dim, num_planes, vec_col)
+    v = with_double_vec(b, vec_col).select(
+        F.col(id_col), F.col("bucket"), F.col("__vec__").alias("v")
+    )
+    left = v.select(
+        F.col(id_col).alias("a"), F.col("bucket"), F.col("v").alias("va")
+    )
+    right = v.select(
+        F.col(id_col).alias("b"), F.col("bucket").alias("bucket_r"), F.col("v").alias("vb")
+    )
+    joined = left.join(
+        right,
+        (F.col("bucket") == F.col("bucket_r")) & (F.col("a") < F.col("b")),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        joined.withColumn("__cos__", cos)
+        .filter(F.col("__cos__") >= threshold)
+        .select("a", "b", F.round(F.col("__cos__"), 6).alias("cos"))
+    )
+
+
 def probe_buckets(bucket: Column, num_planes: int, probes: int) -> Column:
     """Multi-probe bucket set: the query's own bucket plus, when
     ``probes >= 1``, every bucket at Hamming distance 1 (each sign bit

@@ -326,6 +326,80 @@ def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", "rk")
 
 
+def _embedding_neardup_oracle(num_planes: int = 8, threshold: float = 0.3) -> str:
+    bit_exprs = []
+    for p in range(num_planes):
+        terms = " + ".join(
+            f"e[{d + 1}] * ({similarity.hyperplane_component(p, d):.1f})"
+            for d in range(DIM)
+        )
+        bit_exprs.append(f"(CASE WHEN {terms} >= 0 THEN '1' ELSE '0' END)")
+    bucket = " || ".join(bit_exprs)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), b AS (
+      SELECT vec_id, e, {bucket} AS bucket FROM v
+    ), s AS (
+      SELECT l.vec_id AS a, r.vec_id AS b,
+             {_cosine_sql("l.e", "r.e")} AS cos_raw
+      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    )
+    SELECT a, b, round(cos_raw, 6) AS cos
+    FROM s WHERE cos_raw >= {threshold}
+    ORDER BY a, b
+    """
+
+
+@query("dedup_embedding_cosine", _embedding_neardup_oracle())
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(
+        emb, dim=DIM, threshold=0.3, num_planes=8
+    ).orderBy("a", "b")
+
+
+def _simhash_candidates_oracle(nbits: int = 32, blocks: int = 4) -> str:
+    width = nbits // blocks
+    mask = (1 << width) - 1
+    votes = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(nbits)
+    )
+    block_rows = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {j} AS block_idx, "
+        f"(simhash >> {j * width}) & {mask} AS block_val FROM sig"
+        for j in range(blocks)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(col="text")} AS w FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             list_transform(w, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+      FROM toks
+    ), sig AS (
+      SELECT doc_id, CAST({votes} AS BIGINT) AS simhash FROM hashed
+    ), blk AS (
+{block_rows}
+    )
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM blk l JOIN blk r
+      ON l.block_idx = r.block_idx AND l.block_val = r.block_val
+     AND l.doc_id < r.doc_id
+    ORDER BY a, b
+    """
+
+
+@query("dedup_simhash_candidates", _simhash_candidates_oracle())
+def q_dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = dedup.simhash_expr(docs, nbits=32).select("doc_id", "simhash")
+    return dedup.simhash_candidates(sig, nbits=32, blocks=4).orderBy("a", "b")
+
+
 @query("sim_lsh_buckets", _lsh_bucket_oracle())
 def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -457,3 +531,33 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
     return multimodal.extract_features(media).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# multimodal frame sampling — the explode shape a real frame sampler
+# produces (one row per sampled byte offset), oracle reconstructs the
+# sampled bytes from the utf-8 hex
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_frames",
+    """
+    WITH m AS (
+      SELECT doc_id, encode(text) AS payload FROM documents
+    ), offs AS (
+      SELECT doc_id, payload,
+             unnest(range(CAST(ceil(octet_length(payload) / 64.0) AS BIGINT))) AS k
+      FROM m
+    )
+    SELECT doc_id AS media_id,
+           CAST(k * 64 AS BIGINT) AS frame_off,
+           CAST(('0x' || substr(hex(payload), CAST(k * 128 + 1 AS INT), 2)) AS INT)::BIGINT
+             AS frame_sum
+    FROM offs
+    ORDER BY media_id, frame_off
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.frame_sample_stub(media, every_n_bytes=64).orderBy(
+        "media_id", "frame_off"
+    )
