@@ -326,6 +326,60 @@ def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", "rk")
 
 
+def _ann_ivf_oracle(n_centroids: int = 16, nprobe: int = 2, k: int = 3) -> str:
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid,
+             list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y))))
+               AS ce
+      FROM v WHERE vec_id < {n_centroids}
+    ), scored_c AS (
+      SELECT v.vec_id, c.cid,
+             list_sum(list_transform(range({DIM}), i -> v.e[i+1] * c.ce[i+1])) AS s
+      FROM v CROSS JOIN c
+    ), assign AS (
+      SELECT vec_id, cid AS ivf_list FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+        FROM scored_c
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cid AS probe_list FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+        FROM scored_c WHERE vec_id < 20
+      ) WHERE rn <= {nprobe}
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS nbr_id,
+             {_cosine_sql("cv.e", "qv.e")} AS cos_raw
+      FROM probes p
+      JOIN assign a ON a.ivf_list = p.probe_list AND a.vec_id <> p.query_id
+      JOIN v cv ON cv.vec_id = a.vec_id
+      JOIN v qv ON qv.vec_id = p.query_id
+    )
+    SELECT query_id, nbr_id, rk, round(cos_raw, 6) AS cos
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_raw DESC, nbr_id
+      ) AS rk
+      FROM cand
+    )
+    WHERE rk <= {k}
+    ORDER BY query_id, rk
+    """
+
+
+@query("sim_ann_ivf_topk", _ann_ivf_oracle())
+def q_sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = similarity.ann_ivf_topk(emb, queries, k=3, n_centroids=16, nprobe=2)
+    return out.orderBy("query_id", "rk")
+
+
 def _embedding_neardup_oracle(num_planes: int = 8, threshold: float = 0.3) -> str:
     bit_exprs = []
     for p in range(num_planes):

@@ -213,3 +213,51 @@ class TestMultimodal:
             by_id.setdefault(r["media_id"], []).append(r["frame_off"])
         assert by_id[1] == [0, 4, 8]
         assert 3 not in by_id  # null payload skipped
+
+
+class TestIVF:
+    def _emb(self, spark):
+        import math
+
+        rows = []
+        for i in range(40):
+            ang = i * math.pi / 80
+            rows.append((i, [math.cos(ang), math.sin(ang), 0.0, 0.0]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_assign_deterministic_and_bounded(self, spark):
+        emb = self._emb(spark)
+        cents = similarity.seed_centroids(emb, 4)
+        a = {r["vec_id"]: r["ivf_list"] for r in similarity.ivf_assign(emb, cents).collect()}
+        b = {r["vec_id"]: r["ivf_list"] for r in similarity.ivf_assign(emb, cents).collect()}
+        assert a == b
+        assert set(a.values()) <= {0, 1, 2, 3}
+        # a centroid's own vector assigns to itself (max self-dot)
+        assert a[0] == 0 and a[3] == 3
+
+    def test_ivf_topk_scores_match_bruteforce(self, spark):
+        emb = self._emb(spark)
+        q = emb.filter(F.col("vec_id") == 0)
+        ivf = similarity.ann_ivf_topk(emb, q, k=5, n_centroids=4, nprobe=2).collect()
+        brute = {r["nbr_id"]: r["cos"] for r in similarity.cosine_topk(emb, q, k=39).collect()}
+        assert ivf  # candidates exist
+        for r in ivf:
+            assert abs(brute[r["nbr_id"]] - r["cos"]) < 1e-6
+
+    def test_nprobe_monotone_recall(self, spark):
+        emb = self._emb(spark)
+        q = emb.filter(F.col("vec_id") < 6)
+        k = 3
+        truth = {}
+        for r in similarity.cosine_topk(emb, q, k=k).collect():
+            truth.setdefault(r["query_id"], set()).add(r["nbr_id"])
+
+        def rec(nprobe):
+            got = {}
+            for r in similarity.ann_ivf_topk(emb, q, k=k, n_centroids=4, nprobe=nprobe).collect():
+                got.setdefault(r["query_id"], set()).add(r["nbr_id"])
+            hits = sum(len(got.get(qq, set()) & t) for qq, t in truth.items())
+            return hits / sum(len(t) for t in truth.values())
+
+        r1, r2 = rec(1), rec(2)
+        assert r2 >= r1
