@@ -93,29 +93,30 @@ def lsh_bucket(
     dim: int,
     num_planes: int = 8,
     vec_col: str = "embedding",
-    engine: str = "expr",
 ) -> DataFrame:
     """Append ``bucket``: the sign-bit string of ``num_planes``
     hyperplane projections. Scan-side, no shuffle.
 
-    ``expr`` engine: the plane matrix is an ``array<array<double>>``
-    LITERAL (ConstantFolding collapses it to a single Literal node),
-    and each projection is a sequential ``aggregate(zip_with(...))``
-    — plan size is O(1) in ``dim``, unlike the previous unrolled
+    The plane matrix is an ``array<array<double>>`` LITERAL
+    (ConstantFolding collapses it to a single Literal node), and each
+    projection is a sequential ``aggregate(zip_with(...))`` — plan
+    size is O(1) in ``dim``, unlike the previous unrolled
     multiply-add chain that emitted num_planes x dim expression nodes
     (tens of thousands at dim>=512: Catalyst plan blowup + codegen
     fallback). The sequential fold adds components in index order, so
     the doubles — and therefore the sign bits — are bit-identical to
-    the SQL oracle's list_sum.
+    the SQL oracle's list_sum. For very high dims see
+    :func:`lsh_bucket_pandas` (numpy matmul per Arrow batch; pairwise
+    summation order, so use it when recall, not bit-parity, is the
+    contract).
 
-    ``pandas`` engine: one numpy matmul per Arrow batch — the
-    throughput path for very high dims; summation order differs
-    (pairwise), so a projection within 1 ulp of zero could bucket
-    differently from the expr engine. Use it when recall, not
-    bit-parity, is the contract."""
-    if engine == "pandas":
-        return lsh_bucket_pandas(df, dim, num_planes, vec_col)
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    The vector is SLICED to ``dim`` before zip_with: zip_with
+    null-pads a length mismatch, and one null component would poison
+    the whole fold and silently bucket every long vector as all-'0'
+    (an O(n^2) hot bucket downstream)."""
+    v = F.slice(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")), 1, dim
+    )
     df = df.withColumn("__vec__", v)
     planes = F.array(
         *[
@@ -155,7 +156,7 @@ def lsh_bucket_pandas(
 
     @F.pandas_udf("string")
     def _bucket(s: pd.Series) -> pd.Series:
-        vecs = np.vstack([np.asarray(v, dtype=np.float64) for v in s])
+        vecs = np.vstack([np.asarray(v[:dim], dtype=np.float64) for v in s])
         signs = (vecs @ mat) >= 0
         chars = np.where(signs, "1", "0")
         return pd.Series(["".join(row) for row in chars])
@@ -163,34 +164,49 @@ def lsh_bucket_pandas(
     return df.withColumn("bucket", _bucket(F.col(vec_col)))
 
 
+def centroid_matrix(centroids: list[list[float]]) -> Column:
+    """Centroid matrix as an array<array<double>> literal (folds to a
+    single Literal node under ConstantFolding)."""
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+
+
+def centroid_scores(cmat: Column, vec: Column, dim: int) -> Column:
+    """Dot product of ``vec`` (sliced to ``dim`` — zip_with would
+    null-pad a length mismatch and poison the fold) against every
+    centroid: one sequential fold per centroid, scan-side. Shared by
+    corpus assignment and query probe ranking so the two sides can
+    never drift on fold order or truncation."""
+    v = F.slice(F.transform(vec, lambda x: x.cast("double")), 1, dim)
+    return F.transform(
+        cmat,
+        lambda c: F.aggregate(
+            F.zip_with(c, v, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
     list_col: str = "ivf_list",
-) -> Column | DataFrame:
+) -> DataFrame:
     """IVF coarse quantizer: assign each vector to its nearest
     centroid by dot product (centroids pre-normalized => cosine
     order). The centroid matrix is a constant-folded array literal —
     same O(1)-plan-size trick as lsh_bucket — and the argmax is one
     sequential fold, so assignment is scan-side with no shuffle."""
-    cmat = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )  # folds to one literal
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    df = df.withColumn("__vec__", v)
-    scores = F.transform(
-        cmat,
-        lambda c: F.aggregate(
-            F.zip_with(c, F.col("__vec__"), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
+    dim = len(centroids[0])
+    scores = centroid_scores(centroid_matrix(centroids), F.col(vec_col), dim)
+    df = df.withColumn("__scores__", scores)
     # argmax by index; ties break to the LOWER index on both engines
     # (array_position returns the first occurrence)
-    best = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-    return df.withColumn(list_col, best).drop("__vec__")
+    best = (
+        F.array_position(F.col("__scores__"), F.array_max(F.col("__scores__"))) - 1
+    ).cast("int")
+    return df.withColumn(list_col, best).drop("__scores__")
 
 
 def seed_centroids(
@@ -241,17 +257,12 @@ def ann_ivf_topk(
     c = with_double_vec(cb, vec_col).select(
         F.col(id_col).alias("nbr_id"), F.col("ivf_list"), F.col("__vec__").alias("cv")
     )
-    # query probe lists: indices of the nprobe best centroid scores
-    cmat = F.array(*[F.array(*[F.lit(float(x)) for x in cc]) for cc in cents])
-    qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    qdf = queries.withColumn("__vec__", qv)
-    scores = F.transform(
-        cmat,
-        lambda cc: F.aggregate(
-            F.zip_with(cc, F.col("__vec__"), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
+    # query probe lists: indices of the nprobe best centroid scores —
+    # the SAME centroid_scores expression as corpus assignment
+    dim = len(cents[0])
+    scores = centroid_scores(centroid_matrix(cents), F.col(vec_col), dim)
+    qdf = queries.withColumn(
+        "__vec__", F.transform(F.col(vec_col), lambda x: x.cast("double"))
     )
     # rank centroid indices by (-score, index): sort scored structs
     ranked = F.transform(

@@ -141,12 +141,18 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # simhash (32-bit expression engine)
 # ---------------------------------------------------------------------------
-def _simhash_oracle(nbits: int) -> str:
-    votes = " + ".join(
+def _simhash_votes_sql(nbits: int) -> str:
+    """Shared SQL for the per-bit sign votes over the token-hash list
+    ``hs`` — single source for every simhash oracle."""
+    return " + ".join(
         f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
         f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
         for b in range(nbits)
     )
+
+
+def _simhash_oracle(nbits: int) -> str:
+    votes = _simhash_votes_sql(nbits)
     return f"""
     WITH toks AS (
       SELECT doc_id, {SQL_TOKENS.format(col="text")} AS w FROM documents
@@ -155,7 +161,9 @@ def _simhash_oracle(nbits: int) -> str:
              list_transform(w, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
       FROM toks
     )
-    SELECT doc_id, CAST({votes} AS BIGINT) AS simhash
+    SELECT doc_id,
+           CASE WHEN hs IS NULL THEN NULL
+                ELSE CAST({votes} AS BIGINT) END AS simhash
     FROM hashed ORDER BY doc_id
     """
 
@@ -214,7 +222,10 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN: bucket assignment (the scale path's partitioner)
 # ---------------------------------------------------------------------------
-def _lsh_bucket_oracle(num_planes: int = 8) -> str:
+def _lsh_bucket_sql(num_planes: int = 8) -> str:
+    """Shared SQL for the sign-bit bucket over a double-list ``e`` —
+    single source for every LSH oracle (bucket/topk/multiprobe/
+    near-dup)."""
     bit_exprs = []
     for p in range(num_planes):
         terms = " + ".join(
@@ -222,7 +233,11 @@ def _lsh_bucket_oracle(num_planes: int = 8) -> str:
             for d in range(DIM)
         )
         bit_exprs.append(f"(CASE WHEN {terms} >= 0 THEN '1' ELSE '0' END)")
-    concat = " || ".join(bit_exprs)
+    return " || ".join(bit_exprs)
+
+
+def _lsh_bucket_oracle(num_planes: int = 8) -> str:
+    concat = _lsh_bucket_sql(num_planes)
     return f"""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -234,14 +249,7 @@ def _lsh_bucket_oracle(num_planes: int = 8) -> str:
 
 
 def _ann_topk_oracle(num_planes: int = 8) -> str:
-    bit_exprs = []
-    for p in range(num_planes):
-        terms = " + ".join(
-            f"e[{d + 1}] * ({similarity.hyperplane_component(p, d):.1f})"
-            for d in range(DIM)
-        )
-        bit_exprs.append(f"(CASE WHEN {terms} >= 0 THEN '1' ELSE '0' END)")
-    bucket = " || ".join(bit_exprs)
+    bucket = _lsh_bucket_sql(num_planes)
     return f"""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -275,14 +283,7 @@ def q_sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_multiprobe_oracle(num_planes: int = 8) -> str:
-    bit_exprs = []
-    for p in range(num_planes):
-        terms = " + ".join(
-            f"e[{d + 1}] * ({similarity.hyperplane_component(p, d):.1f})"
-            for d in range(DIM)
-        )
-        bit_exprs.append(f"(CASE WHEN {terms} >= 0 THEN '1' ELSE '0' END)")
-    bucket = " || ".join(bit_exprs)
+    bucket = _lsh_bucket_sql(num_planes)
     flips = ", ".join(
         f"substr(bucket, 1, {i}) || "
         f"(CASE WHEN substr(bucket, {i + 1}, 1) = '1' THEN '0' ELSE '1' END) || "
@@ -381,14 +382,7 @@ def q_sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_neardup_oracle(num_planes: int = 8, threshold: float = 0.3) -> str:
-    bit_exprs = []
-    for p in range(num_planes):
-        terms = " + ".join(
-            f"e[{d + 1}] * ({similarity.hyperplane_component(p, d):.1f})"
-            for d in range(DIM)
-        )
-        bit_exprs.append(f"(CASE WHEN {terms} >= 0 THEN '1' ELSE '0' END)")
-    bucket = " || ".join(bit_exprs)
+    bucket = _lsh_bucket_sql(num_planes)
     return f"""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -417,11 +411,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_candidates_oracle(nbits: int = 32, blocks: int = 4) -> str:
     width = nbits // blocks
     mask = (1 << width) - 1
-    votes = " + ".join(
-        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
-        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
-        for b in range(nbits)
-    )
+    votes = _simhash_votes_sql(nbits)
     block_rows = "\n      UNION ALL\n".join(
         f"      SELECT doc_id, {j} AS block_idx, "
         f"(simhash >> {j * width}) & {mask} AS block_val FROM sig"
@@ -435,7 +425,13 @@ def _simhash_candidates_oracle(nbits: int = 32, blocks: int = 4) -> str:
              list_transform(w, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
       FROM toks
     ), sig AS (
-      SELECT doc_id, CAST({votes} AS BIGINT) AS simhash FROM hashed
+      -- NULL text => NULL signature (mirrors Spark's null propagation
+      -- through aggregate); NULL block_val then joins nothing, so
+      -- signature-less docs never form candidate pairs on either side
+      SELECT doc_id,
+             CASE WHEN hs IS NULL THEN NULL
+                  ELSE CAST({votes} AS BIGINT) END AS simhash
+      FROM hashed
     ), blk AS (
 {block_rows}
     )

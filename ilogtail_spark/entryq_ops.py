@@ -385,13 +385,19 @@ def q_context_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # processor_cloud_meta + processor_tag_native — constant metadata
-# fields / custom group tags (host-derived entries excluded so the
-# result is machine-independent)
+# fields / custom group tags. The operator resolves __cloud_zone__
+# from the environment at plan-build (driver) time; the oracle string
+# is built at import time in the SAME process, so the expected value
+# is interpolated from the same environment and the check is
+# machine-independent.
 # ---------------------------------------------------------------------------
+_ZONE = os.environ.get("CLOUD_ZONE", "local-a").replace("'", "''")
+
+
 @query(
     "cloud_meta_tags",
-    """
-    SELECT event_id, 'local-a' AS zone, 'core' AS team
+    f"""
+    SELECT event_id, '{_ZONE}' AS zone, 'core' AS team
     FROM events
     ORDER BY event_id
     """,

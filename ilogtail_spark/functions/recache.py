@@ -134,3 +134,14 @@ def search_bounded(pat, value: str, pos: int, timeout_sec: float | None):
         return pat.search(value, pos)
     except TimeoutError:
         return None
+
+
+def match_bounded(pat, value: str, pos: int, timeout_sec: float | None):
+    """``pat.match(value, pos)`` with the same timeout guard; returns
+    None on timeout (treat as no-match)."""
+    try:
+        if timeout_sec and HAS_REGEX_MODULE and _is_regex_module(pat):
+            return pat.match(value, pos, timeout=timeout_sec)
+        return pat.match(value, pos)
+    except TimeoutError:
+        return None

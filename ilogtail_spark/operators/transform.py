@@ -387,6 +387,7 @@ class ProcessorDesensitizePandas(PandasFieldsProcessor):
     def make_fn(self) -> Callable[[dict], dict | None]:
         from ilogtail_spark.functions.recache import (
             HAS_REGEX_MODULE,
+            match_bounded,
             pattern_may_backtrack,
             search_bounded,
         )
@@ -411,14 +412,6 @@ class ProcessorDesensitizePandas(PandasFieldsProcessor):
         )
         use_regex_mod = timeout_sec is not None
 
-        def _match_bounded(pat, value: str, pos: int):
-            try:
-                if timeout_sec and type(pat).__module__.startswith("regex"):
-                    return pat.match(value, pos, timeout=timeout_sec)
-                return pat.match(value, pos)
-            except TimeoutError:
-                return None
-
         def fn(d: dict) -> dict:
             val = d.get(src)
             if val is None:
@@ -440,7 +433,7 @@ class ProcessorDesensitizePandas(PandasFieldsProcessor):
                     mb = search_bounded(begin, val, pos, timeout_sec)
                     if mb is None:
                         break
-                    mc = _match_bounded(content, val, mb.end())
+                    mc = match_bounded(content, val, mb.end(), timeout_sec)
                     if mc is None:
                         out.append(val[pos : mb.end()])
                         pos = mb.end()

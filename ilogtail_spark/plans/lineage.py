@@ -38,6 +38,7 @@ class RunManifest:
     sink_counts: dict = dc_field(default_factory=dict)  # sink -> rows
     metrics: dict = dc_field(default_factory=dict)  # stage counters
     finished: bool = False
+    events_location: str = ""  # parquet dir or Iceberg table identifier
 
     @staticmethod
     def path(out_root: str, run_id: str) -> str:
@@ -86,7 +87,7 @@ def run_pipeline(
         observed = df.observe(obs_in, F.count(F.lit(1)).alias("in_events_total"))
         stages = StageObserver()
         routed = pipeline.route(observed, stage_observer=stages)
-        writers.write_routed(routed, out_root, run_id)
+        manifest.events_location = writers.write_routed(routed, out_root, run_id)
         manifest.input_files = sorted(df.inputFiles()) if df.isStreaming is False else []
         stage_metrics = stages.collect()
         manifest.metrics["in_events_total"] = obs_in.get["in_events_total"]
@@ -113,8 +114,13 @@ def run_pipeline(
 
     if not manifest.phases.get("aggregates"):
         # aggregate FROM the committed events (stable input on resume;
-        # also avoids recomputing the parse chain)
-        events = spark.read.parquet(writers.events_path(out_root, run_id))
+        # also avoids recomputing the parse chain) — wherever phase 1
+        # committed them (run_id parquet dir, or the Iceberg table)
+        events = writers.read_events_back(
+            spark,
+            manifest.events_location or writers.events_path(out_root, run_id),
+            run_id,
+        )
         agg = writers.sink_aggregates(events, keys=agg_keys, time_bucket=time_bucket)
         writers.write_aggregates(agg, out_root, run_id)
         counts = (

@@ -80,12 +80,14 @@ def write_routed(
         # overwritePartitions replaces exactly this run's partitions in
         # one atomic snapshot commit — same idempotency contract as the
         # directory overwrite below, plus snapshot-range time travel.
+        # Existence is checked explicitly: a bare try/except around
+        # overwritePartitions would fall through to a table REPLACE on
+        # any transient commit failure and destroy other runs' data.
         table = "ilogtail.events"
         out = out.withColumn("run_id", F.lit(run_id))
-        try:
+        if routed.sparkSession.catalog.tableExists(table):
             out.writeTo(table).overwritePartitions()
-        except Exception:
-            # first write: create the partitioned table, then commit
+        else:
             out.writeTo(table).partitionedBy(
                 F.col("run_id"), *[F.col(c) for c in partition_cols]
             ).createOrReplace()
@@ -141,6 +143,17 @@ def write_aggregates(agg: DataFrame, out_root: str, run_id: str) -> str:
     path = agg_path(out_root, run_id)
     agg.write.mode("overwrite").partitionBy("sink").parquet(path)
     return path
+
+
+def read_events_back(
+    spark: SparkSession, events_loc: str, run_id: str
+) -> DataFrame:
+    """Read the committed events of a run from wherever write_routed
+    put them — the Iceberg table (filtered to this run's partitions)
+    or the run_id parquet directory."""
+    if "/" not in events_loc:  # table identifier, not a path
+        return spark.table(events_loc).filter(F.col("run_id") == run_id)
+    return spark.read.parquet(events_loc)
 
 
 def read_sink(

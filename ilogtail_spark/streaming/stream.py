@@ -189,19 +189,21 @@ def streaming_rate_limit(
                 last_ts = None
         else:
             tokens, last_ts = float(burst), None
-        rows = []
+        out = []
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
-            times = [row[ts_col].timestamp() for _, row in pdf.iterrows()]
+            # vectorized epoch seconds; admission flags drive one
+            # boolean mask — no per-row pandas iteration
+            times = (pdf[ts_col].astype("int64") / 1e9).tolist()
             flags, tokens, last_ts = token_bucket_admit(
                 times, limit_per_sec, burst, tokens, last_ts
             )
-            for (_, row), admit in zip(pdf.iterrows(), flags):
-                if admit:
-                    rows.append(row)
+            admitted = pdf[pd.Series(flags, index=pdf.index)]
+            if len(admitted):
+                out.append(admitted)
         state.update((tokens, last_ts if last_ts is not None else 0.0))
-        if rows:
-            yield pd.DataFrame(rows)
+        if out:
+            yield pd.concat(out)
 
     return stream_df.groupBy(*[F.col(c) for c in key_cols]).applyInPandasWithState(
         limiter,
