@@ -79,6 +79,12 @@ class ProcessorMergeMultilineLog(Processor):
     GroupColumns: list = dc_field(default_factory=lambda: ["conv_id"])
     OrderColumns: list = dc_field(default_factory=lambda: ["turn_idx"])
     UnmatchedContentTreatment: str = "single_line"  # discard | single_line
+    # Scale-guard EXTENSION (not in the reference, whose size cap lives
+    # in the file reader's buffer): split a logical event after this
+    # many physical lines so one pathological event cannot become an
+    # unbounded collect_list in a single task. None = unbounded
+    # (reference semantics).
+    MaxMergeLines: int | None = None
 
     def apply(self, df: DataFrame) -> DataFrame:
         fields = F.col(FIELDS_COL)
@@ -90,6 +96,24 @@ class ProcessorMergeMultilineLog(Processor):
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         df = df.withColumn("__evt__", F.sum(is_start).over(w))
+        if self.MaxMergeLines:
+            # chunk index within the logical event, computed with the
+            # SAME window partitioning (one exchange+sort serves every
+            # window here): line rank minus the rank of the event's
+            # START line, integer-divided by the cap. The chunk id
+            # rides in __evt__'s fractional identity via a second
+            # group key so downstream groupBy splits oversize events.
+            w_rank = Window.partitionBy(
+                *[F.col(c) for c in self.GroupColumns]
+            ).orderBy(*[F.col(c) for c in self.OrderColumns])
+            rn = F.row_number().over(w_rank)
+            start_rn = F.max(F.when(is_start == 1, rn)).over(w)
+            within = rn - F.coalesce(start_rn, rn)
+            df = df.withColumn(
+                "__chunk__", F.floor(within / F.lit(self.MaxMergeLines)).cast("long")
+            )
+        else:
+            df = df.withColumn("__chunk__", F.lit(0).cast("long"))
         if self.UnmatchedContentTreatment == "discard":
             df = df.filter(F.col("__evt__") > 0)
         else:
@@ -120,10 +144,10 @@ class ProcessorMergeMultilineLog(Processor):
         other_cols = [
             c
             for c in df.columns
-            if c not in (*self.GroupColumns, "__evt__", FIELDS_COL)
+            if c not in (*self.GroupColumns, "__evt__", "__chunk__", FIELDS_COL)
         ]
         order_key = F.struct(*[F.col(o) for o in self.OrderColumns])
-        grouped = df.groupBy(*self.GroupColumns, "__evt__").agg(
+        grouped = df.groupBy(*self.GroupColumns, "__evt__", "__chunk__").agg(
             F.array_sort(F.collect_list(line_struct)).alias("__lines__"),
             # min_by: first row's value under the order key (works for
             # non-orderable value types like the tags map)
@@ -138,10 +162,14 @@ class ProcessorMergeMultilineLog(Processor):
             F.create_map(F.lit(self.SourceKey), merged),
         )
         # __evt__ (1-based logical-event index within the group) stays
-        # as an output column: it is the merge's provenance id
-        return grouped.withColumn(FIELDS_COL, merged_fields).drop(
+        # as an output column: it is the merge's provenance id.
+        # __chunk__ stays only when MaxMergeLines split an event.
+        out = grouped.withColumn(FIELDS_COL, merged_fields).drop(
             "__lines__", "__first_fields__"
         )
+        if not self.MaxMergeLines:
+            out = out.drop("__chunk__")
+        return out
 
 
 @register

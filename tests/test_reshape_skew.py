@@ -261,3 +261,56 @@ class TestSkew:
         for (_, _), grp in pdf.groupby(["pid", "conv_id"]):
             idx = list(grp["turn_idx"])
             assert idx == sorted(idx)
+
+
+def test_merge_multiline_max_lines_cap(spark):
+    """MaxMergeLines scale guard: a 5-line logical event splits into
+    chunks of at most 2 lines, order preserved, chunk ids 0,1,2."""
+    from tests.helpers import events_df
+
+    rows = [{"content": c} for c in
+            ["START a", "l1", "l2", "l3", "l4", "START b", "m1"]]
+    df = events_df(spark, rows).withColumn("g", F.lit("x"))
+    df = df.withColumn("i", F.monotonically_increasing_id())
+    out = compile_processors(
+        [
+            {
+                "Type": "processor_merge_multiline_log",
+                "StartPattern": "START.*",
+                "GroupColumns": ["g"],
+                "OrderColumns": ["i"],
+                "UnmatchedContentTreatment": "discard",
+                "MaxMergeLines": 2,
+            }
+        ]
+    )(df)
+    got = sorted(
+        (r["__evt__"], r["__chunk__"], r["fields"]["content"])
+        for r in out.collect()
+    )
+    assert got == [
+        (1, 0, "START a\nl1"),
+        (1, 1, "l2\nl3"),
+        (1, 2, "l4"),
+        (2, 0, "START b\nm1"),
+    ]
+
+
+def test_merge_multiline_no_cap_schema_unchanged(spark):
+    from tests.helpers import events_df
+
+    rows = [{"content": c} for c in ["START a", "l1"]]
+    df = events_df(spark, rows).withColumn("g", F.lit("x"))
+    df = df.withColumn("i", F.monotonically_increasing_id())
+    out = compile_processors(
+        [
+            {
+                "Type": "processor_merge_multiline_log",
+                "StartPattern": "START.*",
+                "GroupColumns": ["g"],
+                "OrderColumns": ["i"],
+            }
+        ]
+    )(df)
+    assert "__chunk__" not in out.columns
+    assert out.count() == 1
