@@ -209,6 +209,43 @@ def main() -> int:
         "array; bit count changes data width, not pass count.",
     )
 
+    # 9. embedding near-dup: the self-join must be an EQUI join on the
+    # bucket (hash/sort-merge), never a nested loop over all pairs
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q9 = similarity.embedding_neardup_pairs(emb, dim=64, threshold=0.3)
+    p9 = formatted(q9)
+    audit(
+        "embedding near-dup pairs (bucketed equi self-join)",
+        q9,
+        [
+            ("equi join (hash or sort-merge), not nested loop",
+             ("HashJoin" in p9 or "SortMergeJoin" in p9) and "NestedLoop" not in p9),
+            ("cosine filter evaluated after the bucket join", "__cos__" in p9 or "cos" in p9),
+        ],
+        "Candidate pruning happens in the JOIN KEY (LSH bucket); the "
+        "O(n^2) cross product never exists in the plan.",
+    )
+
+    # 10. IVF assignment: scan-side argmax, O(1) plan size in dim
+    from ilogtail_spark.dataops.similarity import ivf_assign, seed_centroids
+
+    cents = seed_centroids(emb, 16)
+    q10 = ivf_assign(emb, cents)
+    p10 = formatted(q10)
+    opt10 = q10._jdf.queryExecution().optimizedPlan().toString()
+    audit(
+        "IVF coarse quantizer (constant-folded centroid argmax)",
+        q10,
+        [
+            ("no shuffle (assignment is scan-side)", n_shuffles(p10) == 0),
+            ("optimized plan < 120k chars (centroid matrix folded)",
+             len(opt10) < 120_000),
+        ],
+        "The centroid matrix folds to one literal; nearest-centroid "
+        "assignment adds zero exchanges — inverted lists are free at "
+        "scan time.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
