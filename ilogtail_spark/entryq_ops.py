@@ -715,6 +715,42 @@ def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("sink")
 
 
+# ---------------------------------------------------------------------------
+# processor_spl — the SPL pipe-language front-end compiled onto the
+# same operators (ProcessorSPL.cpp:30-96; SLS SPL doc syntax)
+# ---------------------------------------------------------------------------
+@query(
+    "spl_pipeline",
+    """
+    SELECT event_id,
+           regexp_extract(props, '\\{"k": (\\d+)\\}', 1) AS k,
+           CASE WHEN CAST(regexp_extract(props, '\\{"k": (\\d+)\\}', 1) AS INT) >= 50
+                THEN 'true' ELSE 'false' END AS hot,
+           event_type
+    FROM events
+    WHERE regexp_matches(event_type, '^(click|view|purchase)$')
+    ORDER BY event_id
+    """,
+)
+def q_spl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_local(spark, sf_dir)
+    script = (
+        "* "
+        "| parse-regexp content, '\\{\"k\": (\\d+)\\}' as k "
+        "| where event_type rlike '^(click|view|purchase)$' "
+        "| extend hot = cast(k as int) >= 50 "
+        "| project k, hot, event_type"
+    )
+    out = compile_processors([{"Type": "processor_spl", "Script": script}])(ev)
+    f = F.col(FIELDS_COL)
+    return out.select(
+        "event_id",
+        f.getItem("k").alias("k"),
+        f.getItem("hot").alias("hot"),
+        f.getItem("event_type").alias("event_type"),
+    ).orderBy("event_id")
+
+
 def _events_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ilogtail_spark.entryq import _events
 

@@ -1,0 +1,119 @@
+"""processor_spl subset-compiler tests — the reference's own doc
+example (processor-spl-native.md) plus per-command vectors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ilogtail_spark.operators.spl import (
+    SPLCompileError,
+    compile_spl,
+    rewrite_field_refs,
+)
+from ilogtail_spark.plans.pipeline import compile_processors
+from tests.helpers import events_df, fields_of, one
+
+
+def run_one(spark, script: str, fields: dict) -> dict:
+    df = events_df(spark, [fields])
+    return one(compile_processors([{"Type": "processor_spl", "Script": script}])(df))
+
+
+class TestRewrite:
+    def test_identifiers_become_map_lookups(self):
+        assert rewrite_field_refs("status = '200'") == "fields['status'] = '200'"
+
+    def test_functions_and_keywords_untouched(self):
+        out = rewrite_field_refs("cast(request_time as double) > 0.01 and upper(method) = 'GET'")
+        assert out == (
+            "cast(fields['request_time'] as double) > 0.01 "
+            "and upper(fields['method']) = 'GET'"
+        )
+
+    def test_string_literals_untouched(self):
+        out = rewrite_field_refs("msg like '%status and method%'")
+        assert out == "fields['msg'] like '%status and method%'"
+
+
+class TestSPL:
+    def test_reference_doc_example(self, spark):
+        """The exact nginx pipeline from processor-spl-native.md."""
+        line = (
+            '127.0.0.1 - - [07/Jul/2022:10:43:30 +0800] '
+            '"POST /PutData?Category=YunOsAccountOpLog" '
+            '0.024 18204 200 37 "-" "aliyun-sdk-java"'
+        )
+        script = (
+            "*\n"
+            "| parse-regexp content, '([\\d\\.]+) \\S+ \\S+ \\[(\\S+) \\S+\\] "
+            '\\"(\\w+) ([^\\\\"]*)\\" ([\\d\\.]+) (\\d+) (\\d+) (\\d+|-) '
+            '\\"([^\\\\"]*)\\" \\"([^\\\\"]*)\\"\' '
+            "as ip, time, method, url, request_time, request_length, status, "
+            "length, ref_url, browser\n"
+            "| project-away content"
+        )
+        out = run_one(spark, script, {"content": line})
+        assert out == {
+            "ip": "127.0.0.1",
+            "time": "07/Jul/2022:10:43:30",
+            "method": "POST",
+            "url": "/PutData?Category=YunOsAccountOpLog",
+            "request_time": "0.024",
+            "request_length": "18204",
+            "status": "200",
+            "length": "37",
+            "ref_url": "-",
+            "browser": "aliyun-sdk-java",
+        }
+
+    def test_where_extend_project(self, spark):
+        df = events_df(
+            spark,
+            [
+                {"content": "x", "status": "200", "ms": "12"},
+                {"content": "y", "status": "500", "ms": "90"},
+            ],
+        )
+        script = (
+            "* | where status = '200' "
+            "| extend slow = cast(ms as int) > 50 "
+            "| project status, slow"
+        )
+        out = fields_of(
+            compile_processors([{"Type": "processor_spl", "Script": script}])(df)
+        )
+        assert out == [{"status": "200", "slow": "false"}]
+
+    def test_parse_json_and_rename(self, spark):
+        out = run_one(
+            spark,
+            "* | parse-json content | project-rename kind = a",
+            {"content": '{"a": "1", "b": "2"}'},
+        )
+        assert out["kind"] == "1" and out["b"] == "2"
+
+    def test_parse_csv_and_limit(self, spark):
+        df = events_df(spark, [{"content": "a,b"}, {"content": "c,d"}])
+        script = "* | parse-csv content as c1, c2 | limit 1"
+        out = fields_of(
+            compile_processors([{"Type": "processor_spl", "Script": script}])(df)
+        )
+        assert len(out) == 1
+        assert out[0]["c1"] in ("a", "c")
+
+    def test_unknown_stage_fails_at_compile(self):
+        with pytest.raises(SPLCompileError):
+            compile_spl("* | frobnicate x")
+
+    def test_must_start_with_star(self):
+        with pytest.raises(SPLCompileError):
+            compile_spl("where a = 'b'")
+
+    def test_pipe_inside_regex_quote_not_split(self, spark):
+        out = run_one(
+            spark,
+            "* | parse-regexp content, '(a|b)(\\d+)' as letter, num",
+            {"content": "b42"},
+        )
+        assert out["letter"] == "b" and out["num"] == "42"
