@@ -24,6 +24,8 @@ Supported subset (the commands the reference's own examples use):
   ``parse-regexp f, 'pat' as a, b``  regex capture groups -> fields
   ``parse-json f``             dynamic JSON flatten of field f
   ``parse-csv f as a, b``      RFC-4180 split of field f
+  ``parse-kv f [, 'delim', 'sep']``  key-value split of field f
+  ``sort by f [desc]``         global sort (driver-side presentation)
   ``limit n``                  keep at most n rows
 
 Expressions reference fields by bare name (SPL semantics); the
@@ -117,6 +119,37 @@ def _split_pipes(script: str) -> list[str]:
         i += 1
     parts.append("".join(buf).strip())
     return [p for p in parts if p]
+
+
+def _split_args(s: str) -> list[str]:
+    """Split a comma-separated argument list, commas inside quotes
+    respected."""
+    out: list[str] = []
+    buf: list[str] = []
+    quote: str | None = None
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if quote:
+            buf.append(c)
+            if c == "\\" and i + 1 < len(s):
+                buf.append(s[i + 1])
+                i += 2
+                continue
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+            buf.append(c)
+        elif c == ",":
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    if "".join(buf).strip():
+        out.append("".join(buf).strip())
+    return out
 
 
 def _unquote(s: str) -> str:
@@ -226,6 +259,31 @@ def compile_spl(script: str) -> list[Callable[[DataFrame], DataFrame]]:
                     }
                 ).apply
             )
+        elif low.startswith("parse-kv"):
+            rest = stmt[8:].strip()
+            bits = [b.strip() for b in _split_args(rest)]
+            field = bits[0] if bits else "content"
+            cfg = {
+                "Type": "processor_split_key_value",
+                "SourceKey": field,
+                "KeepSource": True,
+            }
+            if len(bits) >= 2:
+                cfg["Delimiter"] = _unquote(bits[1])
+            if len(bits) >= 3:
+                cfg["Separator"] = _unquote(bits[2])
+            stages.append(build(cfg).apply)
+        elif low.startswith("sort by "):
+            keys = []
+            for part in stmt[8:].split(","):
+                toks = part.split()
+                if not toks:
+                    continue
+                col = F.col(FIELDS_COL).getItem(toks[0])
+                if len(toks) > 1 and toks[1].lower() == "desc":
+                    col = col.desc()
+                keys.append(col)
+            stages.append(lambda df, ks=tuple(keys): df.orderBy(*ks))
         elif low.startswith("limit "):
             n = int(stmt[6:].strip())
             stages.append(lambda df, n=n: df.limit(n))

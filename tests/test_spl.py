@@ -117,3 +117,22 @@ class TestSPL:
             {"content": "b42"},
         )
         assert out["letter"] == "b" and out["num"] == "42"
+
+    def test_parse_kv_custom_delims(self, spark):
+        out = run_one(
+            spark,
+            "* | parse-kv content, '&', '='",
+            {"content": "a=1&b=two&c=3"},
+        )
+        assert out["a"] == "1" and out["b"] == "two" and out["c"] == "3"
+
+    def test_sort_and_limit(self, spark):
+        df = events_df(
+            spark, [{"content": "x", "n": "3"}, {"content": "y", "n": "1"},
+                    {"content": "z", "n": "2"}]
+        )
+        script = "* | sort by n | limit 2"
+        out = fields_of(
+            compile_processors([{"Type": "processor_spl", "Script": script}])(df)
+        )
+        assert [r["n"] for r in out] == ["1", "2"]
