@@ -40,16 +40,28 @@ def _consume(df) -> int:
         return df.count()
 
 
-def bench_pipeline_transcripts(spark, n_turns: int) -> dict:
+def bench_pipeline_transcripts(spark, n_turns: int, samples: int = 2) -> dict:
     """End-to-end: generate -> parse(regex+json+kv) -> enrich -> route
-    -> per-sink aggregate; the BASELINE.json headline metric."""
+    -> per-sink aggregate; the BASELINE.json headline metric.
+
+    Best of ``samples`` runs, all samples reported: the host is shared
+    and co-tenant CPU-steal bursts otherwise get attributed to
+    whichever round they landed on (same estimator BENCH.md uses)."""
     from ilogtail_spark.benchflow import build_headline_pipeline
 
-    t0 = time.time()
-    agg = build_headline_pipeline(spark, n_turns)
-    _consume(agg)
-    dt = time.time() - t0
-    return {"sec": dt, "turns": n_turns, "turns_per_sec": n_turns / dt}
+    secs = []
+    for _ in range(samples):
+        t0 = time.time()
+        agg = build_headline_pipeline(spark, n_turns)
+        _consume(agg)
+        secs.append(time.time() - t0)
+    dt = min(secs)
+    return {
+        "sec": dt,
+        "turns": n_turns,
+        "turns_per_sec": n_turns / dt,
+        "all_secs": [round(s, 3) for s in secs],
+    }
 
 
 def bench_ann_recall(spark, n_queries: int = 20, k: int = 3) -> dict:
@@ -114,6 +126,7 @@ def main() -> int:
                 "extra": {
                     "pipeline_turns": pipe["turns"],
                     "pipeline_turns_per_sec": round(pipe["turns_per_sec"]),
+                    "pipeline_all_secs": pipe["all_secs"],
                     "cpus": CPUS,
                     "ann_recall": ann_recall,
                 },
