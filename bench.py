@@ -78,17 +78,39 @@ def bench_ann_recall(spark, n_queries: int = 20, k: int = 3) -> dict:
     for r in similarity.cosine_topk(emb, queries, k=k).collect():
         truth.setdefault(r["query_id"], set()).add(r["nbr_id"])
 
-    def recall(probes: int) -> float:
+    def _recall(rows) -> float:
         got: dict[int, set] = {}
-        rows = similarity.ann_lsh_topk(
-            emb, queries, dim=64, k=k, num_planes=8, probes=probes
-        ).collect()
         for r in rows:
             got.setdefault(r["query_id"], set()).add(r["nbr_id"])
         hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
         return round(hits / max(sum(len(t) for t in truth.values()), 1), 4)
 
-    return {"k": k, "probes0": recall(0), "probes1": recall(1)}
+    def lsh(num_planes: int, probes: int) -> float:
+        return _recall(
+            similarity.ann_lsh_topk(
+                emb, queries, dim=64, k=k, num_planes=num_planes, probes=probes
+            ).collect()
+        )
+
+    def ivf(nprobe: int) -> float:
+        return _recall(
+            similarity.ann_ivf_topk(
+                emb, queries, k=k, n_centroids=16, nprobe=nprobe
+            ).collect()
+        )
+
+    # two operating points per index: recall is a tunable cost trade —
+    # 8 planes = 256 buckets over this 500-vector corpus (~2
+    # vectors/bucket: cheap, low recall on uniform-random data);
+    # 4 planes = 16 buckets (~31/bucket). IVF analogous via nprobe.
+    return {
+        "k": k,
+        "lsh8_probes0": lsh(8, 0),
+        "lsh8_probes1": lsh(8, 1),
+        "lsh4_probes1": lsh(4, 1),
+        "ivf_nprobe1": ivf(1),
+        "ivf_nprobe4": ivf(4),
+    }
 
 
 def main() -> int:
