@@ -302,10 +302,12 @@ def simhash_pandas(df: DataFrame, text_col: str = "text", nbits: int = 64) -> Da
                 dtype=np.uint64,
                 count=len(toks),
             )
-            # little-endian byte view + bitorder='little' => column i is
-            # bit i of the hash; votes = 2*ones - n
+            # force little-endian storage before the byte view so
+            # column i is bit i of the hash on ANY host byte order
             bits = np.unpackbits(
-                hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                hs.astype("<u8").view(np.uint8).reshape(-1, 8),
+                axis=1,
+                bitorder="little",
             )[:, :nbits]
             votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(toks)
             sig = int(

@@ -110,14 +110,18 @@ def lsh_bucket(
     summation order, so use it when recall, not bit-parity, is the
     contract).
 
-    The vector is SLICED to ``dim`` before zip_with: zip_with
-    null-pads a length mismatch, and one null component would poison
-    the whole fold and silently bucket every long vector as all-'0'
-    (an O(n^2) hot bucket downstream)."""
+    Length handling: vectors LONGER than ``dim`` are sliced (zip_with
+    would null-pad the plane side and poison the fold); vectors
+    SHORTER than ``dim`` (or null) get a NULL bucket — like a null
+    minhash signature, a vector without full dimensionality has no
+    LSH identity, and a NULL bucket joins nothing downstream instead
+    of collapsing every malformed vector into one all-'0' hot bucket
+    (an O(n^2) self-join otherwise)."""
     v = F.slice(
         F.transform(F.col(vec_col), lambda x: x.cast("double")), 1, dim
     )
     df = df.withColumn("__vec__", v)
+    has_dim = F.size(F.col(vec_col)) >= dim
     planes = F.array(
         *[
             F.array(*[F.lit(hyperplane_component(p, d)) for d in range(dim)])
@@ -136,7 +140,10 @@ def lsh_bucket(
             F.lit("1"),
         ).otherwise(F.lit("0")),
     )
-    return df.withColumn("bucket", F.array_join(bits, "")).drop("__vec__")
+    bucket = F.when(has_dim, F.array_join(bits, "")).otherwise(
+        F.lit(None).cast("string")
+    )
+    return df.withColumn("bucket", bucket).drop("__vec__")
 
 
 def lsh_bucket_pandas(
@@ -156,10 +163,14 @@ def lsh_bucket_pandas(
 
     @F.pandas_udf("string")
     def _bucket(s: pd.Series) -> pd.Series:
-        vecs = np.vstack([np.asarray(v[:dim], dtype=np.float64) for v in s])
-        signs = (vecs @ mat) >= 0
-        chars = np.where(signs, "1", "0")
-        return pd.Series(["".join(row) for row in chars])
+        out: list[str | None] = []
+        for v in s:
+            if v is None or len(v) < dim:
+                out.append(None)  # no LSH identity — same as the expr engine
+                continue
+            proj = np.asarray(v[:dim], dtype=np.float64) @ mat
+            out.append("".join(np.where(proj >= 0, "1", "0")))
+        return pd.Series(out, dtype=object)
 
     return df.withColumn("bucket", _bucket(F.col(vec_col)))
 
@@ -202,10 +213,17 @@ def ivf_assign(
     scores = centroid_scores(centroid_matrix(centroids), F.col(vec_col), dim)
     df = df.withColumn("__scores__", scores)
     # argmax by index; ties break to the LOWER index on both engines
-    # (array_position returns the first occurrence)
-    best = (
-        F.array_position(F.col("__scores__"), F.array_max(F.col("__scores__"))) - 1
-    ).cast("int")
+    # (array_position returns the first occurrence). Short/null vectors
+    # get a NULL list id — no IVF identity, excluded from probes.
+    best = F.when(
+        F.size(F.col(vec_col)) >= dim,
+        (
+            F.array_position(
+                F.col("__scores__"), F.array_max(F.col("__scores__"))
+            )
+            - 1
+        ).cast("int"),
+    ).otherwise(F.lit(None).cast("int"))
     return df.withColumn(list_col, best).drop("__scores__")
 
 
@@ -264,21 +282,26 @@ def ann_ivf_topk(
     qdf = queries.withColumn(
         "__vec__", F.transform(F.col(vec_col), lambda x: x.cast("double"))
     )
-    # rank centroid indices by (-score, index): sort scored structs
-    ranked = F.transform(
-        F.slice(
-            F.array_sort(
-                F.zip_with(
-                    scores,
-                    F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-                    lambda s, i: F.struct((-s).alias("neg"), i.alias("idx")),
-                )
+    # rank centroid indices by (-score, index): sort scored structs.
+    # Short/null query vectors get an EMPTY probe set (explode drops
+    # them) — consistent with the corpus side's NULL ivf_list.
+    ranked = F.when(
+        F.size(F.col(vec_col)) >= dim,
+        F.transform(
+            F.slice(
+                F.array_sort(
+                    F.zip_with(
+                        scores,
+                        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                        lambda s, i: F.struct((-s).alias("neg"), i.alias("idx")),
+                    )
+                ),
+                1,
+                nprobe,
             ),
-            1,
-            nprobe,
+            lambda x: x["idx"],
         ),
-        lambda x: x["idx"],
-    )
+    ).otherwise(F.array().cast("array<int>"))
     q = qdf.select(
         F.col(id_col).alias("query_id"),
         F.explode(ranked).alias("probe_list"),

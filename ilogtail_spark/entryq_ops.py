@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ilogtail_spark.model import FIELDS_COL, TAGS_COL, to_events
 from ilogtail_spark.plans.pipeline import Pipeline, compile_processors
-from ilogtail_spark.entryq import K_REGEX, _t, query
+from ilogtail_spark.entryq import K_REGEX, _events, _t, query
 
 
 # ---------------------------------------------------------------------------
@@ -195,7 +195,7 @@ def q_anchor_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_transform_drop_b64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_local(spark, sf_dir)
+    ev = _events(spark, sf_dir)
     out = compile_processors(
         [
             {"Type": "processor_regex", "Regex": K_REGEX, "Keys": ["k"], "KeepSource": True},
@@ -232,7 +232,7 @@ def q_transform_drop_b64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_desensitize_md5_span(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_local(spark, sf_dir)
+    ev = _events(spark, sf_dir)
     out = compile_processors(
         [
             {
@@ -264,7 +264,7 @@ def q_desensitize_md5_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_filter_key_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_local(spark, sf_dir)
+    ev = _events(spark, sf_dir)
     out = compile_processors(
         [
             {
@@ -335,7 +335,7 @@ def q_parse_timestamp_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_aggregators_pack_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_local(spark, sf_dir)
+    ev = _events(spark, sf_dir)
     out = compile_processors(
         [
             {"Type": "aggregator_base"},
@@ -366,7 +366,7 @@ def q_aggregators_pack_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_context_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_local(spark, sf_dir).withColumn(
+    ev = _events(spark, sf_dir).withColumn(
         "user_id", F.col(FIELDS_COL).getItem("user_id").cast("long")
     )
     out = compile_processors(
@@ -403,7 +403,7 @@ _ZONE = os.environ.get("CLOUD_ZONE", "local-a").replace("'", "''")
     """,
 )
 def q_cloud_meta_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_local(spark, sf_dir)
+    ev = _events(spark, sf_dir)
     out = compile_processors(
         [
             {
@@ -442,7 +442,7 @@ def q_cloud_meta_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_otel_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_local(spark, sf_dir)
+    ev = _events(spark, sf_dir)
     out = compile_processors(
         [
             {"Type": "processor_regex", "Regex": K_REGEX, "Keys": ["k"], "KeepSource": True},
@@ -685,7 +685,7 @@ def q_streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ilogtail_spark.plans.lineage import run_pipeline
-    from ilogtail_spark.entryq import PIPELINE_E2E, _events
+    from ilogtail_spark.entryq import PIPELINE_E2E
 
     # drop the k-filter so every event routes (counts = events table)
     pipe = Pipeline(
@@ -733,7 +733,7 @@ def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_spl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_local(spark, sf_dir)
+    ev = _events(spark, sf_dir)
     script = (
         "* "
         "| parse-regexp content, '\\{\"k\": (\\d+)\\}' as k "
@@ -751,7 +751,3 @@ def q_spl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
-def _events_local(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ilogtail_spark.entryq import _events
-
-    return _events(spark, sf_dir)

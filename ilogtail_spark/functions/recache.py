@@ -44,8 +44,16 @@ def compile_cached(pattern: str, flags: int = 0, prefer_regex_module: bool = Fal
     return pat
 
 
+if HAS_REGEX_MODULE:
+    # compiled patterns report __module__ == "_regex" (the C core),
+    # NOT "regex" — identify by type, never by module-name prefix
+    _REGEX_PATTERN_TYPE: type | None = type(_re_impl.compile(""))
+else:  # pragma: no cover
+    _REGEX_PATTERN_TYPE = None
+
+
 def _is_regex_module(pat) -> bool:
-    return type(pat).__module__.startswith("regex")
+    return _REGEX_PATTERN_TYPE is not None and isinstance(pat, _REGEX_PATTERN_TYPE)
 
 
 def pattern_may_backtrack(source: str) -> bool:

@@ -59,9 +59,14 @@ _SQL_KEYWORDS = {
 }
 
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+# numeric literals MUST be matched before identifiers: without the
+# alternative, '1e5' tokenizes as '1' + identifier 'e5' and the
+# rewriter splices fields['e5'] into the middle of the number
 _TOKEN = re.compile(
     r"""'(?:[^'\\]|\\.)*'      # single-quoted string
       | "(?:[^"\\]|\\.)*"      # double-quoted string
+      | 0[xX][0-9A-Fa-f]+      # hex literal
+      | (?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?  # int/float/scientific
       | [A-Za-z_][A-Za-z0-9_]*(?:\s*\()?  # identifier, maybe a function call
       | .""",
     re.VERBOSE | re.DOTALL,
@@ -92,39 +97,11 @@ def rewrite_field_refs(expr: str) -> str:
     return "".join(out)
 
 
-def _split_pipes(script: str) -> list[str]:
-    """Split the script on top-level ``|`` (quotes respected)."""
+def _split_on(s: str, delim: str) -> list[str]:
+    """Split on a top-level delimiter character, quotes and
+    backslash-escapes respected. One scanner serves both the pipe
+    splitter and the argument splitter."""
     parts: list[str] = []
-    buf: list[str] = []
-    quote: str | None = None
-    i = 0
-    while i < len(script):
-        c = script[i]
-        if quote:
-            buf.append(c)
-            if c == "\\" and i + 1 < len(script):
-                buf.append(script[i + 1])
-                i += 2
-                continue
-            if c == quote:
-                quote = None
-        elif c in "'\"":
-            quote = c
-            buf.append(c)
-        elif c == "|":
-            parts.append("".join(buf).strip())
-            buf = []
-        else:
-            buf.append(c)
-        i += 1
-    parts.append("".join(buf).strip())
-    return [p for p in parts if p]
-
-
-def _split_args(s: str) -> list[str]:
-    """Split a comma-separated argument list, commas inside quotes
-    respected."""
-    out: list[str] = []
     buf: list[str] = []
     quote: str | None = None
     i = 0
@@ -141,15 +118,22 @@ def _split_args(s: str) -> list[str]:
         elif c in "'\"":
             quote = c
             buf.append(c)
-        elif c == ",":
-            out.append("".join(buf).strip())
+        elif c == delim:
+            parts.append("".join(buf).strip())
             buf = []
         else:
             buf.append(c)
         i += 1
-    if "".join(buf).strip():
-        out.append("".join(buf).strip())
-    return out
+    parts.append("".join(buf).strip())
+    return parts
+
+
+def _split_pipes(script: str) -> list[str]:
+    return [p for p in _split_on(script, "|") if p]
+
+
+def _split_args(s: str) -> list[str]:
+    return [p for p in _split_on(s, ",") if p]
 
 
 def _unquote(s: str) -> str:

@@ -157,8 +157,17 @@ def read_events_back(
 
 
 def read_sink(
-    spark: SparkSession, out_root: str, sink: str, run_id: str
+    spark: SparkSession,
+    out_root: str,
+    sink: str,
+    run_id: str,
+    events_loc: str | None = None,
 ) -> DataFrame:
-    return spark.read.parquet(events_path(out_root, run_id)).filter(
-        F.col("sink") == sink
+    """One sink's rows for a run. Pass ``events_loc`` (the value
+    ``write_routed`` returned / the manifest's ``events_location``) so
+    the read follows the write — Iceberg table or parquet dir; the
+    default reconstructs the parquet path for pre-manifest callers."""
+    base = read_events_back(
+        spark, events_loc or events_path(out_root, run_id), run_id
     )
+    return base.filter(F.col("sink") == sink)

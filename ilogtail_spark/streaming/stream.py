@@ -180,12 +180,15 @@ def streaming_rate_limit(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = stream_df.schema
-    state_schema = "tokens double, last_ts double"
+    # has_last distinguishes "no events seen" from a real event at
+    # epoch 0 — a 0.0 sentinel would drop the refill baseline for
+    # zeroed-clock records
+    state_schema = "tokens double, last_ts double, has_last boolean"
 
     def limiter(key, pdfs, state: GroupState):
         if state.exists:
-            tokens, last_ts = state.get
-            if last_ts == 0.0:
+            tokens, last_ts, has_last = state.get
+            if not has_last:
                 last_ts = None
         else:
             tokens, last_ts = float(burst), None
@@ -201,7 +204,9 @@ def streaming_rate_limit(
             admitted = pdf[pd.Series(flags, index=pdf.index)]
             if len(admitted):
                 out.append(admitted)
-        state.update((tokens, last_ts if last_ts is not None else 0.0))
+        state.update(
+            (tokens, last_ts if last_ts is not None else 0.0, last_ts is not None)
+        )
         if out:
             yield pd.concat(out)
 

@@ -134,8 +134,16 @@ class TestGrok:
                 "TimeoutMilliSeconds": 50,
             }
         )
+        # the bounded engine must actually be engaged (regression guard:
+        # regex-module patterns report __module__ '_regex', which once
+        # made the type check silently fail and the timeout dead code)
+        from ilogtail_spark.functions.recache import _is_regex_module, compile_cached
+
+        assert _is_regex_module(compile_cached("(a+)+c", prefer_regex_module=True))
         fn = p.make_fn()
-        hostile = {"content": "a" * 40 + "b"}  # (a+)+c backtracks ~2^40
+        # 3000 chars: verified to run indefinitely in the regex engine
+        # WITHOUT the timeout — this test hangs if the guard dies again
+        hostile = {"content": "a" * 3000 + "b"}
         t0 = time.time()
         out = fn(dict(hostile))
         elapsed = time.time() - t0
@@ -168,7 +176,7 @@ class TestGrok:
             }
         )
         fn = p.make_fn()
-        hostile = "x" * 40 + "z tail"
+        hostile = "x" * 3000 + "z tail"
         t0 = time.time()
         out = fn({"content": hostile})
         assert time.time() - t0 < 2.0

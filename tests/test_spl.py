@@ -35,6 +35,15 @@ class TestRewrite:
         out = rewrite_field_refs("msg like '%status and method%'")
         assert out == "fields['msg'] like '%status and method%'"
 
+    def test_numeric_literals_untouched(self):
+        assert rewrite_field_refs("k > 1e5") == "fields['k'] > 1e5"
+        assert rewrite_field_refs("k = 0x1F") == "fields['k'] = 0x1F"
+        assert (
+            rewrite_field_refs("cast(v as double) > 1.5E-3")
+            == "cast(fields['v'] as double) > 1.5E-3"
+        )
+        assert rewrite_field_refs("n = .5") == "fields['n'] = .5"
+
 
 class TestSPL:
     def test_reference_doc_example(self, spark):
