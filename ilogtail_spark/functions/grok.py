@@ -84,7 +84,11 @@ DEFAULT_PATTERNS: dict[str, str] = {
     "WINPATH": r"(?:[A-Za-z]+:|\\)(?:\\[^\\?*]*)+",
     "URIPROTO": r"[A-Za-z]+(?:\+[A-Za-z+]+)?",
     "URIHOST": r"%{IPORHOST}(?::%{POSINT})?",
-    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_/-]*)+",
+    # classic grok writes (?:/[...]*)+ — ambiguous nesting (the class
+    # contains '/') that triggers the catastrophic-backtracking guard
+    # and its ~2x-slower bounded engine. The char class already covers
+    # '/', so the single linear form matches the IDENTICAL language.
+    "URIPATH": r"/[A-Za-z0-9$.+!*'(){},~:;=@#%&_/-]*",
     "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\[\]<>-]*",
     "URIPATHPARAM": r"%{URIPATH}(?:%{URIPARAM})?",
     "URI": r"%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?(?:%{URIHOST})?(?:%{URIPATHPARAM})?",

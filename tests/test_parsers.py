@@ -197,13 +197,18 @@ class TestGrok:
             assert pattern_may_backtrack(s), s
         for s in safe:
             assert not pattern_may_backtrack(s), s
-        # the common bank patterns keep the stdlib fast path
-        for expr in ("%{COMBINEDAPACHELOG}", "%{SYSLOGBASE}", "%{TIMESTAMP_ISO8601}"):
+        # the common bank patterns keep the stdlib fast path —
+        # including URIPATH, whose classic ambiguous (?:/[...]*)+ form
+        # is re-expressed as the equivalent linear /[...]*
+        for expr in (
+            "%{COMBINEDAPACHELOG}",
+            "%{SYSLOGBASE}",
+            "%{TIMESTAMP_ISO8601}",
+            "%{URIPATH:p}",
+            "%{URIPATHPARAM:p}",
+        ):
             src, _ = compile_grok(expr)
             assert not pattern_may_backtrack(src), expr
-        # URIPATH's (?:/[...]*)+ genuinely nests unbounded quantifiers
-        src, _ = compile_grok("%{URIPATH:p}")
-        assert pattern_may_backtrack(src)
 
     def test_default_bank_parity_count(self):
         # reference ships 78 defaults
