@@ -127,6 +127,106 @@ def run_streaming_aggregates(
     )
 
 
+def streaming_multiline_merge(
+    stream_df: DataFrame,
+    start_pattern: str,
+    group_cols: list[str] | None = None,
+    order_col: str = "turn_idx",
+    content_col: str = "text",
+    merge_sep: str = "\n",
+    unmatched: str = "single_line",  # single_line | discard
+):
+    """Stateful streaming twin of processor_merge_multiline_log
+    (ProcessorMergeMultilineLogNative.cpp): physical lines arriving
+    across micro-batches merge into logical events per source group.
+
+    State per group = the PENDING partial event (the lines from the
+    most recent StartPattern match onward): a logical event is only
+    complete once the NEXT start line arrives, so the trailing partial
+    is withheld until a later batch (or restart — the checkpoint
+    persists it) delivers its successor. This mirrors the reference's
+    in-memory line buffer + forced flush on the next event boundary.
+
+    Lines BEFORE the first start follow ``unmatched``: each its own
+    event (single_line) or dropped (discard) — same contract as the
+    batch operator. Output: (group_cols..., evt_start = order value of
+    the event's first line, n_lines, merged).
+    """
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    group_cols = group_cols or ["conv_id"]
+    pat = "(?s)\\A(?:" + start_pattern + ")"
+    out_fields = ", ".join(f"{c} string" for c in group_cols)
+    out_schema = f"{out_fields}, evt_start long, n_lines int, merged string"
+    state_schema = "orders array<long>, lines array<string>"
+
+    def merger(key, pdfs, state: GroupState):
+        rx = _re.compile(pat)
+        if state.exists:
+            orders, lines = state.get
+            pending = list(zip(orders, lines))
+        else:
+            pending = []
+        rows: list[tuple] = []
+        new: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            new.extend(zip(pdf[order_col].tolist(), pdf[content_col].tolist()))
+        seq = pending + new  # pending lines are all <= new ones in order
+
+        def emit(chunk: list[tuple]) -> None:
+            rows.append(
+                (
+                    *key,
+                    int(chunk[0][0]),
+                    len(chunk),
+                    merge_sep.join(str(t) for _, t in chunk),
+                )
+            )
+
+        # split into events at start lines; everything from the LAST
+        # start onward stays pending
+        cur: list[tuple] = []
+        has_start = False
+        for o, t in seq:
+            if t is not None and rx.match(str(t)):
+                if has_start and cur:
+                    emit(cur)
+                elif cur:  # lines before the first start ever seen
+                    if unmatched == "single_line":
+                        for item in cur:
+                            emit([item])
+                cur = [(o, t)]
+                has_start = True
+            else:
+                cur.append((o, t))
+        if has_start:
+            state.update(
+                ([int(o) for o, _ in cur], [str(t) for _, t in cur])
+            )
+        else:
+            # no start seen yet: unmatched lines never become pending
+            if cur and unmatched == "single_line":
+                for item in cur:
+                    emit([item])
+            state.update(([], []))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[*group_cols, "evt_start", "n_lines", "merged"]
+            )
+
+    return stream_df.groupBy(*[F.col(c) for c in group_cols]).applyInPandasWithState(
+        merger,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def token_bucket_admit(
     ts_seconds: list[float],
     limit_per_sec: float,

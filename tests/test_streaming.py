@@ -156,3 +156,60 @@ class TestStreamingRateLimit:
         }
         assert by_key["A"] == 3  # burst only, no refill within the same second
         assert by_key["B"] == 5  # refill (2s gaps at 1/s) keeps all
+
+
+def test_streaming_multiline_merge_across_batches(spark, tmp_path):
+    """A logical event whose lines span two micro-batches merges via
+    carried state; the trailing partial is withheld until its
+    successor START arrives in a later run over the same checkpoint."""
+    from ilogtail_spark.streaming.stream import streaming_multiline_merge
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "conv_id string, turn_idx long, text string"
+
+    def write_file(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        merged = streaming_multiline_merge(
+            stream, start_pattern="START.*", group_cols=["conv_id"],
+            order_col="turn_idx", content_col="text",
+        )
+        (
+            merged.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return {
+            (r["conv_id"], r["evt_start"]): (r["n_lines"], r["merged"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    # batch 1: event A starts; batch 2 continues it and starts event B
+    write_file([("c1", 0, "pre"), ("c1", 1, "START a"), ("c1", 2, "l1")], "f1")
+    write_file([("c1", 3, "l2"), ("c1", 4, "START b"), ("c1", 5, "m1")], "f2")
+    got = drain()
+    # unmatched leading line -> its own event; event A complete (spans
+    # the batch boundary); event B pending (no successor yet)
+    assert got[("c1", 0)] == (1, "pre")
+    assert got[("c1", 1)] == (3, "START a\nl1\nl2")
+    assert ("c1", 4) not in got
+
+    # a later file delivers the next START: event B flushes
+    write_file([("c1", 6, "START c")], "f3")
+    got2 = drain()
+    assert got2[("c1", 4)] == (2, "START b\nm1")
+    assert ("c1", 6) not in got2  # new trailing partial withheld
