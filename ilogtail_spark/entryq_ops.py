@@ -662,6 +662,97 @@ def q_streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming multiline merge — stateful merge across micro-batches
+# (AvailableNow drain over a 2-file input). The oracle replicates the
+# batch window merge and EXCLUDES each group's final logical event:
+# that's the pending partial the stateful operator withholds until a
+# successor start arrives (the contract under test).
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_multiline_merge",
+    """
+    WITH lines AS (
+      SELECT CAST(user_id % 13 AS VARCHAR) AS conv_id,
+             event_id AS turn_idx,
+             CASE WHEN event_id % 4 = 1 THEN 'START ' || event_id
+                  ELSE 'cont ' || event_id END AS text
+      FROM events WHERE event_id < 400
+    ), evts AS (
+      SELECT *, sum(CASE WHEN text LIKE 'START%' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS UNBOUNDED PRECEDING) AS evt
+      FROM lines
+    ), merged AS (
+      SELECT conv_id, evt,
+             CAST(min(turn_idx) AS BIGINT) AS evt_start,
+             CAST(count(*) AS INT) AS n_lines,
+             string_agg(text, chr(10) ORDER BY turn_idx) AS merged
+      FROM evts WHERE evt > 0
+      GROUP BY conv_id, evt
+    ), unmatched AS (
+      SELECT conv_id, CAST(turn_idx AS BIGINT) AS evt_start,
+             1 AS n_lines, text AS merged
+      FROM evts WHERE evt = 0
+    )
+    SELECT conv_id, evt_start, n_lines, merged FROM (
+      SELECT conv_id, evt_start, n_lines, merged,
+             row_number() OVER (PARTITION BY conv_id ORDER BY evt_start DESC) AS rn
+      FROM merged
+    ) WHERE rn > 1  -- the last event per group is the withheld partial
+    UNION ALL
+    SELECT * FROM unmatched
+    ORDER BY conv_id, evt_start
+    """,
+)
+def q_streaming_multiline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ilogtail_spark.streaming.stream import streaming_multiline_merge
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"ilogtail_spark_smerge_{tag}")
+    in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+    shutil.rmtree(root, ignore_errors=True)
+
+    base = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 400)
+        .select(
+            (F.col("user_id") % 13).cast("string").alias("conv_id"),
+            F.col("event_id").alias("turn_idx"),
+            F.when(
+                F.col("event_id") % 4 == 1,
+                F.format_string("START %d", F.col("event_id")),
+            )
+            .otherwise(F.format_string("cont %d", F.col("event_id")))
+            .alias("text"),
+        )
+    )
+    # two files => two micro-batches: events split across the boundary
+    # exercise the carried state
+    base.filter(F.col("turn_idx") < 200).coalesce(1).write.parquet(in_dir)
+    base.filter(F.col("turn_idx") >= 200).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    merged = streaming_multiline_merge(
+        stream, start_pattern="START.*", group_cols=["conv_id"],
+        order_col="turn_idx", content_col="text",
+    )
+    (
+        merged.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out_dir).orderBy("conv_id", "evt_start")
+
+
+# ---------------------------------------------------------------------------
 # lineage manifest + resume — run the flagship pipeline through
 # run_pipeline twice with the same run_id: the rerun must short-circuit
 # on the committed manifest with identical per-sink counts, and the
