@@ -135,6 +135,7 @@ def streaming_multiline_merge(
     content_col: str = "text",
     merge_sep: str = "\n",
     unmatched: str = "single_line",  # single_line | discard
+    max_pending_lines: int | None = 100_000,
 ):
     """Stateful streaming twin of processor_merge_multiline_log
     (ProcessorMergeMultilineLogNative.cpp): physical lines arriving
@@ -146,6 +147,14 @@ def streaming_multiline_merge(
     is withheld until a later batch (or restart — the checkpoint
     persists it) delivers its successor. This mirrors the reference's
     in-memory line buffer + forced flush on the next event boundary.
+    ``max_pending_lines`` is the MaxMergeLines analog for CHECKPOINTED
+    state: if the pattern stops matching, the oversize pending event is
+    force-emitted in chunks instead of growing state without bound.
+
+    Each call merges over ONE globally sorted sequence of pending +
+    arrived lines, so the output is invariant to how lines were split
+    across Arrow chunks and micro-batches (the stateful mirror of the
+    batch twin's array_sort-inside-aggregate determinism).
 
     Lines BEFORE the first start follow ``unmatched``: each its own
     event (single_line) or dropped (discard) — same contract as the
@@ -159,9 +168,14 @@ def streaming_multiline_merge(
 
     group_cols = group_cols or ["conv_id"]
     pat = "(?s)\\A(?:" + start_pattern + ")"
-    out_fields = ", ".join(f"{c} string" for c in group_cols)
-    out_schema = f"{out_fields}, evt_start long, n_lines int, merged string"
-    state_schema = "orders array<long>, lines array<string>"
+    # key/order field types derive from the stream schema — hardcoding
+    # `string`/`long` would crash non-string group keys at Arrow
+    # conversion time
+    by_name = {f.name: f.dataType.simpleString() for f in stream_df.schema.fields}
+    out_fields = ", ".join(f"{c} {by_name.get(c, 'string')}" for c in group_cols)
+    order_t = by_name.get(order_col, "long")
+    out_schema = f"{out_fields}, evt_start {order_t}, n_lines int, merged string"
+    state_schema = f"orders array<{order_t}>, lines array<string>"
 
     def merger(key, pdfs, state: GroupState):
         rx = _re.compile(pat)
@@ -173,17 +187,26 @@ def streaming_multiline_merge(
         rows: list[tuple] = []
         new: list[tuple] = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(order_col)
+            # a null order value cannot be placed in the sequence: drop
+            # the row (the batch twin's window orders nulls arbitrarily)
+            pdf = pdf[pdf[order_col].notna()]
             new.extend(zip(pdf[order_col].tolist(), pdf[content_col].tolist()))
-        seq = pending + new  # pending lines are all <= new ones in order
+        # ONE global sort over pending + new: per-chunk sorting is not
+        # enough (a group bigger than one Arrow chunk arrives split, in
+        # arbitrary chunk order), and cross-batch disorder (late files,
+        # mtime ties in the file source) would otherwise silently
+        # misassign lines to events
+        seq = sorted(pending + new, key=lambda ot: ot[0])
 
         def emit(chunk: list[tuple]) -> None:
             rows.append(
                 (
                     *key,
-                    int(chunk[0][0]),
+                    chunk[0][0],
                     len(chunk),
-                    merge_sep.join(str(t) for _, t in chunk),
+                    # null content counts toward n_lines but adds no
+                    # text — the batch twin's array_join skips nulls
+                    merge_sep.join(str(t) for _, t in chunk if t is not None),
                 )
             )
 
@@ -203,13 +226,25 @@ def streaming_multiline_merge(
                 has_start = True
             else:
                 cur.append((o, t))
-        if has_start:
+                if (
+                    has_start
+                    and max_pending_lines
+                    and len(cur) >= max_pending_lines
+                ):
+                    # scale guard: force-emit the oversize pending event
+                    # rather than re-persisting ever-growing state
+                    emit(cur)
+                    cur = []
+        if has_start and cur:
             state.update(
-                ([int(o) for o, _ in cur], [str(t) for _, t in cur])
+                (
+                    [o for o, _ in cur],
+                    [None if t is None else str(t) for _, t in cur],
+                )
             )
         else:
-            # no start seen yet: unmatched lines never become pending
-            if cur and unmatched == "single_line":
+            # no start pending: unmatched lines never become state
+            if cur and not has_start and unmatched == "single_line":
                 for item in cur:
                     emit([item])
             state.update(([], []))

@@ -169,10 +169,13 @@ def test_streaming_multiline_merge_across_batches(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     schema = "conv_id string, turn_idx long, text string"
 
-    def write_file(rows, name):
+    def write_file(rows):
+        import time as _time
+
         spark.createDataFrame(rows, schema).coalesce(1).write.mode(
             "append"
         ).parquet(in_dir)
+        _time.sleep(1.1)  # distinct mtimes => deterministic batch order
 
     def drain():
         stream = (
@@ -199,8 +202,8 @@ def test_streaming_multiline_merge_across_batches(spark, tmp_path):
         }
 
     # batch 1: event A starts; batch 2 continues it and starts event B
-    write_file([("c1", 0, "pre"), ("c1", 1, "START a"), ("c1", 2, "l1")], "f1")
-    write_file([("c1", 3, "l2"), ("c1", 4, "START b"), ("c1", 5, "m1")], "f2")
+    write_file([("c1", 0, "pre"), ("c1", 1, "START a"), ("c1", 2, "l1")])
+    write_file([("c1", 3, "l2"), ("c1", 4, "START b"), ("c1", 5, "m1")])
     got = drain()
     # unmatched leading line -> its own event; event A complete (spans
     # the batch boundary); event B pending (no successor yet)
@@ -209,7 +212,57 @@ def test_streaming_multiline_merge_across_batches(spark, tmp_path):
     assert ("c1", 4) not in got
 
     # a later file delivers the next START: event B flushes
-    write_file([("c1", 6, "START c")], "f3")
+    write_file([("c1", 6, "START c")])
     got2 = drain()
     assert got2[("c1", 4)] == (2, "START b\nm1")
     assert ("c1", 6) not in got2  # new trailing partial withheld
+
+
+def test_streaming_multiline_merge_out_of_order_batches(spark, tmp_path):
+    """A later micro-batch delivering LOWER order values (late file
+    pickup) still merges correctly: each pass re-sorts pending + new,
+    so output is invariant to the batch split."""
+    import time as _time
+
+    from ilogtail_spark.streaming.stream import streaming_multiline_merge
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "conv_id string, turn_idx long, text string"
+
+    # file 1 (processed first): the HIGH turn range
+    spark.createDataFrame(
+        [("c1", 3, "START a"), ("c1", 4, "l4"), ("c1", 5, "l5")], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    _time.sleep(1.1)
+    # file 2: the LOW range arrives later
+    spark.createDataFrame(
+        [("c1", 0, "pre"), ("c1", 1, "START b"), ("c1", 2, "l2")], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    merged = streaming_multiline_merge(
+        stream, start_pattern="START.*", group_cols=["conv_id"],
+        order_col="turn_idx", content_col="text",
+    )
+    (
+        merged.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r["conv_id"], r["evt_start"]): (r["n_lines"], r["merged"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got[("c1", 0)] == (1, "pre")
+    assert got[("c1", 1)] == (2, "START b\nl2")  # completed by START a
+    assert ("c1", 3) not in got  # trailing partial withheld
