@@ -41,6 +41,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--master", default=None, help="override spark master")
     ap.add_argument("--content-col", default="text")
+    ap.add_argument(
+        "--mode",
+        choices=["batch", "streaming"],
+        default="batch",
+        help="streaming = incremental AvailableNow drain over the input "
+        "directory with a checkpoint under <out>/_checkpoints: each "
+        "invocation processes only files not yet committed — the "
+        "reference's tail-and-resume operating mode (exactly-once per "
+        "input file)",
+    )
     args = ap.parse_args(argv)
 
     with open(args.config) as f:
@@ -66,6 +76,52 @@ def main(argv: list[str] | None = None) -> int:
         router=cfg.get("router"),
         flushers=cfg.get("flushers", []),
     )
+
+    if args.mode == "streaming":
+        if args.input.startswith("synthetic:"):
+            raise SystemExit("--mode streaming requires a parquet directory input")
+        from ilogtail_spark.streaming.stream import (
+            run_streaming_aggregates,
+            run_streaming_pipeline,
+        )
+
+        schema = df.schema  # from the batch read above
+        stream = spark.readStream.schema(schema).parquet(args.input)
+        t0 = time.time()
+        q1 = run_streaming_pipeline(
+            stream, pipe, args.out, f"{args.out}/_checkpoints",
+            content_col=args.content_col,
+        )
+        q1.awaitTermination()
+        q2 = run_streaming_aggregates(
+            stream, pipe, args.out, f"{args.out}/_checkpoints",
+            content_col=args.content_col,
+        )
+        q2.awaitTermination()
+        elapsed = time.time() - t0
+        from pyspark.sql import functions as F
+
+        counts = {
+            r["sink"]: r["n"]
+            for r in spark.read.parquet(f"{args.out}/events")
+            .groupBy("sink")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        print(
+            json.dumps(
+                {
+                    "run_id": args.run_id,
+                    "mode": "streaming",
+                    "finished": True,
+                    "elapsed_sec": round(elapsed, 3),
+                    "sink_counts": dict(sorted(counts.items())),
+                },
+                sort_keys=True,
+            )
+        )
+        return 0
+
     t0 = time.time()
     manifest = run_pipeline(
         spark,
