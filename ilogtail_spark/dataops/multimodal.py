@@ -132,6 +132,60 @@ def frame_sample_stub(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     )
 
 
+def resize_stub(df: DataFrame, factor: int = 4) -> DataFrame:
+    """Image/audio resize stand-in: keep every ``factor``-th byte of
+    the payload (the downsampling SHAPE — a real deployment plugs a
+    PIL/ffmpeg resize into the same mapInPandas slot). Emits the
+    resized payload plus before/after sizes, so downstream stages see
+    the true post-resize schema and batch sizes."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if payload is None:
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "media_type": mtype,
+                            "n_bytes_in": 0,
+                            "n_bytes_out": 0,
+                            "resized": None,
+                        }
+                    )
+                    continue
+                resized = bytes(payload[::factor])
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "media_type": mtype,
+                        "n_bytes_in": len(payload),
+                        "n_bytes_out": len(resized),
+                        "resized": resized,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "media_type",
+                    "n_bytes_in",
+                    "n_bytes_out",
+                    "resized",
+                ],
+            )
+
+    return df.select("media_id", "media_type", "payload").mapInPandas(
+        gen,
+        "media_id long, media_type string, n_bytes_in long, "
+        "n_bytes_out long, resized binary",
+    )
+
+
 def documents_as_media(df: DataFrame) -> DataFrame:
     """Adapter for tests/bench: treat document text bytes as an opaque
     payload (utf-8), typed round-robin across media types."""

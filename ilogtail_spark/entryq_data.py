@@ -611,3 +611,41 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_stub(media, every_n_bytes=64).orderBy(
         "media_id", "frame_off"
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal resize plumbing — byte-downsample stand-in; the oracle
+# reconstructs the every-4th-byte payload from the utf-8 hex and
+# compares it via its md5 (binary columns hash-compare cleanly as hex)
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_resize",
+    """
+    WITH m AS (
+      SELECT doc_id, encode(text) AS payload FROM documents
+    ), resized AS (
+      SELECT doc_id,
+             octet_length(payload) AS n_in,
+             list_aggregate(
+               list_transform(
+                 range(CAST(ceil(octet_length(payload) / 4.0) AS BIGINT)),
+                 k -> substr(hex(payload), CAST(k * 8 + 1 AS INT), 2)
+               ), 'string_agg', '') AS hex_out
+      FROM m
+    )
+    SELECT doc_id AS media_id,
+           CAST(n_in AS BIGINT) AS n_bytes_in,
+           CAST(length(hex_out) / 2 AS BIGINT) AS n_bytes_out,
+           md5(lower(hex_out)) AS resized_md5
+    FROM resized ORDER BY media_id
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
+    out = multimodal.resize_stub(media, factor=4)
+    return out.select(
+        "media_id",
+        "n_bytes_in",
+        "n_bytes_out",
+        F.md5(F.lower(F.hex(F.col("resized")))).alias("resized_md5"),
+    ).orderBy("media_id")

@@ -261,3 +261,16 @@ class TestIVF:
 
         r1, r2 = rec(1), rec(2)
         assert r2 >= r1
+
+
+class TestResize:
+    def test_resize_stub_downsamples(self, spark):
+        rows = [
+            (1, "image", bytearray(bytes(range(16))), {}),
+            (2, "audio", None, {}),
+        ]
+        df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        out = {r["media_id"]: r for r in multimodal.resize_stub(df, factor=4).collect()}
+        assert out[1]["n_bytes_in"] == 16 and out[1]["n_bytes_out"] == 4
+        assert bytes(out[1]["resized"]) == bytes([0, 4, 8, 12])
+        assert out[2]["resized"] is None and out[2]["n_bytes_out"] == 0
