@@ -108,6 +108,16 @@ def main(argv: list[str] | None = None) -> int:
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
+        # manifest parity with batch mode: the checkpoint is the real
+        # resume state; the manifest records the observable outcome
+        from ilogtail_spark.plans.lineage import RunManifest
+
+        manifest = RunManifest.load(args.out, args.run_id)
+        manifest.sink_counts = dict(sorted(counts.items()))
+        manifest.phases["streaming_drain"] = True
+        manifest.events_location = f"{args.out}/events"
+        manifest.finished = True
+        manifest.save(args.out)
         print(
             json.dumps(
                 {
@@ -115,7 +125,7 @@ def main(argv: list[str] | None = None) -> int:
                     "mode": "streaming",
                     "finished": True,
                     "elapsed_sec": round(elapsed, 3),
-                    "sink_counts": dict(sorted(counts.items())),
+                    "sink_counts": manifest.sink_counts,
                 },
                 sort_keys=True,
             )
