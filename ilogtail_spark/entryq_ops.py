@@ -217,6 +217,44 @@ def q_transform_drop_b64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# processor_string_replace Method=unquote — strip one quote layer and
+# unescape \n \t \r \" \\ (the JSON-ish unquote of the reference's
+# stringreplace plugin); the quoted line is synthesized on both sides
+# ---------------------------------------------------------------------------
+@query(
+    "string_replace_unquote",
+    """
+    SELECT event_id,
+           'ab' || chr(10) || event_type || chr(9) || 'e"f' AS unquoted
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_string_replace_unquote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events")
+    # line = "ab\n<event_type>\te\"f" in its escaped, quoted form
+    line = F.concat(
+        F.lit('"ab\\n'), F.col("event_type"), F.lit('\\te\\"f"')
+    )
+    ev = to_events(
+        df.withColumn("line", line), content_col="line", field_cols=[], id_cols=["event_id"]
+    )
+    out = compile_processors(
+        [
+            {
+                "Type": "processor_string_replace",
+                "SourceKey": "content",
+                "Method": "unquote",
+                "DestKey": "unquoted",
+            }
+        ]
+    )(ev)
+    return out.select(
+        "event_id", F.col(FIELDS_COL).getItem("unquoted").alias("unquoted")
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
 # processor_desensitize (pandas twin) — Method=md5 per matched span
 # (processor_desensitize.go:146-184): DuckDB recomputes the md5 of the
 # known span from the synthesized content

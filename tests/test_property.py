@@ -279,3 +279,62 @@ class TestTokenBucketProperty:
             )
             split.extend(f)
         assert one == split
+
+
+class TestSPLDifferential:
+    """Randomized differential: SPL where/extend over random field
+    data must agree with the equivalent hand-built DataFrame ops."""
+
+    def test_rewrite_roundtrip_random_exprs(self):
+        """Random well-formed comparison expressions: the rewriter must
+        wrap exactly the bare identifiers, never literals/keywords."""
+        from ilogtail_spark.operators.spl import rewrite_field_refs
+
+        rng = random.Random(23)
+        fields = ["status", "ms", "route_2", "k"]
+        for _ in range(300):
+            f1 = rng.choice(fields)
+            lit = rng.choice(["'a b'", "42", "1e3", "0xFF", "1.5", "'x|y'"])
+            op = rng.choice(["=", ">", "<=", "<>", "like", "rlike"])
+            expr = f"{f1} {op} {lit}"
+            out = rewrite_field_refs(expr)
+            assert out == f"fields['{f1}'] {op} {lit}", (expr, out)
+
+    def test_where_differential_against_filter(self, spark):
+        from ilogtail_spark.plans.pipeline import compile_processors
+        from tests.helpers import events_df, fields_of
+
+        rng = random.Random(31)
+        rows = [
+            {"content": f"r{i}", "st": str(rng.randint(0, 5)), "ms": str(rng.randint(0, 99))}
+            for i in range(60)
+        ]
+        df = events_df(spark, rows)
+        for _ in range(5):
+            st = rng.randint(0, 5)
+            ms = rng.randint(0, 99)
+            script = f"* | where st = '{st}' and cast(ms as int) > {ms}"
+            got = fields_of(
+                compile_processors([{"Type": "processor_spl", "Script": script}])(df)
+            )
+            want = [r for r in rows if r["st"] == str(st) and int(r["ms"]) > ms]
+            key = lambda d: (d["content"])
+            assert sorted((r["content"] for r in got)) == sorted(
+                (r["content"] for r in want)
+            ), script
+
+    def test_unsupported_commands_fail_cleanly(self):
+        import pytest
+
+        from ilogtail_spark.operators.spl import SPLCompileError, compile_spl
+
+        rng = random.Random(5)
+        for _ in range(20):
+            junk = "".join(rng.choice("abcdefgh -|,") for _ in range(18))
+            script = "* | " + junk
+            try:
+                compile_spl(script)
+            except SPLCompileError:
+                pass  # clean, typed failure — never a crash elsewhere
+            except ValueError:
+                pass  # limit/int parse errors are also clean
