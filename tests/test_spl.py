@@ -145,3 +145,31 @@ class TestSPL:
             compile_processors([{"Type": "processor_spl", "Script": script}])(df)
         )
         assert [r["n"] for r in out] == ["1", "2"]
+
+    def test_spl_compiles_to_same_plan_as_configs(self, spark):
+        """The SPL front-end is just another way to spell the operator
+        chain: Spark's semantic plan comparison must see the script and
+        the explicit config list as the same computation."""
+        df = events_df(spark, [{"content": "a,b", "st": "200"}])
+        script = (
+            "* | parse-csv content as c1, c2 "
+            "| where st = '200' "
+            "| project-away content"
+        )
+        via_spl = compile_processors(
+            [{"Type": "processor_spl", "Script": script}]
+        )(df)
+        via_cfg = compile_processors(
+            [
+                {
+                    "Type": "processor_csv",
+                    "SourceKey": "content",
+                    "SplitKeys": ["c1", "c2"],
+                    "KeepSource": True,
+                },
+            ]
+        )(df).filter(F.expr("fields['st'] = '200'"))
+        via_cfg = compile_processors(
+            [{"Type": "processor_drop", "DropKeys": ["content"]}]
+        )(via_cfg)
+        assert via_spl.sameSemantics(via_cfg)
