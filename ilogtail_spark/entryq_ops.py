@@ -700,6 +700,73 @@ def q_streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# checkpointed streaming pipeline + aggregates — the stateless surface
+# (parse -> route -> per-sink windowed counts) run as a real
+# AvailableNow stream with exactly-once file commits; oracle = the
+# batch SQL over the same input
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_pipeline_agg",
+    """
+    SELECT CASE
+             WHEN regexp_full_match(event_type, 'click|view') THEN 'sink_web'
+             WHEN regexp_full_match(event_type, 'purchase|signup') THEN 'sink_account'
+             ELSE 'sink_default'
+           END AS sink,
+           date_trunc('hour', ts) AS bucket_ts,
+           event_type AS role,
+           count(*) AS events_total
+    FROM events WHERE event_id < 2000
+    GROUP BY 1, 2, 3
+    ORDER BY sink, bucket_ts, role
+    """,
+)
+def q_streaming_pipeline_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ilogtail_spark.streaming.stream import run_streaming_aggregates
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"ilogtail_spark_sagg_{tag}")
+    in_dir = f"{root}/in"
+    shutil.rmtree(root, ignore_errors=True)
+
+    # transcripts-shaped input derived from events: role <- event_type
+    (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.col("event_id").cast("int").alias("turn_idx"),
+            F.col("event_type").alias("role"),
+            F.col("props").alias("text"),
+            F.lit("").alias("tool"),
+            F.col("ts"),
+        )
+        .coalesce(2)
+        .write.parquet(in_dir)
+    )
+    from ilogtail_spark.model import TRANSCRIPT_SCHEMA
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(in_dir)
+    pipe = Pipeline(
+        processors=[],
+        router={
+            "Mode": "first_match",
+            "SourceKey": "role",
+            "RouterRegex": ["click|view", "purchase|signup"],
+            "RouterLogstore": ["sink_web", "sink_account"],
+            "DefaultLogstore": "sink_default",
+        },
+        flushers=[],
+    )
+    run_streaming_aggregates(
+        stream, pipe, root, f"{root}/ckpt", window="1 hour"
+    ).awaitTermination()
+    return spark.read.parquet(f"{root}/aggregates").orderBy(
+        "sink", "bucket_ts", "role"
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming multiline merge — stateful merge across micro-batches
 # (AvailableNow drain over a 2-file input). The oracle replicates the
 # batch window merge and EXCLUDES each group's final logical event:
