@@ -624,19 +624,23 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT doc_id, encode(text) AS payload FROM documents
     ), resized AS (
-      SELECT doc_id,
-             octet_length(payload) AS n_in,
-             list_aggregate(
+      SELECT doc_id, payload,
+             COALESCE(octet_length(payload), 0) AS n_in,
+             -- empty payload: list_aggregate over [] is NULL, but the
+             -- pipeline emits an EMPTY resized payload -> coalesce ''
+             COALESCE(list_aggregate(
                list_transform(
                  range(CAST(ceil(octet_length(payload) / 4.0) AS BIGINT)),
                  k -> substr(hex(payload), CAST(k * 8 + 1 AS INT), 2)
-               ), 'string_agg', '') AS hex_out
+               ), 'string_agg', ''), '') AS hex_out
       FROM m
     )
     SELECT doc_id AS media_id,
            CAST(n_in AS BIGINT) AS n_bytes_in,
-           CAST(length(hex_out) / 2 AS BIGINT) AS n_bytes_out,
-           md5(lower(hex_out)) AS resized_md5
+           CAST(CASE WHEN payload IS NULL THEN 0
+                     ELSE length(hex_out) / 2 END AS BIGINT) AS n_bytes_out,
+           CASE WHEN payload IS NULL THEN NULL
+                ELSE md5(lower(hex_out)) END AS resized_md5
     FROM resized ORDER BY media_id
     """,
 )

@@ -225,16 +225,19 @@ def q_transform_drop_b64(spark: SparkSession, sf_dir: str) -> DataFrame:
     "string_replace_unquote",
     """
     SELECT event_id,
-           'ab' || chr(10) || event_type || chr(9) || 'e"f' AS unquoted
+           'ab' || chr(10) || event_type || chr(9) || 'e"f' || chr(92) || 'ng'
+             AS unquoted
     FROM events
     ORDER BY event_id
     """,
 )
 def q_string_replace_unquote(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "events")
-    # line = "ab\n<event_type>\te\"f" in its escaped, quoted form
+    # line = "ab\n<event_type>\te\"f\ng" in its escaped, quoted form —
+    # the trailing \\n (escaped backslash + n) must unquote to a
+    # LITERAL backslash + 'n', not a newline
     line = F.concat(
-        F.lit('"ab\\n'), F.col("event_type"), F.lit('\\te\\"f"')
+        F.lit('"ab\\n'), F.col("event_type"), F.lit('\\te\\"f\\\\ng"')
     )
     ev = to_events(
         df.withColumn("line", line), content_col="line", field_cols=[], id_cols=["event_id"]

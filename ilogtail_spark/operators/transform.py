@@ -295,13 +295,23 @@ class ProcessorStringReplace(FieldsProcessor):
         elif self.Method == "const":
             out = F.replace(v, F.lit(self.Match), F.lit(self.ReplaceString))
         elif self.Method == "unquote":
-            # strip one layer of quotes and unescape \" \\ \n \t \r
+            # strip one layer of quotes and unescape \\ \" \n \t \r.
+            # Escaped backslashes must be consumed FIRST (via a \x00
+            # sentinel) or the '\\' in '\\n' would feed the \n rule and
+            # 'a\\nb' would wrongly unescape to 'a\<newline>b'.
             inner = F.regexp_replace(v, r'(?s)^"(.*)"$', "$1")
+            sentinel = "\x00"
             out = F.regexp_replace(
                 F.regexp_replace(
                     F.regexp_replace(
                         F.regexp_replace(
-                            F.regexp_replace(inner, r"\\n", "\n"), r"\\t", "\t"
+                            F.regexp_replace(
+                                F.regexp_replace(inner, r"\\\\", sentinel),
+                                r"\\n",
+                                "\n",
+                            ),
+                            r"\\t",
+                            "\t",
                         ),
                         r"\\r",
                         "\r",
@@ -309,8 +319,8 @@ class ProcessorStringReplace(FieldsProcessor):
                     r'\\"',
                     '"',
                 ),
-                r"\\\\",
-                "\\\\",
+                sentinel,
+                "\\\\",  # Java replacement '\\' => one literal backslash
             )
         else:
             raise ValueError(f"unknown Method {self.Method!r}")

@@ -63,14 +63,6 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"ilogtail_spark:{args.run_id}", master=args.master)
 
-    if args.input.startswith("synthetic:"):
-        from ilogtail_spark.sources.transcripts import generate_transcripts
-
-        df = generate_transcripts(spark, n_turns=int(args.input.split(":", 1)[1]))
-    else:
-        df = spark.read.parquet(args.input)
-    events = to_events(df, content_col=args.content_col)
-
     pipe = Pipeline(
         processors=cfg.get("processors", []),
         router=cfg.get("router"),
@@ -80,34 +72,51 @@ def main(argv: list[str] | None = None) -> int:
     if args.mode == "streaming":
         if args.input.startswith("synthetic:"):
             raise SystemExit("--mode streaming requires a parquet directory input")
+        from ilogtail_spark.model import TRANSCRIPT_SCHEMA
         from ilogtail_spark.streaming.stream import (
             run_streaming_aggregates,
             run_streaming_pipeline,
         )
 
-        schema = df.schema  # from the batch read above
+        # tail-first start: the watch directory may exist but be EMPTY
+        # before the first file lands — fall back to the input_hint
+        # schema rather than failing schema inference on a batch read
+        try:
+            schema = spark.read.parquet(args.input).schema
+        except Exception:
+            schema = TRANSCRIPT_SCHEMA
         stream = spark.readStream.schema(schema).parquet(args.input)
+        # outputs namespaced by run_id so a shared --out with batch
+        # runs never overwrites another run's committed directories
+        events_path = f"{args.out}/events/run_id={args.run_id}"
+        agg_path = f"{args.out}/aggregates/run_id={args.run_id}"
         t0 = time.time()
         q1 = run_streaming_pipeline(
-            stream, pipe, args.out, f"{args.out}/_checkpoints",
-            content_col=args.content_col,
+            stream, pipe, args.out, f"{args.out}/_checkpoints/{args.run_id}",
+            content_col=args.content_col, events_path=events_path,
         )
         q1.awaitTermination()
         q2 = run_streaming_aggregates(
-            stream, pipe, args.out, f"{args.out}/_checkpoints",
+            stream, pipe, args.out, f"{args.out}/_checkpoints/{args.run_id}",
             content_col=args.content_col,
+            window=cfg.get("time_bucket", "1 hour"),
+            keys=cfg.get("agg_keys") or ["role"],
+            agg_path=agg_path,
         )
         q2.awaitTermination()
         elapsed = time.time() - t0
         from pyspark.sql import functions as F
 
-        counts = {
-            r["sink"]: r["n"]
-            for r in spark.read.parquet(f"{args.out}/events")
-            .groupBy("sink")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        try:
+            counts = {
+                r["sink"]: r["n"]
+                for r in spark.read.parquet(events_path)
+                .groupBy("sink")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        except Exception:
+            counts = {}  # nothing drained yet (empty watch dir)
         # manifest parity with batch mode: the checkpoint is the real
         # resume state; the manifest records the observable outcome
         from ilogtail_spark.plans.lineage import RunManifest
@@ -115,7 +124,7 @@ def main(argv: list[str] | None = None) -> int:
         manifest = RunManifest.load(args.out, args.run_id)
         manifest.sink_counts = dict(sorted(counts.items()))
         manifest.phases["streaming_drain"] = True
-        manifest.events_location = f"{args.out}/events"
+        manifest.events_location = events_path
         manifest.finished = True
         manifest.save(args.out)
         print(
@@ -131,6 +140,14 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         return 0
+
+    if args.input.startswith("synthetic:"):
+        from ilogtail_spark.sources.transcripts import generate_transcripts
+
+        df = generate_transcripts(spark, n_turns=int(args.input.split(":", 1)[1]))
+    else:
+        df = spark.read.parquet(args.input)
+    events = to_events(df, content_col=args.content_col)
 
     t0 = time.time()
     manifest = run_pipeline(

@@ -46,16 +46,19 @@ def run_streaming_pipeline(
     checkpoint_root: str,
     content_col: str = "text",
     available_now: bool = True,
+    events_path: str | None = None,
 ):
     """events stream -> processors -> router -> per-sink partitioned
     parquet, exactly-once via the checkpoint dir. Returns the started
-    StreamingQuery (caller awaits termination)."""
+    StreamingQuery (caller awaits termination). ``events_path``
+    overrides the default ``<out_root>/events`` so callers sharing an
+    out root with batch runs can namespace by run id."""
     events = to_events(stream_df, content_col=content_col)
     routed = pipeline.route(events)
     routed = routed.withColumnRenamed(SINK_COL, "sink")
     writer = (
         routed.writeStream.format("parquet")
-        .option("path", f"{out_root}/events")
+        .option("path", events_path or f"{out_root}/events")
         .option("checkpointLocation", f"{checkpoint_root}/events")
         .partitionBy("sink")
         .outputMode("append")
@@ -74,6 +77,8 @@ def run_streaming_aggregates(
     window: str = "1 hour",
     watermark: str = "2 hours",
     available_now: bool = True,
+    keys: list[str] | None = None,
+    agg_path: str | None = None,
 ):
     """Per-sink windowed counts — the streaming form of
     sink_aggregates. Two modes:
@@ -89,27 +94,38 @@ def run_streaming_aggregates(
       rows (documented divergence: the reference's timer flush has no
       late-data semantics at all).
     """
+    keys = keys or ["role"]
+    agg_path = agg_path or f"{out_root}/aggregates"
     events = to_events(stream_df, content_col=content_col)
     routed = pipeline.route(events).withColumnRenamed(SINK_COL, "sink")
     grouped = routed if available_now else routed.withWatermark("ts", watermark)
+    key_cols = [
+        (
+            F.col(k) if k in routed.columns else F.col("fields").getItem(k)
+        ).alias(k)
+        for k in keys
+    ]
     agg = (
         grouped.groupBy(
             F.col("sink"),
             F.window("ts", window).alias("w"),
-            F.col("fields").getItem("role").alias("role"),
+            *key_cols,
         )
         .agg(F.count(F.lit(1)).alias("events_total"))
         .select(
             "sink",
             F.col("w.start").alias("bucket_ts"),
-            "role",
+            *keys,
             "events_total",
         )
     )
     if available_now:
 
         def commit(batch_df, batch_id: int) -> None:
-            batch_df.write.mode("overwrite").parquet(f"{out_root}/aggregates")
+            # complete-mode replace of THIS stream's aggregate table
+            # only — agg_path must be namespaced by the caller when the
+            # out root is shared with other runs
+            batch_df.write.mode("overwrite").parquet(agg_path)
 
         return (
             agg.writeStream.foreachBatch(commit)
@@ -120,7 +136,7 @@ def run_streaming_aggregates(
         )
     return (
         agg.writeStream.format("parquet")
-        .option("path", f"{out_root}/aggregates")
+        .option("path", agg_path)
         .option("checkpointLocation", f"{checkpoint_root}/aggregates")
         .outputMode("append")
         .start()

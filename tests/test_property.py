@@ -318,7 +318,6 @@ class TestSPLDifferential:
                 compile_processors([{"Type": "processor_spl", "Script": script}])(df)
             )
             want = [r for r in rows if r["st"] == str(st) and int(r["ms"]) > ms]
-            key = lambda d: (d["content"])
             assert sorted((r["content"] for r in got)) == sorted(
                 (r["content"] for r in want)
             ), script

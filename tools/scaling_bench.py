@@ -4,7 +4,7 @@ north rule's N vs 4N executor criterion).
 Runs the identical headline pipeline (parse -> enrich -> route ->
 aggregate over synthetic transcripts) in SEPARATE JVMs at local[N]
 and local[4N], reports throughput at both and the scaling
-efficiency = (T_4N / T_N) / 4, and writes BENCH.md.
+efficiency = T_N / (4 * T_4N), and writes BENCH.md.
 
 Usage: python tools/scaling_bench.py [--turns 2000000] [--n 8]
 """
@@ -113,7 +113,7 @@ separate JVMs at two parallelism levels on the same input
 | `{small["master"]}` | {small["turns"]:,} | {small["sec"]} | {small["turns_per_sec"]:,} |
 | `{big["master"]}` | {big["turns"]:,} | {big["sec"]} | {big["turns_per_sec"]:,} |
 
-**Scaling efficiency (T_4N / T_N) / 4 = {eff:.3f}** (target >= 0.8).
+**Scaling efficiency T_N / (4 * T_4N) = {eff:.3f}** (target >= 0.8).
 
 All samples (sec): `{small["master"]}` {small["all_secs"]}; `{big["master"]}`
 {big["all_secs"]}. Best-of over interleaved rounds is used because the
