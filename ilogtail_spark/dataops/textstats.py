@@ -104,6 +104,40 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return df.select(F.col(id_col), pred.alias("lang_pred"))
 
 
+# PII surface patterns — deliberately simple, engine-portable regexes
+# (the operator contract is the per-doc flag columns; a production
+# deployment swaps in its compliance team's pattern pack)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"(?:\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+SSN_RE = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+IP_RE = r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+def pii_flags(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc PII indicators for training-data filtering: counts of
+    email / phone / SSN-shaped / IP-shaped matches plus an aggregate
+    ``has_pii`` flag. Pure scan-side expressions (one regexp pass per
+    pattern); pairs with processor_desensitize for the redaction side
+    of the same policy."""
+    t = F.col(text_col)
+
+    def n(pattern: str) -> Column:
+        return F.size(F.regexp_extract_all(t, F.lit(pattern), 0))
+
+    emails = n(EMAIL_RE)
+    phones = n(PHONE_RE)
+    ssns = n(SSN_RE)
+    ips = n(IP_RE)
+    return df.select(
+        F.col(id_col),
+        emails.alias("n_emails"),
+        phones.alias("n_phones"),
+        ssns.alias("n_ssns"),
+        ips.alias("n_ips"),
+        ((emails + phones + ssns + ips) > 0).cast("int").alias("has_pii"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Canonical-form fingerprint (the classic key-collision method):
     md5 of the sorted distinct lowercase tokens. Word-order- and

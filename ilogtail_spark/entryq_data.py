@@ -544,6 +544,55 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# events props carry no PII; synthesize a text column that sometimes
+# does, deterministically on BOTH sides, to exercise every pattern
+@query(
+    "text_pii_flags",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 5 = 0
+                          THEN ' contact bob' || CAST(doc_id AS VARCHAR) || '@example.com'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0
+                          THEN ' call 555-123-4567' ELSE '' END
+                  || CASE WHEN doc_id % 11 = 0
+                          THEN ' host 10.1.2.3' ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{textstats.EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{textstats.PHONE_RE}')) AS n_phones,
+           len(regexp_extract_all(text, '{textstats.SSN_RE}')) AS n_ssns,
+           len(regexp_extract_all(text, '{textstats.IP_RE}')) AS n_ips,
+           CAST(len(regexp_extract_all(text, '{textstats.EMAIL_RE}'))
+                + len(regexp_extract_all(text, '{textstats.PHONE_RE}'))
+                + len(regexp_extract_all(text, '{textstats.SSN_RE}'))
+                + len(regexp_extract_all(text, '{textstats.IP_RE}')) > 0 AS INT)
+             AS has_pii
+    FROM d ORDER BY doc_id
+    """,
+)
+def q_text_pii_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.format_string(" contact bob%d@example.com", F.col("doc_id")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-123-4567")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" host 10.1.2.3")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return textstats.pii_flags(d).orderBy("doc_id")
+
+
 @query(
     "text_fingerprint",
     """

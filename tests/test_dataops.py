@@ -274,3 +274,17 @@ class TestResize:
         assert out[1]["n_bytes_in"] == 16 and out[1]["n_bytes_out"] == 4
         assert bytes(out[1]["resized"]) == bytes([0, 4, 8, 12])
         assert out[2]["resized"] is None and out[2]["n_bytes_out"] == 0
+
+
+class TestPII:
+    def test_pii_flags(self, spark):
+        rows = [
+            (1, "reach me at alice@corp.io or 555-123-4567"),
+            (2, "ssn 123-45-6789 leaked from 192.168.0.1"),
+            (3, "clean text with nothing sensitive"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in textstats.pii_flags(df).collect()}
+        assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 1
+        assert out[2]["n_ssns"] == 1 and out[2]["n_ips"] == 1
+        assert out[3]["has_pii"] == 0 and out[1]["has_pii"] == 1
