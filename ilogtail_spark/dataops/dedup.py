@@ -86,6 +86,59 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The filtering form of exact dedup: keep the min-id row of every
+    content group, drop the rest. One window over the content digest —
+    the digest partitioning shuffles 32-byte hashes, not documents,
+    and the kept rows stream straight out of the rank filter."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def near_dedup_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """The end-to-end near-dup PRUNE: minhash-LSH candidates ->
+    exact-Jaccard verify -> greedy keep-lowest-id (drop the higher id
+    of every verified pair). One pass of the standard pipeline; the
+    drop set is a broadcast-able id list (one id per duplicate, tiny
+    relative to the corpus), so the final filter is an anti-join that
+    never shuffles the documents.
+
+    Greedy-by-id is the common production policy (and is what the
+    SQL oracle can replicate); full transitive-closure clustering is
+    an iterative algorithm out of SQL scope and deliberately not
+    implied here."""
+    cands = minhash_candidate_pairs(
+        df.select(id_col, text_col), text_col, id_col, num_hashes, band_size
+    )
+    verified = ngram_jaccard_pairs(
+        df, text_col, id_col, shingle_n, threshold, max_df
+    )
+    # drop ids = higher id of every verified candidate pair
+    drop = (
+        cands.join(verified, ["a", "b"])  # candidate AND above threshold
+        .select(F.col("b").alias(id_col))
+        .distinct()
+    )
+    return df.join(F.broadcast(drop), id_col, "left_anti")
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",

@@ -139,6 +139,72 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# exact-dedup filtering form — keep min id per content group
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact_keep",
+    """
+    SELECT doc_id FROM (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.drop_exact_duplicates(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# end-to-end near-dup prune: LSH candidates -> jaccard verify -> drop
+# higher id of each verified pair
+# ---------------------------------------------------------------------------
+def _near_dedup_oracle(threshold: float = 0.2) -> str:
+    pairs = _minhash_pairs_oracle()
+    # reuse the candidate-pair CTE body, then verify + anti-join
+    return f"""
+    WITH cand AS (
+{pairs.replace("ORDER BY a, b", "")}
+    ), toks2 AS (
+      SELECT doc_id, {SQL_TOKENS.format(col="text")} AS w FROM documents
+    ), sh2 AS (
+      SELECT DISTINCT doc_id, unnest(
+        CASE WHEN len(w) >= 3
+             THEN list_transform(range(len(w) - 2),
+                                 i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+             ELSE [] END) AS s
+      FROM toks2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+      FROM sh2 x JOIN sh2 y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ), verified AS (
+      SELECT i.a, i.b
+      FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+                   JOIN sizes sb ON sb.doc_id = i.b
+      WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= {threshold}
+    ), drops AS (
+      SELECT DISTINCT v.b AS doc_id
+      FROM cand c JOIN verified v ON c.a = v.a AND c.b = v.b
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+    ORDER BY d.doc_id
+    """
+
+
+@query("dedup_near_filter", _near_dedup_oracle())
+def q_dedup_near_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = dedup.near_dedup_filter(docs, threshold=0.2)
+    return out.select("doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # simhash (32-bit expression engine)
 # ---------------------------------------------------------------------------
 def _simhash_votes_sql(nbits: int) -> str:

@@ -288,3 +288,29 @@ class TestPII:
         assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 1
         assert out[2]["n_ssns"] == 1 and out[2]["n_ips"] == 1
         assert out[3]["has_pii"] == 0 and out[1]["has_pii"] == 1
+
+
+class TestDedupFilters:
+    def test_drop_exact_duplicates(self, spark):
+        out = sorted(
+            r["doc_id"] for r in dedup.drop_exact_duplicates(docs_df(spark)).collect()
+        )
+        assert out == [0, 2, 3, 4]  # doc 1 is the exact dup of 0
+
+    def test_near_dedup_filter_drops_verified_pairs(self, spark):
+        # 3-gram jaccard: (0,1)=1.0, (0,2)=0.556 — at 0.7 only the
+        # exact dup drops; at 0.5 the near dup goes too
+        kept_07 = sorted(
+            r["doc_id"]
+            for r in dedup.near_dedup_filter(docs_df(spark), threshold=0.7).collect()
+        )
+        assert kept_07 == [0, 2, 3, 4]
+        kept_05 = sorted(
+            r["doc_id"]
+            for r in dedup.near_dedup_filter(docs_df(spark), threshold=0.5).collect()
+        )
+        assert kept_05 == [0, 3, 4]
+
+    def test_near_dedup_keeps_all_when_threshold_high(self, spark):
+        kept = dedup.near_dedup_filter(docs_df(spark), threshold=1.01).count()
+        assert kept == len(DOCS)
