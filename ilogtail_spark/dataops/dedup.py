@@ -139,6 +139,61 @@ def near_dedup_filter(
     return df.join(F.broadcast(drop), id_col, "left_anti")
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: (id, comp)
+    where comp is the MINIMUM id reachable from the node — the
+    transitive clustering that greedy pair-pruning approximates.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds (near-dup clusters are shallow — chains
+    of shared boilerplate — so single-digit rounds in practice, capped
+    by ``max_iter``). Each round is one join + partial-aggregated
+    groupBy on the EDGE list only — the corpus itself is never
+    touched — and lineage is truncated per round (localCheckpoint) so
+    the plan does not grow exponentially with iterations."""
+    edges = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    sym = edges.union(
+        edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("x").alias("id")).distinct().withColumn("comp", F.col("id"))
+    )
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("y"), F.col("comp").alias("ncomp")
+                ),
+                "y",
+            )
+            .groupBy("x")
+            .agg(F.min("ncomp").alias("nmin"))
+            .withColumnRenamed("x", "id")
+        )
+        new = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+        new = new.localCheckpoint()
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",

@@ -197,6 +197,40 @@ def _near_dedup_oracle(threshold: float = 0.2) -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# transitive near-dup clustering — connected components over the LSH
+# candidate graph; oracle = recursive-CTE reachability + min id
+# ---------------------------------------------------------------------------
+def _cc_oracle() -> str:
+    pairs = _minhash_pairs_oracle().replace("ORDER BY a, b", "")
+    return f"""
+    WITH RECURSIVE cand AS (
+{pairs}
+    ), sym AS (
+      SELECT a AS x, b AS y FROM cand
+      UNION
+      SELECT b AS x, a AS y FROM cand
+    ), reach(src, dst) AS (
+      SELECT x, y FROM sym
+      UNION
+      SELECT r.src, e.y FROM reach r JOIN sym e ON r.dst = e.x
+    ), nodes AS (
+      SELECT DISTINCT x AS id FROM sym
+    )
+    SELECT n.id, least(n.id, min(r.dst)) AS comp
+    FROM nodes n LEFT JOIN reach r ON r.src = n.id
+    GROUP BY n.id
+    ORDER BY n.id
+    """
+
+
+@query("dedup_cluster_ids", _cc_oracle())
+def q_dedup_cluster_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.minhash_candidate_pairs(docs)
+    return dedup.connected_components(pairs).orderBy("id")
+
+
 @query("dedup_near_filter", _near_dedup_oracle())
 def q_dedup_near_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")

@@ -314,3 +314,21 @@ class TestDedupFilters:
     def test_near_dedup_keeps_all_when_threshold_high(self, spark):
         kept = dedup.near_dedup_filter(docs_df(spark), threshold=1.01).count()
         assert kept == len(DOCS)
+
+
+class TestConnectedComponents:
+    def test_chain_and_island(self, spark):
+        # chain 1-2-3-4 plus island 7-8: two components, min-id labels
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (7, 8)], "a long, b long"
+        )
+        out = {r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+    def test_converges_on_deep_chain(self, spark):
+        # diameter > 1 forces multiple propagation rounds
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(10, 18)], "a long, b long"
+        )
+        out = {r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+        assert set(out.values()) == {10}
