@@ -112,35 +112,94 @@ def near_dedup_filter(
     band_size: int = 2,
     shingle_n: int = 3,
     max_df: int | None = None,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """The end-to-end near-dup PRUNE: minhash-LSH candidates ->
     exact-Jaccard verify -> greedy keep-lowest-id (drop the higher id
-    of every verified pair). One pass of the standard pipeline; the
-    drop set is a broadcast-able id list (one id per duplicate, tiny
-    relative to the corpus), so the final filter is an anti-join that
-    never shuffles the documents.
+    of every verified pair; transitive clustering is
+    :func:`connected_components`).
 
-    Greedy-by-id is the common production policy (and is what the
-    SQL oracle can replicate); full transitive-closure clustering is
-    an iterative algorithm out of SQL scope and deliberately not
-    implied here."""
+    Scale structure (each step provably result-identical to the naive
+    "LSH + verify over the whole corpus" definition the SQL oracle
+    implements):
+
+    1. **Exact-group collapse first.** Identical documents share every
+       minhash band, so k copies of one boilerplate doc alone create
+       k^2/2 candidate pairs — the classic LSH hot bucket. Signatures
+       run on one min-id representative per distinct content; the
+       non-representative members are dropped directly (an identical
+       pair has Jaccard 1.0 >= any threshold <= 1, and is always an
+       LSH candidate when a signature exists). Equivalence: a member
+       m is dropped in the naive pipeline via the pair
+       (rep(m), m); a representative r is dropped naively via some
+       a < r iff it is dropped here via rep(a) <= a < r (identical
+       content => identical signature and shingle set).
+    2. **Verification restricted to LSH candidates.** The Jaccard
+       join runs over the shingles of candidate-pair members ONLY
+       (semi-join on the candidate id set), so its cost is
+       O(|candidate docs|) — the LSH stage genuinely prunes; the
+       full-corpus inverted-index join never runs.
+    3. **No forced broadcast of the drop set.** At web-scale dup
+       rates the drop set is a large fraction of the corpus; the
+       anti-join shuffles long ids only, and AQE broadcasts it by
+       itself whenever it actually is small.
+
+    ``max_band_bucket`` additionally caps residual hot band buckets
+    (distinct-but-cross-similar boilerplate families): buckets with
+    more members are dropped from candidate generation, trading
+    bounded recall loss for a hard bound on join fan-out."""
+    digest = F.md5(F.col(text_col))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(digest).orderBy(F.col(id_col))
+    marked = df.select(
+        id_col, text_col, F.row_number().over(w).alias("__rn__")
+    )
+    reps = marked.filter(F.col("__rn__") == 1).drop("__rn__")
     cands = minhash_candidate_pairs(
-        df.select(id_col, text_col), text_col, id_col, num_hashes, band_size
+        reps.select(id_col, text_col),
+        text_col,
+        id_col,
+        num_hashes,
+        band_size,
+        max_band_bucket,
     )
+    cand_ids = (
+        cands.select(F.col("a").alias(id_col))
+        .union(cands.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    # Jaccard verify over candidate docs ONLY — the pruning step
     verified = ngram_jaccard_pairs(
-        df, text_col, id_col, shingle_n, threshold, max_df
+        reps.join(cand_ids, id_col, "semi"),
+        text_col,
+        id_col,
+        shingle_n,
+        threshold,
+        max_df,
     )
-    # drop ids = higher id of every verified candidate pair
-    drop = (
+    drop_reps = (
         cands.join(verified, ["a", "b"])  # candidate AND above threshold
         .select(F.col("b").alias(id_col))
         .distinct()
     )
-    return df.join(F.broadcast(drop), id_col, "left_anti")
+    if threshold <= 1.0:
+        # non-representative members of groups that HAVE a minhash
+        # identity (>= shingle_n tokens). Shorter identical docs have
+        # null signatures, form no candidate pairs, and are kept —
+        # exactly as the naive pipeline keeps them.
+        member_drop = marked.filter(
+            (F.col("__rn__") > 1)
+            & (F.size(tokens_col(F.col(text_col))) >= shingle_n)
+        ).select(id_col)
+        drop = drop_reps.union(member_drop).distinct()
+    else:
+        drop = drop_reps
+    return df.join(drop, id_col, "left_anti")
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 20
+    pairs: DataFrame, max_iter: int = 20, strict: bool = False
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: (id, comp)
     where comp is the MINIMUM id reachable from the node — the
@@ -153,15 +212,28 @@ def connected_components(
     by ``max_iter``). Each round is one join + partial-aggregated
     groupBy on the EDGE list only — the corpus itself is never
     touched — and lineage is truncated per round (localCheckpoint) so
-    the plan does not grow exponentially with iterations."""
+    the plan does not grow exponentially with iterations. The edge
+    list itself is checkpointed once after symmetrization: every
+    round's join and every convergence probe then reuses the
+    materialized edges instead of re-running the union+distinct
+    shuffle from the candidate-pair lineage (at scale that lineage is
+    the entire LSH banding job, re-executed O(diameter) times
+    otherwise).
+
+    If label propagation has not converged when ``max_iter`` is
+    exhausted the labels are NOT the transitive closure: with
+    ``strict=True`` that raises RuntimeError; otherwise it emits a
+    warning — approximate output is never returned silently."""
     edges = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
     sym = edges.union(
         edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
     ).distinct()
+    sym = sym.localCheckpoint()
     labels = (
         sym.select(F.col("x").alias("id")).distinct().withColumn("comp", F.col("id"))
     )
     labels = labels.localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(
@@ -190,7 +262,18 @@ def connected_components(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"connected_components: not converged after {max_iter} rounds "
+            "(component diameter exceeds max_iter); labels are approximate"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 
@@ -258,11 +341,28 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one LSH band.
-    The self-join happens WITHIN band buckets only."""
+    The self-join happens WITHIN band buckets only.
+
+    ``max_band_bucket`` drops band buckets holding more than that many
+    docs before the self-join: a bucket of k docs yields k^2/2 pairs,
+    so one boilerplate family can dominate the whole job. Exact-dedup
+    first (see near_dedup_filter) removes the identical-content cause;
+    the cap bounds the residual distinct-but-similar case. The bucket
+    counts are one partial-aggregated groupBy over (band_idx,
+    band_hash) — digests only, never documents."""
     sig = minhash_signature(df.select(id_col, text_col), text_col, num_hashes)
     bands = minhash_bands(sig, num_hashes, band_size, id_col)
+    if max_band_bucket is not None:
+        hot = (
+            bands.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .filter(F.col("__n__") > max_band_bucket)
+            .drop("__n__")
+        )
+        bands = bands.join(hot, ["band_idx", "band_hash"], "left_anti")
     left = bands.alias("l")
     right = bands.alias("r")
     return (

@@ -93,6 +93,8 @@ def lsh_bucket(
     dim: int,
     num_planes: int = 8,
     vec_col: str = "embedding",
+    plane_offset: int = 0,
+    bucket_col: str = "bucket",
 ) -> DataFrame:
     """Append ``bucket``: the sign-bit string of ``num_planes``
     hyperplane projections. Scan-side, no shuffle.
@@ -125,9 +127,10 @@ def lsh_bucket(
     planes = F.array(
         *[
             F.array(*[F.lit(hyperplane_component(p, d)) for d in range(dim)])
-            for p in range(num_planes)
+            for p in range(plane_offset, plane_offset + num_planes)
         ]
-    )  # folds to ONE ArrayType literal
+    )  # folds to ONE ArrayType literal; plane_offset selects an
+    # independent plane-set per LSH band (multi-band recall)
     bits = F.transform(
         planes,
         lambda plane: F.when(
@@ -143,7 +146,7 @@ def lsh_bucket(
     bucket = F.when(has_dim, F.array_join(bits, "")).otherwise(
         F.lit(None).cast("string")
     )
-    return df.withColumn("bucket", bucket).drop("__vec__")
+    return df.withColumn(bucket_col, bucket).drop("__vec__")
 
 
 def lsh_bucket_pandas(
@@ -330,33 +333,79 @@ def embedding_neardup_pairs(
     df: DataFrame,
     dim: int,
     threshold: float,
-    num_planes: int = 8,
+    num_planes: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    num_bands: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >=
     threshold), candidate-pruned by LSH: the self-join runs WITHIN
     sign-buckets only — same scale shape as the minhash banding join,
-    never all-pairs. Recall is bounded by the bucketing (a near-dup
-    pair split across a hyperplane is missed; lower num_planes or add
-    multi-probe to trade cost for recall)."""
-    b = lsh_bucket(df, dim, num_planes, vec_col)
-    v = with_double_vec(b, vec_col).select(
-        F.col(id_col), F.col("bucket"), F.col("__vec__").alias("v")
-    )
+    never all-pairs.
+
+    Bucket-cardinality story (the 100 TB lever): expected bucket
+    occupancy is ~n / 2^num_planes, and the within-bucket self-join
+    is quadratic in occupancy — so num_planes must GROW with the
+    corpus, not stay fixed. The default is 16 planes (65,536 buckets);
+    at 10^9+ vectors use 20+. Raising planes costs recall (one
+    hyperplane splitting a near-pair kills the candidate), which
+    ``num_bands`` buys back minhash-style: ``num_bands`` INDEPENDENT
+    plane-sets (band j uses planes [j*num_planes, (j+1)*num_planes)),
+    a pair is a candidate if it collides in ANY band — recall
+    1-(1-p^num_planes)^num_bands at num_bands x the join cost. The
+    per-band buckets are computed in ONE corpus scan (each plane
+    matrix a constant-folded literal), exploded to (id, band_idx,
+    bucket) rows; the join key (band_idx, bucket) keeps bands from
+    cross-matching. Pairs colliding in several bands are `distinct`ed
+    BEFORE the cosine verify, so verification cost stays
+    O(|candidate pairs|).
+    """
+    bandcols = []
+    for j in range(num_bands):
+        df = lsh_bucket(
+            df,
+            dim,
+            num_planes,
+            vec_col,
+            plane_offset=j * num_planes,
+            bucket_col=f"__bucket{j}__",
+        )
+        bandcols.append(
+            F.struct(
+                F.lit(j).alias("band_idx"), F.col(f"__bucket{j}__").alias("bkt")
+            )
+        )
+    v = with_double_vec(df, vec_col).select(
+        F.col(id_col),
+        F.col("__vec__").alias("v"),
+        F.explode(F.array(*bandcols)).alias("bb"),
+    ).select(
+        id_col,
+        "v",
+        F.col("bb.band_idx").alias("band_idx"),
+        F.col("bb.bkt").alias("bucket"),
+    ).filter(F.col("bucket").isNotNull())
     left = v.select(
-        F.col(id_col).alias("a"), F.col("bucket"), F.col("v").alias("va")
+        F.col(id_col).alias("a"), "band_idx", "bucket", F.col("v").alias("va")
     )
     right = v.select(
-        F.col(id_col).alias("b"), F.col("bucket").alias("bucket_r"), F.col("v").alias("vb")
+        F.col(id_col).alias("b"),
+        F.col("band_idx").alias("band_r"),
+        F.col("bucket").alias("bucket_r"),
+        F.col("v").alias("vb"),
     )
     joined = left.join(
         right,
-        (F.col("bucket") == F.col("bucket_r")) & (F.col("a") < F.col("b")),
+        (F.col("band_idx") == F.col("band_r"))
+        & (F.col("bucket") == F.col("bucket_r"))
+        & (F.col("a") < F.col("b")),
     )
+    cands = joined.select("a", "b", "va", "vb")
+    if num_bands > 1:
+        cands = cands.dropDuplicates(["a", "b"])
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return (
-        joined.withColumn("__cos__", cos)
+        cands.withColumn("__cos__", cos)
         .filter(F.col("__cos__") >= threshold)
         .select("a", "b", F.round(F.col("__cos__"), 6).alias("cos"))
     )

@@ -322,12 +322,13 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN: bucket assignment (the scale path's partitioner)
 # ---------------------------------------------------------------------------
-def _lsh_bucket_sql(num_planes: int = 8) -> str:
+def _lsh_bucket_sql(num_planes: int = 8, plane_offset: int = 0) -> str:
     """Shared SQL for the sign-bit bucket over a double-list ``e`` —
     single source for every LSH oracle (bucket/topk/multiprobe/
-    near-dup)."""
+    near-dup). ``plane_offset`` selects the independent plane-set of
+    a multi-band near-dup pass."""
     bit_exprs = []
-    for p in range(num_planes):
+    for p in range(plane_offset, plane_offset + num_planes):
         terms = " + ".join(
             f"e[{d + 1}] * ({similarity.hyperplane_component(p, d):.1f})"
             for d in range(DIM)
@@ -481,18 +482,28 @@ def q_sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", "rk")
 
 
-def _embedding_neardup_oracle(num_planes: int = 8, threshold: float = 0.3) -> str:
-    bucket = _lsh_bucket_sql(num_planes)
+def _embedding_neardup_oracle(
+    num_planes: int = 16, threshold: float = 0.3, num_bands: int = 1
+) -> str:
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, e, {j} AS band_idx, "
+        f"{_lsh_bucket_sql(num_planes, j * num_planes)} AS bucket FROM v"
+        for j in range(num_bands)
+    )
     return f"""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings
     ), b AS (
-      SELECT vec_id, e, {bucket} AS bucket FROM v
+{band_selects}
+    ), cand AS (
+      SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+      FROM b l JOIN b r
+        ON l.band_idx = r.band_idx AND l.bucket = r.bucket
+       AND l.vec_id < r.vec_id
     ), s AS (
-      SELECT l.vec_id AS a, r.vec_id AS b,
-             {_cosine_sql("l.e", "r.e")} AS cos_raw
-      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+      SELECT c.a, c.b, {_cosine_sql("va.e", "vb.e")} AS cos_raw
+      FROM cand c JOIN v va ON va.vec_id = c.a JOIN v vb ON vb.vec_id = c.b
     )
     SELECT a, b, round(cos_raw, 6) AS cos
     FROM s WHERE cos_raw >= {threshold}
@@ -500,11 +511,27 @@ def _embedding_neardup_oracle(num_planes: int = 8, threshold: float = 0.3) -> st
     """
 
 
-@query("dedup_embedding_cosine", _embedding_neardup_oracle())
+@query("dedup_embedding_cosine", _embedding_neardup_oracle(num_planes=16))
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-band, 16-plane near-dup pass — the scale-safe default
+    (2^16 buckets; see embedding_neardup_pairs docstring)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_neardup_pairs(
-        emb, dim=DIM, threshold=0.3, num_planes=8
+        emb, dim=DIM, threshold=0.3, num_planes=16
+    ).orderBy("a", "b")
+
+
+@query(
+    "dedup_embedding_banded",
+    _embedding_neardup_oracle(num_planes=12, num_bands=2),
+)
+def q_dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-band variant: two independent 12-plane sets; a pair is a
+    candidate on a collision in EITHER band — recall recovered
+    minhash-banding-style while each band keeps 2^12 buckets."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(
+        emb, dim=DIM, threshold=0.3, num_planes=12, num_bands=2
     ).orderBy("a", "b")
 
 

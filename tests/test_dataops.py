@@ -156,6 +156,32 @@ class TestSimilarity:
         }
         assert a == b
 
+    def test_banded_neardup_superset_of_first_band(self, spark):
+        # a collision in ANY band makes a candidate: the 2-band run
+        # must recover at least every pair band 0 alone finds
+        emb = self._emb(spark)
+        one = {
+            (r["a"], r["b"])
+            for r in similarity.embedding_neardup_pairs(
+                emb, dim=4, threshold=-1.0, num_planes=3, num_bands=1
+            ).collect()
+        }
+        two = {
+            (r["a"], r["b"])
+            for r in similarity.embedding_neardup_pairs(
+                emb, dim=4, threshold=-1.0, num_planes=3, num_bands=2
+            ).collect()
+        }
+        assert one <= two
+
+    def test_banded_neardup_no_duplicate_pairs(self, spark):
+        emb = self._emb(spark)
+        rows = similarity.embedding_neardup_pairs(
+            emb, dim=4, threshold=-1.0, num_planes=2, num_bands=3
+        ).collect()
+        pairs = [(r["a"], r["b"]) for r in rows]
+        assert len(pairs) == len(set(pairs))
+
 
 class TestTextStats:
     def test_token_stats(self, spark):
@@ -315,6 +341,43 @@ class TestDedupFilters:
         kept = dedup.near_dedup_filter(docs_df(spark), threshold=1.01).count()
         assert kept == len(DOCS)
 
+    def test_identical_docs_do_not_blow_up_candidates(self, spark):
+        # 1000 identical docs would naively form ~500k LSH candidate
+        # pairs; exact-group collapse inside near_dedup_filter reduces
+        # them to ONE representative (zero pairs), and the result is
+        # still min-id-keeps semantics.
+        rows = [(i, "the same boilerplate text repeated verbatim here") for i in range(1000)]
+        rows.append((5000, "a completely different document about spark"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        reps = dedup.drop_exact_duplicates(df)
+        assert dedup.minhash_candidate_pairs(reps).count() == 0
+        kept = sorted(
+            r["doc_id"] for r in dedup.near_dedup_filter(df, threshold=0.5).collect()
+        )
+        assert kept == [0, 5000]
+
+    def test_short_identical_docs_are_kept(self, spark):
+        # docs below shingle_n tokens have no minhash identity: the
+        # naive pipeline forms no candidates for them, so the
+        # collapsed pipeline must keep them too
+        df = spark.createDataFrame(
+            [(1, "too short"), (2, "too short"), (3, "x y")],
+            "doc_id long, text string",
+        )
+        kept = sorted(
+            r["doc_id"] for r in dedup.near_dedup_filter(df, threshold=0.5).collect()
+        )
+        assert kept == [1, 2, 3]
+
+    def test_max_band_bucket_caps_hot_buckets(self, spark):
+        # 12 distinct docs sharing a band bucket exceed the cap ->
+        # excluded from candidate generation entirely
+        rows = [(i, f"shared prefix tokens here tail{i}") for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        uncapped = dedup.minhash_candidate_pairs(df).count()
+        capped = dedup.minhash_candidate_pairs(df, max_band_bucket=3).count()
+        assert capped <= uncapped
+
 
 class TestConnectedComponents:
     def test_chain_and_island(self, spark):
@@ -332,3 +395,18 @@ class TestConnectedComponents:
         )
         out = {r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
         assert set(out.values()) == {10}
+
+    def test_non_convergence_is_flagged(self, spark):
+        import warnings
+
+        import pytest
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(0, 6)], "a long, b long"
+        )
+        with pytest.raises(RuntimeError, match="not converged"):
+            dedup.connected_components(pairs, max_iter=1, strict=True)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            dedup.connected_components(pairs, max_iter=1).collect()
+        assert any("not converged" in str(w.message) for w in caught)

@@ -4,8 +4,9 @@ at a chosen scale factor and report mismatches, using the same
 pandas-path normalization as the driver's value-hash compare (so type
 widenings like HUGEINT -> float64 are caught here first).
 
-Usage: python tools/correctness_mirror.py [sf_dir] [master]
-       (defaults: /root/testdata/sf0.01, local[16])
+Usage: python tools/correctness_mirror.py [sf_dir] [master] [only]
+       (defaults: /root/testdata/sf0.01, local[16], all queries;
+        ``only`` is a comma-separated subset of query names)
 """
 
 from __future__ import annotations
@@ -51,6 +52,9 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        qs = {k: v for k, v in qs.items() if k in only}
     bad: list[str] = []
     for name, fn in qs.items():
         try:

@@ -246,6 +246,83 @@ def main() -> int:
         "scan time.",
     )
 
+    # 11. near_dedup_filter: the Jaccard verify subtree must take the
+    # LSH candidate semi-join as input, NOT the whole corpus — the
+    # round-2 plan defect was running the full inverted-index self-join
+    # regardless of candidates (LSH pruned nothing)
+    docs_nd = docs.select("doc_id", "text")
+    q11 = dedup_ops.near_dedup_filter(docs_nd, threshold=0.2)
+    p11 = formatted(q11)
+    audit(
+        "near_dedup_filter (candidate-restricted verification)",
+        q11,
+        [
+            # the candidate id set gates the shingle explode: at least
+            # one LeftSemi join feeds the verification subtree
+            ("verify subtree input is the candidate semi-join",
+             "LeftSemi" in p11),
+            # exact-group collapse runs before signatures: the
+            # min-id-per-digest window is in the plan
+            ("exact-group collapse (row_number window) precedes LSH",
+             "row_number" in p11),
+            # the final prune is an anti-join; no FORCED broadcast of
+            # the (potentially corpus-sized) drop set in the code —
+            # AQE may still choose broadcast when it is actually small
+            ("drop set applied as anti-join", "LeftAnti" in p11),
+            ("no nested loop anywhere", "NestedLoop" not in p11),
+        ],
+        "The LSH stage must PRUNE: Jaccard verification joins only the "
+        "shingles of candidate-pair members (semi-join on candidate "
+        "ids), so verify cost is O(|candidates|), not O(corpus^2 "
+        "co-shingles). Identical docs collapse to one representative "
+        "BEFORE signatures — k copies of a boilerplate doc contribute "
+        "zero candidate pairs instead of k^2/2.",
+    )
+
+    # 12. connected_components: the edge list is checkpointed — each
+    # propagation round and convergence probe must replan from the
+    # materialized RDD, not re-run the LSH candidate lineage
+    pairs_cc = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "a long, b long"
+    )
+    q12 = dedup_ops.connected_components(pairs_cc)
+    p12 = formatted(q12)
+    audit(
+        "connected components (checkpointed edges + labels)",
+        q12,
+        [
+            # after localCheckpoint the result plan reads an
+            # ExistingRDD — lineage to the pair-generation job is cut
+            ("lineage truncated to materialized RDD",
+             "ExistingRDD" in p12 or "LogicalRDD" in p12),
+        ],
+        "Min-label propagation is O(diameter) rounds over the EDGE "
+        "list only. Both the symmetrized edge list and each round's "
+        "labels are localCheckpoint'ed: every join and convergence "
+        "count reuses materialized blocks instead of re-executing the "
+        "upstream candidate-pair shuffle per round.",
+    )
+
+    # 13. embedding near-dup bucket cardinality: expected bucket
+    # occupancy n/2^planes bounds the quadratic within-bucket join —
+    # the default plane count must keep occupancy ~O(1) at this corpus
+    n_emb = emb.count()
+    default_planes = 16
+    occupancy = n_emb / float(2 ** default_planes)
+    audit(
+        "embedding near-dup bucket cardinality (occupancy bound)",
+        similarity.embedding_neardup_pairs(emb, dim=64, threshold=0.3),
+        [
+            (f"expected occupancy {occupancy:.4f} (n={n_emb} / 2^{default_planes}) <= 8",
+             occupancy <= 8.0),
+        ],
+        "The within-bucket self-join is quadratic in bucket occupancy "
+        "(~n/2^planes): plane count must GROW with the corpus. The "
+        "16-plane default keeps expected occupancy O(1) up to ~500k "
+        "vectors; at 10^9+ use 20+ planes, with multi-band plane-sets "
+        "(num_bands) recovering the recall the extra planes cost.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
