@@ -25,6 +25,8 @@ Supported subset (the commands the reference's own examples use):
   ``parse-json f``             dynamic JSON flatten of field f
   ``parse-csv f as a, b``      RFC-4180 split of field f
   ``parse-kv f [, 'delim', 'sep']``  key-value split of field f
+  ``pack-fields f1, f2 as out``      pack listed fields into JSON out
+  ``pack-fields -include='re' as out``  pack regex-matched fields
   ``sort by f [desc]``         global sort (driver-side presentation)
   ``limit n``                  keep at most n rows
 
@@ -56,6 +58,14 @@ _SQL_KEYWORDS = {
     "double", "float", "int", "integer", "bigint", "smallint",
     "tinyint", "long", "string", "varchar", "boolean", "decimal",
     "date", "timestamp", "binary",
+    # niladic SQL functions — valid WITHOUT parentheses in Spark SQL;
+    # rewriting them to fields['current_timestamp'] would silently
+    # turn a function call into a NULL map lookup. A FIELD named like
+    # one of these must be parenthesized functions' opposite: spell it
+    # explicitly as fields['current_date'] in the expression.
+    "current_timestamp", "current_date", "current_user",
+    "current_timezone", "current_catalog", "current_database",
+    "current_schema", "localtimestamp", "session_user", "user",
 }
 
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
@@ -158,6 +168,10 @@ _EXTEND = re.compile(r"^extend\s+(\w+)\s*=\s*(.+)$", re.DOTALL | re.IGNORECASE)
 _RENAME = re.compile(
     r"^project-rename\s+(\w+)\s*=\s*(\w+)\s*$", re.IGNORECASE
 )
+_PACK_FIELDS = re.compile(
+    r"^pack-fields\s+(.+?)\s+as\s+(\w+)\s*$", re.DOTALL | re.IGNORECASE
+)
+_PACK_INCLUDE = re.compile(r"^-include\s*=\s*(.+)$", re.DOTALL | re.IGNORECASE)
 
 
 def compile_spl(script: str) -> list[Callable[[DataFrame], DataFrame]]:
@@ -257,6 +271,42 @@ def compile_spl(script: str) -> list[Callable[[DataFrame], DataFrame]]:
             if len(bits) >= 3:
                 cfg["Separator"] = _unquote(bits[2])
             stages.append(build(cfg).apply)
+        elif m := _PACK_FIELDS.match(stmt):
+            body, dest = m.group(1).strip(), m.group(2)
+            if im := _PACK_INCLUDE.match(body):
+                inc = _unquote(im.group(1))
+
+                def _pack_inc(df: DataFrame, rx_=inc, d=dest) -> DataFrame:
+                    # dynamic key set: regex filter over the map keys;
+                    # packed keys are REMOVED (SLS pack-fields ltrim
+                    # contract), the JSON object replaces them
+                    fields = F.col(FIELDS_COL)
+                    packed = F.to_json(
+                        F.map_filter(fields, lambda k, v: k.rlike(rx_))
+                    )
+                    kept = F.map_filter(fields, lambda k, v: ~k.rlike(rx_))
+                    return df.withColumn(
+                        FIELDS_COL,
+                        F.map_concat(kept, F.create_map(F.lit(d), packed)),
+                    )
+
+                stages.append(_pack_inc)
+            else:
+                keys = [k.strip() for k in body.split(",") if k.strip()]
+                if not keys:
+                    raise SPLCompileError(
+                        f"pack-fields needs a field list or -include=: {stmt!r}"
+                    )
+                stages.append(
+                    build(
+                        {
+                            "Type": "processor_packjson",
+                            "SourceKeys": keys,
+                            "DestKey": dest,
+                            "KeepSource": False,
+                        }
+                    ).apply
+                )
         elif low.startswith("sort by "):
             keys = []
             for part in stmt[8:].split(","):

@@ -295,33 +295,33 @@ class ProcessorStringReplace(FieldsProcessor):
         elif self.Method == "const":
             out = F.replace(v, F.lit(self.Match), F.lit(self.ReplaceString))
         elif self.Method == "unquote":
-            # strip one layer of quotes and unescape \\ \" \n \t \r.
-            # Escaped backslashes must be consumed FIRST (via a \x00
-            # sentinel) or the '\\' in '\\n' would feed the \n rule and
-            # 'a\\nb' would wrongly unescape to 'a\<newline>b'.
+            # strip one layer of quotes and unescape \\ \" \n \t \r in
+            # ONE left-to-right scan: tokenize into escape pairs /
+            # non-backslash runs / a trailing lone backslash, then map
+            # each escape token. A sentinel-substitution chain (the
+            # previous form) corrupts values that legitimately contain
+            # the sentinel byte; the tokenizer has no sentinel, and an
+            # escape pair can never be re-interpreted because each
+            # input char is consumed by exactly one token.
             inner = F.regexp_replace(v, r'(?s)^"(.*)"$', "$1")
-            sentinel = "\x00"
-            out = F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_replace(
-                        F.regexp_replace(
-                            F.regexp_replace(
-                                F.regexp_replace(inner, r"\\\\", sentinel),
-                                r"\\n",
-                                "\n",
-                            ),
-                            r"\\t",
-                            "\t",
-                        ),
-                        r"\\r",
-                        "\r",
-                    ),
-                    r'\\"',
-                    '"',
-                ),
-                sentinel,
-                "\\\\",  # Java replacement '\\' => one literal backslash
+            toks = F.regexp_extract_all(
+                inner, F.lit(r"(?s)(\\.|\\|[^\\]+)"), 1
             )
+            escapes = {
+                "\\\\": "\\",
+                "\\n": "\n",
+                "\\t": "\t",
+                "\\r": "\r",
+                '\\"': '"',
+            }
+
+            def _map_tok(t: Column) -> Column:
+                expr = t  # unknown escapes (and plain runs) pass through
+                for esc, rep in escapes.items():
+                    expr = F.when(t == F.lit(esc), F.lit(rep)).otherwise(expr)
+                return expr
+
+            out = F.array_join(F.transform(toks, _map_tok), "")
         else:
             raise ValueError(f"unknown Method {self.Method!r}")
         dest = self.DestKey or self.SourceKey

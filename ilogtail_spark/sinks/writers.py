@@ -80,17 +80,26 @@ def write_routed(
         # overwritePartitions replaces exactly this run's partitions in
         # one atomic snapshot commit — same idempotency contract as the
         # directory overwrite below, plus snapshot-range time travel.
-        # Existence is checked explicitly: a bare try/except around
-        # overwritePartitions would fall through to a table REPLACE on
-        # any transient commit failure and destroy other runs' data.
+        # First-run creation uses create() + catch-already-exists, NOT
+        # createOrReplace: two concurrent first runs may both see "no
+        # table", and the createOrReplace loser would REPLACE the
+        # winner's committed partitions. With create(), the loser gets
+        # AlreadyExists and downgrades to overwritePartitions, which
+        # only ever touches its own run's partitions.
         table = "ilogtail.events"
         out = out.withColumn("run_id", F.lit(run_id))
-        if routed.sparkSession.catalog.tableExists(table):
-            out.writeTo(table).overwritePartitions()
-        else:
-            out.writeTo(table).partitionedBy(
-                F.col("run_id"), *[F.col(c) for c in partition_cols]
-            ).createOrReplace()
+        if not routed.sparkSession.catalog.tableExists(table):
+            try:
+                out.writeTo(table).partitionedBy(
+                    F.col("run_id"), *[F.col(c) for c in partition_cols]
+                ).create()
+                return table
+            except Exception as ex:  # lost the creation race -> append path
+                if "AlreadyExists" not in type(ex).__name__ and (
+                    "already exists" not in str(ex).lower()
+                ):
+                    raise
+        out.writeTo(table).overwritePartitions()
         return table
     (
         out.write.mode("overwrite")

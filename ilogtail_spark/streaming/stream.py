@@ -191,15 +191,23 @@ def streaming_multiline_merge(
     out_fields = ", ".join(f"{c} {by_name.get(c, 'string')}" for c in group_cols)
     order_t = by_name.get(order_col, "long")
     out_schema = f"{out_fields}, evt_start {order_t}, n_lines int, merged string"
-    state_schema = f"orders array<{order_t}>, lines array<string>"
+    # has_start: whether the pending lines belong to an IN-PROGRESS
+    # event (true even when the start line itself is no longer among
+    # them — after a max_pending_lines force-emit only continuation
+    # lines remain). Without it, restored post-force-emit lines fail
+    # the start-pattern match and would be misclassified as
+    # before-first-start noise (emitted per-line or discarded) instead
+    # of continuing the oversize event's chunk sequence.
+    state_schema = f"orders array<{order_t}>, lines array<string>, has_start boolean"
 
     def merger(key, pdfs, state: GroupState):
         rx = _re.compile(pat)
         if state.exists:
-            orders, lines = state.get
+            orders, lines, restored_has_start = state.get
             pending = list(zip(orders, lines))
         else:
             pending = []
+            restored_has_start = False
         rows: list[tuple] = []
         new: list[tuple] = []
         for pdf in pdfs:
@@ -227,9 +235,11 @@ def streaming_multiline_merge(
             )
 
         # split into events at start lines; everything from the LAST
-        # start onward stays pending
+        # start onward stays pending. has_start resumes from state so
+        # force-emitted events' trailing continuation lines keep their
+        # in-progress identity across micro-batches.
         cur: list[tuple] = []
-        has_start = False
+        has_start = bool(restored_has_start)
         for o, t in seq:
             if t is not None and rx.match(str(t)):
                 if has_start and cur:
@@ -251,19 +261,23 @@ def streaming_multiline_merge(
                     # rather than re-persisting ever-growing state
                     emit(cur)
                     cur = []
-        if has_start and cur:
+        if has_start:
+            # pending partial event — possibly with zero lines right
+            # after a force-emit; the TRUE flag alone keeps later
+            # continuation lines attached to the in-progress event
             state.update(
                 (
                     [o for o, _ in cur],
                     [None if t is None else str(t) for _, t in cur],
+                    True,
                 )
             )
         else:
-            # no start pending: unmatched lines never become state
-            if cur and not has_start and unmatched == "single_line":
+            # no start ever seen: unmatched lines never become state
+            if cur and unmatched == "single_line":
                 for item in cur:
                     emit([item])
-            state.update(([], []))
+            state.update(([], [], False))
         if rows:
             yield pd.DataFrame(
                 rows, columns=[*group_cols, "evt_start", "n_lines", "merged"]

@@ -35,6 +35,12 @@ class TestRewrite:
         out = rewrite_field_refs("msg like '%status and method%'")
         assert out == "fields['msg'] like '%status and method%'"
 
+    def test_niladic_functions_untouched(self):
+        # current_timestamp etc. are valid WITHOUT parens in Spark SQL:
+        # they must stay function calls, not become NULL map lookups
+        out = rewrite_field_refs("ts < current_timestamp and d = current_date")
+        assert out == "fields['ts'] < current_timestamp and fields['d'] = current_date"
+
     def test_numeric_literals_untouched(self):
         assert rewrite_field_refs("k > 1e5") == "fields['k'] > 1e5"
         assert rewrite_field_refs("k = 0x1F") == "fields['k'] = 0x1F"
@@ -134,6 +140,36 @@ class TestSPL:
             {"content": "a=1&b=two&c=3"},
         )
         assert out["a"] == "1" and out["b"] == "two" and out["c"] == "3"
+
+    def test_niladic_in_where_executes(self, spark):
+        # end-to-end: the niladic call must survive the rewrite and
+        # evaluate (every row's ts is far in the past => all kept)
+        out = run_one(
+            spark,
+            "* | where cast(ts as timestamp) < current_timestamp",
+            {"content": "x", "ts": "2001-01-01 00:00:00"},
+        )
+        assert out["content"] == "x"
+
+    def test_pack_fields_list(self, spark):
+        out = run_one(
+            spark,
+            "* | pack-fields a, b as packed",
+            {"content": "x", "a": "1", "b": "2", "c": "3"},
+        )
+        assert out["packed"] == '{"a":"1","b":"2"}'
+        assert "a" not in out and "b" not in out and out["c"] == "3"
+
+    def test_pack_fields_include_regex(self, spark):
+        out = run_one(
+            spark,
+            "* | pack-fields -include='tag_.*' as tags",
+            {"content": "x", "tag_env": "prod", "tag_dc": "eu", "msg": "m"},
+        )
+        import json
+
+        assert json.loads(out["tags"]) == {"tag_env": "prod", "tag_dc": "eu"}
+        assert "tag_env" not in out and out["msg"] == "m"
 
     def test_sort_and_limit(self, spark):
         df = events_df(

@@ -218,6 +218,63 @@ def test_streaming_multiline_merge_across_batches(spark, tmp_path):
     assert ("c1", 6) not in got2  # new trailing partial withheld
 
 
+def test_streaming_multiline_force_emit_keeps_continuation(spark, tmp_path):
+    """After a max_pending_lines force-emit, continuation lines of the
+    oversize event arriving in LATER micro-batches must continue its
+    chunk sequence — not be misread as before-first-start noise (and
+    silently dropped under unmatched='discard')."""
+    import time as _time
+
+    from ilogtail_spark.streaming.stream import streaming_multiline_merge
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "conv_id string, turn_idx long, text string"
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        _time.sleep(1.1)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        merged = streaming_multiline_merge(
+            stream, start_pattern="START.*", group_cols=["conv_id"],
+            order_col="turn_idx", content_col="text",
+            unmatched="discard", max_pending_lines=3,
+        )
+        (
+            merged.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return {
+            (r["conv_id"], r["evt_start"]): (r["n_lines"], r["merged"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    # batch 1: the event hits the 3-line cap -> force-emitted chunk
+    write_file([("c1", 0, "START a"), ("c1", 1, "l1"), ("c1", 2, "l2")])
+    # batch 2: continuation lines of the SAME oversize event (no start)
+    write_file([("c1", 3, "l3"), ("c1", 4, "l4")])
+    # batch 3: next event boundary flushes the trailing chunk
+    write_file([("c1", 5, "START b")])
+    got = drain()
+    assert got[("c1", 0)] == (3, "START a\nl1\nl2")  # force-emitted chunk
+    assert got[("c1", 3)] == (2, "l3\nl4")  # continuation chunk, NOT dropped
+    assert ("c1", 5) not in got  # new trailing partial withheld
+
+
 def test_streaming_multiline_merge_out_of_order_batches(spark, tmp_path):
     """A later micro-batch delivering LOWER order values (late file
     pickup) still merges correctly: each pass re-sorts pending + new,

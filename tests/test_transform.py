@@ -145,6 +145,21 @@ def test_string_replace_methods(spark):
     )
     assert out["v"] == 'a\tb"c'
 
+    # a value legitimately containing a NUL byte next to an escaped
+    # backslash must survive intact (the old sentinel-substitution
+    # chain rewrote the NUL into a backslash), and '\\n' must stay a
+    # literal backslash + n, never a newline
+    out = one(
+        build(
+            {
+                "Type": "processor_string_replace",
+                "SourceKey": "v",
+                "Method": "unquote",
+            }
+        ).apply(events_df(spark, [{"v": '"a\x00b\\\\nc"'}]))
+    )
+    assert out["v"] == "a\x00b\\nc"
+
 
 def test_desensitize_full_and_regex(spark):
     rows = [{"v": "password=hunter2&user=alice"}]
