@@ -85,23 +85,142 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+# Marker function words per Latin-script language — short, frequent,
+# and distinctive enough that argmax over hit counts separates these
+# languages reliably on sentence-sized text. Order matters: it is the
+# deterministic argmax tie-break (first listed wins).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "for", "with", "was", "this"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "von", "zu", "den"],
+    "fr": ["le", "les", "est", "dans", "pour", "que", "une", "des", "du", "pas", "sur", "avec"],
+    "es": ["el", "los", "las", "es", "por", "para", "una", "del", "se", "como", "pero", "más"],
+    "pt": ["os", "as", "um", "uma", "não", "para", "do", "da", "dos", "com", "mais", "ser"],
+}
+
+# Non-Latin scripts are identified by character-block ratio (integer
+# arithmetic: count*100 >= pct*len, bit-identical on any engine).
+# Kana is checked BEFORE Han: Japanese text mixes both, so any
+# meaningful kana presence outvotes the Han block.
+SCRIPT_RANGES: list[tuple[str, str, int]] = [
+    ("ja", "぀-ヿ", 15),  # hiragana + katakana
+    ("zh", "一-鿿", 30),  # CJK unified ideographs
+    ("ko", "가-힯", 30),  # hangul syllables
+    ("ru", "Ѐ-ӿ", 30),  # cyrillic
+    ("ar", "؀-ۿ", 30),  # arabic
+]
+
+# minimum marker hits for a Latin-language call; below it -> 'unknown'
+LANG_MIN_HITS = 2
+
+
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """N-gram-free heuristic language ID: ascii-ratio gate + English
-    stopword-hit ratio -> 'en' | 'unknown'. (A full fastText-style
-    model is out of scope; the operator surface — per-doc label
-    column usable as a filter key — is what matters.)"""
+    """Multi-language heuristic ID -> 'en'|'de'|'fr'|'es'|'pt'|'zh'|
+    'ja'|'ko'|'ru'|'ar'|'unknown'.
+
+    Two expression-only signals, zero Python, zero shuffle:
+    1. script-block character ratios for the non-Latin scripts
+       (checked first, kana before Han);
+    2. marker-function-word hit counts per Latin language, argmax
+       with the greatest>=compare chain in LANG_MARKERS order, gated
+       by LANG_MIN_HITS.
+
+    All comparisons are integer (count*100 vs pct*len; hit counts),
+    so the DuckDB oracle reproduces every decision bit-identically.
+    A fastText-style trained model is the production swap-in; the
+    operator contract — a deterministic per-doc label usable as a
+    filter/groupBy key — is identical."""
     t = F.col(text_col)
-    ascii_ratio = F.length(F.regexp_replace(t, r"[^\x00-\x7F]", "")) / F.greatest(
-        F.length(t), F.lit(1)
+    # materialize tokens + per-signal counters once (CollapseProject
+    # will not inline a multiply-referenced non-cheap expression)
+    feat = df.select(
+        F.col(id_col),
+        F.length(t).alias("__nch__"),
+        F.transform(tokens_col(t), lambda x: F.lower(x)).alias("__w__"),
+        *[
+            F.size(F.regexp_extract_all(t, F.lit(f"[{rng}]"), 0)).alias(
+                f"__sc_{lang}__"
+            )
+            for lang, rng, _ in SCRIPT_RANGES
+        ],
     )
-    toks = tokens_col(t)
-    stop_ratio = F.size(
-        F.filter(toks, lambda x: F.lower(x).isin(EN_STOPWORDS))
-    ) / F.greatest(F.size(toks), F.lit(1))
-    pred = F.when((ascii_ratio >= 0.9) & (stop_ratio >= 0.03), F.lit("en")).otherwise(
-        F.lit("unknown")
+    def _marker_hits(words: list[str]) -> Column:
+        # NB: the predicate must be a ONE-argument lambda — pyspark
+        # reads a second parameter (even a defaulted one) as a request
+        # for the element-index column
+        return F.size(F.filter(F.col("__w__"), lambda x: x.isin(words)))
+
+    feat = feat.select(
+        F.col(id_col),
+        F.col("__nch__"),
+        *[F.col(f"__sc_{lang}__") for lang, _, _ in SCRIPT_RANGES],
+        *[
+            _marker_hits(words).alias(f"__s_{lang}__")
+            for lang, words in LANG_MARKERS.items()
+        ],
     )
-    return df.select(F.col(id_col), pred.alias("lang_pred"))
+    best = F.greatest(*[F.col(f"__s_{lang}__") for lang in LANG_MARKERS])
+    latin = F.lit("unknown")
+    for lang in reversed(list(LANG_MARKERS)):  # first listed wins ties
+        latin = F.when(F.col(f"__s_{lang}__") == best, F.lit(lang)).otherwise(latin)
+    pred = F.when(best >= LANG_MIN_HITS, latin).otherwise(F.lit("unknown"))
+    for lang, _, pct in reversed(SCRIPT_RANGES):  # scripts outrank markers
+        pred = F.when(
+            F.col(f"__sc_{lang}__") * 100
+            >= pct * F.greatest(F.col("__nch__"), F.lit(1)),
+            F.lit(lang),
+        ).otherwise(pred)
+    return feat.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def lang_id_oracle_sql(table: str = "documents", text_expr: str = "text") -> str:
+    """DuckDB SQL mirroring :func:`lang_id` decision-for-decision —
+    generated from the SAME marker/script tables so the two engines
+    cannot drift."""
+
+    def sql_quote(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    marker_counts = ",\n             ".join(
+        f"len(list_filter(w, x -> x IN ({', '.join(sql_quote(m) for m in words)})))"
+        f" AS s_{lang}"
+        for lang, words in LANG_MARKERS.items()
+    )
+    script_counts = ",\n             ".join(
+        f"len(regexp_extract_all(t, '[{rng}]')) AS sc_{lang}"
+        for lang, rng, _ in SCRIPT_RANGES
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_MARKERS) + ")"
+    latin_chain = " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    script_chain = " ".join(
+        f"WHEN sc_{lang} * 100 >= {pct} * greatest(nch, 1) THEN '{lang}'"
+        for lang, _, pct in SCRIPT_RANGES
+    )
+    return f"""
+    WITH src AS (
+      SELECT doc_id, {text_expr} AS t FROM {table}
+    ), feat AS (
+      SELECT doc_id,
+             length(t) AS nch,
+             {script_counts},
+             list_transform(
+               list_filter(string_split_regex(t, '\\s+'), x -> x <> ''),
+               x -> lower(x)) AS w,
+             t
+      FROM src
+    ), scored AS (
+      SELECT doc_id, nch,
+             {", ".join(f"sc_{lang}" for lang, _, _ in SCRIPT_RANGES)},
+             {marker_counts}
+      FROM feat
+    )
+    SELECT doc_id,
+           CASE {script_chain}
+                WHEN {best} >= {LANG_MIN_HITS} THEN (CASE {latin_chain} END)
+                ELSE 'unknown' END AS lang_pred
+    FROM scored
+    """
 
 
 # PII surface patterns — deliberately simple, engine-portable regexes

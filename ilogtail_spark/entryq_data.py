@@ -649,23 +649,40 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
-@query(
-    "text_lang_id",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, text, {SQL_TOKENS.format(col="text")} AS w FROM documents
+# documents is English-only, so the multi-language paths are exercised
+# by deterministically swapping in fixture sentences per doc_id bucket
+# on BOTH sides (same trick as the PII oracle below)
+_LANG_FIXTURES = [
+    (1, "der Hund und die Katze sind nicht mit einem Ball von den Kindern"),
+    (2, "le chat est dans la maison pour que une personne du village passe"),
+    (3, "el perro es para una persona del pueblo pero como más gente"),
+    (4, "os gatos não são um problema para do da casa com mais calma"),
+    (5, "Собака и кошка живут в большом доме у реки"),
+    (6, "狗和猫住在房子里它们每天一起玩耍"),
+    (7, "犬と猫は家に住んでいますとても元気です"),
+]
+
+
+def _lang_id_oracle() -> str:
+    cases = " ".join(
+        f"WHEN doc_id % 8 = {k} THEN '{s}'" for k, s in _LANG_FIXTURES
     )
-    SELECT CASE WHEN CAST(len(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS DOUBLE)
-                     / greatest(len(text), 1) >= 0.9
-                 AND CAST(len(list_filter(w, x -> list_contains([{_STOP_SQL}], lower(x)))) AS DOUBLE)
-                     / greatest(len(w), 1) >= 0.03
-                THEN 'en' ELSE 'unknown' END AS lang_pred,
-           count(*) AS n
-    FROM toks GROUP BY 1 ORDER BY lang_pred
-    """,
-)
+    per_doc = textstats.lang_id_oracle_sql(
+        table="documents", text_expr=f"CASE {cases} ELSE text END"
+    )
+    return f"""
+    SELECT lang_pred, count(*) AS n
+    FROM ({per_doc}) GROUP BY 1 ORDER BY lang_pred
+    """
+
+
+@query("text_lang_id", _lang_id_oracle())
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = textstats.lang_id(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    swapped = F.col("text")
+    for k, s in reversed(_LANG_FIXTURES):
+        swapped = F.when(F.col("doc_id") % 8 == k, F.lit(s)).otherwise(swapped)
+    out = textstats.lang_id(docs.withColumn("text", swapped))
     return (
         out.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n")).orderBy("lang_pred")
     )

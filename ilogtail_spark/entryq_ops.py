@@ -915,6 +915,77 @@ def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# incremental series — file-range checkpoints (checkpoint.proto:18-38
+# RangeCheckpointPB analog): two increments over a growing input dir
+# must together equal one full run, and an unchanged input is a no-op
+# ---------------------------------------------------------------------------
+@query(
+    "lineage_incremental",
+    """
+    SELECT CASE
+             WHEN regexp_full_match(event_type, 'click|view') THEN 'sink_web'
+             WHEN regexp_full_match(event_type, 'purchase|signup') THEN 'sink_account'
+             ELSE 'sink_default'
+           END AS sink,
+           count(*) AS n,
+           2 AS increments,
+           1 AS noop_ok
+    FROM events
+    GROUP BY 1
+    ORDER BY sink
+    """,
+)
+def q_lineage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ilogtail_spark.plans.lineage import SeriesState, incremental_run
+    from ilogtail_spark.entryq import PIPELINE_E2E
+
+    pipe = Pipeline(
+        processors=[
+            {"Type": "processor_regex", "Regex": K_REGEX, "Keys": ["k"], "KeepSource": True}
+        ],
+        router=PIPELINE_E2E.router,
+        flushers=[],
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), f"ilogtail_spark_incr_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_root = os.path.join(base, "in"), os.path.join(base, "out")
+
+    raw = _t(spark, sf_dir, "events")
+
+    def as_events(df: DataFrame) -> DataFrame:
+        return to_events(
+            df, content_col="props",
+            field_cols=["event_type", "user_id"], id_cols=["event_id", "ts"],
+        )
+
+    def run_once() -> object:
+        return incremental_run(
+            spark, in_dir, pipe, out_root, "ser",
+            agg_keys=["event_type"], to_events_fn=as_events,
+        )
+
+    raw.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    m1 = run_once()
+    raw.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    m2 = run_once()
+    noop_ok = int(run_once() is None and m1.finished and m2.finished)
+    totals: dict[str, int] = {}
+    for m in (m1, m2):
+        for sink, n in m.sink_counts.items():
+            totals[sink] = totals.get(sink, 0) + int(n)
+    incs = len(SeriesState.load(out_root, "ser").run_ids)
+    rows = [(s, n, incs, noop_ok) for s, n in sorted(totals.items())]
+    return spark.createDataFrame(
+        rows, "sink string, n long, increments int, noop_ok int"
+    ).orderBy("sink")
+
+
+# ---------------------------------------------------------------------------
 # processor_spl — the SPL pipe-language front-end compiled onto the
 # same operators (ProcessorSPL.cpp:30-96; SLS SPL doc syntax)
 # ---------------------------------------------------------------------------

@@ -201,6 +201,25 @@ class TestTextStats:
         langs = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_id(docs_df(spark)).collect()}
         assert langs[0] == "en"
 
+    def test_lang_id_multilingual(self, spark):
+        rows = [
+            (1, "the cat and the dog that was with this house of mine"),
+            (2, "der Hund und die Katze sind nicht mit einem Ball von den"),
+            (3, "le chat est dans la maison pour que une personne du village"),
+            (4, "el perro es para una persona del pueblo pero como más gente"),
+            (5, "os gatos não são um problema para do da casa com mais calma"),
+            (6, "Собака и кошка живут в большом доме у реки"),
+            (7, "狗和猫住在房子里它们每天一起玩耍"),
+            (8, "犬と猫は家に住んでいますとても元気です"),
+            (9, "zxqj vwpt blarg knoop"),  # no markers, no script -> unknown
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_id(df).collect()}
+        assert out == {
+            1: "en", 2: "de", 3: "fr", 4: "es", 5: "pt",
+            6: "ru", 7: "zh", 8: "ja", 9: "unknown",
+        }
+
 
 class TestMultimodal:
     def _media(self, spark):

@@ -155,6 +155,52 @@ def test_crash_resume_no_duplicates(spark, transcripts, tmp_path):
     assert sum(m2.sink_counts.values()) == 300
 
 
+def test_incremental_series_processes_only_new_files(spark, transcripts, tmp_path):
+    """File-range checkpoint semantics (checkpoint.proto:18-38 analog):
+    each increment of a series reads only files not committed by a
+    previous FINISHED increment; an unchanged input is a no-op; the
+    union of increments equals one full run."""
+    from ilogtail_spark.plans.lineage import SeriesState, incremental_run
+
+    in_dir = str(tmp_path / "in")
+    out_root = str(tmp_path / "out3")
+    first = transcripts.limit(400)
+    first.coalesce(1).write.mode("append").parquet(in_dir)
+
+    m1 = incremental_run(
+        spark, in_dir, pipeline(), out_root, "ser",
+        agg_keys=["role", "tool"], to_events_fn=to_events,
+    )
+    assert m1 is not None and m1.finished
+    n1 = sum(m1.sink_counts.values())
+    assert n1 == 400
+
+    # unchanged input -> no-op, state untouched
+    assert incremental_run(
+        spark, in_dir, pipeline(), out_root, "ser",
+        agg_keys=["role", "tool"], to_events_fn=to_events,
+    ) is None
+
+    # append a new file: only the delta is processed
+    delta = transcripts.orderBy("conv_id", "turn_idx").limit(700).subtract(first)
+    n_delta = delta.count()
+    assert n_delta > 0
+    delta.coalesce(1).write.mode("append").parquet(in_dir)
+    m2 = incremental_run(
+        spark, in_dir, pipeline(), out_root, "ser",
+        agg_keys=["role", "tool"], to_events_fn=to_events,
+    )
+    assert m2 is not None and m2.finished
+    assert sum(m2.sink_counts.values()) == n_delta
+    assert m2.metrics["in_events_total"] == n_delta
+
+    state = SeriesState.load(out_root, "ser")
+    assert state.run_ids == ["ser_000000", "ser_000001"]
+    # committed set covers every current input file
+    listed = set(spark.read.parquet(in_dir).inputFiles())
+    assert listed <= set(state.processed_files)
+
+
 def test_stable_turn_ordering(spark, transcripts):
     from ilogtail_spark.model import stable_order
 
