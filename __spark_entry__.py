@@ -37,7 +37,7 @@ _FRONT = [
     "file_source_lines", "merge_multiline_single_line",
     "streaming_rate_limit", "streaming_pipeline_agg",
     "streaming_multiline_merge", "lineage_resume", "lineage_incremental",
-    "spl_pipeline",
+    "spl_pipeline", "aggregator_otel_route", "aggregator_skywalking_route",
 ]
 
 

@@ -393,6 +393,90 @@ def q_aggregators_pack_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# aggregator_opentelemetry — signal routing by content count (metric
+# records <= 5 contents, spans >= 19, logs between; empty dropped);
+# content counts synthesized deterministically per event_id
+# ---------------------------------------------------------------------------
+@query(
+    "aggregator_otel_route",
+    """
+    WITH t AS (SELECT event_id % 24 AS n FROM events)
+    SELECT CASE WHEN n <= 5 THEN 'otlp-metrics'
+                WHEN n >= 19 THEN 'otlp-traces'
+                ELSE 'otlp-logs' END AS sink,
+           count(*) AS n_rows
+    FROM t WHERE n > 0
+    GROUP BY 1 ORDER BY sink
+    """,
+)
+def q_aggregator_otel_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ilogtail_spark.plans.router import SINK_COL
+
+    raw = _t(spark, sf_dir, "events")
+    n = (F.col("event_id") % 24).cast("int")
+    keys = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(F.lit("k"), i.cast("string")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ev = raw.select(
+        "event_id",
+        F.map_from_arrays(
+            keys, F.transform(keys, lambda _: F.lit("v"))
+        ).alias(FIELDS_COL),
+        F.create_map().cast("map<string,string>").alias(TAGS_COL),
+    )
+    out = compile_processors([{"Type": "aggregator_opentelemetry"}])(ev)
+    return (
+        out.groupBy(F.col(SINK_COL).alias("sink"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("sink")
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregator_skywalking — signal routing by signature content key
+# (__name__ -> metrics, links -> traces, otlp.name -> logs,
+# unrecognized -> logs)
+# ---------------------------------------------------------------------------
+@query(
+    "aggregator_skywalking_route",
+    """
+    SELECT CASE event_id % 4
+             WHEN 0 THEN 'skywalking-metrics'
+             WHEN 1 THEN 'skywalking-traces'
+             ELSE 'skywalking-logs' END AS sink,
+           count(*) AS n_rows
+    FROM events
+    GROUP BY 1 ORDER BY sink
+    """,
+)
+def q_aggregator_skywalking_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ilogtail_spark.plans.router import SINK_COL
+
+    raw = _t(spark, sf_dir, "events")
+    key = (
+        F.when(F.col("event_id") % 4 == 0, F.lit("__name__"))
+        .when(F.col("event_id") % 4 == 1, F.lit("links"))
+        .when(F.col("event_id") % 4 == 2, F.lit("otlp.name"))
+        .otherwise(F.lit("unrecognized"))
+    )
+    ev = raw.select(
+        "event_id",
+        F.create_map(key, F.lit("x")).alias(FIELDS_COL),
+        F.create_map().cast("map<string,string>").alias(TAGS_COL),
+    )
+    out = compile_processors([{"Type": "aggregator_skywalking"}])(ev)
+    return (
+        out.groupBy(F.col(SINK_COL).alias("sink"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("sink")
+    )
+
+
+# ---------------------------------------------------------------------------
 # aggregator_context / aggregator_default — per-source co-location:
 # after the context repartition, every row of a source lives in ONE
 # partition (the observable the reference's per-source packing needs)

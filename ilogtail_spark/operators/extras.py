@@ -348,6 +348,78 @@ class AggregatorMetadataGroup(Processor):
         return df.withColumn(TAGS_COL, F.map_concat(tags, F.create_map(*kv)))
 
 
+@register
+@dataclass
+class AggregatorOpenTelemetry(Processor):
+    """aggregator_opentelemetry
+    (plugins/aggregator/opentelemetry/aggregator_opentelemetry.go:
+    96-106): route each log to the metrics / traces / logs logstore
+    by its content COUNT — OTLP metric records carry <= 5 contents,
+    spans >= 19, logs sit in between; empty-content logs are silently
+    dropped (Add returns without routing).
+
+    Spark mapping: a sink-column projection (same contract as the
+    logstore router) — the LogGroup size/count packing behind it is
+    aggregator_base + write-side file sizing. Scan-side, no
+    shuffle."""
+
+    TYPE: ClassVar[str] = "aggregator_opentelemetry"
+    CHANGES_CARDINALITY: ClassVar[bool] = True  # empty-content drop
+
+    MetricsLogstore: str = "otlp-metrics"
+    TraceLogstore: str = "otlp-traces"
+    LogLogstore: str = "otlp-logs"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from ilogtail_spark.plans.router import SINK_COL
+
+        n = F.size(F.col(FIELDS_COL))
+        sink = (
+            F.when(n <= 5, F.lit(self.MetricsLogstore))
+            .when(n >= 19, F.lit(self.TraceLogstore))
+            .otherwise(F.lit(self.LogLogstore))
+        )
+        return df.filter(n > 0).withColumn(SINK_COL, sink)
+
+
+@register
+@dataclass
+class AggregatorSkywalking(Processor):
+    """aggregator_skywalking
+    (plugins/aggregator/skywalking/aggregator_skywalking.go:94-112):
+    route by the signal's signature content key — ``__name__`` ->
+    metrics, ``links`` -> traces, ``otlp.name`` -> logs,
+    unrecognized -> logs (the reference warns and defaults);
+    empty-content logs are dropped.
+
+    Divergence note: the reference switches on the FIRST content's
+    key (protocol.Log.Contents is an ordered list); the Spark event's
+    fields map is unordered, so routing is by key PRESENCE with the
+    same precedence order — identical for well-formed skywalking
+    payloads, where exactly one signature key exists."""
+
+    TYPE: ClassVar[str] = "aggregator_skywalking"
+    CHANGES_CARDINALITY: ClassVar[bool] = True  # empty-content drop
+
+    MetricsLogstore: str = "skywalking-metrics"
+    TraceLogstore: str = "skywalking-traces"
+    LogLogstore: str = "skywalking-logs"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from ilogtail_spark.plans.router import SINK_COL
+
+        fields = F.col(FIELDS_COL)
+        sink = (
+            F.when(
+                F.map_contains_key(fields, "__name__"), F.lit(self.MetricsLogstore)
+            )
+            .when(F.map_contains_key(fields, "links"), F.lit(self.TraceLogstore))
+            .when(F.map_contains_key(fields, "otlp.name"), F.lit(self.LogLogstore))
+            .otherwise(F.lit(self.LogLogstore))
+        )
+        return df.filter(F.size(fields) > 0).withColumn(SINK_COL, sink)
+
+
 def to_sls_record(df: DataFrame, flatten: bool = False) -> DataFrame:
     """Output record format of the reference's converter
     (pkg/protocol/converter/converter.go:29-41,

@@ -146,6 +146,39 @@ class TestAggregatorAliases:
         assert t["host"] == "h1"
         assert t["missing"] == ""
 
+    def test_otel_routes_by_content_count(self, spark):
+        rows = [
+            {f"k{i}": "v" for i in range(1, n + 1)}
+            for n in (3, 5, 6, 18, 19, 25)
+        ]
+        df = events_df(spark, rows)
+        out = compile_processors([{"Type": "aggregator_opentelemetry"}])(df)
+        sinks = [r["__sink__"] for r in out.collect()]
+        # events_df adds no implicit keys; counts are exactly the dict sizes
+        assert sinks == [
+            "otlp-metrics", "otlp-metrics", "otlp-logs",
+            "otlp-logs", "otlp-traces", "otlp-traces",
+        ]
+
+    def test_otel_drops_empty_contents(self, spark):
+        df = events_df(spark, [{}, {"a": "1"}])
+        out = compile_processors([{"Type": "aggregator_opentelemetry"}])(df)
+        assert out.count() == 1
+
+    def test_skywalking_routes_by_signature_key(self, spark):
+        rows = [
+            {"__name__": "cpu", "v": "1"},
+            {"links": "[]", "spanId": "s"},
+            {"otlp.name": "log", "body": "b"},
+            {"whatever": "x"},
+        ]
+        df = events_df(spark, rows)
+        out = compile_processors([{"Type": "aggregator_skywalking"}])(df)
+        assert [r["__sink__"] for r in out.collect()] == [
+            "skywalking-metrics", "skywalking-traces",
+            "skywalking-logs", "skywalking-logs",
+        ]
+
     def test_context_ordering(self, spark):
         from ilogtail_spark.sources.transcripts import generate_transcripts
         from ilogtail_spark.model import to_events
