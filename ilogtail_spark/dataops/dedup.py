@@ -147,36 +147,66 @@ def near_dedup_filter(
     ``max_band_bucket`` additionally caps residual hot band buckets
     (distinct-but-cross-similar boilerplate families): buckets with
     more members are dropped from candidate generation, trading
-    bounded recall loss for a hard bound on join fan-out."""
-    digest = F.md5(F.col(text_col))
-    from pyspark.sql import Window
+    bounded recall loss for a hard bound on join fan-out.
 
-    w = Window.partitionBy(digest).orderBy(F.col(id_col))
-    marked = df.select(
-        id_col, text_col, F.row_number().over(w).alias("__rn__")
+    Shuffle discipline: DOCUMENT TEXT NEVER SHUFFLES. Exact-group
+    membership travels as (id, digest) rows; signatures/bands are
+    computed scan-side for every doc and the representative filter is
+    a semi-join on the tiny band rows (identical docs have identical
+    signatures, so rep-bands == bands-of-reps); verification shuffles
+    (id, shingle) pairs; the final prune is an id anti-join."""
+    # exact-group membership from (id, digest, has-signature) rows
+    meta = df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("__d__"),
+        (F.size(tokens_col(F.col(text_col))) >= shingle_n).alias("__sig__"),
     )
-    reps = marked.filter(F.col("__rn__") == 1).drop("__rn__")
-    cands = minhash_candidate_pairs(
-        reps.select(id_col, text_col),
-        text_col,
-        id_col,
-        num_hashes,
-        band_size,
-        max_band_bucket,
+    keep = meta.groupBy("__d__").agg(F.min(id_col).alias("__keep__"))
+    marked = meta.join(keep, "__d__")
+    rep_ids = marked.filter(F.col(id_col) == F.col("__keep__")).select(id_col)
+
+    sig = minhash_signature(
+        df.select(id_col, text_col), text_col, num_hashes, shingle_n, id_col
+    )
+    bands = minhash_bands(sig, num_hashes, band_size, id_col).join(
+        rep_ids, id_col, "semi"
+    )
+    if max_band_bucket is not None:
+        hot = (
+            bands.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .filter(F.col("__n__") > max_band_bucket)
+            .drop("__n__")
+        )
+        bands = bands.join(hot, ["band_idx", "band_hash"], "left_anti")
+    left, right = bands.alias("l"), bands.alias("r")
+    cands = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
     )
     cand_ids = (
         cands.select(F.col("a").alias(id_col))
         .union(cands.select(F.col("b").alias(id_col)))
         .distinct()
     )
-    # Jaccard verify over candidate docs ONLY — the pruning step
+    # Jaccard verify over candidate docs ONLY — the pruning step:
+    # shingles explode scan-side and the semi-join restricts the
+    # (id, shingle) rows to candidate ids before the inverted-index
+    # self-join, so text still does not shuffle
     verified = ngram_jaccard_pairs(
-        reps.join(cand_ids, id_col, "semi"),
+        df.select(id_col, text_col),
         text_col,
         id_col,
         shingle_n,
         threshold,
         max_df,
+        restrict_ids=cand_ids,
     )
     drop_reps = (
         cands.join(verified, ["a", "b"])  # candidate AND above threshold
@@ -189,8 +219,7 @@ def near_dedup_filter(
         # null signatures, form no candidate pairs, and are kept —
         # exactly as the naive pipeline keeps them.
         member_drop = marked.filter(
-            (F.col("__rn__") > 1)
-            & (F.size(tokens_col(F.col(text_col))) >= shingle_n)
+            (F.col(id_col) != F.col("__keep__")) & F.col("__sig__")
         ).select(id_col)
         drop = drop_reps.union(member_drop).distinct()
     else:
@@ -386,6 +415,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.2,
     max_df: int | None = None,
+    restrict_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct n-gram shingle sets, computed with
     an inverted-index join (explode -> join on shingle -> count
@@ -396,12 +426,19 @@ def ngram_jaccard_pairs(
     otherwise becomes a quadratic hot key. Dropping it can only
     UNDERcount intersections for pairs glued solely by boilerplate,
     which is the desired behavior for near-dup mining.
+
+    ``restrict_ids`` (a one-column DataFrame of ``id_col``) limits the
+    whole computation to those documents via a semi-join on the
+    EXPLODED (id, shingle) rows — the caller's candidate pruning hook
+    (near_dedup_filter); document text itself never joins.
     """
     sh = (
         exploded_shingles(df, text_col, id_col, shingle_n)
         .withColumnRenamed("__s__", "s")
         .distinct()
     )
+    if restrict_ids is not None:
+        sh = sh.join(restrict_ids, id_col, "semi")
     if max_df is not None:
         hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
         sh = sh.join(F.broadcast(hot.filter(F.col("df_") > max_df)), "s", "left_anti")

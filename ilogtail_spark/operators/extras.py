@@ -409,12 +409,14 @@ class AggregatorSkywalking(Processor):
         from ilogtail_spark.plans.router import SINK_COL
 
         fields = F.col(FIELDS_COL)
+        # otlp.name (recognized log) and unrecognized both route to
+        # LogLogstore — in the reference they differ only by a logged
+        # warning, so one fallback branch covers both
         sink = (
             F.when(
                 F.map_contains_key(fields, "__name__"), F.lit(self.MetricsLogstore)
             )
             .when(F.map_contains_key(fields, "links"), F.lit(self.TraceLogstore))
-            .when(F.map_contains_key(fields, "otlp.name"), F.lit(self.LogLogstore))
             .otherwise(F.lit(self.LogLogstore))
         )
         return df.filter(F.size(fields) > 0).withColumn(SINK_COL, sink)

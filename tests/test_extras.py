@@ -179,6 +179,13 @@ class TestAggregatorAliases:
             "skywalking-logs", "skywalking-logs",
         ]
 
+    def test_skywalking_drops_empty_contents(self, spark):
+        # aggregator_skywalking.go:97/112 — empty-content logs are
+        # never routed
+        df = events_df(spark, [{}, {"links": "[]"}])
+        out = compile_processors([{"Type": "aggregator_skywalking"}])(df)
+        assert out.count() == 1
+
     def test_context_ordering(self, spark):
         from ilogtail_spark.sources.transcripts import generate_transcripts
         from ilogtail_spark.model import to_events

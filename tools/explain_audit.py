@@ -257,14 +257,15 @@ def main() -> int:
         "near_dedup_filter (candidate-restricted verification)",
         q11,
         [
-            # the candidate id set gates the shingle explode: at least
-            # one LeftSemi join feeds the verification subtree
-            ("verify subtree input is the candidate semi-join",
-             "LeftSemi" in p11),
-            # exact-group collapse runs before signatures: the
-            # min-id-per-digest window is in the plan
-            ("exact-group collapse (row_number window) precedes LSH",
-             "row_number" in p11),
+            # TWO LeftSemi joins gate the expensive subtrees: the
+            # rep-id filter on the band rows, and the candidate-id
+            # filter on the exploded shingles feeding verification
+            ("rep filter + candidate verify are semi-joins",
+             p11.count("LeftSemi") >= 2),
+            # exact-group collapse is a digest aggregate (min id per
+            # md5) — document text itself never shuffles
+            ("exact-group collapse is a digest hash-aggregate",
+             "md5" in p11 and "HashAggregate" in p11),
             # the final prune is an anti-join; no FORCED broadcast of
             # the (potentially corpus-sized) drop set in the code —
             # AQE may still choose broadcast when it is actually small
@@ -273,10 +274,12 @@ def main() -> int:
         ],
         "The LSH stage must PRUNE: Jaccard verification joins only the "
         "shingles of candidate-pair members (semi-join on candidate "
-        "ids), so verify cost is O(|candidates|), not O(corpus^2 "
-        "co-shingles). Identical docs collapse to one representative "
-        "BEFORE signatures — k copies of a boilerplate doc contribute "
-        "zero candidate pairs instead of k^2/2.",
+        "ids applied to the exploded (id, shingle) rows), so verify "
+        "cost is O(|candidates|), not O(corpus^2 co-shingles). "
+        "Identical docs collapse to one representative BEFORE the "
+        "banding self-join — k copies of a boilerplate doc contribute "
+        "zero candidate pairs instead of k^2/2 — via (id, digest) "
+        "rows: document text never enters any exchange.",
     )
 
     # 12. connected_components: the edge list is checkpointed — each
