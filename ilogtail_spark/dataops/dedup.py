@@ -166,7 +166,8 @@ def near_dedup_filter(
     rep_ids = marked.filter(F.col(id_col) == F.col("__keep__")).select(id_col)
 
     sig = minhash_signature(
-        df.select(id_col, text_col), text_col, num_hashes, shingle_n, id_col
+        df.select(id_col, text_col), text_col, num_hashes, shingle_n, id_col,
+        keep_signatureless=False,
     )
     bands = minhash_bands(sig, num_hashes, band_size, id_col).join(
         rep_ids, id_col, "semi"
@@ -312,6 +313,7 @@ def minhash_signature(
     num_hashes: int = 8,
     shingle_n: int = 3,
     id_col: str = "doc_id",
+    keep_signatureless: bool = True,
 ) -> DataFrame:
     """(id, mh0..mh{k-1}): lexicographic min over shingles of
     md5('{i}:' || shingle).
@@ -324,13 +326,18 @@ def minhash_signature(
     doc to one row before the groupBy exchange, so the shuffle carries
     |docs| x k digests, never the shingles. Docs with fewer than
     ``shingle_n`` tokens keep a row with null signatures (left join
-    back), matching the array_min-of-empty semantics."""
+    back), matching the array_min-of-empty semantics;
+    ``keep_signatureless=False`` skips that join-back for callers
+    that only consume the banding (which excludes null signatures
+    anyway) — one broadcast join less in the candidate path."""
     sh = exploded_shingles(df, text_col, id_col, shingle_n)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__s__")))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     sig = sh.groupBy(id_col).agg(*aggs)
+    if not keep_signatureless:
+        return sig
     return df.select(id_col).join(sig, id_col, "left")
 
 
@@ -382,7 +389,10 @@ def minhash_candidate_pairs(
     the cap bounds the residual distinct-but-similar case. The bucket
     counts are one partial-aggregated groupBy over (band_idx,
     band_hash) — digests only, never documents."""
-    sig = minhash_signature(df.select(id_col, text_col), text_col, num_hashes)
+    sig = minhash_signature(
+        df.select(id_col, text_col), text_col, num_hashes, id_col=id_col,
+        keep_signatureless=False,
+    )
     bands = minhash_bands(sig, num_hashes, band_size, id_col)
     if max_band_bucket is not None:
         hot = (
