@@ -34,6 +34,43 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def vocab_topk(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    lowercase: bool = True,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary statistics: the top-k terms by total count
+    with document frequency — the first thing a tokenizer/quality
+    audit asks of a new training corpus.
+
+    Scale shape: explode is scan-side; ONE hash aggregate over
+    (term) with map-side partial aggregation carries (term, count,
+    df) partials — the shuffle is the distinct-term set, never the
+    corpus; the final top-k is a global sort LIMIT k, which Spark
+    executes as per-partition top-k + driver merge of k rows
+    (TakeOrderedAndProject), not a full sort. Ties break
+    lexicographically so the result is deterministic on any engine.
+    """
+    t = F.col(text_col)
+    toks = tokens_col(F.lower(t) if lowercase else t)
+    per_doc = df.select(
+        F.explode(F.array_distinct(toks)).alias("term")
+    ).groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    counts = (
+        df.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+        .filter(F.col("term_count") >= min_count)
+    )
+    return (
+        counts.join(per_doc, "term")
+        .orderBy(F.col("term_count").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality features + a composite score, length band,
     punctuation ratio, stopword ratio, repetition (distinct/total

@@ -649,6 +649,30 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+@query(
+    "text_vocab_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(col="lower(text)")} AS w FROM documents
+    ), term_counts AS (
+      SELECT term, count(*) AS term_count
+      FROM (SELECT unnest(w) AS term FROM toks)
+      GROUP BY term
+    ), doc_freqs AS (
+      SELECT term, count(*) AS doc_freq
+      FROM (SELECT DISTINCT doc_id, unnest(w) AS term FROM toks)
+      GROUP BY term
+    )
+    SELECT c.term, c.term_count, d.doc_freq
+    FROM term_counts c JOIN doc_freqs d USING (term)
+    ORDER BY c.term_count DESC, c.term ASC
+    LIMIT 25
+    """,
+)
+def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.vocab_topk(_t(spark, sf_dir, "documents"), k=25)
+
+
 # documents is English-only, so the multi-language paths are exercised
 # by deterministically swapping in fixture sentences per doc_id bucket
 # on BOTH sides (same trick as the PII oracle below)

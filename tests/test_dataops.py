@@ -201,6 +201,16 @@ class TestTextStats:
         langs = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_id(docs_df(spark)).collect()}
         assert langs[0] == "en"
 
+    def test_vocab_topk_counts_and_ties(self, spark):
+        rows = [
+            (1, "alpha beta beta gamma"),
+            (2, "Alpha gamma gamma delta"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = [tuple(r) for r in textstats.vocab_topk(df, k=3).collect()]
+        # gamma=3; alpha/beta tie at 2 -> lexicographic: alpha first
+        assert out == [("gamma", 3, 2), ("alpha", 2, 2), ("beta", 2, 1)]
+
     def test_lang_id_multilingual(self, spark):
         rows = [
             (1, "the cat and the dog that was with this house of mine"),
