@@ -119,9 +119,10 @@ def near_dedup_filter(
     of every verified pair; transitive clustering is
     :func:`connected_components`).
 
-    Scale structure (each step provably result-identical to the naive
+    Scale structure (each step result-identical to the naive
     "LSH + verify over the whole corpus" definition the SQL oracle
-    implements):
+    implements — with one documented max_df edge case at the member
+    shortcut below):
 
     1. **Exact-group collapse first.** Identical documents share every
        minhash band, so k copies of one boilerplate doc alone create
@@ -172,25 +173,7 @@ def near_dedup_filter(
     bands = minhash_bands(sig, num_hashes, band_size, id_col).join(
         rep_ids, id_col, "semi"
     )
-    if max_band_bucket is not None:
-        hot = (
-            bands.groupBy("band_idx", "band_hash")
-            .agg(F.count(F.lit(1)).alias("__n__"))
-            .filter(F.col("__n__") > max_band_bucket)
-            .drop("__n__")
-        )
-        bands = bands.join(hot, ["band_idx", "band_hash"], "left_anti")
-    left, right = bands.alias("l"), bands.alias("r")
-    cands = (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
-        .distinct()
-    )
+    cands = _band_candidate_pairs(bands, id_col, max_band_bucket)
     cand_ids = (
         cands.select(F.col("a").alias(id_col))
         .union(cands.select(F.col("b").alias(id_col)))
@@ -218,7 +201,12 @@ def near_dedup_filter(
         # non-representative members of groups that HAVE a minhash
         # identity (>= shingle_n tokens). Shorter identical docs have
         # null signatures, form no candidate pairs, and are kept —
-        # exactly as the naive pipeline keeps them.
+        # exactly as the naive pipeline keeps them. Known max_df edge
+        # divergence: if max_df prunes EVERY shingle of a duplicated
+        # doc, the naive pipeline computes no Jaccard row and keeps
+        # the duplicate, while this shortcut still drops it — dropping
+        # a byte-identical copy is always the safe direction for a
+        # training-data prune, so the shortcut stands.
         member_drop = marked.filter(
             (F.col(id_col) != F.col("__keep__")) & F.col("__sig__")
         ).select(id_col)
@@ -394,6 +382,16 @@ def minhash_candidate_pairs(
         keep_signatureless=False,
     )
     bands = minhash_bands(sig, num_hashes, band_size, id_col)
+    return _band_candidate_pairs(bands, id_col, max_band_bucket)
+
+
+def _band_candidate_pairs(
+    bands: DataFrame, id_col: str, max_band_bucket: int | None = None
+) -> DataFrame:
+    """The candidate-generation core shared by minhash_candidate_pairs
+    and near_dedup_filter (ONE copy, so the two call sites cannot
+    drift): optional hot-bucket cap, then the within-bucket self-join
+    producing distinct (a < b) id pairs."""
     if max_band_bucket is not None:
         hot = (
             bands.groupBy("band_idx", "band_hash")
@@ -438,20 +436,24 @@ def ngram_jaccard_pairs(
     which is the desired behavior for near-dup mining.
 
     ``restrict_ids`` (a one-column DataFrame of ``id_col``) limits the
-    whole computation to those documents via a semi-join on the
+    pair computation to those documents via a semi-join on the
     EXPLODED (id, shingle) rows — the caller's candidate pruning hook
-    (near_dedup_filter); document text itself never joins.
+    (near_dedup_filter); document text itself never joins. The
+    ``max_df`` document frequencies are counted over the FULL corpus
+    BEFORE the restriction (one linear aggregate), so a shingle's
+    hotness — and therefore every pair's Jaccard value — is identical
+    whether or not the computation is restricted.
     """
     sh = (
         exploded_shingles(df, text_col, id_col, shingle_n)
         .withColumnRenamed("__s__", "s")
         .distinct()
     )
-    if restrict_ids is not None:
-        sh = sh.join(restrict_ids, id_col, "semi")
     if max_df is not None:
         hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
         sh = sh.join(F.broadcast(hot.filter(F.col("df_") > max_df)), "s", "left_anti")
+    if restrict_ids is not None:
+        sh = sh.join(restrict_ids, id_col, "semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         sh.alias("x")

@@ -45,27 +45,35 @@ def vocab_topk(
     with document frequency — the first thing a tokenizer/quality
     audit asks of a new training corpus.
 
-    Scale shape: explode is scan-side; ONE hash aggregate over
-    (term) with map-side partial aggregation carries (term, count,
-    df) partials — the shuffle is the distinct-term set, never the
-    corpus; the final top-k is a global sort LIMIT k, which Spark
+    Scale shape: ONE corpus scan and tokenization (the previous form
+    scanned and tokenized twice). The tokens explode once with the
+    row's id; a first hash aggregate on (term, id) collapses per-doc
+    counts map-side — its exchange carries one row per DISTINCT
+    (term, doc) — and a second aggregate on (term) sums counts and
+    row-counts document frequency over the already-tiny first output.
+    The final top-k is a global ORDER BY LIMIT k, which Spark
     executes as per-partition top-k + driver merge of k rows
     (TakeOrderedAndProject), not a full sort. Ties break
     lexicographically so the result is deterministic on any engine.
     """
     t = F.col(text_col)
     toks = tokens_col(F.lower(t) if lowercase else t)
-    per_doc = df.select(
-        F.explode(F.array_distinct(toks)).alias("term")
-    ).groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
-    counts = (
-        df.select(F.explode(toks).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("term_count"))
-        .filter(F.col("term_count") >= min_count)
+    id_expr = (
+        F.col("doc_id") if "doc_id" in df.columns
+        else F.monotonically_increasing_id()
+    )
+    per_doc = (
+        df.select(id_expr.alias("__id__"), F.explode(toks).alias("term"))
+        .groupBy("term", "__id__")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     return (
-        counts.join(per_doc, "term")
+        per_doc.groupBy("term")
+        .agg(
+            F.sum("n").cast("long").alias("term_count"),
+            F.count(F.lit(1)).alias("doc_freq"),
+        )
+        .filter(F.col("term_count") >= min_count)
         .orderBy(F.col("term_count").desc(), F.col("term").asc())
         .limit(k)
     )

@@ -12,7 +12,6 @@ inputs with no external fixtures.
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -745,10 +744,8 @@ def q_streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ilogtail_spark.streaming.stream import streaming_rate_limit
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    root = os.path.join(tempfile.gettempdir(), f"ilogtail_spark_ratelim_{tag}")
+    root = tempfile.mkdtemp(prefix="ilogtail_spark_ratelim_")
     in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
-    shutil.rmtree(root, ignore_errors=True)
 
     w = Window.partitionBy("event_type").orderBy("event_id")
     base = (
@@ -811,10 +808,8 @@ def q_streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_pipeline_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ilogtail_spark.streaming.stream import run_streaming_aggregates
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    root = os.path.join(tempfile.gettempdir(), f"ilogtail_spark_sagg_{tag}")
+    root = tempfile.mkdtemp(prefix="ilogtail_spark_sagg_")
     in_dir = f"{root}/in"
-    shutil.rmtree(root, ignore_errors=True)
 
     # transcripts-shaped input derived from events: role <- event_type
     (
@@ -899,10 +894,8 @@ def q_streaming_pipeline_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_multiline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ilogtail_spark.streaming.stream import streaming_multiline_merge
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    root = os.path.join(tempfile.gettempdir(), f"ilogtail_spark_smerge_{tag}")
+    root = tempfile.mkdtemp(prefix="ilogtail_spark_smerge_")
     in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
-    shutil.rmtree(root, ignore_errors=True)
 
     base = (
         _t(spark, sf_dir, "events")
@@ -978,9 +971,9 @@ def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         router=PIPELINE_E2E.router,
         flushers=[],
     )
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    out_root = os.path.join(tempfile.gettempdir(), f"ilogtail_spark_lineage_{tag}")
-    shutil.rmtree(out_root, ignore_errors=True)
+    # unique per-invocation dir (concurrent harness processes must not
+    # clobber each other's manifests)
+    out_root = tempfile.mkdtemp(prefix="ilogtail_spark_lineage_")
 
     ev = _events(spark, sf_dir)
     m1 = run_pipeline(spark, ev, pipe, out_root, run_id="att", agg_keys=["event_type"])
@@ -1030,9 +1023,10 @@ def q_lineage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         router=PIPELINE_E2E.router,
         flushers=[],
     )
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    base = os.path.join(tempfile.gettempdir(), f"ilogtail_spark_incr_{tag}")
-    shutil.rmtree(base, ignore_errors=True)
+    # unique per-invocation dir: a fixed path + rmtree would let two
+    # concurrent harness processes (driver + mirror) delete each
+    # other's in-flight series state
+    base = tempfile.mkdtemp(prefix="ilogtail_spark_incr_")
     in_dir, out_root = os.path.join(base, "in"), os.path.join(base, "out")
 
     raw = _t(spark, sf_dir, "events")

@@ -60,12 +60,16 @@ _SQL_KEYWORDS = {
     "date", "timestamp", "binary",
     # niladic SQL functions — valid WITHOUT parentheses in Spark SQL;
     # rewriting them to fields['current_timestamp'] would silently
-    # turn a function call into a NULL map lookup. A FIELD named like
-    # one of these must be parenthesized functions' opposite: spell it
-    # explicitly as fields['current_date'] in the expression.
+    # turn a function call into a NULL map lookup. Only the
+    # unambiguous current_*/local* names are reserved: `user` and
+    # `session_user` are overwhelmingly more likely to be event
+    # FIELDS in a log pipeline than niladic calls, so those stay
+    # field refs (write current_user for the function). A field
+    # genuinely named like a reserved name is spelled explicitly:
+    # fields['current_date'].
     "current_timestamp", "current_date", "current_user",
     "current_timezone", "current_catalog", "current_database",
-    "current_schema", "localtimestamp", "session_user", "user",
+    "current_schema", "localtimestamp",
 }
 
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")

@@ -399,13 +399,17 @@ class TestDedupFilters:
         assert kept == [1, 2, 3]
 
     def test_max_band_bucket_caps_hot_buckets(self, spark):
-        # 12 distinct docs sharing a band bucket exceed the cap ->
-        # excluded from candidate generation entirely
-        rows = [(i, f"shared prefix tokens here tail{i}") for i in range(12)]
+        # 12 identical docs form one 12-member bucket in EVERY band;
+        # with the cap at 3 every bucket is dropped -> zero candidate
+        # pairs (vs 66 uncapped). Identical docs (not near-dups) are
+        # used so bucket membership is certain, making the assertions
+        # strict rather than vacuous.
+        rows = [(i, "the same boilerplate text here") for i in range(12)]
         df = spark.createDataFrame(rows, "doc_id long, text string")
         uncapped = dedup.minhash_candidate_pairs(df).count()
+        assert uncapped == 12 * 11 // 2
         capped = dedup.minhash_candidate_pairs(df, max_band_bucket=3).count()
-        assert capped <= uncapped
+        assert capped == 0
 
 
 class TestConnectedComponents:

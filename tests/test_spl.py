@@ -41,6 +41,11 @@ class TestRewrite:
         out = rewrite_field_refs("ts < current_timestamp and d = current_date")
         assert out == "fields['ts'] < current_timestamp and fields['d'] = current_date"
 
+    def test_user_stays_a_field_ref(self):
+        # `user` is a common log FIELD; it must not be swallowed by
+        # Spark's niladic current-user function
+        assert rewrite_field_refs("user = 'alice'") == "fields['user'] = 'alice'"
+
     def test_numeric_literals_untouched(self):
         assert rewrite_field_refs("k > 1e5") == "fields['k'] > 1e5"
         assert rewrite_field_refs("k = 0x1F") == "fields['k'] = 0x1F"
