@@ -1099,3 +1099,44 @@ def q_spl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# ---------------------------------------------------------------------------
+# SPL stats — the grouped-aggregation pipe command (SLS SPL `stats`):
+# parse the numeric k out of props, aggregate per event_type
+# ---------------------------------------------------------------------------
+@query(
+    "spl_stats",
+    """
+    WITH t AS (
+      SELECT event_type,
+             CAST(regexp_extract(props, '\\{"k": (\\d+)\\}', 1) AS DOUBLE) AS k
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS cnt,
+           CAST(sum(k) AS DOUBLE) AS total_k,
+           CAST(floor(avg(k) * 1000000) AS BIGINT) AS avg_k_micro
+    FROM t GROUP BY 1 ORDER BY event_type
+    """,
+)
+def q_spl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    script = (
+        "* "
+        "| parse-regexp content, '\\{\"k\": (\\d+)\\}' as k "
+        "| stats count() as cnt, sum(k) as total_k, avg(k) as avg_k "
+        "by event_type"
+    )
+    out = compile_processors([{"Type": "processor_spl", "Script": script}])(ev)
+    f = F.col(FIELDS_COL)
+    # avg in fixed-point micro (floor of identical IEEE doubles is
+    # bit-identical on both engines; round() half-up vs ties is not)
+    return out.select(
+        f.getItem("event_type").alias("event_type"),
+        f.getItem("cnt").cast("long").alias("cnt"),
+        f.getItem("total_k").cast("double").alias("total_k"),
+        F.floor(f.getItem("avg_k").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("avg_k_micro"),
+    ).orderBy("event_type")
+
+

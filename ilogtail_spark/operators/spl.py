@@ -27,6 +27,9 @@ Supported subset (the commands the reference's own examples use):
   ``parse-kv f [, 'delim', 'sep']``  key-value split of field f
   ``pack-fields f1, f2 as out``      pack listed fields into JSON out
   ``pack-fields -include='re' as out``  pack regex-matched fields
+  ``stats agg(expr) as name, ... [by k1, k2]``  grouped aggregation
+      (count/sum/avg/min/max; numeric aggs cast the field to double;
+      group keys and results become the new event fields)
   ``sort by f [desc]``         global sort (driver-side presentation)
   ``limit n``                  keep at most n rows
 
@@ -46,7 +49,7 @@ from typing import Callable, ClassVar
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ilogtail_spark.model import FIELDS_COL
+from ilogtail_spark.model import FIELDS_COL, TAGS_COL
 from ilogtail_spark.operators.base import Processor, build, register
 
 # SQL keywords / literals that must NOT be rewritten as field refs
@@ -176,6 +179,12 @@ _PACK_FIELDS = re.compile(
     r"^pack-fields\s+(.+?)\s+as\s+(\w+)\s*$", re.DOTALL | re.IGNORECASE
 )
 _PACK_INCLUDE = re.compile(r"^-include\s*=\s*(.+)$", re.DOTALL | re.IGNORECASE)
+_STATS = re.compile(
+    r"^stats\s+(.+?)(?:\s+by\s+([\w\s,]+))?$", re.DOTALL | re.IGNORECASE
+)
+_AGG_SPEC = re.compile(
+    r"^(count|sum|avg|min|max)\s*\(\s*(\w*)\s*\)\s+as\s+(\w+)$", re.IGNORECASE
+)
 
 
 def compile_spl(script: str) -> list[Callable[[DataFrame], DataFrame]]:
@@ -311,6 +320,50 @@ def compile_spl(script: str) -> list[Callable[[DataFrame], DataFrame]]:
                         }
                     ).apply
                 )
+        elif m := _STATS.match(stmt):
+            specs: list[tuple[str, str, str]] = []
+            for part in _split_args(m.group(1)):
+                am = _AGG_SPEC.match(part.strip())
+                if not am:
+                    raise SPLCompileError(
+                        f"unsupported stats aggregate: {part!r} "
+                        "(supported: count/sum/avg/min/max '(field)' as name)"
+                    )
+                specs.append(
+                    (am.group(1).lower(), am.group(2), am.group(3))
+                )
+            by_keys = tuple(
+                k.strip() for k in (m.group(2) or "").split(",") if k.strip()
+            )
+
+            def _stats(df: DataFrame, sp=tuple(specs), by=by_keys) -> DataFrame:
+                fields = F.col(FIELDS_COL)
+                gcols = [fields.getItem(k).alias(k) for k in by]
+                aggcols = []
+                for fn, fld, name in sp:
+                    if fn == "count":
+                        aggcols.append(F.count(F.lit(1)).alias(name))
+                    else:
+                        aggcols.append(
+                            getattr(F, fn)(
+                                fields.getItem(fld).cast("double")
+                            ).alias(name)
+                        )
+                out = df.groupBy(*gcols).agg(*aggcols)
+                kv: list[Column] = []
+                for k in by:
+                    kv += [F.lit(k), F.col(k).cast("string")]
+                for _, _, name in sp:
+                    kv += [F.lit(name), F.col(name).cast("string")]
+                res = out.select(F.create_map(*kv).alias(FIELDS_COL))
+                if TAGS_COL in df.columns:
+                    # aggregation discards per-row identity incl. tags
+                    res = res.withColumn(
+                        TAGS_COL, F.create_map().cast("map<string,string>")
+                    )
+                return res
+
+            stages.append(_stats)
         elif low.startswith("sort by "):
             keys = []
             for part in stmt[8:].split(","):

@@ -176,6 +176,40 @@ class TestSPL:
         assert json.loads(out["tags"]) == {"tag_env": "prod", "tag_dc": "eu"}
         assert "tag_env" not in out and out["msg"] == "m"
 
+    def test_stats_grouped(self, spark):
+        df = events_df(
+            spark,
+            [
+                {"status": "200", "ms": "10"},
+                {"status": "200", "ms": "30"},
+                {"status": "500", "ms": "100"},
+            ],
+        )
+        script = "* | stats count() as cnt, avg(ms) as avg_ms by status"
+        out = {
+            r["status"]: r
+            for r in fields_of(
+                compile_processors(
+                    [{"Type": "processor_spl", "Script": script}]
+                )(df)
+            )
+        }
+        assert out["200"]["cnt"] == "2" and out["200"]["avg_ms"] == "20.0"
+        assert out["500"]["cnt"] == "1" and out["500"]["avg_ms"] == "100.0"
+
+    def test_stats_global_no_by(self, spark):
+        df = events_df(spark, [{"ms": "1"}, {"ms": "3"}])
+        out = fields_of(
+            compile_processors(
+                [{"Type": "processor_spl", "Script": "* | stats sum(ms) as total"}]
+            )(df)
+        )
+        assert out == [{"total": "4.0"}]
+
+    def test_stats_unknown_agg_fails_compile(self):
+        with pytest.raises(SPLCompileError, match="stats aggregate"):
+            compile_spl("* | stats median(ms) as m by k")
+
     def test_sort_and_limit(self, spark):
         df = events_df(
             spark, [{"content": "x", "n": "3"}, {"content": "y", "n": "1"},
