@@ -586,11 +586,19 @@ def simhash_candidates(
     id_col: str = "doc_id",
     nbits: int = 32,
     blocks: int = 4,
+    max_block_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates by the pigeonhole block trick: split the
     signature into ``blocks`` bit-blocks; docs within hamming distance
     < blocks agree on at least one block -> bucket groupBy per block,
-    self-join within buckets."""
+    self-join within buckets.
+
+    Scale note: block-value cardinality is 2^(nbits/blocks) — at
+    nbits=32/blocks=4 that is only 256 buckets per block, quadratic
+    trouble at corpus scale. Use nbits=64 (2^16 buckets) for large
+    corpora, and/or ``max_block_bucket`` to drop hot blocks outright
+    (the simhash twin of minhash's max_band_bucket; exact-dedup-first
+    removes the identical-content cause)."""
     width = nbits // blocks
     mask = (1 << width) - 1
     parts = []
@@ -606,6 +614,14 @@ def simhash_candidates(
     blocked = df_with_simhash.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*parts)).alias("p")
     ).select(id_col, "simhash", "p.block_idx", "p.block_val")
+    if max_block_bucket is not None:
+        hot = (
+            blocked.groupBy("block_idx", "block_val")
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .filter(F.col("__n__") > max_block_bucket)
+            .drop("__n__")
+        )
+        blocked = blocked.join(hot, ["block_idx", "block_val"], "left_anti")
     l, r = blocked.alias("l"), blocked.alias("r")
     return (
         l.join(

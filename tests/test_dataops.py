@@ -412,6 +412,17 @@ class TestDedupFilters:
         assert capped == 0
 
 
+class TestSimhashBlockCap:
+    def test_max_block_bucket_drops_hot_blocks(self, spark):
+        # identical simhash values land every doc in every block's
+        # bucket: cap 3 with 10 docs -> zero candidates (vs 45)
+        df = spark.createDataFrame(
+            [(i, 0x12345678) for i in range(10)], "doc_id long, simhash long"
+        )
+        assert dedup.simhash_candidates(df).count() == 45
+        assert dedup.simhash_candidates(df, max_block_bucket=3).count() == 0
+
+
 class TestConnectedComponents:
     def test_chain_and_island(self, spark):
         # chain 1-2-3-4 plus island 7-8: two components, min-id labels
