@@ -326,6 +326,32 @@ def main() -> int:
         "(num_bands) recovering the recall the extra planes cost.",
     )
 
+    # 14. vocab top-k: the ORDER BY LIMIT must compile to
+    # TakeOrderedAndProject (per-partition top-k + driver merge of k
+    # rows), never a full global sort of the vocabulary
+    from ilogtail_spark.dataops import textstats
+
+    q14 = textstats.vocab_topk(docs, k=25)
+    p14 = formatted(q14)
+    # count scans in the OPTIMIZED LOGICAL plan: the formatted
+    # physical output repeats sections under AQE
+    opt14 = q14._jdf.queryExecution().optimizedPlan().toString()
+    audit(
+        "vocab top-k (TakeOrderedAndProject, single scan)",
+        q14,
+        [
+            ("top-k is TakeOrderedAndProject, not global Sort",
+             "TakeOrderedAndProject" in p14),
+            ("one corpus scan (single relation in the logical plan)",
+             opt14.count("Relation [") == 1),
+            ("no Python stage", "Python" not in p14),
+        ],
+        "Term and doc-frequency stats come from ONE scan + explode and "
+        "a two-level hash aggregate (the (term, doc) exchange carries "
+        "distinct pairs, the (term) exchange carries the vocabulary); "
+        "the final top-k never sorts the full term set.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
