@@ -38,7 +38,8 @@ _FRONT = [
     "streaming_rate_limit", "streaming_pipeline_agg",
     "streaming_multiline_merge", "lineage_resume", "lineage_incremental",
     "spl_pipeline", "aggregator_otel_route", "aggregator_skywalking_route",
-    "text_vocab_topk", "spl_stats",
+    "text_vocab_topk", "spl_stats", "text_repetition",
+    "streaming_exact_dedup",
 ]
 
 

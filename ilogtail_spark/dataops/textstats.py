@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ilogtail_spark.dataops.dedup import tokens_col
+from ilogtail_spark.dataops.dedup import shingles_from_tokens, tokens_col
 
 EN_STOPWORDS = [
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
@@ -76,6 +76,83 @@ def vocab_topk(
         .filter(F.col("term_count") >= min_count)
         .orderBy(F.col("term_count").desc(), F.col("term").asc())
         .limit(k)
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (the filters
+    that catch boilerplate/spam pages a dedup pass misses because the
+    repetition is INSIDE one document):
+
+    * ``dup_line_frac_micro``  — fraction of newline-separated lines
+      that are duplicates of an earlier line;
+    * ``top_bigram_frac_micro`` — fraction of all word bigrams taken
+      by the single most frequent bigram;
+    * ``dup_bigram_frac_micro`` — fraction of bigram occurrences that
+      are repeats (1 - distinct/total).
+
+    All three are floor fixed-point micro integers (same rationale as
+    quality_score: bit-identical across engines, no float-tie drift).
+    Pure scan-side expressions over the token/line arrays — zero
+    shuffle, zero Python."""
+    t = F.col(text_col)
+    mega = F.lit(1_000_000).cast("long")
+    feat = df.select(
+        F.col(id_col),
+        F.filter(F.split(t, r"\n"), lambda x: x != "").alias("__lines__"),
+        tokens_col(t).alias("__toks__"),
+    )
+    feat = feat.select(
+        F.col(id_col),
+        F.size("__lines__").alias("__nl__"),
+        F.size(F.array_distinct(F.col("__lines__"))).alias("__dl__"),
+        shingles_from_tokens(F.col("__toks__"), 2).alias("__bi__"),
+    )
+    # most frequent bigram's count via sort + longest-equal-run fold:
+    # O(n log n) per doc, NOT the O(distinct x total) nested scan a
+    # per-distinct count would cost on long documents
+    run_best = F.aggregate(
+        F.array_sort(F.col("__bi__")),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    feat = feat.select(
+        F.col(id_col),
+        F.col("__nl__"),
+        F.col("__dl__"),
+        F.size("__bi__").alias("__nb__"),
+        F.size(F.array_distinct(F.col("__bi__"))).alias("__db__"),
+        run_best.alias("__topb__"),
+    )
+    dup_line = F.floor(
+        (F.col("__nl__") - F.col("__dl__")) * mega / F.greatest(F.col("__nl__"), F.lit(1))
+    )
+    top_bi = F.floor(
+        F.coalesce(F.col("__topb__"), F.lit(0)) * mega
+        / F.greatest(F.col("__nb__"), F.lit(1))
+    )
+    dup_bi = F.floor(
+        (F.col("__nb__") - F.col("__db__")) * mega / F.greatest(F.col("__nb__"), F.lit(1))
+    )
+    return feat.select(
+        F.col(id_col),
+        dup_line.cast("long").alias("dup_line_frac_micro"),
+        top_bi.cast("long").alias("top_bigram_frac_micro"),
+        dup_bi.cast("long").alias("dup_bigram_frac_micro"),
     )
 
 

@@ -649,6 +649,55 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+# documents text is single-line; synthesize line structure (and a
+# deterministic repeated tail for some docs) identically on both sides
+@query(
+    "text_repetition",
+    """
+    WITH src AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 3 = 0
+                          THEN chr(10) || 'repeat me' || chr(10) || 'repeat me'
+                          ELSE '' END AS t
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             list_filter(string_split(t, chr(10)), x -> x <> '') AS lines,
+             list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS w
+      FROM src
+    ), bi AS (
+      SELECT doc_id, lines,
+             CASE WHEN len(w) >= 2
+                  THEN list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2])
+                  ELSE [] END AS b
+      FROM feat
+    ), counts AS (
+      SELECT doc_id,
+             len(lines) AS nl,
+             len(list_distinct(lines)) AS dl,
+             len(b) AS nb,
+             len(list_distinct(b)) AS db,
+             coalesce((SELECT max(cnt) FROM (
+                SELECT count(*) AS cnt FROM unnest(b) AS u(x) GROUP BY x
+             )), 0) AS topb
+      FROM bi
+    )
+    SELECT doc_id,
+           CAST(floor((nl - dl) * 1000000 / greatest(nl, 1)) AS BIGINT) AS dup_line_frac_micro,
+           CAST(floor(topb * 1000000 / greatest(nb, 1)) AS BIGINT) AS top_bigram_frac_micro,
+           CAST(floor((nb - db) * 1000000 / greatest(nb, 1)) AS BIGINT) AS dup_bigram_frac_micro
+    FROM counts ORDER BY doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.col("text"), F.lit("\nrepeat me\nrepeat me")),
+    ).otherwise(F.col("text"))
+    return textstats.repetition_stats(docs.withColumn("text", t)).orderBy("doc_id")
+
+
 @query(
     "text_vocab_topk",
     f"""

@@ -992,6 +992,55 @@ def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming exact dedup — engine dedup state across micro-batches; the
+# kept DIGEST SET must equal the batch definition (arrival order only
+# decides WHICH member survives, and digests are member-invariant)
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_exact_dedup",
+    """
+    SELECT DISTINCT md5(text) AS digest FROM documents ORDER BY digest
+    """,
+)
+def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ilogtail_spark.streaming.stream import streaming_drop_exact_duplicates
+
+    root = tempfile.mkdtemp(prefix="ilogtail_spark_sdedup_")
+    in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # two files -> two micro-batches; duplicates span the split
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    import time as _time
+
+    _time.sleep(1.1)  # distinct mtimes => deterministic batch order
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    (
+        streaming_drop_exact_duplicates(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .select(F.md5(F.col("text")).alias("digest"))
+        .orderBy("digest")
+    )
+
+
+# ---------------------------------------------------------------------------
 # incremental series — file-range checkpoints (checkpoint.proto:18-38
 # RangeCheckpointPB analog): two increments over a growing input dir
 # must together equal one full run, and an unchanged input is a no-op

@@ -382,3 +382,33 @@ def streaming_rate_limit(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_drop_exact_duplicates(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of :func:`dataops.dedup.drop_exact_duplicates`:
+    the FIRST-ARRIVED row of each content digest survives; later
+    copies — including ones arriving in later micro-batches — are
+    dropped by the engine's dedup state store (state holds 16-byte
+    digests, never documents).
+
+    Divergence vs the batch twin (documented): batch keeps the MIN-ID
+    member of each group; a stream has no global order, so the
+    survivor is first-by-arrival. The kept DIGEST SET is identical
+    either way — which is the contract dedup consumers depend on.
+
+    ``watermark`` (e.g. ``'1 hour'``) bounds state for unbounded
+    streams via dropDuplicatesWithinWatermark: duplicates arriving
+    within the horizon dedup; digests older than the watermark are
+    evicted — without it, state grows with the number of DISTINCT
+    contents forever (fine for bounded drains, fatal for a 10^12-turn
+    continuous ingest)."""
+    out = stream_df.withColumn("__digest__", F.md5(F.col(text_col)))
+    if watermark is not None:
+        out = out.withWatermark(ts_col, watermark)
+        return out.dropDuplicatesWithinWatermark(["__digest__"]).drop("__digest__")
+    return out.dropDuplicates(["__digest__"]).drop("__digest__")

@@ -201,6 +201,23 @@ class TestTextStats:
         langs = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_id(docs_df(spark)).collect()}
         assert langs[0] == "en"
 
+    def test_repetition_stats(self, spark):
+        rows = [
+            # 4 lines, 1 dup line; bigrams of "a b a b a b": (a b)x3,
+            # (b a)x2 -> nb=5, distinct=2, top=3
+            (1, "x\ny\nx\nz"),
+            (2, "a b a b a b"),
+            (3, "all distinct words here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in textstats.repetition_stats(df).collect()}
+        assert out[1]["dup_line_frac_micro"] == 250_000  # 1 of 4
+        assert out[2]["top_bigram_frac_micro"] == 600_000  # 3 of 5
+        assert out[2]["dup_bigram_frac_micro"] == 600_000  # 5-2 of 5
+        assert out[3]["dup_line_frac_micro"] == 0
+        assert out[3]["top_bigram_frac_micro"] == 333_333  # 1 of 3
+        assert out[3]["dup_bigram_frac_micro"] == 0
+
     def test_vocab_topk_counts_and_ties(self, spark):
         rows = [
             (1, "alpha beta beta gamma"),

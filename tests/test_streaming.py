@@ -275,6 +275,47 @@ def test_streaming_multiline_force_emit_keeps_continuation(spark, tmp_path):
     assert ("c1", 5) not in got  # new trailing partial withheld
 
 
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """A duplicate arriving in a LATER micro-batch is dropped by the
+    engine's dedup state; the kept digest set equals the batch twin's."""
+    import time as _time
+
+    from ilogtail_spark.streaming.stream import streaming_drop_exact_duplicates
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, ts timestamp"
+
+    spark.createDataFrame(
+        [(1, "alpha", None), (2, "beta", None)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [(3, "alpha", None), (4, "gamma", None)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = streaming_drop_exact_duplicates(stream)
+    (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    rows = spark.read.parquet(out_dir).collect()
+    assert sorted(r["text"] for r in rows) == ["alpha", "beta", "gamma"]
+    # the cross-batch duplicate (doc 3) lost to the first arrival
+    assert {r["doc_id"] for r in rows if r["text"] == "alpha"} == {1}
+
+
 def test_streaming_multiline_merge_out_of_order_batches(spark, tmp_path):
     """A later micro-batch delivering LOWER order values (late file
     pickup) still merges correctly: each pass re-sorts pending + new,
