@@ -39,7 +39,7 @@ _FRONT = [
     "streaming_multiline_merge", "lineage_resume", "lineage_incremental",
     "spl_pipeline", "aggregator_otel_route", "aggregator_skywalking_route",
     "text_vocab_topk", "spl_stats", "text_repetition",
-    "streaming_exact_dedup",
+    "streaming_exact_dedup", "text_drop_boilerplate",
 ]
 
 

@@ -156,6 +156,69 @@ def repetition_stats(
     )
 
 
+def drop_boilerplate_lines(
+    df: DataFrame,
+    max_line_df: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+) -> DataFrame:
+    """C4-style corpus-level boilerplate line removal: a line occurring
+    in MORE than ``max_line_df`` distinct documents (cookie banners,
+    nav text, license footers) is deleted from every document; the
+    per-document line order of the survivors is preserved. Lines
+    shorter than ``min_chars`` are kept as-is (they carry format, not
+    boilerplate). Returns (id, text) with the rebuilt text.
+
+    Scale shape: lines explode scan-side with their position; the
+    document-frequency aggregate shuffles (line-digest) pairs —
+    16-byte digests, never documents — and the hot-line set joins back
+    as a left_anti (AQE broadcasts it when small, which it is: only
+    lines with df > threshold). Reassembly is one groupBy(id) of
+    (pos, line) structs with array_sort inside the aggregate, so the
+    rebuild is order-stable under any partitioning."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("__pos__", "__line__"),
+    )
+    eligible = lines.filter(F.length("__line__") >= min_chars).select(
+        F.col(id_col), F.md5(F.col("__line__")).alias("__lh__")
+    )
+    hot = (
+        eligible.distinct()
+        .groupBy("__lh__")
+        .agg(F.count(F.lit(1)).alias("__df__"))
+        .filter(F.col("__df__") > max_line_df)
+        .select("__lh__")
+    )
+    kept = lines.join(
+        hot,
+        (F.md5(F.col("__line__")) == F.col("__lh__"))
+        & (F.length("__line__") >= min_chars),
+        "left_anti",
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("__pos__"), F.col("__line__"))
+                        )
+                    ),
+                    lambda s: s["__line__"],
+                ),
+                "\n",
+            ).alias(text_col)
+        )
+    )
+    # docs whose every line was boilerplate keep an empty text row
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality features + a composite score, length band,
     punctuation ratio, stopword ratio, repetition (distinct/total

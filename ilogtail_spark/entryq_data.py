@@ -649,6 +649,48 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+# corpus-level boilerplate line removal (C4 filter): a banner line is
+# prepended to half the docs on BOTH sides; with df far above the
+# threshold it must vanish from every doc while unique lines survive
+@query(
+    "text_drop_boilerplate",
+    """
+    WITH src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'please accept our cookie policy' || chr(10) || text
+                  ELSE text END AS t
+      FROM documents
+    ), l AS (
+      SELECT doc_id, string_split(t, chr(10)) AS ls FROM src
+    ), el AS (
+      SELECT DISTINCT doc_id, md5(x.u) AS lh
+      FROM l, unnest(ls) AS x(u) WHERE length(x.u) >= 1
+    ), hot AS (
+      SELECT lh FROM el GROUP BY lh HAVING count(*) > 10
+    ), hl AS (
+      SELECT coalesce(list(lh), []) AS hs FROM hot
+    )
+    SELECT doc_id,
+           array_to_string(
+             list_filter(ls, x -> NOT (length(x) >= 1 AND list_contains(hs, md5(x)))),
+             chr(10)) AS text
+    FROM l CROSS JOIN hl
+    ORDER BY doc_id
+    """,
+)
+def q_text_drop_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("please accept our cookie policy\n"), F.col("text")),
+    ).otherwise(F.col("text"))
+    out = textstats.drop_boilerplate_lines(
+        docs.withColumn("text", t), max_line_df=10
+    )
+    return out.orderBy("doc_id")
+
+
 # documents text is single-line; synthesize line structure (and a
 # deterministic repeated tail for some docs) identically on both sides
 @query(

@@ -201,6 +201,39 @@ class TestTextStats:
         langs = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_id(docs_df(spark)).collect()}
         assert langs[0] == "en"
 
+    def test_drop_boilerplate_lines(self, spark):
+        banner = "accept our cookies"
+        rows = [
+            (1, f"{banner}\nreal content one"),
+            (2, f"{banner}\nreal content two"),
+            (3, f"{banner}\nreal content three"),
+            (4, banner),  # all-boilerplate doc -> empty text kept
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r["text"]
+            for r in textstats.drop_boilerplate_lines(df, max_line_df=2).collect()
+        }
+        assert out == {
+            1: "real content one",
+            2: "real content two",
+            3: "real content three",
+            4: "",
+        }
+
+    def test_drop_boilerplate_keeps_order_and_rare_lines(self, spark):
+        rows = [
+            (1, "keep a\nkeep b\nkeep c"),
+            (2, "other text entirely"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r["text"]
+            for r in textstats.drop_boilerplate_lines(df, max_line_df=1).collect()
+        }
+        assert out[1] == "keep a\nkeep b\nkeep c"  # order preserved
+        assert out[2] == "other text entirely"
+
     def test_repetition_stats(self, spark):
         rows = [
             # 4 lines, 1 dup line; bigrams of "a b a b a b": (a b)x3,
