@@ -611,25 +611,13 @@ def simhash_candidates(
                 .alias("block_val"),
             )
         )
+    # rename to the band column names so the ONE shared cap+self-join
+    # core (_band_candidate_pairs) serves minhash and simhash alike
     blocked = df_with_simhash.select(
-        F.col(id_col), F.col("simhash"), F.explode(F.array(*parts)).alias("p")
-    ).select(id_col, "simhash", "p.block_idx", "p.block_val")
-    if max_block_bucket is not None:
-        hot = (
-            blocked.groupBy("block_idx", "block_val")
-            .agg(F.count(F.lit(1)).alias("__n__"))
-            .filter(F.col("__n__") > max_block_bucket)
-            .drop("__n__")
-        )
-        blocked = blocked.join(hot, ["block_idx", "block_val"], "left_anti")
-    l, r = blocked.alias("l"), blocked.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.block_idx") == F.col("r.block_idx"))
-            & (F.col("l.block_val") == F.col("r.block_val"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
-        .distinct()
+        F.col(id_col), F.explode(F.array(*parts)).alias("p")
+    ).select(
+        id_col,
+        F.col("p.block_idx").alias("band_idx"),
+        F.col("p.block_val").alias("band_hash"),
     )
+    return _band_candidate_pairs(blocked, id_col, max_block_bucket)

@@ -329,9 +329,15 @@ def compile_spl(script: str) -> list[Callable[[DataFrame], DataFrame]]:
                         f"unsupported stats aggregate: {part!r} "
                         "(supported: count/sum/avg/min/max '(field)' as name)"
                     )
-                specs.append(
-                    (am.group(1).lower(), am.group(2), am.group(3))
-                )
+                fn, fld = am.group(1).lower(), am.group(2)
+                if fn != "count" and not fld:
+                    # fail fast on the driver — an empty-parens numeric
+                    # agg would otherwise aggregate an always-null
+                    # fields[''] lookup silently
+                    raise SPLCompileError(
+                        f"stats {fn}() needs a field argument: {part!r}"
+                    )
+                specs.append((fn, fld, am.group(3)))
             by_keys = tuple(
                 k.strip() for k in (m.group(2) or "").split(",") if k.strip()
             )
@@ -342,11 +348,17 @@ def compile_spl(script: str) -> list[Callable[[DataFrame], DataFrame]]:
                 aggcols = []
                 for fn, fld, name in sp:
                     if fn == "count":
-                        aggcols.append(F.count(F.lit(1)).alias(name))
+                        # count() = rows; count(field) = non-null values
+                        # (SQL count(expr) semantics)
+                        src = fields.getItem(fld) if fld else F.lit(1)
+                        aggcols.append(F.count(src).alias(name))
                     else:
+                        # try_cast: ANSI mode must not abort the job on
+                        # one malformed numeric value — same convention
+                        # as every other fields-map numeric read
                         aggcols.append(
                             getattr(F, fn)(
-                                fields.getItem(fld).cast("double")
+                                fields.getItem(fld).try_cast("double")
                             ).alias(name)
                         )
                 out = df.groupBy(*gcols).agg(*aggcols)
@@ -355,7 +367,14 @@ def compile_spl(script: str) -> list[Callable[[DataFrame], DataFrame]]:
                     kv += [F.lit(k), F.col(k).cast("string")]
                 for _, _, name in sp:
                     kv += [F.lit(name), F.col(name).cast("string")]
-                res = out.select(F.create_map(*kv).alias(FIELDS_COL))
+                # null entries become ABSENT keys — the fields-map
+                # invariant to_events establishes (absent key, never a
+                # null-valued entry)
+                res = out.select(
+                    F.map_filter(
+                        F.create_map(*kv), lambda _, v: v.isNotNull()
+                    ).alias(FIELDS_COL)
+                )
                 if TAGS_COL in df.columns:
                     # aggregation discards per-row identity incl. tags
                     res = res.withColumn(

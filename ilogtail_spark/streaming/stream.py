@@ -391,15 +391,18 @@ def streaming_drop_exact_duplicates(
     ts_col: str = "ts",
 ) -> DataFrame:
     """Streaming twin of :func:`dataops.dedup.drop_exact_duplicates`:
-    the FIRST-ARRIVED row of each content digest survives; later
-    copies — including ones arriving in later micro-batches — are
-    dropped by the engine's dedup state store (state holds 16-byte
-    digests, never documents).
+    one row per content digest survives; later copies — including
+    ones arriving in later micro-batches — are dropped by the
+    engine's dedup state store (state holds 16-byte digests, never
+    documents).
 
     Divergence vs the batch twin (documented): batch keeps the MIN-ID
-    member of each group; a stream has no global order, so the
-    survivor is first-by-arrival. The kept DIGEST SET is identical
-    either way — which is the contract dedup consumers depend on.
+    member of each group; here the survivor is the first row the
+    state store sees — deterministic across micro-batches (an earlier
+    batch always beats a later one) but PARTITION-ORDER-DEPENDENT for
+    duplicates landing inside one micro-batch. The kept DIGEST SET is
+    identical in every case — which is the contract dedup consumers
+    depend on.
 
     ``watermark`` (e.g. ``'1 hour'``) bounds state for unbounded
     streams via dropDuplicatesWithinWatermark: duplicates arriving

@@ -210,6 +210,49 @@ class TestSPL:
         with pytest.raises(SPLCompileError, match="stats aggregate"):
             compile_spl("* | stats median(ms) as m by k")
 
+    def test_stats_numeric_agg_requires_field(self):
+        with pytest.raises(SPLCompileError, match="needs a field"):
+            compile_spl("* | stats sum() as t")
+
+    def test_stats_count_field_counts_non_null(self, spark):
+        df = events_df(
+            spark, [{"u": "a", "x": "1"}, {"u": "b"}, {"u": "c", "x": "3"}]
+        )
+        out = fields_of(
+            compile_processors(
+                [{"Type": "processor_spl",
+                  "Script": "* | stats count() as rows, count(x) as xs"}]
+            )(df)
+        )
+        assert out == [{"rows": "3", "xs": "2"}]
+
+    def test_stats_malformed_numeric_does_not_abort(self, spark):
+        # ANSI mode: one bad value must degrade to null, not crash
+        df = events_df(
+            spark, [{"k": "g", "ms": "10"}, {"k": "g", "ms": "timeout"}]
+        )
+        out = fields_of(
+            compile_processors(
+                [{"Type": "processor_spl",
+                  "Script": "* | stats sum(ms) as total by k"}]
+            )(df)
+        )
+        assert out == [{"k": "g", "total": "10.0"}]
+
+    def test_stats_null_group_key_is_absent_not_null(self, spark):
+        # rows lacking the group field aggregate under an ABSENT key
+        # entry (the fields-map invariant), not a null-valued one
+        df = events_df(spark, [{"host": "h1", "v": "1"}, {"v": "2"}])
+        out = fields_of(
+            compile_processors(
+                [{"Type": "processor_spl",
+                  "Script": "* | stats count() as n by host"}]
+            )(df)
+        )
+        by_n = {r["n"]: r for r in out}
+        assert by_n["1"].get("host") in ("h1", None)
+        assert all("host" not in r or r["host"] is not None for r in out)
+
     def test_sort_and_limit(self, spark):
         df = events_df(
             spark, [{"content": "x", "n": "3"}, {"content": "y", "n": "1"},
