@@ -88,6 +88,24 @@ def hyperplane_component(plane: int, dim: int) -> float:
     return float(h % 2001 - 1000)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _planes_literal(plane_offset: int, num_planes: int, dim: int) -> Column:
+    """The plane matrix as ONE array<array<double>> Column, memoized:
+    building num_planes x dim literal nodes crosses py4j per node
+    (~0.6 s at 24x64) and the identical matrix recurs across every
+    LSH query in a session. Column objects are immutable expression
+    wrappers, safe to share across plans within a process."""
+    return F.array(
+        *[
+            F.array(*[F.lit(hyperplane_component(p, d)) for d in range(dim)])
+            for p in range(plane_offset, plane_offset + num_planes)
+        ]
+    )
+
+
 def lsh_bucket(
     df: DataFrame,
     dim: int,
@@ -124,13 +142,9 @@ def lsh_bucket(
     )
     df = df.withColumn("__vec__", v)
     has_dim = F.size(F.col(vec_col)) >= dim
-    planes = F.array(
-        *[
-            F.array(*[F.lit(hyperplane_component(p, d)) for d in range(dim)])
-            for p in range(plane_offset, plane_offset + num_planes)
-        ]
-    )  # folds to ONE ArrayType literal; plane_offset selects an
+    # folds to ONE ArrayType literal; plane_offset selects an
     # independent plane-set per LSH band (multi-band recall)
+    planes = _planes_literal(plane_offset, num_planes, dim)
     bits = F.transform(
         planes,
         lambda plane: F.when(
