@@ -194,8 +194,15 @@ def lsh_bucket_pandas(
 
 def centroid_matrix(centroids: list[list[float]]) -> Column:
     """Centroid matrix as an array<array<double>> literal (folds to a
-    single Literal node under ConstantFolding)."""
-    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    single Literal node under ConstantFolding). Memoized per distinct
+    centroid set — corpus assignment and query probing reuse one
+    Column instead of re-crossing py4j per literal node."""
+    return _centroid_matrix_cached(tuple(tuple(float(x) for x in c) for c in centroids))
+
+
+@lru_cache(maxsize=16)
+def _centroid_matrix_cached(key: tuple) -> Column:
+    return F.array(*[F.array(*[F.lit(x) for x in c]) for c in key])
 
 
 def centroid_scores(cmat: Column, vec: Column, dim: int) -> Column:
