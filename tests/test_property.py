@@ -337,3 +337,128 @@ class TestSPLDifferential:
                 pass  # clean, typed failure — never a crash elsewhere
             except ValueError:
                 pass  # limit/int parse errors are also clean
+
+
+class TestTextOpsDifferential:
+    def test_unquote_roundtrip(self, spark):
+        """escape(s) -> unquote == s for random strings including
+        backslashes, quotes, control chars and NUL bytes (one Spark
+        job over the whole corpus)."""
+        rng = random.Random(SEED + 1)
+        alphabet = 'ab\\"\n\t\r\x00 xy'
+        originals = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 20)))
+            for _ in range(120)
+        ]
+
+        def escape(s: str) -> str:
+            body = (
+                s.replace("\\", "\\\\")
+                .replace('"', '\\"')
+                .replace("\n", "\\n")
+                .replace("\t", "\\t")
+                .replace("\r", "\\r")
+            )
+            return f'"{body}"'
+
+        rows = [{"v": escape(s)} for s in originals]
+        got = fields_of(
+            compile_processors(
+                [
+                    {
+                        "Type": "processor_string_replace",
+                        "SourceKey": "v",
+                        "Method": "unquote",
+                    }
+                ]
+            )(events_df(spark, rows))
+        )
+        for orig, out in zip(originals, got):
+            assert out["v"] == orig, f"original={orig!r}"
+
+    def test_repetition_stats_differential(self, spark):
+        from ilogtail_spark.dataops import textstats
+
+        rng = random.Random(SEED + 2)
+        words = ["aa", "bb", "cc", "dd"]
+        docs = []
+        for i in range(60):
+            n_lines = rng.randint(1, 5)
+            lines = [
+                " ".join(rng.choice(words) for _ in range(rng.randint(0, 6)))
+                for _ in range(n_lines)
+            ]
+            docs.append((i, "\n".join(lines)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in textstats.repetition_stats(df).collect()}
+        for i, text in docs:
+            lines = [x for x in text.split("\n") if x != ""]
+            toks = [t for t in re.split(r"\s+", text) if t != ""]
+            bis = [
+                f"{toks[j]} {toks[j + 1]}" for j in range(len(toks) - 1)
+            ] if len(toks) >= 2 else []
+            nl, dl = len(lines), len(set(lines))
+            nb, db = len(bis), len(set(bis))
+            topb = max((bis.count(b) for b in set(bis)), default=0)
+            r = got[i]
+            assert r["dup_line_frac_micro"] == (nl - dl) * 1_000_000 // max(nl, 1)
+            assert r["top_bigram_frac_micro"] == topb * 1_000_000 // max(nb, 1)
+            assert r["dup_bigram_frac_micro"] == (nb - db) * 1_000_000 // max(nb, 1)
+
+    def test_drop_boilerplate_differential(self, spark):
+        from ilogtail_spark.dataops import textstats
+
+        rng = random.Random(SEED + 3)
+        common = ["banner one", "banner two"]
+        docs = []
+        for i in range(50):
+            lines = []
+            for _ in range(rng.randint(1, 6)):
+                if rng.random() < 0.4:
+                    lines.append(rng.choice(common))
+                else:
+                    lines.append(f"unique {i} {rng.randint(0, 9)}")
+            docs.append((i, "\n".join(lines)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        max_df = 5
+        got = {
+            r["doc_id"]: r["text"]
+            for r in textstats.drop_boilerplate_lines(df, max_line_df=max_df).collect()
+        }
+        # python oracle: line df over distinct (doc, line), then filter
+        from collections import Counter
+
+        dfc: Counter = Counter()
+        for _, text in docs:
+            for ln in {x for x in text.split("\n") if len(x) >= 1}:
+                dfc[ln] += 1
+        hot = {ln for ln, c in dfc.items() if c > max_df}
+        for i, text in docs:
+            want = "\n".join(
+                x for x in text.split("\n") if not (len(x) >= 1 and x in hot)
+            )
+            assert got[i] == want, (i, text)
+
+    def test_vocab_topk_differential(self, spark):
+        from collections import Counter
+
+        from ilogtail_spark.dataops import textstats
+
+        rng = random.Random(SEED + 4)
+        words = ["w%d" % k for k in range(12)]
+        docs = [
+            (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 15))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = [tuple(r) for r in textstats.vocab_topk(df, k=8).collect()]
+        tc: Counter = Counter()
+        dc: Counter = Counter()
+        for _, text in docs:
+            toks = [t for t in text.split() if t]
+            tc.update(toks)
+            dc.update(set(toks))
+        want = sorted(
+            ((t, tc[t], dc[t]) for t in tc), key=lambda x: (-x[1], x[0])
+        )[:8]
+        assert got == want
