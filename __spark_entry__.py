@@ -40,6 +40,7 @@ _FRONT = [
     "spl_pipeline", "aggregator_otel_route", "aggregator_skywalking_route",
     "text_vocab_topk", "spl_stats", "text_repetition",
     "streaming_exact_dedup", "text_drop_boilerplate",
+    "split_log_regex", "container_log_parse",
 ]
 
 

@@ -992,6 +992,107 @@ def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# processor_split_log_regex — 1 log -> N logs at full-matching lines
+# (split_log_regex.go:56-101); the multi-line value is synthesized
+# identically on both sides, so the oracle enumerates the segments
+# ---------------------------------------------------------------------------
+@query(
+    "split_log_regex",
+    """
+    SELECT event_id, seg FROM (
+      SELECT event_id, 'pre' AS seg, 0 AS ord FROM events
+      UNION ALL
+      SELECT event_id,
+             'START a' || CAST(user_id AS VARCHAR) || chr(10) || 'cont', 1
+      FROM events
+      UNION ALL
+      SELECT event_id, 'START b' || CAST(event_id AS VARCHAR), 2 FROM events
+    ) ORDER BY event_id, ord
+    """,
+)
+def q_split_log_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events")
+    line = F.format_string(
+        "pre\nSTART a%d\ncont\nSTART b%d",
+        F.col("user_id"),
+        F.col("event_id"),
+    )
+    ev = to_events(
+        df.withColumn("line", line), content_col="line", field_cols=[], id_cols=["event_id"]
+    )
+    out = compile_processors(
+        [
+            {
+                "Type": "processor_split_log_regex",
+                "SplitKey": "content",
+                "SplitRegex": "START.*",
+                "PreserveOthers": True,
+            }
+        ]
+    )(ev)
+    seg = F.col(FIELDS_COL).getItem("content")
+    ordc = (
+        F.when(seg == "pre", F.lit(0))
+        .when(seg.startswith("START a"), F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    return out.select("event_id", seg.alias("seg"), ordc.alias("__o__")).orderBy(
+        "event_id", "__o__"
+    ).drop("__o__")
+
+
+# ---------------------------------------------------------------------------
+# processor_parse_container_log — containerd text normalization
+# (ProcessorParseContainerLogNative.cpp:176-258): time/source/P-F tag
+# variants synthesized identically on both sides
+# ---------------------------------------------------------------------------
+@query(
+    "container_log_parse",
+    """
+    SELECT event_id,
+           '2021-08-25T07:00:00.000000000Z' AS t,
+           CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS src,
+           'msg ' || event_type AS content,
+           CASE WHEN event_id % 3 = 1 THEN 1 ELSE 0 END AS is_partial
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_container_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events")
+    src = F.when(F.col("event_id") % 2 == 0, F.lit("stdout")).otherwise(
+        F.lit("stderr")
+    )
+    tag = (
+        F.when(F.col("event_id") % 3 == 0, F.lit("F "))
+        .when(F.col("event_id") % 3 == 1, F.lit("P "))
+        .otherwise(F.lit(""))
+    )
+    line = F.concat(
+        F.lit("2021-08-25T07:00:00.000000000Z "),
+        src,
+        F.lit(" "),
+        tag,
+        F.lit("msg "),
+        F.col("event_type"),
+    )
+    ev = to_events(
+        df.withColumn("line", line), content_col="line", field_cols=[], id_cols=["event_id"]
+    )
+    out = compile_processors(
+        [{"Type": "processor_parse_container_log"}]
+    )(ev)
+    f = F.col(FIELDS_COL)
+    return out.select(
+        "event_id",
+        f.getItem("_time_").alias("t"),
+        f.getItem("_source_").alias("src"),
+        f.getItem("content").alias("content"),
+        F.map_contains_key(f, "P").cast("int").alias("is_partial"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
 # streaming exact dedup — engine dedup state across micro-batches; the
 # kept DIGEST SET must equal the batch definition (arrival order only
 # decides WHICH member survives, and digests are member-invariant)

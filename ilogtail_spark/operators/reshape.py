@@ -55,6 +55,202 @@ class ProcessorSplitLogString(Processor):
 
 @register
 @dataclass
+class ProcessorSplitLogRegex(Processor):
+    """processor_split_log_regex
+    (plugins/processor/split/logregex/split_log_regex.go:56-101
+    SplitLog, :103-138 ProcessLogs): split ONE event whose SplitKey
+    value holds embedded newlines into N events at every line that
+    FULL-matches SplitRegex — the within-value twin of the multiline
+    merge (a matching line starts a new event; preceding lines stay
+    with the previous one).
+
+    Faithful edge semantics (traced against the Go scanner):
+    * a matching FIRST line emits nothing (no empty leading event) —
+      it starts the first segment;
+    * an unmatched leading run becomes its own first segment;
+    * a trailing ``\\n`` stays on the LAST segment (the remainder is
+      taken as a raw substring there);
+    * rows without the key: kept unchanged when PreserveOthers, else
+      dropped (NoKeyError only warns in the reference);
+    * PreserveOthers=False keeps ONLY the split key in the output
+      fields map (ProcessLogs copies other contents only when set).
+
+    Spark mapping — pure expressions, no Python: split to a line
+    array, cut positions = indices >= 1 whose line full-matches
+    (excluding the phantom empty element a trailing newline leaves),
+    segments = zip_with over boundary pairs slicing the line array,
+    posexplode into rows."""
+
+    TYPE: ClassVar[str] = "processor_split_log_regex"
+    CHANGES_CARDINALITY: ClassVar[bool] = True
+
+    SplitKey: str = CONTENT_KEY
+    SplitRegex: str = ".*"
+    PreserveOthers: bool = False
+    NoKeyError: bool = False  # accepted; the reference only warns
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        fields = F.col(FIELDS_COL)
+        v = fields.getItem(self.SplitKey)
+        lines = F.split(v, r"\n", -1)
+        n = F.size(lines)
+        ends_nl = v.endswith("\n")
+        full = "(?s)\\A(?:" + self.SplitRegex + ")\\z"
+
+        def is_cut(i: Column) -> Column:
+            line = F.try_element_at(lines, (i + 1).cast("int"))
+            phantom_tail = ends_nl & (i == n - 1)
+            return (i >= 1) & ~phantom_tail & line.rlike(full)
+
+        idx = F.sequence(F.lit(0), n - 1)
+        cuts = F.filter(idx, is_cut)
+        starts = F.concat(F.array(F.lit(0)), cuts)
+        seg_ends = F.concat(cuts, F.array(n))
+        events = F.zip_with(
+            starts,
+            seg_ends,
+            lambda s, e: F.array_join(
+                F.slice(lines, (s + 1).cast("int"), (e - s).cast("int")), "\n"
+            ),
+        )
+        events = F.when(v.isNotNull(), events).otherwise(
+            F.array(F.lit(None).cast("string"))
+        )
+        out = df.withColumn("__seg__", F.explode(events))
+        if self.PreserveOthers:
+            others = F.map_filter(fields, lambda k, _: k != F.lit(self.SplitKey))
+            new_fields = F.when(
+                F.col("__seg__").isNotNull(),
+                F.map_concat(
+                    others, F.create_map(F.lit(self.SplitKey), F.col("__seg__"))
+                ),
+            ).otherwise(fields)
+        else:
+            # only the split key survives; keyless rows are dropped
+            out = out.filter(F.col("__seg__").isNotNull())
+            new_fields = F.create_map(
+                F.lit(self.SplitKey), F.col("__seg__")
+            )
+        return out.withColumn(FIELDS_COL, new_fields).drop("__seg__")
+
+
+@register
+@dataclass
+class ProcessorParseContainerLog(Processor):
+    """processor_parse_container_log_native
+    (core/plugin/processor/inner/ProcessorParseContainerLogNative.cpp:
+    176-258 containerd text, :464-523 docker json): normalize
+    container runtime stdout formats into ``_time_`` / ``_source_`` /
+    ``content`` fields.
+
+    * ``containerd_text``: ``<time> <stdout|stderr> [P |F ]<content>``
+      — the single-char partial/full tag counts only when followed by
+      a space; ``P`` additionally sets the ``P`` flag field (empty
+      value) that the multiline merge consumes
+      (ProcessorMergeMultilineLogNative.cpp:32 PartLogFlag="P");
+      content is NOT newline-trimmed.
+    * ``docker_json-file``: ``{"log":...,"stream":...,"time":...}`` —
+      content's one trailing ``\\n`` is trimmed.
+
+    Both: a malformed line (missing delimiters / invalid source) is
+    kept unparsed or dropped per ``KeepingSourceWhenParseFail``;
+    ``IgnoringStdout``/``IgnoringStderr`` drop by source. All pure
+    Column expressions (split + get_json_object), scan-side."""
+
+    TYPE: ClassVar[str] = "processor_parse_container_log"
+    CHANGES_CARDINALITY: ClassVar[bool] = True  # ignore/drop paths
+
+    SourceKey: str = CONTENT_KEY
+    Mode: str = "containerd_text"  # containerd_text | docker_json-file
+    IgnoringStdout: bool = False
+    IgnoringStderr: bool = False
+    KeepingSourceWhenParseFail: bool = False
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        fields = F.col(FIELDS_COL)
+        v = fields.getItem(self.SourceKey)
+        if self.Mode == "docker_json-file":
+            time_v = F.get_json_object(v, "$.time")
+            source_v = F.get_json_object(v, "$.stream")
+            raw_log = F.get_json_object(v, "$.log")
+            content = F.regexp_replace(raw_log, r"\n$", "")
+            partial = F.lit(False)
+            ok = (
+                time_v.isNotNull()
+                & raw_log.isNotNull()
+                & source_v.isin("stdout", "stderr")
+            )
+        elif self.Mode == "containerd_text":
+            # limit-3 split: the LAST element is the raw remainder
+            # (spaces preserved) — exactly the substring after the
+            # second delimiter
+            parts = F.split(v, " ", 3)
+            time_v = F.element_at(parts, 1)
+            source_v = F.try_element_at(parts, F.lit(2))
+            rest = F.try_element_at(parts, F.lit(3))
+            tag = F.substring(rest, 1, 2)
+            has_tag = tag.isin("P ", "F ")
+            content = F.when(has_tag, F.substring(rest, 3, 1 << 30)).otherwise(rest)
+            partial = has_tag & (F.substring(rest, 1, 1) == "P")
+            ok = (F.size(parts) >= 3) & source_v.isin("stdout", "stderr")
+        else:
+            raise ValueError(f"unknown Mode {self.Mode!r}")
+
+        # null-safe: a null source value (missing key / no delimiters)
+        # must read as parse-FAILURE, not filter-eating null. The flag
+        # is MATERIALIZED as a column: after fields is replaced below,
+        # re-evaluating the expression would parse the parsed output.
+        ok_expr = F.coalesce(ok, F.lit(False))
+        drop_by_source = (
+            (F.lit(self.IgnoringStdout) & (source_v == "stdout"))
+            | (F.lit(self.IgnoringStderr) & (source_v == "stderr"))
+        )
+        out = df.filter(~(ok_expr & drop_by_source)).withColumn(
+            "__ok__", ok_expr
+        )
+        ok = F.col("__ok__")
+        parsed = F.map_concat(
+            F.map_filter(
+                fields,
+                lambda k, _: (k != F.lit(self.SourceKey))
+                & (k != F.lit("_time_"))
+                & (k != F.lit("_source_"))
+                & (k != F.lit("P")),
+            ),
+            F.map_from_arrays(
+                # the P slot's key AND value are null together on
+                # non-partial rows, so both filters stay aligned; the
+                # other values coalesce to '' because Spark evaluates
+                # this branch even for rows the `ok` guard rejects
+                F.filter(
+                    F.array(
+                        F.lit("_time_"),
+                        F.lit("_source_"),
+                        F.when(partial, F.lit("P")),
+                        F.lit(CONTENT_KEY),
+                    ),
+                    lambda x: x.isNotNull(),
+                ),
+                F.filter(
+                    F.array(
+                        F.coalesce(time_v, F.lit("")),
+                        F.coalesce(source_v, F.lit("")),
+                        F.when(partial, F.lit("")),
+                        F.coalesce(content, F.lit("")),
+                    ),
+                    lambda x: x.isNotNull(),
+                ),
+            ),
+        )
+        new_fields = F.when(ok, parsed).otherwise(fields)
+        out = out.withColumn(FIELDS_COL, new_fields)
+        if not self.KeepingSourceWhenParseFail:
+            out = out.filter(ok)
+        return out.drop("__ok__")
+
+
+@register
+@dataclass
 class ProcessorMergeMultilineLog(Processor):
     """processor_merge_multiline_log_native
     (core/plugin/processor/inner/ProcessorMergeMultilineLogNative.h:29,

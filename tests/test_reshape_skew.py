@@ -26,6 +26,122 @@ class TestSplitMerge:
         )
         assert out == [{"other": "x"}]
 
+    def test_split_log_regex_reference_vector(self, spark):
+        # the exact multi-line vector from split_log_regex_test.go
+        # TestMultiLine (incl. the empty line keeping its newline on
+        # the first event and the bare trailing '[')
+        log = "[2017-12-12 00:00:00] 你好\nhello\n\n[2017xxxxxx]yyyy\n [zzzz\n["
+        df = events_df(spark, [{"content": log, "k": "v"}])
+        out = fields_of(
+            compile_processors(
+                [{"Type": "processor_split_log_regex",
+                  "SplitRegex": r"\[.*", "PreserveOthers": True}]
+            )(df)
+        )
+        assert [d["content"] for d in out] == [
+            "[2017-12-12 00:00:00] 你好\nhello\n",
+            "[2017xxxxxx]yyyy\n [zzzz",
+            "[",
+        ]
+        assert all(d["k"] == "v" for d in out)
+
+    def test_split_log_regex_single_line_cases(self, spark):
+        cfg = [{"Type": "processor_split_log_regex",
+                "SplitRegex": r"\[.*", "PreserveOthers": True}]
+        # one matched line, with and without trailing newline -> one
+        # event each, trailing newline preserved
+        for log in ("[2017-12-12 00:00:00] xxxxxx",
+                    "[2017-12-12 00:00:00] xxxxxx\n",
+                    "xxxxxx"):
+            out = fields_of(
+                compile_processors(cfg)(events_df(spark, [{"content": log}]))
+            )
+            assert [d["content"] for d in out] == [log], repr(log)
+
+    def test_split_log_regex_preserve_others_false(self, spark):
+        df = events_df(spark, [{"content": "a\n[x\nb", "k": "v"}])
+        out = fields_of(
+            compile_processors(
+                [{"Type": "processor_split_log_regex", "SplitRegex": r"\[.*"}]
+            )(df)
+        )
+        assert out == [{"content": "a"}, {"content": "[x\nb"}]
+
+    def test_split_log_regex_keyless_rows(self, spark):
+        df = events_df(spark, [{"other": "x"}])
+        keep = fields_of(
+            compile_processors(
+                [{"Type": "processor_split_log_regex",
+                  "SplitRegex": ".*", "PreserveOthers": True}]
+            )(df)
+        )
+        assert keep == [{"other": "x"}]
+        drop = compile_processors(
+            [{"Type": "processor_split_log_regex", "SplitRegex": ".*"}]
+        )(df)
+        assert drop.count() == 0
+
+    def test_parse_container_log_containerd(self, spark):
+        rows = [
+            {"content": "2021-08-25T07:00:00.000000000Z stdout F full line"},
+            {"content": "2021-08-25T07:00:01.000000000Z stdout P part line"},
+            {"content": "2021-08-25T07:00:02.000000000Z stderr no tag here"},
+            {"content": "2021-08-25T07:00:03.000000000Z stdout PP 1"},
+        ]
+        out = fields_of(
+            compile_processors(
+                [{"Type": "processor_parse_container_log"}]
+            )(events_df(spark, rows))
+        )
+        assert out[0]["content"] == "full line" and "P" not in out[0]
+        assert out[0]["_source_"] == "stdout"
+        assert out[0]["_time_"] == "2021-08-25T07:00:00.000000000Z"
+        assert out[1]["content"] == "part line" and out[1]["P"] == ""
+        assert out[2]["content"] == "no tag here" and out[2]["_source_"] == "stderr"
+        # single-char tag only counts when followed by a space
+        assert out[3]["content"] == "PP 1"
+
+    def test_parse_container_log_fail_and_ignore(self, spark):
+        rows = [
+            {"content": "2021-08-25T07:00:00Z bogus x"},  # invalid source
+            {"content": "nodelimiters"},
+            {"content": "2021-08-25T07:00:01Z stderr drop me"},
+            {"content": "2021-08-25T07:00:02Z stdout keep me"},
+        ]
+        df = events_df(spark, rows)
+        dropped = compile_processors(
+            [{"Type": "processor_parse_container_log", "IgnoringStderr": True}]
+        )(df)
+        got = fields_of(dropped)
+        assert [d["content"] for d in got] == ["keep me"]
+        kept = fields_of(
+            compile_processors(
+                [{"Type": "processor_parse_container_log",
+                  "IgnoringStderr": True, "KeepingSourceWhenParseFail": True}]
+            )(df)
+        )
+        # malformed rows pass through unparsed; stderr still dropped
+        assert [d["content"] for d in kept] == [
+            "2021-08-25T07:00:00Z bogus x", "nodelimiters", "keep me",
+        ]
+
+    def test_parse_container_log_docker_json(self, spark):
+        rows = [
+            {"content": '{"log":"hello\\n","stream":"stdout","time":"2021-08-25T07:00:00Z"}'},
+            {"content": '{"log":"no newline","stream":"stderr","time":"t2"}'},
+            {"content": "not json"},
+        ]
+        out = fields_of(
+            compile_processors(
+                [{"Type": "processor_parse_container_log",
+                  "Mode": "docker_json-file"}]
+            )(events_df(spark, rows))
+        )
+        assert len(out) == 2
+        assert out[0]["content"] == "hello" and out[0]["_source_"] == "stdout"
+        assert out[0]["_time_"] == "2021-08-25T07:00:00Z"
+        assert out[1]["content"] == "no newline"
+
     def test_merge_multiline(self, spark):
         rows = [
             {"content": "2026-01-01 start A"},
