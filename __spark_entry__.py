@@ -41,6 +41,7 @@ _FRONT = [
     "text_vocab_topk", "spl_stats", "text_repetition",
     "streaming_exact_dedup", "text_drop_boilerplate",
     "split_log_regex", "container_log_parse",
+    "prom_parse_metrics", "prom_relabel_chain",
 ]
 
 

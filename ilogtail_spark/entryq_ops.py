@@ -1093,6 +1093,89 @@ def q_container_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# prometheus exposition parse + relabel
+# (ProcessorPromParseMetricNative.cpp:27-67, Relabel.cpp:147-230):
+# lines synthesized identically on both sides; the relabel chain
+# (labelmap -> replace -> keep) is enumerable in SQL
+# ---------------------------------------------------------------------------
+@query(
+    "prom_parse_metrics",
+    """
+    SELECT CAST(event_id AS VARCHAR) AS id,
+           'req_total' AS name,
+           'm' || CAST(user_id % 3 AS VARCHAR) AS method,
+           CAST(user_id AS DOUBLE) AS value,
+           CAST(1700000000000 + event_id AS BIGINT) AS ts_ms
+    FROM events
+    ORDER BY CAST(id AS BIGINT)
+    """,
+)
+def q_prom_parse_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ilogtail_spark.operators.prom import prom_parse
+
+    df = _t(spark, sf_dir, "events")
+    line = F.format_string(
+        'req_total{id="%d",method="m%d"} %d %d',
+        F.col("event_id"),
+        F.col("user_id") % 3,
+        F.col("user_id"),
+        F.col("event_id") + 1700000000000,
+    )
+    out = prom_parse(df.withColumn("text", line))
+    lb = F.col("labels")
+    return out.select(
+        lb.getItem("id").alias("id"),
+        F.col("name"),
+        lb.getItem("method").alias("method"),
+        F.col("value"),
+        F.col("ts_ms"),
+    ).orderBy(F.col("id").cast("long"))
+
+
+@query(
+    "prom_relabel_chain",
+    """
+    SELECT CAST(event_id AS VARCHAR) AS id,
+           'api' AS k8s_app,
+           'host' || CAST(user_id % 5 AS VARCHAR) AS host
+    FROM events
+    WHERE event_id % 2 = 0
+    ORDER BY CAST(id AS BIGINT)
+    """,
+)
+def q_prom_relabel_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ilogtail_spark.operators.prom import relabel
+
+    df = _t(spark, sf_dir, "events").select(
+        F.create_map(
+            F.lit("id"), F.col("event_id").cast("string"),
+            F.lit("__meta_app"), F.lit("api"),
+            F.lit("__address__"),
+            F.format_string("host%d:9100", F.col("user_id") % 5),
+            F.lit("parity"),
+            (F.col("event_id") % 2).cast("string"),
+        ).alias("labels")
+    )
+    out = relabel(
+        df,
+        [
+            {"regex": "__meta_(.+)", "action": "labelmap",
+             "replacement": "k8s_$1"},
+            {"source_labels": ["__address__"], "regex": r"([^:]+):\d+",
+             "target_label": "host", "replacement": "$1"},
+            {"source_labels": ["parity"], "regex": "0", "action": "keep"},
+            {"regex": "__.*|parity", "action": "labeldrop"},
+        ],
+    )
+    lb = F.col("labels")
+    return out.select(
+        lb.getItem("id").alias("id"),
+        lb.getItem("k8s_app").alias("k8s_app"),
+        lb.getItem("host").alias("host"),
+    ).orderBy(F.col("id").cast("long"))
+
+
+# ---------------------------------------------------------------------------
 # streaming exact dedup — engine dedup state across micro-batches; the
 # kept DIGEST SET must equal the batch definition (arrival order only
 # decides WHICH member survives, and digests are member-invariant)

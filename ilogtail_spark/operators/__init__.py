@@ -13,5 +13,6 @@ from ilogtail_spark.operators import enrich as _enrich  # noqa: F401
 from ilogtail_spark.operators import reshape as _reshape  # noqa: F401
 from ilogtail_spark.operators import extras as _extras  # noqa: F401
 from ilogtail_spark.operators import spl as _spl  # noqa: F401
+from ilogtail_spark.operators import prom as _prom  # noqa: F401
 
 from ilogtail_spark.operators.base import PROCESSORS, build, register  # noqa: F401
