@@ -25,30 +25,24 @@ from ilogtail_spark.model import CONTENT_KEY, FIELDS_COL
 from ilogtail_spark.operators.base import Processor, register
 
 # exposition line: name{labels} value [timestamp-ms]
+# \A/\z anchors (the repo convention): Java's $ also matches before a
+# trailing newline, which would let stray terminators slip through
 _LINE_RE = (
-    r"^([a-zA-Z_:][a-zA-Z0-9_:]*)"  # 1: metric name
+    r"\A([a-zA-Z_:][a-zA-Z0-9_:]*)"  # 1: metric name
     r"(?:\s*\{(.*)\})?"  # 2: label body (greedy — values may hold '}')
-    r"\s+(\S+)"  # 3: value
-    r"(?:\s+(-?\d+))?"  # 4: optional timestamp (ms)
-    r"\s*$"
+    r"[ \t]+(\S+)"  # 3: value
+    r"(?:[ \t]+(-?\d+))?"  # 4: optional timestamp (ms)
+    r"[ \t]*\z"
 )
 _LABEL_PAIR = r'([a-zA-Z_][a-zA-Z0-9_]*)\s*=\s*"((?:[^"\\]|\\.)*)"'
 
 
 def _unescape_label(v: Column) -> Column:
-    """Prometheus label-value escapes: \\\\  \\"  \\n — one
-    left-to-right tokenizing scan (no sentinel)."""
-    toks = F.regexp_extract_all(v, F.lit(r"(?s)(\\.|\\|[^\\]+)"), 1)
+    """Prometheus label-value escapes: \\\\  \\"  \\n — the shared
+    one-pass tokenizing scan (functions/strings.py)."""
+    from ilogtail_spark.functions.strings import unescape_scan
 
-    def _map_tok(t: Column) -> Column:
-        return (
-            F.when(t == F.lit('\\"'), F.lit('"'))
-            .when(t == F.lit("\\\\"), F.lit("\\"))
-            .when(t == F.lit("\\n"), F.lit("\n"))
-            .otherwise(t)
-        )
-
-    return F.array_join(F.transform(toks, _map_tok), "")
+    return unescape_scan(v, {'\\"': '"', "\\\\": "\\", "\\n": "\n"})
 
 
 def _parse_value(v: Column) -> Column:
@@ -61,22 +55,42 @@ def _parse_value(v: Column) -> Column:
     )
 
 
+# the full label body must be EXACTLY a comma-separated pair list
+# (optional trailing comma) — a body with an unquoted or malformed
+# pair rejects the whole line, as the reference TextParser does
+_BODY_RE = rf"\A\s*(?:{_LABEL_PAIR}(?:\s*,\s*{_LABEL_PAIR})*\s*,?)?\s*\z"
+
+
 def prom_parse(
     df: DataFrame,
     text_col: str = "text",
     default_ts_ms: int | None = None,
+    keep_cols: bool = False,
 ) -> DataFrame:
     """Parse one exposition-format line per row into ``(name, labels,
-    value, ts_ms)``. Comment (#) and blank lines, and lines whose
-    value does not parse, are dropped — the TextParser contract
-    (ParseLine returns false -> no event). ``__name__`` joins the
-    label map, mirroring
-    ProcessorPromParseMetricNative.cpp:64 SetTag(NAME)."""
+    value, ts_ms)``. Comment (#) and blank lines, lines whose value
+    does not parse, and lines with a malformed label body are dropped
+    — the TextParser contract (ParseLine returns false -> no event).
+    ``__name__`` joins the label map, mirroring
+    ProcessorPromParseMetricNative.cpp:64 SetTag(NAME).
+    ``keep_cols=True`` appends the four metric columns instead of
+    replacing the frame (the processor surface needs the event's
+    other columns to survive).
+
+    Regex cost: the line pattern runs ONCE per row (a single
+    regexp_replace rewriting the match into a \\x01-delimited
+    canonical form + one validating rlike), not once per capture
+    group. A raw \\x01 byte in a scrape line is treated as malformed
+    input (control bytes in label values must arrive escaped)."""
     t = F.trim(F.col(text_col))
-    name = F.regexp_extract(t, _LINE_RE, 1)
-    body = F.regexp_extract(t, _LINE_RE, 2)
-    raw_val = F.regexp_extract(t, _LINE_RE, 3)
-    ts = F.regexp_extract(t, _LINE_RE, 4)
+    sep = "\x01"
+    okline = t.rlike(_LINE_RE) & ~t.contains(sep) & ~t.startswith("#")
+    canon = F.regexp_replace(t, _LINE_RE, f"$1{sep}$2{sep}$3{sep}$4")
+    parts = F.split(canon, sep, 4)
+    name = F.element_at(parts, 1)
+    body = F.try_element_at(parts, F.lit(2))
+    raw_val = F.try_element_at(parts, F.lit(3))
+    ts = F.try_element_at(parts, F.lit(4))
     keys = F.regexp_extract_all(body, F.lit(_LABEL_PAIR), 1)
     vals = F.transform(
         F.regexp_extract_all(body, F.lit(_LABEL_PAIR), 2), _unescape_label
@@ -89,15 +103,17 @@ def prom_parse(
     ts_ms = F.when(ts != "", ts.cast("long")).otherwise(
         F.lit(default_ts_ms).cast("long")
     )
-    out = df.select(
+    ok = okline & value.isNotNull() & body.rlike(_BODY_RE)
+    base = df.filter(F.coalesce(ok, F.lit(False)))
+    cols = [
         name.alias("name"),
         labels.alias("labels"),
         value.alias("value"),
         ts_ms.alias("ts_ms"),
-    )
-    return out.filter(
-        ~t.startswith("#") & (F.col("name") != "") & F.col("value").isNotNull()
-    )
+    ]
+    if keep_cols:
+        return base.select("*", *cols)
+    return base.select(*cols)
 
 
 def _src_value(labels: Column, source_labels: list[str], sep: str) -> Column:
@@ -110,7 +126,9 @@ def _src_value(labels: Column, source_labels: list[str], sep: str) -> Column:
 
 
 def _full(regex: str) -> str:
-    return "(?s)^(?:" + regex + ")$"
+    # \A/\z, not ^/$: Java's $ also matches before a final newline, so
+    # ^/$ would spuriously full-match values ending in \n (verified)
+    return "(?s)\\A(?:" + regex + ")\\z"
 
 
 def relabel(
@@ -160,12 +178,19 @@ def relabel(
         elif action in ("lowercase", "uppercase"):
             target = cfg["target_label"]
             val = F.lower(src) if action == "lowercase" else F.upper(src)
+            without_target = F.map_filter(
+                labels, lambda k, _: k != F.lit(target)
+            )
+            # empty value deletes the target — Builder.Set("") deletes
+            # in Prometheus; same contract the replace action honors
             df = df.withColumn(
                 labels_col,
-                F.map_concat(
-                    F.map_filter(labels, lambda k, _: k != F.lit(target)),
-                    F.create_map(F.lit(target), val),
-                ),
+                F.when(
+                    val != "",
+                    F.map_concat(
+                        without_target, F.create_map(F.lit(target), val)
+                    ),
+                ).otherwise(without_target),
             )
         elif action == "labelmap":
             # every label whose NAME matches contributes a renamed
@@ -205,23 +230,28 @@ class ProcessorPromParseMetric(Processor):
     def apply(self, df: DataFrame) -> DataFrame:
         fields = F.col(FIELDS_COL)
         v = fields.getItem(self.SourceKey)
-        parsed = prom_parse(df.withColumn("__line__", v), "__line__")
-        # keep the metric-event shape for pipeline consumers: fields
-        # carries __name__ / value / optional ts; labels stay a map
-        return parsed.select(
-            F.map_concat(
+        parsed = prom_parse(
+            df.withColumn("__line__", v), "__line__", keep_cols=True
+        )
+        # metric-event fields: labels FIRST, reserved keys LAST — under
+        # the session's LAST_WIN map dedup a label literally named
+        # 'value' or '__time_ms__' must not clobber the sample. Every
+        # other column (tags, id/mirror cols) survives untouched.
+        new_fields = F.map_concat(
+            F.map_filter(
+                F.col("labels"), lambda k, _: k != F.lit("__name__")
+            ),
+            F.create_map(
+                F.lit("__name__"), F.col("name"),
+                F.lit("value"), F.col("value").cast("string"),
+            ),
+            F.when(
+                F.col("ts_ms").isNotNull(),
                 F.create_map(
-                    F.lit("__name__"), F.col("name"),
-                    F.lit("value"), F.col("value").cast("string"),
+                    F.lit("__time_ms__"), F.col("ts_ms").cast("string")
                 ),
-                F.when(
-                    F.col("ts_ms").isNotNull(),
-                    F.create_map(
-                        F.lit("__time_ms__"), F.col("ts_ms").cast("string")
-                    ),
-                ).otherwise(F.create_map().cast("map<string,string>")),
-                F.map_filter(
-                    F.col("labels"), lambda k, _: k != F.lit("__name__")
-                ),
-            ).alias(FIELDS_COL),
+            ).otherwise(F.create_map().cast("map<string,string>")),
+        )
+        return parsed.withColumn(FIELDS_COL, new_fields).drop(
+            "__line__", "name", "labels", "value", "ts_ms"
         )

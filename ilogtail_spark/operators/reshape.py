@@ -173,7 +173,10 @@ class ProcessorParseContainerLog(Processor):
             time_v = F.get_json_object(v, "$.time")
             source_v = F.get_json_object(v, "$.stream")
             raw_log = F.get_json_object(v, "$.log")
-            content = F.regexp_replace(raw_log, r"\n$", "")
+            # \n\z, not \n$: Java's $ also matches BEFORE a final
+            # newline, so '\n$' would strip two trailing newlines; the
+            # reference trims exactly one
+            content = F.regexp_replace(raw_log, r"\n\z", "")
             partial = F.lit(False)
             ok = (
                 time_v.isNotNull()

@@ -295,33 +295,22 @@ class ProcessorStringReplace(FieldsProcessor):
         elif self.Method == "const":
             out = F.replace(v, F.lit(self.Match), F.lit(self.ReplaceString))
         elif self.Method == "unquote":
-            # strip one layer of quotes and unescape \\ \" \n \t \r in
-            # ONE left-to-right scan: tokenize into escape pairs /
-            # non-backslash runs / a trailing lone backslash, then map
-            # each escape token. A sentinel-substitution chain (the
-            # previous form) corrupts values that legitimately contain
-            # the sentinel byte; the tokenizer has no sentinel, and an
-            # escape pair can never be re-interpreted because each
-            # input char is consumed by exactly one token.
+            # strip one layer of quotes, then the shared one-pass
+            # tokenizing unescape (functions/strings.py — no sentinel,
+            # each input char consumed by exactly one token)
+            from ilogtail_spark.functions.strings import unescape_scan
+
             inner = F.regexp_replace(v, r'(?s)^"(.*)"$', "$1")
-            toks = F.regexp_extract_all(
-                inner, F.lit(r"(?s)(\\.|\\|[^\\]+)"), 1
+            out = unescape_scan(
+                inner,
+                {
+                    "\\\\": "\\",
+                    "\\n": "\n",
+                    "\\t": "\t",
+                    "\\r": "\r",
+                    '\\"': '"',
+                },
             )
-            escapes = {
-                "\\\\": "\\",
-                "\\n": "\n",
-                "\\t": "\t",
-                "\\r": "\r",
-                '\\"': '"',
-            }
-
-            def _map_tok(t: Column) -> Column:
-                expr = t  # unknown escapes (and plain runs) pass through
-                for esc, rep in escapes.items():
-                    expr = F.when(t == F.lit(esc), F.lit(rep)).otherwise(expr)
-                return expr
-
-            out = F.array_join(F.transform(toks, _map_tok), "")
         else:
             raise ValueError(f"unknown Method {self.Method!r}")
         dest = self.DestKey or self.SourceKey

@@ -77,6 +77,34 @@ class TestPromParse:
              "__time_ms__": "1700000000000", "job": "api"}
         ]
 
+    def test_processor_keeps_other_columns(self, spark):
+        # tags and id columns must survive the parse (event-model
+        # contract every processor honors)
+        df = events_df(
+            spark, [{"content": "m 2"}], tags=[{"host": "h1"}]
+        ).withColumn("conv_id", F.lit("c9"))
+        out = compile_processors(
+            [{"Type": "processor_prom_parse_metric"}]
+        )(df).collect()
+        assert dict(out[0]["tags"]) == {"host": "h1"}
+        assert out[0]["conv_id"] == "c9"
+
+    def test_label_named_value_does_not_clobber_sample(self, spark):
+        df = events_df(spark, [{"content": 'm{value="x"} 7'}])
+        out = fields_of(
+            compile_processors([{"Type": "processor_prom_parse_metric"}])(df)
+        )
+        assert out[0]["value"] == "7.0"
+
+    def test_malformed_label_body_rejects_line(self, spark):
+        rows = prom_parse(
+            lines_df(
+                spark,
+                ['m{a=unquoted,b="1"} 5', 'ok{b="1"} 5'],
+            )
+        ).collect()
+        assert len(rows) == 1 and rows[0]["name"] == "ok"
+
 
 def metrics_df(spark, rows):
     return spark.createDataFrame(
@@ -115,6 +143,24 @@ class TestRelabel:
             df,
             [{"source_labels": ["a"], "regex": "(.*)",
               "target_label": "t", "replacement": "$1"}],
+        ).collect()
+        assert "t" not in dict(out[0]["labels"])
+
+    def test_trailing_newline_value_not_matched(self, spark):
+        # \A..\z anchoring: a label value ending in \n must NOT
+        # full-match a regex without it (Java $ would)
+        df = metrics_df(spark, [{"env": "prod\n"}, {"env": "prod"}])
+        kept = relabel(
+            df, [{"source_labels": ["env"], "regex": "prod", "action": "keep"}]
+        ).collect()
+        assert len(kept) == 1 and dict(kept[0]["labels"])["env"] == "prod"
+
+    def test_lowercase_empty_source_deletes_target(self, spark):
+        df = metrics_df(spark, [{"t": "old"}])  # source label missing
+        out = relabel(
+            df,
+            [{"source_labels": ["missing"], "target_label": "t",
+              "action": "lowercase"}],
         ).collect()
         assert "t" not in dict(out[0]["labels"])
 

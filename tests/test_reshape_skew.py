@@ -142,6 +142,16 @@ class TestSplitMerge:
         assert out[0]["_time_"] == "2021-08-25T07:00:00Z"
         assert out[1]["content"] == "no newline"
 
+    def test_parse_container_docker_trims_exactly_one_newline(self, spark):
+        rows = [{"content": '{"log":"text\\n\\n","stream":"stdout","time":"t"}'}]
+        out = fields_of(
+            compile_processors(
+                [{"Type": "processor_parse_container_log",
+                  "Mode": "docker_json-file"}]
+            )(events_df(spark, rows))
+        )
+        assert out[0]["content"] == "text\n"
+
     def test_merge_multiline(self, spark):
         rows = [
             {"content": "2026-01-01 start A"},
