@@ -42,6 +42,8 @@ _FRONT = [
     "streaming_exact_dedup", "text_drop_boilerplate",
     "split_log_regex", "container_log_parse",
     "prom_parse_metrics", "prom_relabel_chain",
+    "corpus_decontaminate", "corpus_dup_windows",
+    "corpus_quality_sample", "corpus_pack_shards",
 ]
 
 

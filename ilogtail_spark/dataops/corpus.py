@@ -1,0 +1,289 @@
+"""Corpus-level training-data pipeline operators — the steps that sit
+between per-document scoring (textstats) and dedup (dedup/similarity)
+in a 100 TB pretraining-data build:
+
+  * benchmark decontamination (n-gram overlap vs an eval set),
+  * duplicate-window statistics (the ExactSubstr signal: what
+    fraction of a document's k-token windows also occur elsewhere),
+  * deterministic hash-based sampling (reproducible corpus
+    subsampling / quality-tiered mixing, no RNG state),
+  * token-budget shard packing via a distributed two-phase prefix
+    sum (assign documents to fixed-token-budget output shards).
+
+Everything is expression-first: tokenization/shingling/hashing run
+scan-side inside WholeStageCodegen; the only shuffles carry
+(id, 8-byte hash) or (id, count) rows — never document text.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ilogtail_spark.dataops.dedup import shingles_from_tokens, tokens_col
+
+
+def _hash_md5(c: Column) -> Column:
+    return F.md5(c)
+
+
+def contamination_stats(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: per document, how many of its
+    word n-gram shingles also occur in the benchmark (eval) corpus —
+    the overlap signal used to drop train/test-contaminated documents
+    (GPT-3 appendix C–style 13-gram decontamination).
+
+    Returns (id, n_ngrams, n_contaminated, contaminated) for EVERY
+    input document (zero-overlap docs included; docs shorter than n
+    tokens have n_ngrams = 0 and are never contaminated).
+
+    Scale shape: the benchmark side is small by definition (an eval
+    set, not a corpus) — its distinct shingle hashes are broadcast,
+    so the corpus-side probe is a broadcast LEFT SEMI join against
+    scan-side exploded shingles: the 100 TB side never shuffles text,
+    and the only exchange is the (id, count) partial-aggregated
+    groupBy. ``hash_fn`` defaults to xxhash64 (8-byte probe keys);
+    oracle queries pass md5 for cross-engine parity.
+    """
+    hash_fn = hash_fn or F.xxhash64
+    sh = (
+        df.withColumn("__t__", tokens_col(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                shingles_from_tokens(F.col("__t__"), n=n)
+            ).alias("__sh__"),
+        )
+    )
+    bench_set = (
+        benchmark.withColumn("__t__", tokens_col(F.col(text_col)))
+        .select(
+            F.explode(shingles_from_tokens(F.col("__t__"), n=n)).alias("__s__")
+        )
+        .select(hash_fn(F.col("__s__")).alias("__h__"))
+        .distinct()
+    )
+    probes = sh.select(
+        F.col(id_col), F.explode(F.col("__sh__")).alias("__s__")
+    ).select(F.col(id_col), hash_fn(F.col("__s__")).alias("__h__"))
+    hits = (
+        probes.join(F.broadcast(bench_set), "__h__", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    base = sh.select(F.col(id_col), F.size("__sh__").alias("n_ngrams"))
+    return base.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_ngrams"),
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+        (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def dup_window_stats(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """Duplicate-window statistics — the corpus-wide ExactSubstr
+    signal (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): for each document, the fraction of its DISTINCT
+    k-token windows whose hash occurs in at least one OTHER document.
+    High dup_frac ⇒ the document is largely boilerplate shared with
+    the rest of the corpus, even when no whole-document near-dup
+    fires.
+
+    Returns (id, n_windows, n_dup_windows, dup_frac_micro) — the
+    fraction in fixed-point micro units (integer 0..1_000_000) so the
+    oracle compare is exact.
+
+    Scale shape: windows are hashed scan-side; the per-window
+    document-frequency aggregate and the join back both carry only
+    (id, 8-byte hash) rows — document text never shuffles, and there
+    is no pair join at all (counts only), so a boilerplate window
+    shared by 10^6 docs costs 10^6 rows, not 10^12 pairs. df counts
+    are partial-aggregated map-side.
+    """
+    hash_fn = hash_fn or F.xxhash64
+    win = (
+        df.withColumn("__t__", tokens_col(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                shingles_from_tokens(F.col("__t__"), n=k)
+            ).alias("__w__"),
+        )
+        .select(F.col(id_col), F.explode(F.col("__w__")).alias("__s__"))
+        .select(F.col(id_col), hash_fn(F.col("__s__")).alias("__h__"))
+    )
+    doc_freq = win.groupBy("__h__").agg(
+        F.count("*").alias("__df__")  # win is distinct per doc ⇒ count = doc freq
+    )
+    per_doc = (
+        win.join(doc_freq, "__h__")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("__df__") > 1, 1).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+    )
+    all_docs = df.select(F.col(id_col))
+    return all_docs.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_windows"), F.lit(0)).alias("n_windows"),
+        F.coalesce(F.col("n_dup_windows"), F.lit(0)).alias("n_dup_windows"),
+        F.floor(
+            F.coalesce(F.col("n_dup_windows"), F.lit(0))
+            * F.lit(1_000_000)
+            / F.greatest(F.coalesce(F.col("n_windows"), F.lit(0)), F.lit(1))
+        ).cast("bigint").alias("dup_frac_micro"),
+    )
+
+
+def sample_threshold_hex(rate: float) -> str:
+    """8-hex-digit threshold for ``deterministic_keep``: a doc is kept
+    iff the first 8 hex chars of md5(salt || id) compare strictly
+    below this string. md5 hex is uniform, so P(keep) = rate exactly
+    (to 1/16^8 granularity) — identical in any engine with md5."""
+    if rate >= 1.0:
+        return "g"  # sorts after every hex digit ⇒ keep all
+    if rate <= 0.0:
+        return "00000000"
+    return format(int(rate * 16**8), "08x")
+
+
+def deterministic_keep(
+    id_col: Column, rate: float, salt: str = ""
+) -> Column:
+    """Boolean keep-column for deterministic (seedless, reproducible,
+    cluster-size-independent) Bernoulli sampling at ``rate``.
+
+    Unlike ``df.sample()`` (partition-RNG: result changes with
+    partitioning and Spark version), the decision is a pure function
+    of the row id and salt, so a resumed or re-partitioned run keeps
+    EXACTLY the same rows — the property a lineage-checkpointed 100 TB
+    corpus build needs. Different ``salt`` values give independent
+    draws (e.g. held-out splits)."""
+    h = F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 8)
+    return h < F.lit(sample_threshold_hex(rate))
+
+
+def quality_tiered_sample(
+    df: DataFrame,
+    tiers: list[tuple[Column, float]],
+    id_col: str = "doc_id",
+    salt: str = "",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Quality-tiered corpus mixing: each row's sampling rate comes
+    from the FIRST matching tier predicate (ordered when-chain, like
+    fields_with_condition), then a deterministic hash draw keeps or
+    drops it. This is the standard "sample low-quality buckets down,
+    keep high-quality buckets" pretraining mix, reproducible across
+    runs and cluster sizes. Pure scan-side expressions — the sample
+    is a filter pushed into the scan stage, no shuffle."""
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+    )
+    thr: Column = F.lit(sample_threshold_hex(default_rate))
+    for cond, rate in reversed(tiers):
+        thr = F.when(cond, F.lit(sample_threshold_hex(rate))).otherwise(thr)
+    return df.filter(h < thr)
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed inclusive prefix sum of ``value_col`` in global
+    ``order_col`` order — WITHOUT the single-partition global window
+    that ``Window.orderBy(...)`` (no partitionBy) would plan, which
+    serializes the whole dataset through one task and caps out around
+    one executor's memory.
+
+    Classic two-phase scan: (1) range-partition by the order key so
+    partition i holds a contiguous key range and localCheckpoint that
+    layout (both later jobs MUST see identical partitioning — the
+    checkpoint pins it); (2) aggregate one (partition, sum) row per
+    partition to the driver — num_partitions rows, not data — and
+    turn the exclusive running totals into a broadcast-joined offset;
+    (3) window WITHIN each partition (parallel) and add the offset.
+    Order ties are broken deterministically only if ``order_col`` is
+    unique — callers pass a unique id.
+    """
+    spark = df.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(nparts, F.col(order_col)).withColumn(
+        "__pid__", F.spark_partition_id()
+    )
+    parts = parts.localCheckpoint()
+    totals = (
+        parts.groupBy("__pid__").agg(F.sum(value_col).alias("__t__")).collect()
+    )
+    acc = 0
+    offsets: dict[int, int] = {}
+    for r in sorted(totals, key=lambda r: r["__pid__"]):
+        offsets[r["__pid__"]] = acc
+        acc += r["__t__"] or 0
+    # the offset table is num_partitions rows — fold it into a literal
+    # CASE chain (constant after codegen) instead of a join: zero extra
+    # exchanges, no driver-side DataFrame round-trip
+    off: Column = F.lit(0).cast("bigint")
+    for pid, o in offsets.items():
+        off = F.when(F.col("__pid__") == pid, F.lit(o).cast("bigint")).otherwise(off)
+    w = Window.partitionBy("__pid__").orderBy(order_col)
+    return (
+        parts.withColumn(out_col, F.sum(value_col).over(w) + off)
+        .drop("__pid__")
+    )
+
+
+def pack_token_budget(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Token-budget shard packing: assign each document (in id order)
+    to a fixed-token-budget output shard — the "pack the corpus into
+    ~1 GiB / ~N-token training shards" step of a pretraining build.
+    A document lands in the shard where its FIRST token falls:
+    shard_id = floor((cumulative_tokens − n_tokens) / budget), so
+    shards hold ≥ budget tokens except the last and assignment is a
+    pure function of the corpus content (stable across reruns).
+
+    Returns (id, n_tokens, shard_id). Token counts are whitespace
+    tokens (swap in the BPE proxy by pre-computing a count column).
+    The global cumulative sum uses the two-phase distributed scan in
+    ``global_prefix_sum`` — no single-partition global window."""
+    counted = df.select(
+        F.col(id_col), F.size(tokens_col(F.col(text_col))).alias("n_tokens")
+    )
+    cum = global_prefix_sum(
+        counted, id_col, "n_tokens", out_col="__cum__",
+        num_partitions=num_partitions,
+    )
+    return cum.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.floor((F.col("__cum__") - F.col("n_tokens")) / F.lit(budget))
+        .cast("bigint")
+        .alias("shard_id"),
+    )

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ilogtail_spark.dataops import dedup, multimodal, similarity, textstats
+from ilogtail_spark.dataops import corpus, dedup, multimodal, similarity, textstats
 from ilogtail_spark.entryq import _t, query
 
 # shared SQL fragments -----------------------------------------------------
@@ -961,3 +961,142 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes_out",
         F.md5(F.lower(F.hex(F.col("resized")))).alias("resized_md5"),
     ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# corpus ops: decontamination, dup-window stats, deterministic
+# sampling, token-budget packing (dataops/corpus.py)
+# ---------------------------------------------------------------------------
+def _shingle_sql(n: int) -> str:
+    """DuckDB n-token shingle list from token array ``w`` — mirrors
+    dedup.shingles_from_tokens."""
+    joined = " || ' ' || ".join(f"w[i+{j + 1}]" for j in range(n))
+    return (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_distinct(list_transform(range(len(w) - {n - 1}), i -> {joined})) "
+        f"ELSE [] END"
+    )
+
+
+def _decontaminate_oracle(n: int = 5, bench_mod: int = 29, bench_rem: int = 3) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(col="text")} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, {_shingle_sql(n)} AS s FROM toks
+    ), bench AS (
+      SELECT DISTINCT unnest(s) AS g FROM sh
+      WHERE doc_id % {bench_mod} = {bench_rem}
+    ), probe AS (
+      SELECT doc_id, unnest(s) AS g FROM sh
+    ), hits AS (
+      SELECT doc_id, count(*) AS n_contaminated FROM probe
+      WHERE g IN (SELECT g FROM bench) GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(len(s.s) AS BIGINT) AS n_ngrams,
+           CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           coalesce(h.n_contaminated, 0) > 0 AS contaminated
+    FROM sh s LEFT JOIN hits h USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@query("corpus_decontaminate", _decontaminate_oracle())
+def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 29 == 3)
+    out = corpus.contamination_stats(docs, bench, n=5, hash_fn=F.md5)
+    return out.select(
+        "doc_id",
+        F.col("n_ngrams").cast("bigint").alias("n_ngrams"),
+        F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+        "contaminated",
+    ).orderBy("doc_id")
+
+
+def _dup_windows_oracle(k: int = 5) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(col="text")} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, {_shingle_sql(k)} AS s FROM toks
+    ), win AS (
+      SELECT doc_id, unnest(s) AS g FROM sh
+    ), dfreq AS (
+      SELECT g, count(*) AS c FROM win GROUP BY g
+    ), per AS (
+      SELECT doc_id, count(*) AS n_windows,
+             CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      FROM win JOIN dfreq USING (g) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_windows,
+           CAST(floor(coalesce(n_dup, 0) * 1000000
+                      / greatest(coalesce(n_windows, 0), 1)) AS BIGINT)
+             AS dup_frac_micro
+    FROM documents d LEFT JOIN per USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@query("corpus_dup_windows", _dup_windows_oracle())
+def q_corpus_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = corpus.dup_window_stats(docs, k=5, hash_fn=F.md5)
+    return out.select(
+        "doc_id",
+        F.col("n_windows").cast("bigint").alias("n_windows"),
+        F.col("n_dup_windows").cast("bigint").alias("n_dup_windows"),
+        "dup_frac_micro",
+    ).orderBy("doc_id")
+
+
+def _sample_oracle(salt: str, hi: float, lo: float) -> str:
+    hi_t = corpus.sample_threshold_hex(hi)
+    lo_t = corpus.sample_threshold_hex(lo)
+    return f"""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < CASE WHEN lang = 'en' THEN '{hi_t}' ELSE '{lo_t}' END
+    ORDER BY doc_id
+    """
+
+
+@query("corpus_quality_sample", _sample_oracle("s1", 0.9, 0.3))
+def q_corpus_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = corpus.quality_tiered_sample(
+        docs, [(F.col("lang") == "en", 0.9)], salt="s1", default_rate=0.3
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def _pack_oracle(budget: int) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len({SQL_TOKENS.format(col="text")}) AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id) AS c
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor((c - n_tokens) / {budget}) AS BIGINT) AS shard_id
+    FROM cum ORDER BY doc_id
+    """
+
+
+@query("corpus_pack_shards", _pack_oracle(2000))
+def q_corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = corpus.pack_token_budget(docs, budget=2000, num_partitions=8)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "shard_id",
+    ).orderBy("doc_id")

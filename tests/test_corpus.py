@@ -1,0 +1,151 @@
+"""Semantic tests for corpus-level pipeline operators: benchmark
+decontamination, duplicate-window stats, deterministic sampling, and
+token-budget shard packing (distributed prefix sum)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ilogtail_spark.dataops import corpus
+
+DOCS = [
+    (0, "alpha beta gamma delta epsilon zeta eta theta"),
+    (1, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 0
+    (2, "alpha beta gamma delta NINE ten eleven twelve"),  # shares a prefix
+    (3, "one two three four five six seven eight nine ten"),
+    (4, "short doc"),
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+class TestContamination:
+    def test_overlap_vs_benchmark(self, spark):
+        df = docs_df(spark)
+        bench = df.filter(F.col("doc_id") == 0).select("doc_id", "text")
+        out = {
+            r["doc_id"]: r
+            for r in corpus.contamination_stats(df, bench, n=4).collect()
+        }
+        assert len(out) == 5  # every doc present, zero-overlap included
+        # docs 0 and 1 are identical to the benchmark doc -> fully contaminated
+        assert out[0]["contaminated"] and out[1]["contaminated"]
+        assert out[0]["n_contaminated"] == out[0]["n_ngrams"] > 0
+        # doc 2 shares exactly one 4-gram prefix window
+        assert out[2]["n_contaminated"] == 1 and out[2]["contaminated"]
+        # doc 3 shares nothing; doc 4 is shorter than n
+        assert out[3]["n_contaminated"] == 0 and not out[3]["contaminated"]
+        assert out[4]["n_ngrams"] == 0 and not out[4]["contaminated"]
+
+    def test_empty_benchmark(self, spark):
+        df = docs_df(spark)
+        bench = df.filter(F.lit(False))
+        out = corpus.contamination_stats(df, bench, n=4).collect()
+        assert all(not r["contaminated"] for r in out)
+
+
+class TestDupWindows:
+    def test_fractions(self, spark):
+        out = {
+            r["doc_id"]: r
+            for r in corpus.dup_window_stats(docs_df(spark), k=4).collect()
+        }
+        # identical docs 0/1: every window duplicated
+        assert out[0]["dup_frac_micro"] == 1_000_000
+        assert out[1]["dup_frac_micro"] == 1_000_000
+        # doc 2: exactly its first window (alpha beta gamma delta) is shared
+        assert out[2]["n_dup_windows"] == 1
+        assert 0 < out[2]["dup_frac_micro"] < 1_000_000
+        # doc 3 shares nothing; doc 4 has no windows at all
+        assert out[3]["n_dup_windows"] == 0 and out[3]["dup_frac_micro"] == 0
+        assert out[4]["n_windows"] == 0 and out[4]["dup_frac_micro"] == 0
+
+    def test_distinct_windows_within_doc(self, spark):
+        # a doc repeating its own window does NOT self-count as dup
+        df = spark.createDataFrame(
+            [(0, "a b c d a b c d"), (1, "x y z w")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r for r in corpus.dup_window_stats(df, k=4).collect()
+        }
+        assert out[0]["n_dup_windows"] == 0
+
+
+class TestDeterministicSample:
+    def test_reproducible_and_partition_independent(self, spark):
+        ids = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        keep = corpus.deterministic_keep(F.col("doc_id"), 0.3)
+        a = sorted(r["doc_id"] for r in ids.filter(keep).collect())
+        b = sorted(
+            r["doc_id"]
+            for r in ids.repartition(7).filter(keep).collect()
+        )
+        assert a == b  # same rows regardless of partitioning
+        assert 0.2 < len(a) / 2000 < 0.4  # rate roughly honored
+
+    def test_rate_edges(self, spark):
+        ids = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+        assert ids.filter(corpus.deterministic_keep(F.col("doc_id"), 1.0)).count() == 100
+        assert ids.filter(corpus.deterministic_keep(F.col("doc_id"), 0.0)).count() == 0
+
+    def test_salt_gives_independent_draw(self, spark):
+        ids = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"] for r in ids.filter(
+            corpus.deterministic_keep(F.col("doc_id"), 0.5, salt="a")).collect()}
+        b = {r["doc_id"] for r in ids.filter(
+            corpus.deterministic_keep(F.col("doc_id"), 0.5, salt="b")).collect()}
+        assert a != b
+        overlap = len(a & b) / 2000
+        assert 0.15 < overlap < 0.35  # ~0.25 if independent
+
+    def test_tiered_rates(self, spark):
+        df = spark.range(0, 4000).withColumnRenamed("id", "doc_id").withColumn(
+            "q", (F.col("doc_id") % 2 == 0)
+        )
+        out = corpus.quality_tiered_sample(
+            df, [(F.col("q"), 1.0)], default_rate=0.1
+        )
+        rows = out.collect()
+        hi = sum(1 for r in rows if r["q"])
+        lo = sum(1 for r in rows if not r["q"])
+        assert hi == 2000  # rate-1.0 tier keeps everything
+        assert 100 < lo < 350
+
+
+class TestPacking:
+    def test_prefix_sum_matches_serial(self, spark):
+        df = spark.createDataFrame(
+            [(i, (i * 7) % 13 + 1) for i in range(500)], "doc_id long, v long"
+        )
+        out = corpus.global_prefix_sum(df, "doc_id", "v", num_partitions=8)
+        got = {r["doc_id"]: r["cum"] for r in out.collect()}
+        acc = 0
+        for i in range(500):
+            acc += (i * 7) % 13 + 1
+            assert got[i] == acc
+
+    def test_pack_shards(self, spark):
+        df = spark.createDataFrame(
+            [(i, " ".join(["w"] * 10)) for i in range(100)],
+            "doc_id long, text string",
+        )
+        out = corpus.pack_token_budget(df, budget=250, num_partitions=4)
+        rows = {r["doc_id"]: r["shard_id"] for r in out.collect()}
+        # 10 tokens/doc, 250-token budget -> 25 docs per shard, in id order
+        for i in range(100):
+            assert rows[i] == i // 25
+
+    def test_pack_stable_under_partitioning(self, spark):
+        df = spark.createDataFrame(
+            [(i, " ".join(["w"] * (i % 9 + 1))) for i in range(300)],
+            "doc_id long, text string",
+        )
+        a = {r["doc_id"]: r["shard_id"]
+             for r in corpus.pack_token_budget(df, 100, num_partitions=3).collect()}
+        b = {r["doc_id"]: r["shard_id"]
+             for r in corpus.pack_token_budget(
+                 df.repartition(11), 100, num_partitions=7).collect()}
+        assert a == b

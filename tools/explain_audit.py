@@ -352,6 +352,88 @@ def main() -> int:
         "the final top-k never sorts the full term set.",
     )
 
+    # 15. decontamination: the benchmark (eval-set) shingle hashes
+    # broadcast; the 100 TB corpus side is probed by a broadcast LEFT
+    # SEMI join — the corpus never shuffles text for the overlap check
+    from ilogtail_spark.dataops import corpus
+
+    bench15 = docs.filter(F.col("doc_id") % 29 == 3)
+    q15 = corpus.contamination_stats(docs, bench15, n=5)
+    p15 = formatted(q15)
+    audit(
+        "benchmark decontamination (broadcast semi-probe)",
+        q15,
+        [
+            ("bench side broadcasts", "BroadcastExchange" in p15),
+            ("probe is a broadcast semi join",
+             "BroadcastHashJoin" in p15 and "LeftSemi" in p15),
+            ("no Python stage", "Python" not in p15),
+        ],
+        "The eval set is small by definition: its distinct n-gram "
+        "hashes broadcast, the corpus-side probe is scan-side explode "
+        "+ broadcast semi join, and the only exchanges carry "
+        "(id, count) aggregate rows — never document text.",
+    )
+
+    # 16. dup-window stats: counts-only inverted index — no pair join,
+    # hashes computed scan-side, partial aggregation before exchange
+    q16 = corpus.dup_window_stats(docs, k=5)
+    p16 = formatted(q16)
+    audit(
+        "duplicate-window stats (counts-only inverted index)",
+        q16,
+        [
+            ("window hashing is scan-side xxhash64", "xxhash64" in p16),
+            ("partial (map-side) aggregation before each exchange",
+             p16.count("partial_count") >= 1),
+            ("no Python stage", "Python" not in p16),
+        ],
+        "The ExactSubstr signal needs document frequencies, not pairs: "
+        "a boilerplate window shared by 10^6 docs costs 10^6 (id, hash) "
+        "rows, never 10^12 pairs. Exchanges carry 8-byte hashes + "
+        "counts only.",
+    )
+
+    # 17. deterministic sampling: a pure scan-stage filter — zero
+    # shuffles, the hash draw folds into the scan projection
+    q17 = corpus.quality_tiered_sample(
+        docs, [(F.col("doc_id") % 2 == 0, 0.9)], default_rate=0.2
+    )
+    p17 = formatted(q17)
+    audit(
+        "deterministic hash sampling (scan-stage filter)",
+        q17,
+        [
+            ("zero shuffle exchanges", n_shuffles(p17) == 0),
+            ("no Python stage", "Python" not in p17),
+        ],
+        "The keep decision is a pure function of (salt, id): the "
+        "sample is a filter inside the scan stage, reproducible across "
+        "reruns, partitionings, and cluster sizes — unlike df.sample's "
+        "partition-seeded RNG.",
+    )
+
+    # 18. token-budget packing: the global cumulative sum must NOT
+    # plan a single-partition global window — the two-phase prefix
+    # sum windows within range partitions and broadcasts the offsets
+    q18 = corpus.pack_token_budget(docs, budget=2000, num_partitions=4)
+    p18 = formatted(q18)
+    audit(
+        "token-budget packing (distributed prefix sum)",
+        q18,
+        [
+            ("no single-partition exchange", "SinglePartition" not in p18),
+            ("per-partition window present", "Window" in p18),
+            ("no Python stage", "Python" not in p18),
+        ],
+        "Window.orderBy with no partition spec would serialize the "
+        "corpus through ONE task. The two-phase scan range-partitions "
+        "by the order key, ships one (partition, sum) row per "
+        "partition to the driver, and folds the exclusive offsets "
+        "back as a constant CASE chain — each partition then windows "
+        "independently.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
