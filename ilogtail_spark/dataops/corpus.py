@@ -25,8 +25,35 @@ from pyspark.sql import functions as F
 from ilogtail_spark.dataops.dedup import shingles_from_tokens, tokens_col
 
 
-def _hash_md5(c: Column) -> Column:
-    return F.md5(c)
+def _hashed_shingles(
+    df: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    hash_fn: Callable[[Column], Column],
+) -> DataFrame:
+    """(id, __h__) — one row per DISTINCT n-token shingle of each
+    document, hashed; documents with < n tokens keep ONE row with a
+    null ``__h__`` (explode_outer) so downstream aggregates still see
+    every document. Tokens and the shingle array are materialized
+    through intermediate projections (separate select stages) so the
+    tokenizing split is evaluated once per row, not once per lambda
+    reference — the same CollapseProject hazard dedup.py documents."""
+    toks = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("__t__"))
+    sh = toks.select(
+        F.col(id_col),
+        F.array_distinct(shingles_from_tokens(F.col("__t__"), n=n)).alias("__sh__"),
+    )
+    return sh.select(
+        F.col(id_col), F.explode_outer(F.col("__sh__")).alias("__s__")
+    ).select(
+        F.col(id_col),
+        # xxhash64(NULL) is the non-null seed hash — gate on the
+        # shingle itself so short docs keep a genuinely null __h__
+        F.when(
+            F.col("__s__").isNotNull(), hash_fn(F.col("__s__"))
+        ).alias("__h__"),
+    )
 
 
 def contamination_stats(
@@ -48,44 +75,36 @@ def contamination_stats(
 
     Scale shape: the benchmark side is small by definition (an eval
     set, not a corpus) — its distinct shingle hashes are broadcast,
-    so the corpus-side probe is a broadcast LEFT SEMI join against
-    scan-side exploded shingles: the 100 TB side never shuffles text,
-    and the only exchange is the (id, count) partial-aggregated
-    groupBy. ``hash_fn`` defaults to xxhash64 (8-byte probe keys);
-    oracle queries pass md5 for cross-engine parity.
+    and the corpus side is ONE scan: exploded shingle hashes are
+    marked by a broadcast left join and both counts come from the
+    same per-id aggregate, so the only exchange is the (id, count)
+    partial-aggregated groupBy — the 100 TB side never shuffles text
+    and is never scanned twice. ``hash_fn`` defaults to xxhash64
+    (8-byte probe keys); oracle queries pass md5 for cross-engine
+    parity.
     """
     hash_fn = hash_fn or F.xxhash64
-    sh = (
-        df.withColumn("__t__", tokens_col(F.col(text_col)))
+    bench_set = (
+        _hashed_shingles(benchmark, n, text_col, id_col, hash_fn)
+        .select("__h__")
+        .where(F.col("__h__").isNotNull())
+        .distinct()
+        .withColumn("__hit__", F.lit(1))
+    )
+    probes = _hashed_shingles(df, n, text_col, id_col, hash_fn)
+    marked = probes.join(F.broadcast(bench_set), "__h__", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("__h__").alias("n_ngrams"),  # nulls (short docs) excluded
+            F.count("__hit__").alias("n_contaminated"),
+        )
         .select(
             F.col(id_col),
-            F.array_distinct(
-                shingles_from_tokens(F.col("__t__"), n=n)
-            ).alias("__sh__"),
+            F.col("n_ngrams"),
+            F.col("n_contaminated"),
+            (F.col("n_contaminated") > 0).alias("contaminated"),
         )
-    )
-    bench_set = (
-        benchmark.withColumn("__t__", tokens_col(F.col(text_col)))
-        .select(
-            F.explode(shingles_from_tokens(F.col("__t__"), n=n)).alias("__s__")
-        )
-        .select(hash_fn(F.col("__s__")).alias("__h__"))
-        .distinct()
-    )
-    probes = sh.select(
-        F.col(id_col), F.explode(F.col("__sh__")).alias("__s__")
-    ).select(F.col(id_col), hash_fn(F.col("__s__")).alias("__h__"))
-    hits = (
-        probes.join(F.broadcast(bench_set), "__h__", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_contaminated"))
-    )
-    base = sh.select(F.col(id_col), F.size("__sh__").alias("n_ngrams"))
-    return base.join(hits, id_col, "left").select(
-        F.col(id_col),
-        F.col("n_ngrams"),
-        F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
-        (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias("contaminated"),
     )
 
 
@@ -108,25 +127,21 @@ def dup_window_stats(
     fraction in fixed-point micro units (integer 0..1_000_000) so the
     oracle compare is exact.
 
-    Scale shape: windows are hashed scan-side; the per-window
-    document-frequency aggregate and the join back both carry only
-    (id, 8-byte hash) rows — document text never shuffles, and there
-    is no pair join at all (counts only), so a boilerplate window
-    shared by 10^6 docs costs 10^6 rows, not 10^12 pairs. df counts
-    are partial-aggregated map-side.
+    Scale shape: windows are hashed scan-side and the narrow
+    (id, 8-byte hash) projection is materialized ONCE
+    (localCheckpoint) — both consumers (the per-window
+    document-frequency aggregate and the join back) reuse it instead
+    of re-running tokenize+shingle+hash over the corpus. Document
+    text never shuffles, and there is no pair join at all (counts
+    only), so a boilerplate window shared by 10^6 docs costs 10^6
+    rows, not 10^12 pairs. df counts are partial-aggregated map-side.
     """
     hash_fn = hash_fn or F.xxhash64
-    win = (
-        df.withColumn("__t__", tokens_col(F.col(text_col)))
-        .select(
-            F.col(id_col),
-            F.array_distinct(
-                shingles_from_tokens(F.col("__t__"), n=k)
-            ).alias("__w__"),
-        )
-        .select(F.col(id_col), F.explode(F.col("__w__")).alias("__s__"))
-        .select(F.col(id_col), hash_fn(F.col("__s__")).alias("__h__"))
-    )
+    # explode_outer keeps short docs (null hash) so the final result
+    # covers every document without re-touching the input table
+    win_all = _hashed_shingles(df, k, text_col, id_col, hash_fn)
+    win_all = win_all.localCheckpoint()
+    win = win_all.where(F.col("__h__").isNotNull())
     doc_freq = win.groupBy("__h__").agg(
         F.count("*").alias("__df__")  # win is distinct per doc ⇒ count = doc freq
     )
@@ -140,7 +155,7 @@ def dup_window_stats(
             ),
         )
     )
-    all_docs = df.select(F.col(id_col))
+    all_docs = win_all.select(F.col(id_col)).distinct()
     return all_docs.join(per_doc, id_col, "left").select(
         F.col(id_col),
         F.coalesce(F.col("n_windows"), F.lit(0)).alias("n_windows"),
@@ -165,6 +180,14 @@ def sample_threshold_hex(rate: float) -> str:
     return format(int(rate * 16**8), "08x")
 
 
+def _draw_hex(id_col: Column, salt: str) -> Column:
+    """The deterministic 8-hex-char draw shared by every sampler —
+    one definition so all samplers agree for the same (salt, id)."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 8
+    )
+
+
 def deterministic_keep(
     id_col: Column, rate: float, salt: str = ""
 ) -> Column:
@@ -177,8 +200,7 @@ def deterministic_keep(
     EXACTLY the same rows — the property a lineage-checkpointed 100 TB
     corpus build needs. Different ``salt`` values give independent
     draws (e.g. held-out splits)."""
-    h = F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 8)
-    return h < F.lit(sample_threshold_hex(rate))
+    return _draw_hex(id_col, salt) < F.lit(sample_threshold_hex(rate))
 
 
 def quality_tiered_sample(
@@ -195,9 +217,7 @@ def quality_tiered_sample(
     keep high-quality buckets" pretraining mix, reproducible across
     runs and cluster sizes. Pure scan-side expressions — the sample
     is a filter pushed into the scan stage, no shuffle."""
-    h = F.substring(
-        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
-    )
+    h = _draw_hex(F.col(id_col), salt)
     thr: Column = F.lit(sample_threshold_hex(default_rate))
     for cond, rate in reversed(tiers):
         thr = F.when(cond, F.lit(sample_threshold_hex(rate))).otherwise(thr)
