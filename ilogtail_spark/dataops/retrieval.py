@@ -1,0 +1,129 @@
+"""Sparse lexical retrieval over the corpus: BM25 top-k.
+
+The retrieval step a training-data pipeline runs constantly — "find
+the corpus documents most relevant to these probe queries" (targeted
+decontamination, seed-document expansion, quality-by-proximity
+audits). Re-expressed Spark-first as an inverted-index join:
+
+  corpus scan -> tokenize (scan-side, codegen) -> explode
+             -> EARLY broadcast restriction to query terms
+             -> (doc_id, term) partial-aggregated tf
+             -> per-term df -> idf (tiny, broadcast)
+             -> per-(query, doc) score sum -> windowed top-k
+
+Scale shape at 100 TB: document text never shuffles — the only
+exchange after the scan carries (doc_id, term, tf, dl) rows for
+TERMS THAT APPEAR IN SOME QUERY (the broadcast restriction runs
+before the aggregate, so the map-side combine already sees the
+pruned stream). The query set is small by definition (a probe /
+eval workload, not the corpus) and is broadcast twice: once as a
+term filter, once with idf weights attached. The final top-k is a
+rank-over-window partitioned by query_id — cardinality |queries| ×
+|matching docs|, already restricted.
+
+Scores are emitted quantized (``score_milli`` = floor(score×1000))
+so cross-engine compares are exact; ranking uses the quantized
+score with a doc-id tie-break, deterministic on any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ilogtail_spark.dataops.dedup import tokens_col
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+) -> DataFrame:
+    """Top-k BM25-scored documents per query.
+
+    Returns (query_id, doc_id, score_milli, rank), rank 1..k per
+    query, ordered by (score_milli DESC, doc_id ASC).
+
+    BM25 (Robertson/Sparck Jones, the Lucene "plus one" idf form so
+    weights are never negative):
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        s(q, d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
+
+    Terms are lowercased whitespace tokens (``tokens_col``); duplicate
+    terms in a query count once (standard bag-of-words probe).
+    """
+    toks = docs.select(
+        F.col(id_col), tokens_col(F.lower(F.col(text_col))).alias("__t__")
+    )
+    lens = toks.select(F.col(id_col), F.size("__t__").alias("__dl__"))
+    # N and avgdl: one tiny aggregate, broadcast into every posting row
+    stats = lens.agg(
+        F.count("*").alias("__n__"), F.avg("__dl__").alias("__avgdl__")
+    )
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(tokens_col(F.lower(F.col(query_text_col)))).alias("__w__"),
+        )
+        .distinct()
+    )
+    # the term filter: distinct query vocabulary, broadcast
+    qvocab = qterms.select("__w__").distinct()
+
+    posts = (
+        toks.select(
+            F.col(id_col),
+            F.size("__t__").alias("__dl__"),
+            F.explode(F.col("__t__")).alias("__w__"),
+        )
+        .join(F.broadcast(qvocab), "__w__")  # restrict BEFORE the aggregate
+        .groupBy(id_col, "__w__")
+        .agg(F.count("*").alias("__tf__"), F.first("__dl__").alias("__dl__"))
+    )
+
+    dfreq = posts.groupBy("__w__").agg(F.count("*").alias("__df__"))
+    widf = (
+        qterms.join(F.broadcast(dfreq), "__w__")  # terms absent from corpus drop out
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(query_id_col),
+            "__w__",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n__") - F.col("__df__") + 0.5) / (F.col("__df__") + 0.5)
+            ).alias("__idf__"),
+            "__avgdl__",
+        )
+    )
+
+    contrib = posts.join(F.broadcast(widf), "__w__").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        (
+            F.col("__idf__")
+            * (F.col("__tf__") * (k1 + 1.0))
+            / (
+                F.col("__tf__")
+                + k1 * (1.0 - b + b * F.col("__dl__") / F.col("__avgdl__"))
+            )
+        ).alias("__s__"),
+    )
+    scored = contrib.groupBy(query_id_col, id_col).agg(
+        F.floor(F.sum("__s__") * 1000).cast("bigint").alias("score_milli")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score_milli").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score_milli", "rank")
+    )

@@ -10,7 +10,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ilogtail_spark.dataops import corpus, dedup, multimodal, similarity, textstats
+from ilogtail_spark.dataops import (
+    corpus,
+    dedup,
+    multimodal,
+    retrieval,
+    similarity,
+    textstats,
+)
 from ilogtail_spark.entryq import _t, query
 
 # shared SQL fragments -----------------------------------------------------
@@ -1100,3 +1107,63 @@ def q_corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         "shard_id",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval top-k — inverted-index scoring
+# ---------------------------------------------------------------------------
+def _bm25_oracle(k: int = 5, qmod: int = 97, qrem: int = 5) -> str:
+    toks = SQL_TOKENS.format(col="lower(text)")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {toks} AS w FROM documents
+    ), lens AS (
+      SELECT doc_id, len(w) AS dl FROM toks
+    ), stats AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl FROM lens
+    ), qterms AS (
+      SELECT DISTINCT doc_id AS query_id, unnest(w) AS term
+      FROM toks WHERE doc_id % {qmod} = {qrem}
+    ), posts AS (
+      SELECT doc_id, unnest(w) AS term FROM toks
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM posts
+      WHERE term IN (SELECT DISTINCT term FROM qterms)
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), contrib AS (
+      SELECT q.query_id, t.doc_id,
+             ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS c
+      FROM tf t
+      JOIN dfreq d USING (term)
+      JOIN qterms q USING (term)
+      JOIN lens l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+    ), scored AS (
+      SELECT query_id, doc_id,
+             CAST(floor(sum(c) * 1000) AS BIGINT) AS score_milli
+      FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score_milli,
+           CAST(row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY score_milli DESC, doc_id ASC) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+@query("retrieval_bm25_topk", _bm25_oracle())
+def q_retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    probes = docs.filter(F.col("doc_id") % 97 == 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    out = retrieval.bm25_topk(docs, probes, k=5)
+    return out.select(
+        "query_id", "doc_id", "score_milli", F.col("rank").cast("int").alias("rank")
+    ).orderBy("query_id", "rank")
