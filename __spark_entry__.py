@@ -44,7 +44,7 @@ _FRONT = [
     "prom_parse_metrics", "prom_relabel_chain",
     "corpus_decontaminate", "corpus_dup_windows",
     "corpus_quality_sample", "corpus_pack_shards",
-    "retrieval_bm25_topk",
+    "retrieval_bm25_topk", "corpus_importance_scores",
 ]
 
 

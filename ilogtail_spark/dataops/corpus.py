@@ -307,3 +307,121 @@ def pack_token_budget(
         .cast("bigint")
         .alias("shard_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance scoring (data selection for language models)
+# ---------------------------------------------------------------------------
+
+def _bucket_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """(id, __b__) — one row per unigram AND bigram feature of each
+    document, hashed into ``n_buckets`` buckets (the DSIR hashed
+    n-gram feature space). Tokens are materialized through an
+    intermediate projection before the bigram lambda references them
+    (CollapseProject hazard, see shingles_from_tokens)."""
+    toks = df.select(
+        F.col(id_col), tokens_col(F.lower(F.col(text_col))).alias("__t__")
+    )
+    feats = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(F.col("__t__"), shingles_from_tokens(F.col("__t__"), n=2))
+        ).alias("__f__"),
+    )
+    return feats.select(
+        F.col(id_col),
+        (
+            F.conv(F.substring(F.md5(F.col("__f__")), 1, 15), 16, 10).cast("long")
+            % n_buckets
+        ).alias("__b__"),
+    )
+
+
+def importance_scores(
+    df: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 10007,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by the log-likelihood ratio of its hashed n-gram
+    (unigram + bigram) features under a bag-of-words model of the
+    TARGET distribution vs the RAW distribution, with add-one
+    smoothing:
+
+        w(doc) = Σ_f  ln p_target(bucket(f)) − ln p_raw(bucket(f))
+
+    Returns (id, n_features, logratio_micro). High scores = looks
+    like the target domain. Feed ``logratio_micro`` into
+    ``quality_tiered_sample`` tiers to do the actual resampling.
+
+    Cross-engine exactness: the per-BUCKET weight is quantized to an
+    integer (micro units) BEFORE the per-document summation, so doc
+    scores are integer sums — no float addition-order divergence.
+
+    Scale shape at 100 TB: features hash scan-side; the raw bucket
+    histogram is ONE hash aggregate whose exchange carries at most
+    ``n_buckets`` partial rows per task; the weight table is at most
+    ``n_buckets`` rows and is broadcast into the scoring join, so the
+    per-document aggregate is the only data-sized exchange and it
+    carries (id, int) rows. The target side is small by definition
+    (a domain sample, not the corpus).
+    """
+    raw_feats = _bucket_features(df, text_col, id_col, n_buckets)
+    tgt_feats = _bucket_features(target, text_col, id_col, n_buckets)
+
+    raw_cnt = raw_feats.groupBy("__b__").agg(F.count("*").alias("__rc__"))
+    tgt_cnt = tgt_feats.groupBy("__b__").agg(F.count("*").alias("__tc__"))
+    raw_tot = raw_feats.agg(F.count("*").alias("__rt__"))
+    tgt_tot = tgt_feats.agg(F.count("*").alias("__tt__"))
+
+    weights = (
+        raw_cnt.join(tgt_cnt, "__b__", "full_outer")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "__b__",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("__tc__"), F.lit(0)) + 1.0)
+                        / (F.col("__tt__") + F.lit(float(n_buckets)))
+                    )
+                    - F.log(
+                        (F.coalesce(F.col("__rc__"), F.lit(0)) + 1.0)
+                        / (F.col("__rt__") + F.lit(float(n_buckets)))
+                    )
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("__w__"),
+        )
+    )
+
+    scored = (
+        raw_feats.join(F.broadcast(weights), "__b__")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum("__w__").alias("logratio_micro"),
+        )
+    )
+    # zero-feature docs (empty/one-token text still has >=1 unigram;
+    # truly empty text has none) keep a row with score 0
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_features"), F.lit(0)).alias("n_features"),
+            F.coalesce(F.col("logratio_micro"), F.lit(0)).alias("logratio_micro"),
+        )
+    )

@@ -1167,3 +1167,57 @@ def q_retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "doc_id", "score_milli", F.col("rank").cast("int").alias("rank")
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance scores — hashed n-gram log-likelihood ratio
+# ---------------------------------------------------------------------------
+def _importance_oracle(nb: int = 10007, tmod: int = 29, trem: int = 3) -> str:
+    toks = SQL_TOKENS.format(col="lower(text)")
+    bigrams = (
+        "CASE WHEN len(w) >= 2 THEN "
+        "list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2]) "
+        "ELSE [] END"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {toks} AS w FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(f), 1, 15))::BIGINT % {nb} AS b
+      FROM (SELECT doc_id, unnest(list_concat(w, {bigrams})) AS f FROM toks)
+    ), rc AS (
+      SELECT b, count(*) AS rc FROM feats GROUP BY b
+    ), tc AS (
+      SELECT b, count(*) AS tc FROM feats WHERE doc_id % {tmod} = {trem} GROUP BY b
+    ), tot AS (
+      SELECT (SELECT count(*) FROM feats) AS rt,
+             (SELECT count(*) FROM feats WHERE doc_id % {tmod} = {trem}) AS tt
+    ), weights AS (
+      SELECT rc.b,
+             CAST(floor((ln((coalesce(tc.tc, 0) + 1.0) / (tot.tt + {nb}))
+                         - ln((rc.rc + 1.0) / (tot.rt + {nb}))) * 1000000)
+                  AS BIGINT) AS wgt
+      FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot
+    ), scored AS (
+      SELECT doc_id, count(*) AS n_features, sum(wgt) AS logratio_micro
+      FROM feats JOIN weights USING (b) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_features, 0) AS BIGINT) AS n_features,
+           CAST(coalesce(s.logratio_micro, 0) AS BIGINT) AS logratio_micro
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+@query("corpus_importance_scores", _importance_oracle())
+def q_corpus_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 29 == 3)
+    out = corpus.importance_scores(docs, target)
+    return out.select(
+        "doc_id",
+        F.col("n_features").cast("bigint").alias("n_features"),
+        F.col("logratio_micro").cast("bigint").alias("logratio_micro"),
+    ).orderBy("doc_id")

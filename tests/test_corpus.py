@@ -149,3 +149,45 @@ class TestPacking:
              for r in corpus.pack_token_budget(
                  df.repartition(11), 100, num_partitions=7).collect()}
         assert a == b
+
+
+class TestImportanceScores:
+    def test_target_like_docs_score_higher(self, spark):
+        rows = [
+            (0, "machine learning models train on data"),
+            (1, "machine learning models train on data"),
+            (2, "cooking recipes with butter and flour"),
+            (3, "football scores league table results"),
+            (4, "machine learning data pipelines"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        target = df.filter(F.col("doc_id") == 0)
+        out = {
+            r["doc_id"]: r for r in corpus.importance_scores(df, target).collect()
+        }
+        assert len(out) == 5
+        # docs sharing the target's vocabulary outrank unrelated ones
+        assert out[1]["logratio_micro"] > out[2]["logratio_micro"]
+        assert out[4]["logratio_micro"] > out[3]["logratio_micro"]
+        # identical docs get identical scores (0 is the target, 1 its dup)
+        assert out[0]["logratio_micro"] == out[1]["logratio_micro"]
+
+    def test_feature_count_is_unigrams_plus_bigrams(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b c"), (1, "solo"), (2, "")], "doc_id long, text string"
+        )
+        target = df.filter(F.col("doc_id") == 0)
+        out = {
+            r["doc_id"]: r for r in corpus.importance_scores(df, target).collect()
+        }
+        assert out[0]["n_features"] == 5  # 3 unigrams + 2 bigrams
+        assert out[1]["n_features"] == 1
+        assert out[2]["n_features"] == 0 and out[2]["logratio_micro"] == 0
+
+    def test_deterministic_across_partitionings(self, spark):
+        rows = [(i, f"w{i % 7} w{i % 3} common token stream") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        target = df.filter(F.col("doc_id") % 5 == 0)
+        a = corpus.importance_scores(df.repartition(1), target).collect()
+        b = corpus.importance_scores(df.repartition(13), target).collect()
+        assert {tuple(r) for r in a} == {tuple(r) for r in b}
