@@ -45,6 +45,7 @@ _FRONT = [
     "corpus_decontaminate", "corpus_dup_windows",
     "corpus_quality_sample", "corpus_pack_shards",
     "retrieval_bm25_topk", "corpus_importance_scores",
+    "url_normalize", "url_dedup_filter",
 ]
 
 

@@ -17,6 +17,7 @@ from ilogtail_spark.dataops import (
     retrieval,
     similarity,
     textstats,
+    urlops,
 )
 from ilogtail_spark.entryq import _t, query
 
@@ -1221,3 +1222,165 @@ def q_corpus_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_features").cast("bigint").alias("n_features"),
         F.col("logratio_micro").cast("bigint").alias("logratio_micro"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# URL hygiene — canonicalization, URL-level dedup, domain blocklist
+# ---------------------------------------------------------------------------
+_URL_FIXTURE_SQL = """
+      SELECT doc_id, source,
+             CASE doc_id % 4
+               WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/p/'
+                           || CAST(doc_id % 10 AS VARCHAR) || '/?utm_source=x&b=2&a=1#f'
+               WHEN 1 THEN 'https://' || source || '.example.com/p/'
+                           || CAST(doc_id % 10 AS VARCHAR) || '?a=1&b=2'
+               WHEN 2 THEN 'http://' || source || CAST(doc_id % 3 AS VARCHAR)
+                           || '.co.uk/page' || CAST(doc_id % 5 AS VARCHAR) || '/'
+               ELSE source || '.example.com/q?fbclid=1'
+             END AS url
+      FROM documents
+"""
+
+
+def _url_fixture_col() -> F.Column:
+    m = F.col("doc_id") % 4
+    did = F.col("doc_id")
+    return (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.COM:443/p/"),
+                (did % 10).cast("string"), F.lit("/?utm_source=x&b=2&a=1#f"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+                (did % 10).cast("string"), F.lit("?a=1&b=2"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("http://"), F.col("source"), (did % 3).cast("string"),
+                F.lit(".co.uk/page"), (did % 5).cast("string"), F.lit("/"),
+            ),
+        )
+        .otherwise(F.concat(F.col("source"), F.lit(".example.com/q?fbclid=1")))
+    )
+
+
+def _url_norm_ctes() -> str:
+    """DuckDB CTE chain mirroring urlops.normalize_url +
+    registered_domain step for step (shared regex constants)."""
+    track = urlops.TRACKING_PARAM_RE
+    cc = ", ".join(f"'{s}'" for s in urlops.CC_SLD_SUFFIXES)
+    return f"""
+    u AS (
+{_URL_FIXTURE_SQL}
+    ), n1 AS (
+      SELECT doc_id, url, regexp_replace(trim(url), '#.*$', '') AS uu FROM u
+    ), n2 AS (
+      SELECT doc_id, url, uu,
+             regexp_extract(uu, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS sr,
+             regexp_replace(uu, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+      FROM n1
+    ), n3 AS (
+      SELECT doc_id, url,
+             CASE WHEN sr = '' THEN 'http' ELSE lower(sr) END AS scheme,
+             regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)),
+                            '^www\\.', '') AS hostport,
+             regexp_replace(rest, '^[^/?]*', '') AS pathq
+      FROM n2
+    ), n4 AS (
+      SELECT doc_id, url, scheme,
+             CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+                    THEN regexp_replace(hostport, ':80$', '')
+                  WHEN scheme = 'https' AND hostport LIKE '%:443'
+                    THEN regexp_replace(hostport, ':443$', '')
+                  ELSE hostport END AS host,
+             regexp_extract(pathq, '^([^?]*)', 1) AS path0,
+             regexp_extract(pathq, '\\?(.*)$', 1) AS qs
+      FROM n3
+    ), n5 AS (
+      SELECT doc_id, url, scheme, host,
+             CASE WHEN path0 = '' THEN '/'
+                  WHEN length(path0) > 1 AND path0 LIKE '%/'
+                    THEN regexp_replace(path0, '/$', '')
+                  ELSE path0 END AS path,
+             list_sort(list_filter(string_split(qs, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p, '{track}'))) AS kept
+      FROM n4
+    ), n6 AS (
+      SELECT doc_id, url,
+             scheme || '://' || host || path ||
+             CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+                  ELSE '' END AS url_norm
+      FROM n5
+    ), dm AS (
+      SELECT doc_id,
+             lower(regexp_extract(
+               regexp_replace(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+               '^([^/:?#]*)', 1)) AS h
+      FROM u
+    ), dml AS (
+      SELECT doc_id, h, string_split(h, '.') AS ls, len(string_split(h, '.')) AS n
+      FROM dm
+    ), dom AS (
+      SELECT doc_id,
+             CASE WHEN n <= 2 THEN h
+                  WHEN (ls[n-1] || '.' || ls[n]) IN ({cc})
+                    THEN ls[n-2] || '.' || ls[n-1] || '.' || ls[n]
+                  ELSE ls[n-1] || '.' || ls[n] END AS domain
+      FROM dml
+    )"""
+
+
+@query(
+    "url_normalize",
+    f"""
+    WITH {_url_norm_ctes()}
+    SELECT n6.doc_id, n6.url_norm, dom.domain
+    FROM n6 JOIN dom USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    with_url = docs.withColumn("url", _url_fixture_col())
+    return with_url.select(
+        "doc_id",
+        urlops.normalize_url(F.col("url")).alias("url_norm"),
+        urlops.registered_domain(F.col("url")).alias("domain"),
+    ).orderBy("doc_id")
+
+
+_URL_BLOCKLIST = ["src00.co.uk", "src51.co.uk"]
+
+
+@query(
+    "url_dedup_filter",
+    f"""
+    WITH {_url_norm_ctes()}
+    , keep AS (
+      SELECT doc_id FROM (
+        SELECT n6.doc_id,
+               row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) AS rn
+        FROM n6
+      ) WHERE rn = 1
+    )
+    SELECT k.doc_id FROM keep k JOIN dom USING (doc_id)
+    WHERE dom.domain NOT IN ({", ".join(f"'{d}'" for d in _URL_BLOCKLIST)})
+    ORDER BY doc_id
+    """,
+)
+def q_url_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    with_url = docs.withColumn("url", _url_fixture_col())
+    bl = with_url.sparkSession.createDataFrame(
+        [(d,) for d in _URL_BLOCKLIST], "domain string"
+    )
+    kept = urlops.drop_url_duplicates(with_url)
+    out = urlops.domain_blocklist_filter(kept, bl)
+    return out.select("doc_id").orderBy("doc_id")
