@@ -1113,7 +1113,7 @@ def q_corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # BM25 retrieval top-k — inverted-index scoring
 # ---------------------------------------------------------------------------
-def _bm25_oracle(k: int = 5, qmod: int = 97, qrem: int = 5) -> str:
+def _bm25_oracle(k: int = 5, qmod: int = 97, qrem: int = 5, qlen: int = 8) -> str:
     toks = SQL_TOKENS.format(col="lower(text)")
     return f"""
     WITH toks AS (
@@ -1123,7 +1123,7 @@ def _bm25_oracle(k: int = 5, qmod: int = 97, qrem: int = 5) -> str:
     ), stats AS (
       SELECT count(*) AS n, avg(dl) AS avgdl FROM lens
     ), qterms AS (
-      SELECT DISTINCT doc_id AS query_id, unnest(w) AS term
+      SELECT DISTINCT doc_id AS query_id, unnest(w[1:{qlen}]) AS term
       FROM toks WHERE doc_id % {qmod} = {qrem}
     ), posts AS (
       SELECT doc_id, unnest(w) AS term FROM toks
@@ -1161,8 +1161,16 @@ def _bm25_oracle(k: int = 5, qmod: int = 97, qrem: int = 5) -> str:
 @query("retrieval_bm25_topk", _bm25_oracle())
 def q_retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    probes = docs.filter(F.col("doc_id") % 97 == 5).select(
-        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    # probes: the first 8 tokens of every 97th document — short
+    # keyword queries, the realistic probe shape
+    probes = (
+        docs.filter(F.col("doc_id") % 97 == 5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(dedup.tokens_col(F.lower(F.col("text"))), 1, 8), " "
+            ).alias("qtext"),
+        )
     )
     out = retrieval.bm25_topk(docs, probes, k=5)
     return out.select(
