@@ -46,6 +46,7 @@ _FRONT = [
     "corpus_quality_sample", "corpus_pack_shards",
     "retrieval_bm25_topk", "corpus_importance_scores",
     "url_normalize", "url_dedup_filter",
+    "sessionize_events", "session_stats",
 ]
 
 

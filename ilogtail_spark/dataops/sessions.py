@@ -1,0 +1,83 @@
+"""Event sessionization — the gap-based session assignment every
+log-analytics stack exposes (SLS/Splunk `transaction`, BigQuery
+sessionize, Flink session windows), batch form.
+
+A session is a maximal run of one user's events where consecutive
+events are ≤ ``gap_seconds`` apart. Implemented as the classic
+two-window composition:
+
+    lag(ts) over (user, ts)  ->  is_new_session flag
+    sum(flag) over (user, ts rows unbounded preceding)  ->  ordinal
+
+Scale shape at 100 TB: ONE shuffle, on the user key (both windows
+share the same partitioning, Catalyst plans a single Exchange + one
+Sort; verified in PLANS.md). State per task is O(1) — running
+windows stream through sorted rows, nothing is buffered per user.
+Hot-key caveat: a single user with billions of events serializes
+into one task — pre-split such synthetic actors upstream (the
+pipeline's skew salting ops) or bound sessions by day first; real
+user activity is naturally bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Append ``session_ordinal`` (1-based per user) and
+    ``session_id`` (``"<user>:<ordinal>"``) to every event.
+
+    ``order_col``: unique tie-break for simultaneous events (defaults
+    to ``ts`` only — pass the event id when timestamps collide, so
+    session assignment is deterministic).
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(order_col).asc()] if order_col else []
+    )
+    w = Window.partitionBy(user_col).orderBy(*order)
+    # parquet TIMESTAMP may load as NTZ, which cannot cast to long
+    # directly — route through a zoned timestamp (session tz is UTC)
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    prev_epoch = F.lag(epoch).over(w)
+    new_sess = F.when(
+        prev_epoch.isNull() | (epoch - prev_epoch > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_ord = df.withColumn("session_ordinal", F.sum(new_sess).over(run))
+    return with_ord.withColumn(
+        "session_id",
+        F.concat_ws(":", F.col(user_col).cast("string"), F.col("session_ordinal")),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str | None = None,
+) -> DataFrame:
+    """One row per session: (user, session_ordinal, n_events,
+    started_at, ended_at, duration_sec). The aggregate reuses the
+    sessionize shuffle partitioning (user key prefix), so Catalyst
+    plans no second Exchange for the groupBy."""
+    s = sessionize(df, gap_seconds, user_col, ts_col, order_col)
+    return s.groupBy(user_col, "session_ordinal").agg(
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("started_at"),
+        F.max(ts_col).alias("ended_at"),
+        (
+            F.max(F.col(ts_col).cast("timestamp").cast("long"))
+            - F.min(F.col(ts_col).cast("timestamp").cast("long"))
+        ).alias("duration_sec"),
+    )

@@ -15,6 +15,7 @@ from ilogtail_spark.dataops import (
     dedup,
     multimodal,
     retrieval,
+    sessions,
     similarity,
     textstats,
     urlops,
@@ -1392,3 +1393,81 @@ def q_url_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = urlops.drop_url_duplicates(with_url)
     out = urlops.domain_blocklist_filter(kept, bl)
     return out.select("doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# event sessionization — gap-based session windows (batch form)
+# ---------------------------------------------------------------------------
+def _session_cte(gap: int) -> str:
+    return f"""
+    flagged AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > {gap}
+                  THEN 1 ELSE 0 END AS f
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT event_id, user_id, ts,
+             sum(f) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS ord
+      FROM flagged
+    )"""
+
+
+_SESSION_GAP = 21600  # 6 h
+
+
+@query(
+    "sessionize_events",
+    f"""
+    WITH {_session_cte(_SESSION_GAP)}
+    SELECT event_id, user_id,
+           CAST(ord AS BIGINT) AS session_ordinal,
+           CAST(user_id AS VARCHAR) || ':' || CAST(ord AS VARCHAR) AS session_id
+    FROM sess WHERE user_id % 50 = 7
+    ORDER BY event_id
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = sessions.sessionize(ev, gap_seconds=_SESSION_GAP, order_col="event_id")
+    return (
+        out.where(F.col("user_id") % 50 == 7)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("session_ordinal").cast("bigint").alias("session_ordinal"),
+            "session_id",
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "session_stats",
+    f"""
+    WITH {_session_cte(_SESSION_GAP)}
+    SELECT user_id, CAST(ord AS BIGINT) AS session_ordinal,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS started_at, max(ts) AS ended_at,
+           max(CAST(floor(epoch(ts)) AS BIGINT))
+             - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_sec
+    FROM sess GROUP BY user_id, ord
+    ORDER BY user_id, session_ordinal
+    """,
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = sessions.session_stats(
+        ev, gap_seconds=_SESSION_GAP, order_col="event_id"
+    )
+    return out.select(
+        "user_id",
+        F.col("session_ordinal").cast("bigint").alias("session_ordinal"),
+        "n_events",
+        "started_at",
+        "ended_at",
+        "duration_sec",
+    ).orderBy("user_id", "session_ordinal")
