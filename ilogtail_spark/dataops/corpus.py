@@ -81,13 +81,18 @@ def contamination_stats(
     partial-aggregated groupBy — the 100 TB side never shuffles text
     and is never scanned twice. ``hash_fn`` defaults to xxhash64
     (8-byte probe keys); oracle queries pass md5 for cross-engine
-    parity.
+    parity. ``benchmark`` only needs ``text_col`` — eval sets are
+    often bare text files with no ids.
     """
     hash_fn = hash_fn or F.xxhash64
+    bench_toks = benchmark.select(
+        tokens_col(F.col(text_col)).alias("__t__")
+    )
     bench_set = (
-        _hashed_shingles(benchmark, n, text_col, id_col, hash_fn)
-        .select("__h__")
-        .where(F.col("__h__").isNotNull())
+        bench_toks.select(
+            F.explode(shingles_from_tokens(F.col("__t__"), n=n)).alias("__s__")
+        )
+        .select(hash_fn(F.col("__s__")).alias("__h__"))
         .distinct()
         .withColumn("__hit__", F.lit(1))
     )
@@ -128,19 +133,21 @@ def dup_window_stats(
     oracle compare is exact.
 
     Scale shape: windows are hashed scan-side and the narrow
-    (id, 8-byte hash) projection is materialized ONCE
-    (localCheckpoint) — both consumers (the per-window
-    document-frequency aggregate and the join back) reuse it instead
-    of re-running tokenize+shingle+hash over the corpus. Document
-    text never shuffles, and there is no pair join at all (counts
-    only), so a boilerplate window shared by 10^6 docs costs 10^6
-    rows, not 10^12 pairs. df counts are partial-aggregated map-side.
+    (id, 8-byte hash) projection is materialized ONCE (lazy
+    localCheckpoint — no job runs until the caller's first action,
+    but tokenize+shingle+hash never re-executes for the second
+    consumer). Trade-off: localCheckpoint blocks are not replayable
+    after executor loss — a run that must survive preemption should
+    checkpoint to reliable storage instead. Document text never
+    shuffles, and there is no pair join at all (counts only), so a
+    boilerplate window shared by 10^6 docs costs 10^6 rows, not
+    10^12 pairs. df counts are partial-aggregated map-side.
     """
     hash_fn = hash_fn or F.xxhash64
     # explode_outer keeps short docs (null hash) so the final result
     # covers every document without re-touching the input table
     win_all = _hashed_shingles(df, k, text_col, id_col, hash_fn)
-    win_all = win_all.localCheckpoint()
+    win_all = win_all.localCheckpoint(eager=False)
     win = win_all.where(F.col("__h__").isNotNull())
     doc_freq = win.groupBy("__h__").agg(
         F.count("*").alias("__df__")  # win is distinct per doc ⇒ count = doc freq
@@ -327,9 +334,11 @@ def _bucket_features(
     toks = df.select(
         F.col(id_col), tokens_col(F.lower(F.col(text_col))).alias("__t__")
     )
+    # explode_outer: a document with NO tokens keeps one row with a
+    # null bucket, so downstream aggregates still see every document
     feats = toks.select(
         F.col(id_col),
-        F.explode(
+        F.explode_outer(
             F.concat(F.col("__t__"), shingles_from_tokens(F.col("__t__"), n=2))
         ).alias("__f__"),
     )
@@ -366,21 +375,40 @@ def importance_scores(
     integer (micro units) BEFORE the per-document summation, so doc
     scores are integer sums — no float addition-order divergence.
 
-    Scale shape at 100 TB: features hash scan-side; the raw bucket
-    histogram is ONE hash aggregate whose exchange carries at most
-    ``n_buckets`` partial rows per task; the weight table is at most
-    ``n_buckets`` rows and is broadcast into the scoring join, so the
-    per-document aggregate is the only data-sized exchange and it
-    carries (id, int) rows. The target side is small by definition
-    (a domain sample, not the corpus).
+    Scale shape at 100 TB: the (id, bucket) projection is computed
+    ONCE (lazy localCheckpoint — tokenize+bigram+md5, the dominant
+    cost, never re-executes for the scoring pass; the same
+    replayability trade-off dup_window_stats documents). The raw
+    bucket histogram is ONE hash aggregate whose exchange carries at
+    most ``n_buckets`` partial rows per task; feature TOTALS are
+    summed from the histograms, not re-scanned from the corpus. The
+    weight table is at most ``n_buckets`` rows and is broadcast into
+    the scoring join, so the per-document aggregate is the only
+    data-sized exchange and it carries (id, int) rows. The target
+    side is small by definition (a domain sample, not the corpus).
     """
     raw_feats = _bucket_features(df, text_col, id_col, n_buckets)
+    raw_feats = raw_feats.localCheckpoint(eager=False)
     tgt_feats = _bucket_features(target, text_col, id_col, n_buckets)
 
-    raw_cnt = raw_feats.groupBy("__b__").agg(F.count("*").alias("__rc__"))
-    tgt_cnt = tgt_feats.groupBy("__b__").agg(F.count("*").alias("__tc__"))
-    raw_tot = raw_feats.agg(F.count("*").alias("__rt__"))
-    tgt_tot = tgt_feats.agg(F.count("*").alias("__tt__"))
+    raw_cnt = (
+        raw_feats.where(F.col("__b__").isNotNull())
+        .groupBy("__b__")
+        .agg(F.count("*").alias("__rc__"))
+    )
+    tgt_cnt = (
+        tgt_feats.where(F.col("__b__").isNotNull())
+        .groupBy("__b__")
+        .agg(F.count("*").alias("__tc__"))
+    )
+    # totals derive from the (≤ n_buckets)-row histograms — no third
+    # and fourth corpus scan
+    raw_tot = raw_cnt.agg(
+        F.coalesce(F.sum("__rc__"), F.lit(0)).alias("__rt__")
+    )
+    tgt_tot = tgt_cnt.agg(
+        F.coalesce(F.sum("__tc__"), F.lit(0)).alias("__tt__")
+    )
 
     weights = (
         raw_cnt.join(tgt_cnt, "__b__", "full_outer")
@@ -406,22 +434,15 @@ def importance_scores(
         )
     )
 
-    scored = (
-        raw_feats.join(F.broadcast(weights), "__b__")
+    # left join keeps the null-bucket rows explode_outer emitted for
+    # zero-feature docs, so every document reaches the aggregate —
+    # no extra scan of df to recover missing ids
+    return (
+        raw_feats.join(F.broadcast(weights), "__b__", "left")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_features"),
-            F.sum("__w__").alias("logratio_micro"),
+            F.count("__b__").alias("n_features"),  # nulls excluded
+            F.coalesce(F.sum("__w__"), F.lit(0)).alias("logratio_micro"),
         )
-    )
-    # zero-feature docs (empty/one-token text still has >=1 unigram;
-    # truly empty text has none) keep a row with score 0
-    return (
-        df.select(F.col(id_col))
-        .join(scored, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("n_features"), F.lit(0)).alias("n_features"),
-            F.coalesce(F.col("logratio_micro"), F.lit(0)).alias("logratio_micro"),
-        )
+        .select(F.col(id_col), "n_features", "logratio_micro")
     )

@@ -38,22 +38,48 @@ def sessionize(
     ``order_col``: unique tie-break for simultaneous events (defaults
     to ``ts`` only — pass the event id when timestamps collide, so
     session assignment is deterministic).
+
+    Events with a NULL timestamp cannot be placed in any session:
+    they come back with NULL ``session_ordinal``/``session_id``
+    instead of silently shifting the numbering of the user's real
+    sessions (and instead of diverging between engines on NULL sort
+    order). The gap compare runs on microseconds, so sub-second
+    timestamps are exact.
     """
+    sessioned = _sessionize_valid(df, gap_seconds, user_col, ts_col, order_col)
+    unplaceable = (
+        df.where(F.col(ts_col).isNull())
+        .withColumn("session_ordinal", F.lit(None).cast("long"))
+        .withColumn("session_id", F.lit(None).cast("string"))
+    )
+    return sessioned.unionByName(unplaceable)
+
+
+def _sessionize_valid(
+    df: DataFrame,
+    gap_seconds: int,
+    user_col: str,
+    ts_col: str,
+    order_col: str | None,
+) -> DataFrame:
+    """Session assignment over the non-null-timestamp rows only."""
+    valid = df.where(F.col(ts_col).isNotNull())
     order = [F.col(ts_col).asc()] + (
         [F.col(order_col).asc()] if order_col else []
     )
     w = Window.partitionBy(user_col).orderBy(*order)
     # parquet TIMESTAMP may load as NTZ, which cannot cast to long
     # directly — route through a zoned timestamp (session tz is UTC)
-    epoch = F.col(ts_col).cast("timestamp").cast("long")
-    prev_epoch = F.lag(epoch).over(w)
+    epoch_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.lag(epoch_us).over(w)
     new_sess = F.when(
-        prev_epoch.isNull() | (epoch - prev_epoch > gap_seconds), F.lit(1)
+        prev_us.isNull() | (epoch_us - prev_us > gap_seconds * 1_000_000),
+        F.lit(1),
     ).otherwise(F.lit(0))
     run = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    with_ord = df.withColumn("session_ordinal", F.sum(new_sess).over(run))
+    with_ord = valid.withColumn("session_ordinal", F.sum(new_sess).over(run))
     return with_ord.withColumn(
         "session_id",
         F.concat_ws(":", F.col(user_col).cast("string"), F.col("session_ordinal")),
@@ -68,10 +94,12 @@ def session_stats(
     order_col: str | None = None,
 ) -> DataFrame:
     """One row per session: (user, session_ordinal, n_events,
-    started_at, ended_at, duration_sec). The aggregate reuses the
+    started_at, ended_at, duration_sec). NULL-timestamp events belong
+    to no session and are excluded. ``duration_sec`` is in whole
+    seconds (floored epoch difference). The aggregate reuses the
     sessionize shuffle partitioning (user key prefix), so Catalyst
     plans no second Exchange for the groupBy."""
-    s = sessionize(df, gap_seconds, user_col, ts_col, order_col)
+    s = _sessionize_valid(df, gap_seconds, user_col, ts_col, order_col)
     return s.groupBy(user_col, "session_ordinal").agg(
         F.count("*").alias("n_events"),
         F.min(ts_col).alias("started_at"),

@@ -94,9 +94,14 @@ def registered_domain(url: Column) -> Column:
 def drop_url_duplicates(
     df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Keep the lowest-id row per CANONICAL url. The window shuffles
-    (id, 16-byte url digest) only — page content never moves."""
-    key = F.md5(normalize_url(F.col(url_col)))
+    """Keep the lowest-id row per CANONICAL url. One full-row shuffle,
+    hash-partitioned by the 16-byte url digest (rows move exactly once,
+    same shape as dedup.drop_exact_duplicates); the keep decision
+    compares only digests and ids. Rows with a NULL url are all kept —
+    a missing url is not evidence of duplication."""
+    key = F.when(
+        F.col(url_col).isNotNull(), F.md5(normalize_url(F.col(url_col)))
+    ).otherwise(F.concat(F.lit("\x00null\x00"), F.col(id_col).cast("string")))
     w = Window.partitionBy(key).orderBy(F.col(id_col).asc())
     return (
         df.withColumn("__rn__", F.row_number().over(w))
@@ -109,12 +114,14 @@ def domain_blocklist_filter(
     df: DataFrame,
     blocklist: DataFrame,
     url_col: str = "url",
-    domain_col: str = "domain",
 ) -> DataFrame:
     """Drop rows whose registered domain appears in ``blocklist``
-    (a one-column table of domains). Broadcast LEFT ANTI join — the
-    blocklist is small (curated), the corpus side never shuffles."""
-    tagged = df.withColumn(domain_col, registered_domain(F.col(url_col)))
-    return tagged.join(F.broadcast(blocklist), domain_col, "left_anti").drop(
-        domain_col
+    (a one-column table of domains, any column name). Broadcast LEFT
+    ANTI join — the blocklist is small (curated), the corpus side
+    never shuffles. The join key lives in a private ``__domain__``
+    column so a caller's own ``domain`` column is untouched."""
+    bl = blocklist.select(F.col(blocklist.columns[0]).alias("__domain__"))
+    tagged = df.withColumn("__domain__", registered_domain(F.col(url_col)))
+    return tagged.join(F.broadcast(bl), "__domain__", "left_anti").drop(
+        "__domain__"
     )

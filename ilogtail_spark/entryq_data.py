@@ -1403,8 +1403,8 @@ def _session_cte(gap: int) -> str:
     flagged AS (
       SELECT event_id, user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR CAST(floor(epoch(ts)) AS BIGINT)
-                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > {gap}
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > {gap}::BIGINT * 1000000
                   THEN 1 ELSE 0 END AS f
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

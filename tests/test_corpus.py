@@ -191,3 +191,28 @@ class TestImportanceScores:
         a = corpus.importance_scores(df.repartition(1), target).collect()
         b = corpus.importance_scores(df.repartition(13), target).collect()
         assert {tuple(r) for r in a} == {tuple(r) for r in b}
+
+
+class TestReviewRegressions:
+    def test_contamination_accepts_text_only_benchmark(self, spark):
+        df = docs_df(spark)
+        bench = spark.createDataFrame(
+            [("alpha beta gamma delta epsilon zeta eta theta",)], "text string"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in corpus.contamination_stats(df, bench, n=4).collect()
+        }
+        assert out[0]["contaminated"] and out[1]["contaminated"]
+        assert not out[3]["contaminated"]
+
+    def test_importance_scores_cover_empty_docs_without_df_rescan(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b"), (1, "")], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in corpus.importance_scores(df, df.limit(1)).collect()
+        }
+        assert set(out) == {0, 1}
+        assert out[1]["n_features"] == 0 and out[1]["logratio_micro"] == 0

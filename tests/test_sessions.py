@@ -68,3 +68,43 @@ class TestSessionize:
         # sessionize windows + the per-session aggregate must share ONE
         # hash-partitioning on user_id (no second shuffle for groupBy)
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestReviewRegressions:
+    def test_null_ts_events_get_null_session(self, spark):
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [
+                (1, 7, dt.datetime(2024, 1, 1, 0, 0, 0)),
+                (2, 7, None),
+                (3, 7, dt.datetime(2024, 1, 1, 0, 0, 1)),
+            ],
+            "event_id long, user_id long, ts timestamp",
+        )
+        out = {
+            r["event_id"]: r
+            for r in sessions.sessionize(df, gap_seconds=600, order_col="event_id").collect()
+        }
+        assert len(out) == 3
+        assert out[2]["session_ordinal"] is None and out[2]["session_id"] is None
+        # real sessions keep their numbering, unshifted
+        assert out[1]["session_ordinal"] == 1 and out[3]["session_ordinal"] == 1
+        stats = sessions.session_stats(df, gap_seconds=600, order_col="event_id").collect()
+        assert len(stats) == 1 and stats[0]["n_events"] == 2
+
+    def test_subsecond_gap_is_exact(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [
+                (1, 7, base + dt.timedelta(microseconds=100_000)),
+                # real gap = 600.8 s > 600 -> MUST split (floored-second
+                # arithmetic would compute 600 and merge them)
+                (2, 7, base + dt.timedelta(seconds=600, microseconds=900_000)),
+            ],
+            "event_id long, user_id long, ts timestamp",
+        )
+        out = sessions.sessionize(df, gap_seconds=600, order_col="event_id").collect()
+        assert {r["session_ordinal"] for r in out} == {1, 2}

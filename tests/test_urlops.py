@@ -113,3 +113,23 @@ class TestDedupAndBlocklist:
             "doc_id",
             "url",
         }
+
+
+class TestReviewRegressions:
+    def test_null_urls_are_all_kept(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, None), (3, "http://a.com/x"), (4, "http://A.com/x/")],
+            "doc_id long, url string",
+        )
+        kept = sorted(r["doc_id"] for r in urlops.drop_url_duplicates(df).collect())
+        assert kept == [1, 2, 3]
+
+    def test_blocklist_preserves_existing_domain_column(self, spark):
+        df = spark.createDataFrame(
+            [(1, "http://bad.com/x", "precomputed"), (2, "http://ok.com/x", "precomputed")],
+            "doc_id long, url string, domain string",
+        )
+        bl = spark.createDataFrame([("bad.com",)], "blocked string")
+        out = urlops.domain_blocklist_filter(df, bl).collect()
+        assert len(out) == 1
+        assert out[0]["doc_id"] == 2 and out[0]["domain"] == "precomputed"
