@@ -621,3 +621,59 @@ def simhash_candidates(
         F.col("p.block_val").alias("band_hash"),
     )
     return _band_candidate_pairs(blocked, id_col, max_block_bucket)
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-snapshot) exact dedup
+# ---------------------------------------------------------------------------
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    state_digests: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Incremental exact dedup of a NEW snapshot/batch against the
+    accumulated digest state of every prior run — the "don't re-admit
+    a document CommonCrawl already gave us last month" step of a
+    continuously-refreshed corpus (the dedup twin of
+    plans/lineage.py's file-range incremental runs; reference analog:
+    the exactly-once checkpoint contract of
+    core/checkpoint/CheckpointManager.cpp applied to content instead
+    of file offsets).
+
+    ``state_digests`` holds one ``digest_col`` (md5 hex) row per
+    previously-kept document — produced by :func:`state_digests_for`
+    on earlier batches and unioned/persisted by the caller's pipeline.
+
+    Keeps, from ``new_df``: the min-``id_col`` row of each content
+    group whose digest is NOT in the state. Two hash-partitioned
+    exchanges on the 32-byte digest (window + anti-join — co-keyed, so
+    AQE reuses the partitioning) and ZERO document text in either: the
+    state side carries digests only, and at web-scale dedup rates it
+    is billions of rows, so it is deliberately NOT broadcast — the
+    anti-join shuffles (or AQE broadcasts it when it is actually
+    small). The new-batch side is typically <<1% of the corpus, which
+    is the whole point: cost scales with the increment + state
+    digests, never with re-scanning historical text.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__d__").orderBy(F.col(id_col))
+    batch_keep = (
+        new_df.withColumn("__d__", F.md5(F.col(text_col)))
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+    seen = state_digests.select(F.col(digest_col).alias("__d__")).distinct()
+    return batch_keep.join(seen, "__d__", "left_anti").drop("__d__")
+
+
+def state_digests_for(
+    df: DataFrame, text_col: str = "text", digest_col: str = "digest"
+) -> DataFrame:
+    """Digest rows to append to the incremental-dedup state for a
+    batch of KEPT documents (one distinct md5 per content)."""
+    return df.select(F.md5(F.col(text_col)).alias(digest_col)).distinct()

@@ -1471,3 +1471,31 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ended_at",
         "duration_sec",
     ).orderBy("user_id", "session_ordinal")
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-snapshot) exact dedup — new batch vs digest state
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_incremental",
+    """
+    WITH state AS (
+      SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id % 3 = 0
+    ), batch AS (
+      SELECT doc_id, md5(text) AS d,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents WHERE doc_id % 3 <> 0
+    )
+    SELECT b.doc_id, b.d AS text_md5 FROM batch b
+    WHERE b.rn = 1 AND NOT EXISTS (SELECT 1 FROM state s WHERE s.d = b.d)
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    state = dedup.state_digests_for(docs.filter(F.col("doc_id") % 3 == 0))
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    out = dedup.incremental_exact_dedup(new, state)
+    return out.select(
+        "doc_id", F.md5(F.col("text")).alias("text_md5")
+    ).orderBy("doc_id")

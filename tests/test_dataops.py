@@ -504,3 +504,45 @@ class TestConnectedComponents:
             warnings.simplefilter("always")
             dedup.connected_components(pairs, max_iter=1).collect()
         assert any("not converged" in str(w.message) for w in caught)
+
+
+class TestIncrementalDedup:
+    def test_drops_state_and_batch_dups(self, spark):
+        state_docs = spark.createDataFrame(
+            [(100, "seen before"), (101, "also seen")],
+            "doc_id long, text string",
+        )
+        state = dedup.state_digests_for(state_docs)
+        new = spark.createDataFrame(
+            [
+                (1, "seen before"),       # dup of state -> dropped
+                (2, "fresh content"),     # kept
+                (3, "fresh content"),     # within-batch dup of 2 -> dropped
+                (4, "also seen"),         # dup of state -> dropped
+                (5, "another fresh one"), # kept
+            ],
+            "doc_id long, text string",
+        )
+        out = dedup.incremental_exact_dedup(new, state)
+        assert sorted(r["doc_id"] for r in out.collect()) == [2, 5]
+
+    def test_two_increments_equal_one_full_run(self, spark):
+        rows = [(i, f"text {i % 4}") for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        full = dedup.drop_exact_duplicates(df)
+        b1 = df.filter(F.col("doc_id") < 6)
+        b2 = df.filter(F.col("doc_id") >= 6)
+        empty = dedup.state_digests_for(df.limit(0))
+        k1 = dedup.incremental_exact_dedup(b1, empty)
+        state1 = empty.unionByName(dedup.state_digests_for(k1))
+        k2 = dedup.incremental_exact_dedup(b2, state1)
+        got = sorted(
+            r["doc_id"] for r in k1.unionByName(k2).collect()
+        )
+        assert got == sorted(r["doc_id"] for r in full.collect())
+
+    def test_state_never_broadcast_forced(self):
+        import inspect
+
+        src = inspect.getsource(dedup.incremental_exact_dedup)
+        assert "F.broadcast" not in src  # AQE decides, state may be huge
