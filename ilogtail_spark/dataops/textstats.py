@@ -449,3 +449,110 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     toks = tokens_col(F.lower(F.col(text_col)))
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
     return df.select(F.col(id_col), F.md5(canon).alias("fingerprint"))
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    ref: DataFrame | None = None,
+    vocab_size: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram language-model scoring — the CCNet-style "perplexity
+    under a reference-domain LM" quality signal (Wenzek et al. 2020
+    use a 5-gram KenLM; the unigram form keeps the same contract —
+    score every document by how surprising its tokens are under a
+    model fit on ``ref`` — while staying exactly computable in any
+    engine). Documents scoring far above the corpus-typical
+    cross-entropy are gibberish/boilerplate candidates; far below are
+    degenerate repetition. Feed ``ce_micro`` into
+    ``corpus.quality_tiered_sample`` tiers for the actual filtering.
+
+    Model: the top-``vocab_size`` lowercased whitespace tokens of
+    ``ref`` (count desc, token asc — deterministic ties) form the
+    vocabulary; everything else is one OOV class. Add-one smoothing
+    over the V+1 classes:
+
+        p(t in vocab) = (c(t) + 1) / (T + V + 1)
+        p(OOV)        = (T − Σ_vocab c + 1) / (T + V + 1)
+
+    Returns (id, n_tokens, n_oov, sum_cost_micro, ce_micro): per-token
+    costs −ln p quantized to integer micro-nats BEFORE the document
+    summation (the importance_scores trick), so doc scores are integer
+    sums with no float addition-order divergence; ``ce_micro`` =
+    floor(sum/n) is the per-token cross-entropy. Zero-token documents
+    return all zeros.
+
+    Scale shape at 100 TB: ``ref`` is a domain sample (small by
+    definition) but even a corpus-sized ref costs one token hash
+    aggregate; the vocab is top-V via TakeOrderedAndProject (per-
+    partition top-V + driver merge of V rows, never a full sort), and
+    the weight table is ≤ V rows — broadcast into the scoring join,
+    so hot stopword tokens hit a broadcast hash join (no shuffle-join
+    skew on "the"). The corpus side explodes once and its only
+    exchange is the per-id (int, int) partial aggregate. The LM
+    totals (T, V, Σ_vocab c) are TWO driver-side rows — same
+    tiny-aggregate collect as the IVF centroids — folded into literal
+    cost expressions, so the smoothing denominators are constants
+    after codegen (the vstat/tot self-join a pure-DataFrame form
+    would need trips the analyzer's ambiguity check anyway).
+    """
+    ref = ref if ref is not None else df
+    cnt = (
+        ref.select(F.explode(tokens_col(F.lower(F.col(text_col)))).alias("__t__"))
+        .groupBy("__t__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    cnt = cnt.localCheckpoint(eager=False)  # one ref scan for vocab AND totals
+    vocab = cnt.orderBy(F.col("__c__").desc(), F.col("__t__").asc()).limit(
+        vocab_size
+    )
+    t_total = cnt.agg(F.coalesce(F.sum("__c__"), F.lit(0))).collect()[0][0]
+    v_count, v_sum = vocab.agg(
+        F.count(F.lit(1)), F.coalesce(F.sum("__c__"), F.lit(0))
+    ).collect()[0]
+    denom = float(t_total + v_count + 1)
+    import math
+
+    oov_cost = int(
+        math.floor(-math.log((t_total - v_sum + 1) / denom) * 1_000_000)
+    )
+    weights = vocab.select(
+        "__t__",
+        F.floor(-F.log((F.col("__c__") + F.lit(1.0)) / F.lit(denom)) * 1_000_000)
+        .cast("bigint")
+        .alias("__w__"),
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(tokens_col(F.lower(F.col(text_col)))).alias("__t__"),
+    )
+    scored = (
+        toks.join(F.broadcast(weights), "__t__", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("__t__").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__t__").isNotNull() & F.col("__w__").isNull(), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_oov"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__t__").isNotNull(),
+                        F.coalesce(F.col("__w__"), F.lit(oov_cost)),
+                    )
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("sum_cost_micro"),
+        )
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "n_oov",
+        "sum_cost_micro",
+        F.floor(
+            F.col("sum_cost_micro") / F.greatest(F.col("n_tokens"), F.lit(1))
+        ).cast("bigint").alias("ce_micro"),
+    )

@@ -1499,3 +1499,57 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.md5(F.col("text")).alias("text_md5")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# unigram LM cross-entropy scoring (CCNet-style quality signal): the
+# reference LM is fit on a "domain sample" (doc_id % 7 = 0), every
+# document is scored under it with a small vocab so OOV is exercised
+# ---------------------------------------------------------------------------
+def _unigram_lm_oracle(vocab_size: int = 64) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(col="lower(text)")} AS w FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(w) AS t FROM toks
+    ), cnt AS (
+      SELECT t, count(*) AS c FROM tok WHERE doc_id % 7 = 0 GROUP BY t
+    ), tot AS (
+      SELECT coalesce(sum(c), 0) AS tt FROM cnt
+    ), vocab AS (
+      SELECT t, c FROM cnt ORDER BY c DESC, t ASC LIMIT {vocab_size}
+    ), vstat AS (
+      SELECT count(*) AS V, coalesce(sum(c), 0) AS vc FROM vocab
+    ), wt AS (
+      SELECT t, CAST(floor(-ln((c + 1.0) / (tt + V + 1.0)) * 1000000) AS BIGINT)
+               AS cost
+      FROM vocab, tot, vstat
+    ), oov AS (
+      SELECT CAST(floor(-ln((tt - vc + 1.0) / (tt + V + 1.0)) * 1000000) AS BIGINT)
+               AS cost
+      FROM tot, vstat
+    ), scored AS (
+      SELECT tok.doc_id,
+             count(*) AS n_tokens,
+             sum(CASE WHEN wt.cost IS NULL THEN 1 ELSE 0 END) AS n_oov,
+             sum(coalesce(wt.cost, oov.cost)) AS s
+      FROM tok LEFT JOIN wt ON tok.t = wt.t CROSS JOIN oov
+      GROUP BY tok.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+           CAST(coalesce(s, 0) AS BIGINT) AS sum_cost_micro,
+           CAST(floor(coalesce(s, 0) / greatest(coalesce(n_tokens, 0), 1))
+                AS BIGINT) AS ce_micro
+    FROM documents d LEFT JOIN scored USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@query("text_unigram_lm", _unigram_lm_oracle())
+def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 7 == 0)
+    out = textstats.unigram_lm_scores(docs, ref=ref, vocab_size=64)
+    return out.orderBy("doc_id")

@@ -546,3 +546,37 @@ class TestIncrementalDedup:
 
         src = inspect.getsource(dedup.incremental_exact_dedup)
         assert "F.broadcast" not in src  # AQE decides, state may be huge
+
+
+class TestUnigramLM:
+    def test_common_tokens_score_lower_ce_than_oov(self, spark):
+        ref = spark.createDataFrame(
+            [(i, "the cat sat on the mat") for i in range(5)],
+            "doc_id long, text string",
+        )
+        score = spark.createDataFrame(
+            [(0, "the cat sat"), (1, "zyzzyva qwerty plugh"), (2, "")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in textstats.unigram_lm_scores(
+                score, ref=ref, vocab_size=16
+            ).collect()
+        }
+        assert out[0]["n_oov"] == 0
+        assert out[1]["n_oov"] == 3
+        assert out[0]["ce_micro"] < out[1]["ce_micro"]
+        assert (
+            out[2]["n_tokens"] == 0
+            and out[2]["sum_cost_micro"] == 0
+            and out[2]["ce_micro"] == 0
+        )
+
+    def test_vocab_cap_pushes_rare_tokens_to_oov(self, spark):
+        ref = spark.createDataFrame(
+            [(0, "a a a a b b b c c d")], "doc_id long, text string"
+        )
+        score = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+        out = textstats.unigram_lm_scores(score, ref=ref, vocab_size=2).collect()[0]
+        assert out["n_oov"] == 2  # c and d fall outside the top-2 vocab
