@@ -47,7 +47,7 @@ _FRONT = [
     "retrieval_bm25_topk", "corpus_importance_scores",
     "url_normalize", "url_dedup_filter",
     "sessionize_events", "session_stats",
-    "dedup_incremental", "text_unigram_lm",
+    "dedup_incremental", "text_unigram_lm", "corpus_span_removal",
 ]
 
 

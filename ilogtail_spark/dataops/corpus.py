@@ -446,3 +446,85 @@ def importance_scores(
         )
         .select(F.col(id_col), "n_features", "logratio_micro")
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: Callable[[Column], Column] | None = None,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The REWRITE form of exact-substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" —
+    ExactSubstr): instead of dropping whole documents, excise from
+    each document every token covered by a k-token window that also
+    occurs in ≥ ``min_docs`` documents. ``dup_window_stats`` is the
+    measurement form of this signal; this produces the cleaned text.
+
+    Removal unit is the cross-document duplicated window — ALL of its
+    occurrences are removed (no canonical survivor; picking one would
+    need a global argmin per window for marginal training value).
+    Intra-document repetition is deliberately NOT touched here
+    (that's ``textstats.repetition_stats``' signal). The cleaned text
+    is the surviving tokens re-joined with single spaces, so output
+    is whitespace-normalized.
+
+    Returns (id, n_tokens, n_removed, cleaned).
+
+    Scale shape at 100 TB: the window pass emits narrow
+    (id, pos, 8-byte hash) rows — document text never enters the
+    duplicate-detection shuffles. The duplicated-hash set comes from
+    ONE count-distinct aggregate (occurrences stay linear even for a
+    boilerplate window shared by 10^6 docs — no pair join anywhere),
+    and covered token positions are (id, int) rows. The final rewrite
+    re-tokenizes the corpus in a second scan and joins the per-doc
+    covered-position sets on id (AQE broadcasts that side when few
+    docs are affected) — recomputing tokens is deliberate: it is CPU
+    in the scan stage, vs materializing a token-array copy of the
+    whole corpus. A rewrite op inherently rewrites the corpus once;
+    nothing here moves it twice.
+    """
+    hash_fn = hash_fn or F.xxhash64
+    toks = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("__toks__"))
+    win = toks.select(
+        F.col(id_col),
+        F.posexplode(shingles_from_tokens(F.col("__toks__"), n=k)).alias(
+            "__pos__", "__s__"
+        ),
+    ).select(F.col(id_col), "__pos__", hash_fn(F.col("__s__")).alias("__h__"))
+    dup = (
+        win.groupBy("__h__")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd__"))
+        .filter(F.col("__nd__") >= min_docs)
+        .select("__h__")
+    )
+    cov = (
+        win.join(dup, "__h__")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("__pos__"), F.col("__pos__") + (k - 1))
+            ).alias("__i__"),
+        )
+        .distinct()
+    )
+    cov_sets = cov.groupBy(id_col).agg(
+        F.collect_set(F.col("__i__").cast("int")).alias("__cov__")
+    )
+    joined = toks.join(cov_sets, id_col, "left")
+    kept = F.when(F.col("__cov__").isNull(), F.col("__toks__")).otherwise(
+        F.filter(
+            F.col("__toks__"),
+            lambda t, i: ~F.array_contains(F.col("__cov__"), i),
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size(F.col("__toks__")).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.size(F.col("__cov__")), F.lit(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.array_join(kept, " ").alias("cleaned"),
+    )

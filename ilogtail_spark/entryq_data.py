@@ -1553,3 +1553,59 @@ def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = docs.filter(F.col("doc_id") % 7 == 0)
     out = textstats.unigram_lm_scores(docs, ref=ref, vocab_size=64)
     return out.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# exact-substring span removal (ExactSubstr rewrite form): excise all
+# occurrences of k-token windows shared by >= 2 documents
+# ---------------------------------------------------------------------------
+def _span_removal_oracle(k: int = 5) -> str:
+    joined = " || ' ' || ".join(f"w[i+{j + 1}]" for j in range(k))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(col="text")} AS w FROM documents
+    ), win AS (
+      SELECT doc_id,
+             unnest(range(len(w) - {k - 1})) AS pos,
+             unnest(list_transform(range(len(w) - {k - 1}),
+                                   i -> {joined})) AS g
+      FROM toks
+    ), dup AS (
+      SELECT g FROM win GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ), cov AS (
+      SELECT DISTINCT w.doc_id, w.pos + t.j AS idx
+      FROM win w JOIN dup USING (g)
+      CROSS JOIN unnest(range({k})) AS t(j)
+    ), tokpos AS (
+      SELECT doc_id, unnest(w) AS tok, unnest(range(len(w))) AS idx FROM toks
+    ), keep AS (
+      SELECT doc_id, tok, idx FROM tokpos tp
+      WHERE NOT EXISTS (SELECT 1 FROM cov c
+                        WHERE c.doc_id = tp.doc_id AND c.idx = tp.idx)
+    ), agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS cleaned
+      FROM keep GROUP BY doc_id
+    ), ncov AS (
+      SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(coalesce(n.n_removed, 0) AS BIGINT) AS n_removed,
+           md5(coalesce(a.cleaned, '')) AS cleaned_md5
+    FROM toks t
+    LEFT JOIN agg a USING (doc_id)
+    LEFT JOIN ncov n USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@query("corpus_span_removal", _span_removal_oracle())
+def q_corpus_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = corpus.remove_duplicate_spans(docs, k=5, hash_fn=F.md5)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("cleaned")).alias("cleaned_md5"),
+    ).orderBy("doc_id")

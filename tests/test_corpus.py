@@ -216,3 +216,61 @@ class TestReviewRegressions:
         }
         assert set(out) == {0, 1}
         assert out[1]["n_features"] == 0 and out[1]["logratio_micro"] == 0
+
+
+class TestSpanRemoval:
+    def test_shared_span_removed_from_all_occurrences(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta unique tail zero"),
+                (1, "start one alpha beta gamma delta other words"),
+                (2, "totally unrelated text with no overlap here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in corpus.remove_duplicate_spans(df, k=4).collect()
+        }
+        # "alpha beta gamma delta" occurs in docs 0 and 1 -> removed from both
+        assert out[0]["cleaned"] == "unique tail zero"
+        assert out[1]["cleaned"] == "start one other words"
+        assert out[0]["n_removed"] == 4 and out[1]["n_removed"] == 4
+        assert out[2]["cleaned"] == df.collect()[0]["text"] or out[2]["n_removed"] == 0
+
+    def test_intra_doc_repetition_untouched(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "loop loop loop loop loop loop loop loop"),
+                (1, "something else entirely different here now"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in corpus.remove_duplicate_spans(df, k=4).collect()
+        }
+        assert out[0]["n_removed"] == 0  # repeated only within one doc
+
+    def test_short_doc_untouched(self, spark):
+        df = spark.createDataFrame(
+            [(0, "tiny doc"), (1, "tiny doc")], "doc_id long, text string"
+        )
+        out = corpus.remove_duplicate_spans(df, k=4).collect()
+        assert all(r["n_removed"] == 0 and r["cleaned"] == "tiny doc" for r in out)
+
+    def test_overlapping_windows_union_coverage(self, spark):
+        # two docs share a 6-token run; with k=4 the covered positions
+        # are the UNION of the three overlapping windows, not 3*k
+        shared = "a b c d e f"
+        df = spark.createDataFrame(
+            [(0, f"{shared} x1 y1 z1"), (1, f"p q {shared} r s")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in corpus.remove_duplicate_spans(df, k=4).collect()
+        }
+        assert out[0]["n_removed"] == 6
+        assert out[0]["cleaned"] == "x1 y1 z1"
+        assert out[1]["cleaned"] == "p q r s"
