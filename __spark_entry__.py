@@ -48,6 +48,7 @@ _FRONT = [
     "url_normalize", "url_dedup_filter",
     "sessionize_events", "session_stats",
     "dedup_incremental", "text_unigram_lm", "corpus_span_removal",
+    "streaming_sessionize",
 ]
 
 

@@ -1609,3 +1609,70 @@ def q_corpus_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed",
         F.md5(F.col("cleaned")).alias("cleaned_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# streaming sessionization — closed sessions across micro-batches must
+# equal the batch definition (the open tail session per user is the
+# withheld pending state, so the oracle excludes each user's last one)
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_sessionize",
+    f"""
+    WITH {_session_cte(_SESSION_GAP)}
+    , stats AS (
+      SELECT user_id, CAST(ord AS INT) AS session_ordinal,
+             CAST(count(*) AS BIGINT) AS n_events,
+             min(epoch_us(ts)) AS started_us,
+             max(epoch_us(ts)) AS ended_us
+      FROM sess GROUP BY user_id, ord
+    ), mx AS (
+      SELECT user_id, max(session_ordinal) AS mo FROM stats GROUP BY user_id
+    )
+    SELECT s.user_id, s.session_ordinal, s.n_events, s.started_us, s.ended_us
+    FROM stats s JOIN mx USING (user_id)
+    WHERE s.session_ordinal < mx.mo
+    ORDER BY user_id, session_ordinal
+    """,
+)
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import time as _time
+
+    from ilogtail_spark.streaming.stream import streaming_sessionize
+
+    root = tempfile.mkdtemp(prefix="ilogtail_spark_ssess_")
+    in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + (hi - lo) / 2
+    # two time-ordered files -> two micro-batches; sessions span the cut
+    ev.filter(F.col("ts") < F.lit(mid)).coalesce(1).write.mode("append").parquet(
+        in_dir
+    )
+    _time.sleep(1.1)  # distinct mtimes => deterministic batch order
+    ev.filter(F.col("ts") >= F.lit(mid)).coalesce(1).write.mode("append").parquet(
+        in_dir
+    )
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    (
+        streaming_sessionize(stream, gap_seconds=_SESSION_GAP)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .select(
+            "user_id", "session_ordinal", "n_events", "started_us", "ended_us"
+        )
+        .orderBy("user_id", "session_ordinal")
+    )

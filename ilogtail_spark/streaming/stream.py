@@ -415,3 +415,95 @@ def streaming_drop_exact_duplicates(
         out = out.withWatermark(ts_col, watermark)
         return out.dropDuplicatesWithinWatermark(["__digest__"]).drop("__digest__")
     return out.dropDuplicates(["__digest__"]).drop("__digest__")
+
+
+def streaming_sessionize(
+    stream_df: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+):
+    """Stateful streaming twin of :func:`dataops.sessions.sessionize`
+    / ``session_stats``: gap-based session windows over a continuous
+    event stream, one emitted row per CLOSED session.
+
+    State per user = the OPEN session only (ordinal, started_us,
+    last_us, n_events — four scalars, no event buffering, so state is
+    O(users) regardless of session length). A session closes when a
+    later event of the same user arrives more than ``gap_seconds``
+    after the session's last event; the final open session stays
+    pending until its closing event arrives (or forever, for a user
+    who never returns — the same withheld-trailing-partial contract as
+    ``streaming_multiline_merge``; bound it with a state TTL upstream
+    if user cardinality is unbounded).
+
+    Events inside one micro-batch are globally sorted by (ts, order)
+    before folding, so output is invariant to Arrow chunking and
+    partition order. ACROSS batches the fold is arrival-ordered: an
+    event older than the open session's last event cannot reopen an
+    already-emitted session — the same late-data semantics as
+    watermarked session windows (feed time-ordered batches, as a
+    tailed log source naturally does, for exact batch parity).
+    Null-timestamp events are dropped (the batch twin marks them
+    unplaceable).
+
+    Output: (user, session_ordinal, n_events, started_us, ended_us) —
+    epoch microseconds, ordinals 1-based per user, identical to the
+    batch operator's numbering for in-order feeds.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    by_name = {f.name: f.dataType.simpleString() for f in stream_df.schema.fields}
+    user_t = by_name.get(user_col, "long")
+    out_schema = (
+        f"{user_col} {user_t}, session_ordinal int, n_events bigint, "
+        "started_us bigint, ended_us bigint"
+    )
+    state_schema = (
+        "ordinal int, started_us bigint, last_us bigint, n_events bigint"
+    )
+    gap_us = gap_seconds * 1_000_000
+
+    def folder(key, pdfs, state: GroupState):
+        if state.exists:
+            ordinal, started, last, n = state.get
+        else:
+            ordinal, started, last, n = 0, None, None, 0
+        evs: list[tuple[int, object]] = []
+        for pdf in pdfs:
+            pdf = pdf[pdf[ts_col].notna()]
+            ts_us = (pdf[ts_col].astype("int64") // 1000).tolist()
+            evs.extend(zip(ts_us, pdf[order_col].tolist()))
+        evs.sort()
+        rows: list[tuple] = []
+        for t_us, _ in evs:
+            if started is None:
+                ordinal, started, last, n = ordinal + 1, t_us, t_us, 1
+            elif t_us - last > gap_us:
+                rows.append((*key, ordinal, n, started, last))
+                ordinal, started, last, n = ordinal + 1, t_us, t_us, 1
+            else:
+                # arrival-ordered fold: a same-batch pre-sorted or
+                # late event merely extends the open session
+                last = max(last, t_us)
+                n += 1
+        if started is not None:
+            state.update((ordinal, started, last, n))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    user_col, "session_ordinal", "n_events",
+                    "started_us", "ended_us",
+                ],
+            )
+
+    return stream_df.groupBy(F.col(user_col)).applyInPandasWithState(
+        folder,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -364,3 +364,57 @@ def test_streaming_multiline_merge_out_of_order_batches(spark, tmp_path):
     assert got[("c1", 0)] == (1, "pre")
     assert got[("c1", 1)] == (2, "START b\nl2")  # completed by START a
     assert ("c1", 3) not in got  # trailing partial withheld
+
+
+def test_streaming_sessionize_spans_batches_and_withholds_open_tail(
+    spark, tmp_path
+):
+    """A session whose events straddle the micro-batch cut is emitted
+    ONCE with the combined stats; each user's final open session stays
+    in state (not emitted)."""
+    import datetime as dt
+    import time as _time
+
+    from ilogtail_spark.streaming.stream import streaming_sessionize
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts timestamp, user_id long"
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(i, secs, user):
+        return (i, t0 + dt.timedelta(seconds=secs), user)
+
+    # user 1: session A = events at 0s,10s (batch1) + 20s (batch2),
+    # then a >gap jump to 2000s opens session B (stays pending).
+    # user 2: one event only -> open session, never emitted.
+    spark.createDataFrame(
+        [ev(1, 0, 1), ev(2, 10, 1), ev(10, 5, 2)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [ev(3, 20, 1), ev(4, 2000, 1)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    (
+        streaming_sessionize(stream, gap_seconds=60)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 1  # only user 1's closed session A
+    r = rows[0]
+    assert r["user_id"] == 1 and r["session_ordinal"] == 1
+    assert r["n_events"] == 3
+    assert (r["ended_us"] - r["started_us"]) == 20_000_000
