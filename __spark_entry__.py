@@ -48,7 +48,8 @@ _FRONT = [
     "url_normalize", "url_dedup_filter",
     "sessionize_events", "session_stats",
     "dedup_incremental", "text_unigram_lm", "corpus_span_removal",
-    "streaming_sessionize",
+    "streaming_sessionize", "corpus_badwords_filter",
+    "corpus_mixture_report",
 ]
 
 

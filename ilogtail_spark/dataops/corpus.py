@@ -528,3 +528,84 @@ def remove_duplicate_spans(
         .alias("n_removed"),
         F.array_join(kept, " ").alias("cleaned"),
     )
+
+
+def token_blocklist_filter(
+    df: DataFrame,
+    words: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hits: int = 0,
+) -> DataFrame:
+    """C4-style "bad words" document filter: drop every document
+    containing more than ``max_hits`` tokens (lowercased, whitespace)
+    from the blocklist (Raffel et al. 2020 drop on ANY hit =
+    ``max_hits=0``). The word list is a few thousand entries at most,
+    folded into a constant array literal — the filter is a pure
+    scan-side expression (pushed into the parquet scan stage, no
+    shuffle, no join), same trick as the LSH plane matrix.
+
+    For multi-token phrases or 100k+ lists, switch to the broadcast
+    dict_map/contamination join form instead of a literal.
+    """
+    lit_words = F.array(*[F.lit(w.lower()) for w in sorted(set(words))])
+    toks = tokens_col(F.lower(F.col(text_col)))
+    hits = F.size(
+        F.filter(toks, _contains_factory(lit_words))
+    )
+    return df.filter(hits <= max_hits)
+
+
+def _contains_factory(lit_words: Column):
+    """Closure factory for the blocklist membership lambda — a default
+    arg (``lambda t, ws=lit_words``) would be parsed as the element
+    INDEX parameter by Spark's higher-order-function binder."""
+    def _pred(t: Column) -> Column:
+        return F.array_contains(lit_words, t)
+
+    return _pred
+
+
+def mixture_report(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-composition report per source/domain — the first table
+    in any pretraining data card: document count, token and char
+    volume, and how much of the bucket is exact-duplicate content
+    (docs whose content md5 occurs more than once CORPUS-WIDE — a
+    bucket full of cross-source boilerplate shows up here even when
+    the bucket itself has no internal dups).
+
+    Scale shape: one scan computes (group, digest, n_tokens, n_chars)
+    scan-side; the corpus-wide digest counts are ONE hash aggregate on
+    32-byte digests (partial-agg map-side), re-joined on digest — the
+    only exchanges carry digests and ints, never text. Output is one
+    row per group: broadcast-friendly for downstream mixing joins.
+    """
+    narrow = df.select(
+        F.col(group_col).alias("__g__"),
+        F.md5(F.col(text_col)).alias("__d__"),
+        F.size(tokens_col(F.col(text_col))).cast("bigint").alias("__nt__"),
+        F.length(F.col(text_col)).cast("bigint").alias("__nc__"),
+    )
+    narrow = narrow.localCheckpoint(eager=False)  # one scan feeds both sides
+    freq = narrow.groupBy("__d__").agg(F.count(F.lit(1)).alias("__f__"))
+    return (
+        narrow.join(freq, "__d__")
+        .groupBy("__g__")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt__").cast("bigint").alias("n_tokens"),
+            F.sum("__nc__").cast("bigint").alias("n_chars"),
+            F.sum(F.when(F.col("__f__") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+        )
+        .select(
+            F.col("__g__").alias(group_col),
+            "n_docs", "n_tokens", "n_chars", "n_dup_docs",
+        )
+    )

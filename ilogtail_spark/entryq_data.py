@@ -1676,3 +1676,53 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_ordinal")
     )
+
+
+# ---------------------------------------------------------------------------
+# token-blocklist document filter (C4 "bad words") and per-source
+# corpus mixture report
+# ---------------------------------------------------------------------------
+_BADWORDS = ["slow", "vector", "xylophone"]
+
+
+@query(
+    "corpus_badwords_filter",
+    f"""
+    SELECT doc_id FROM (
+      SELECT doc_id,
+             len(list_filter({SQL_TOKENS.format(col="lower(text)")},
+                             x -> list_contains({_BADWORDS!r}, x))) AS hits
+      FROM documents
+    ) WHERE hits <= 1 ORDER BY doc_id
+    """,
+)
+def q_corpus_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = corpus.token_blocklist_filter(docs, _BADWORDS, max_hits=1)
+    return out.select("doc_id").orderBy("doc_id")
+
+
+@query(
+    "corpus_mixture_report",
+    """
+    WITH narrow AS (
+      SELECT source AS g, md5(text) AS d,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS nt,
+             length(text) AS nc
+      FROM documents
+    ), freq AS (
+      SELECT d, count(*) AS f FROM narrow GROUP BY d
+    )
+    SELECT g AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           CAST(sum(nc) AS BIGINT) AS n_chars,
+           CAST(sum(CASE WHEN f > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+    FROM narrow JOIN freq USING (d)
+    GROUP BY g ORDER BY source
+    """,
+)
+def q_corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return corpus.mixture_report(docs).orderBy("source")

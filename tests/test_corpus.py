@@ -274,3 +274,34 @@ class TestSpanRemoval:
         assert out[0]["n_removed"] == 6
         assert out[0]["cleaned"] == "x1 y1 z1"
         assert out[1]["cleaned"] == "p q r s"
+
+
+class TestBlocklistAndMixture:
+    def test_blocklist_any_hit_drops(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "clean text here"),
+                (1, "contains BadWord inside"),
+                (2, "badword badword twice"),
+            ],
+            "doc_id long, text string",
+        )
+        kept = corpus.token_blocklist_filter(df, ["badword"]).collect()
+        assert sorted(r["doc_id"] for r in kept) == [0]
+        kept1 = corpus.token_blocklist_filter(df, ["badword"], max_hits=1)
+        assert sorted(r["doc_id"] for r in kept1.collect()) == [0, 1]
+
+    def test_mixture_report_counts_corpus_wide_dups(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "shared boilerplate", "web"),
+                (1, "shared boilerplate", "books"),
+                (2, "unique one", "web"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        out = {r["source"]: r for r in corpus.mixture_report(df).collect()}
+        # the dup pair spans sources: BOTH buckets count it
+        assert out["web"]["n_dup_docs"] == 1
+        assert out["books"]["n_dup_docs"] == 1
+        assert out["web"]["n_docs"] == 2 and out["web"]["n_tokens"] == 4
