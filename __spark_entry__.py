@@ -28,12 +28,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # one of them lands on the driver's scoreboard this round; the
 # remainder (all driver-green in round 2) follow in registration
 # order and are covered by tools/correctness_mirror.py regardless.
+# Exactly 50 entries: fmtstr_topic (mirror-green in r01 and r02) was
+# bumped to the back to keep every round-3 query inside the cut.
 _FRONT = [
+    "corpus_mixture_report", "corpus_badwords_filter", "streaming_sessionize",
     "dedup_embedding_banded", "multimodal_frames", "multimodal_resize",
     "split_char_quoted", "split_string_expand", "anchor_extract",
     "transform_drop_b64", "string_replace_unquote", "desensitize_md5_span",
     "filter_key_regex", "parse_timestamp_tz", "aggregators_pack_tags",
-    "context_colocate", "cloud_meta_tags", "otel_trace", "fmtstr_topic",
+    "context_colocate", "cloud_meta_tags", "otel_trace",
     "file_source_lines", "merge_multiline_single_line",
     "streaming_rate_limit", "streaming_pipeline_agg",
     "streaming_multiline_merge", "lineage_resume", "lineage_incremental",
@@ -48,8 +51,6 @@ _FRONT = [
     "url_normalize", "url_dedup_filter",
     "sessionize_events", "session_stats",
     "dedup_incremental", "text_unigram_lm", "corpus_span_removal",
-    "streaming_sessionize", "corpus_badwords_filter",
-    "corpus_mixture_report",
 ]
 
 

@@ -478,13 +478,18 @@ def remove_duplicate_spans(
     duplicate-detection shuffles. The duplicated-hash set comes from
     ONE count-distinct aggregate (occurrences stay linear even for a
     boilerplate window shared by 10^6 docs — no pair join anywhere),
-    and covered token positions are (id, int) rows. The final rewrite
-    re-tokenizes the corpus in a second scan and joins the per-doc
-    covered-position sets on id (AQE broadcasts that side when few
-    docs are affected) — recomputing tokens is deliberate: it is CPU
-    in the scan stage, vs materializing a token-array copy of the
-    whole corpus. A rewrite op inherently rewrites the corpus once;
-    nothing here moves it twice.
+    and covered token positions are (id, int) rows. The rewrite
+    re-tokenizes the corpus in a second scan (CPU in the scan stage,
+    vs materializing a token-array copy of the whole corpus) and is
+    SPLIT: untouched documents — the majority — pass through
+    scan-side via an anti join against the touched-id set (AQE
+    broadcasts that side when few docs are affected; no token ever
+    shuffles for them), while touched documents take a token-level
+    (id, pos, token) anti join + re-aggregation. That path is
+    shuffle-linear in the touched docs' tokens — a 50k-token
+    boilerplate document costs 50k parallel join rows, NOT an
+    O(tokens × covered) membership scan inside one task (the
+    straggler the naive per-row array_contains rewrite plans).
     """
     hash_fn = hash_fn or F.xxhash64
     toks = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("__toks__"))
@@ -505,29 +510,57 @@ def remove_duplicate_spans(
         .select(
             F.col(id_col),
             F.explode(
-                F.sequence(F.col("__pos__"), F.col("__pos__") + (k - 1))
+                F.sequence(F.col("__pos__"), F.col("__pos__") + (k - 1)).cast(
+                    "array<int>"
+                )
             ).alias("__i__"),
         )
         .distinct()
     )
-    cov_sets = cov.groupBy(id_col).agg(
-        F.collect_set(F.col("__i__").cast("int")).alias("__cov__")
-    )
-    joined = toks.join(cov_sets, id_col, "left")
-    kept = F.when(F.col("__cov__").isNull(), F.col("__toks__")).otherwise(
-        F.filter(
-            F.col("__toks__"),
-            lambda t, i: ~F.array_contains(F.col("__cov__"), i),
-        )
-    )
-    return joined.select(
+    cov = cov.localCheckpoint(eager=False)  # feeds ids, anti join, and counts
+    touched_ids = cov.select(F.col(id_col)).distinct()
+
+    untouched = toks.join(touched_ids, id_col, "left_anti").select(
         F.col(id_col),
         F.size(F.col("__toks__")).cast("bigint").alias("n_tokens"),
-        F.coalesce(F.size(F.col("__cov__")), F.lit(0))
-        .cast("bigint")
-        .alias("n_removed"),
-        F.array_join(kept, " ").alias("cleaned"),
+        F.lit(0).cast("bigint").alias("n_removed"),
+        F.array_join(F.col("__toks__"), " ").alias("cleaned"),
     )
+
+    touched = toks.join(touched_ids, id_col, "left_semi")
+    tokpos = touched.select(
+        F.col(id_col),
+        F.size(F.col("__toks__")).alias("__n__"),
+        F.posexplode(F.col("__toks__")).alias("__i__", "__tok__"),
+    )
+    kept = tokpos.join(cov, [id_col, "__i__"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__kept__"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__i__", "__tok__"))),
+                lambda s: s["__tok__"],
+            ),
+            " ",
+        ).alias("__cleaned__"),
+    )
+    # a fully-covered document has NO kept rows — the left join from
+    # the touched-doc metadata keeps it with an empty cleaned text
+    touched_out = (
+        touched.select(
+            F.col(id_col), F.size(F.col("__toks__")).cast("bigint").alias("n_tokens")
+        )
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("__kept__"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(F.col("__cleaned__"), F.lit("")).alias("cleaned"),
+        )
+    )
+    return untouched.unionByName(touched_out)
 
 
 def token_blocklist_filter(
@@ -550,20 +583,11 @@ def token_blocklist_filter(
     """
     lit_words = F.array(*[F.lit(w.lower()) for w in sorted(set(words))])
     toks = tokens_col(F.lower(F.col(text_col)))
-    hits = F.size(
-        F.filter(toks, _contains_factory(lit_words))
-    )
+    # single-parameter closure over the literal array — only DEFAULT
+    # ARGS are unsafe in higher-order lambdas (they bind as the index
+    # parameter); a plain capture is fine
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(lit_words, t)))
     return df.filter(hits <= max_hits)
-
-
-def _contains_factory(lit_words: Column):
-    """Closure factory for the blocklist membership lambda — a default
-    arg (``lambda t, ws=lit_words``) would be parsed as the element
-    INDEX parameter by Spark's higher-order-function binder."""
-    def _pred(t: Column) -> Column:
-        return F.array_contains(lit_words, t)
-
-    return _pred
 
 
 def mixture_report(
@@ -584,12 +608,20 @@ def mixture_report(
     32-byte digests (partial-agg map-side), re-joined on digest — the
     only exchanges carry digests and ints, never text. Output is one
     row per group: broadcast-friendly for downstream mixing joins.
+
+    NULL-text rows (upstream extraction failures) are counted as
+    empty content — digesting ``coalesce(text, '')`` keeps them in
+    their bucket's n_docs (an inner join on a null digest would
+    silently drop them from the report) at the cost of pooling them
+    with genuinely-empty docs for dup counting, which is the honest
+    reading for a data card.
     """
+    text = F.coalesce(F.col(text_col), F.lit(""))
     narrow = df.select(
         F.col(group_col).alias("__g__"),
-        F.md5(F.col(text_col)).alias("__d__"),
-        F.size(tokens_col(F.col(text_col))).cast("bigint").alias("__nt__"),
-        F.length(F.col(text_col)).cast("bigint").alias("__nc__"),
+        F.md5(text).alias("__d__"),
+        F.size(tokens_col(text)).cast("bigint").alias("__nt__"),
+        F.length(text).cast("bigint").alias("__nc__"),
     )
     narrow = narrow.localCheckpoint(eager=False)  # one scan feeds both sides
     freq = narrow.groupBy("__d__").agg(F.count(F.lit(1)).alias("__f__"))

@@ -658,16 +658,13 @@ def incremental_exact_dedup(
     is the whole point: cost scales with the increment + state
     digests, never with re-scanning historical text.
     """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("__d__").orderBy(F.col(id_col))
-    batch_keep = (
-        new_df.withColumn("__d__", F.md5(F.col(text_col)))
-        .withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") == 1)
-        .drop("__rn__")
-    )
-    seen = state_digests.select(F.col(digest_col).alias("__d__")).distinct()
+    batch_keep = drop_exact_duplicates(
+        new_df, text_col=text_col, id_col=id_col
+    ).withColumn("__d__", F.md5(F.col(text_col)))
+    # no .distinct() on the state side: left_anti semantics ignore
+    # duplicate build keys, and a distinct would add a full extra
+    # hash-aggregate exchange over the job's largest input
+    seen = state_digests.select(F.col(digest_col).alias("__d__"))
     return batch_keep.join(seen, "__d__", "left_anti").drop("__d__")
 
 

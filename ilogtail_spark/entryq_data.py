@@ -1706,10 +1706,10 @@ def q_corpus_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_mixture_report",
     """
     WITH narrow AS (
-      SELECT source AS g, md5(text) AS d,
-             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
-               AS nt,
-             length(text) AS nc
+      SELECT source AS g, md5(coalesce(text, '')) AS d,
+             len(list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                             x -> x <> '')) AS nt,
+             length(coalesce(text, '')) AS nc
       FROM documents
     ), freq AS (
       SELECT d, count(*) AS f FROM narrow GROUP BY d

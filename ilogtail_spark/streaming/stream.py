@@ -451,6 +451,12 @@ def streaming_sessionize(
     Output: (user, session_ordinal, n_events, started_us, ended_us) —
     epoch microseconds, ordinals 1-based per user, identical to the
     batch operator's numbering for in-order feeds.
+
+    Precondition: ``spark.sql.session.timeZone`` must be UTC (this
+    repo's ``get_spark`` pins it) — Arrow delivers timestamps as
+    tz-naive session-zone datetimes, so a non-UTC session would shift
+    started_us/ended_us off true epoch micros. Same convention as
+    ``run_streaming_aggregates``' window arithmetic.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

@@ -236,7 +236,8 @@ class TestSpanRemoval:
         assert out[0]["cleaned"] == "unique tail zero"
         assert out[1]["cleaned"] == "start one other words"
         assert out[0]["n_removed"] == 4 and out[1]["n_removed"] == 4
-        assert out[2]["cleaned"] == df.collect()[0]["text"] or out[2]["n_removed"] == 0
+        assert out[2]["cleaned"] == "totally unrelated text with no overlap here"
+        assert out[2]["n_removed"] == 0
 
     def test_intra_doc_repetition_untouched(self, spark):
         df = spark.createDataFrame(
@@ -305,3 +306,26 @@ class TestBlocklistAndMixture:
         assert out["web"]["n_dup_docs"] == 1
         assert out["books"]["n_dup_docs"] == 1
         assert out["web"]["n_docs"] == 2 and out["web"]["n_tokens"] == 4
+
+
+class TestSpanRemovalEdges:
+    def test_fully_covered_doc_yields_empty_cleaned(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b c d"), (1, "a b c d"), (2, "other words here now")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in corpus.remove_duplicate_spans(df, k=4).collect()
+        }
+        assert out[0]["cleaned"] == "" and out[0]["n_removed"] == 4
+        assert out[1]["cleaned"] == "" and out[1]["n_removed"] == 4
+        assert out[2]["n_removed"] == 0
+
+    def test_mixture_report_keeps_null_text_docs(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b", "web"), (1, None, "web")],
+            "doc_id long, text string, source string",
+        )
+        out = corpus.mixture_report(df).collect()
+        assert out[0]["n_docs"] == 2 and out[0]["n_tokens"] == 2
