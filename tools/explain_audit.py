@@ -365,14 +365,20 @@ def main() -> int:
         q15,
         [
             ("bench side broadcasts", "BroadcastExchange" in p15),
-            ("probe is a broadcast semi join",
-             "BroadcastHashJoin" in p15 and "LeftSemi" in p15),
+            # a LEFT join (not semi) so zero-overlap docs are reported
+            # too and both counts come from ONE per-id aggregate —
+            # the corpus side still never shuffles for the join
+            ("probe is a broadcast left join",
+             "BroadcastHashJoin" in p15 and "LeftOuter" in p15),
+            ("corpus is scanned once (two scan nodes total: corpus + bench)",
+             len(re.findall(r"\(\d+\) Scan parquet", p15)) == 2),
             ("no Python stage", "Python" not in p15),
         ],
         "The eval set is small by definition: its distinct n-gram "
         "hashes broadcast, the corpus-side probe is scan-side explode "
-        "+ broadcast semi join, and the only exchanges carry "
-        "(id, count) aggregate rows — never document text.",
+        "+ broadcast LEFT join (zero-overlap docs included from the "
+        "same single scan), and the only exchanges carry (id, count) "
+        "aggregate rows — never document text.",
     )
 
     # 16. dup-window stats: counts-only inverted index — no pair join,
@@ -383,15 +389,21 @@ def main() -> int:
         "duplicate-window stats (counts-only inverted index)",
         q16,
         [
-            ("window hashing is scan-side xxhash64", "xxhash64" in p16),
+            # the narrow (id, hash) projection is localCheckpoint'ed:
+            # downstream consumers replan from the materialized RDD,
+            # so the scan-side xxhash64 runs exactly once
+            ("hashed-window projection is checkpointed (ExistingRDD)",
+             "ExistingRDD" in p16 or "LogicalRDD" in p16),
             ("partial (map-side) aggregation before each exchange",
              p16.count("partial_count") >= 1),
             ("no Python stage", "Python" not in p16),
         ],
         "The ExactSubstr signal needs document frequencies, not pairs: "
         "a boilerplate window shared by 10^6 docs costs 10^6 (id, hash) "
-        "rows, never 10^12 pairs. Exchanges carry 8-byte hashes + "
-        "counts only.",
+        "rows, never 10^12 pairs. Window hashes are computed scan-side "
+        "into a checkpointed narrow projection that feeds both the "
+        "doc-frequency aggregate and the per-doc join; exchanges carry "
+        "8-byte hashes + counts only.",
     )
 
     # 17. deterministic sampling: a pure scan-stage filter — zero
@@ -432,6 +444,38 @@ def main() -> int:
         "partition to the driver, and folds the exclusive offsets "
         "back as a constant CASE chain — each partition then windows "
         "independently.",
+    )
+
+    # 19. duplicate-span removal: the rewrite is SPLIT — untouched
+    # docs (the vast majority) pass through scan-side behind an anti
+    # join on the touched-id set, and only touched docs take the
+    # token-level (id, pos) anti join + rebuild. No pair join, no
+    # per-row membership scan over a collected position set.
+    q19 = corpus.remove_duplicate_spans(docs, k=8)
+    p19 = formatted(q19)
+    audit(
+        "duplicate-span removal (split rewrite, touched docs only)",
+        q19,
+        [
+            ("anti joins gate both paths (>= 2 LeftAnti)",
+             p19.count("LeftAnti") >= 2),
+            ("no pair/cartesian join",
+             "NestedLoop" not in p19 and "CartesianProduct" not in p19),
+            ("duplicate detection is counts-only (partial agg)",
+             p19.count("partial_count") >= 1),
+            ("covered-position set lineage is checkpointed",
+             "ExistingRDD" in p19 or "LogicalRDD" in p19),
+            ("no Python stage", "Python" not in p19),
+        ],
+        "Duplicated k-token windows come from ONE count-distinct "
+        "aggregate over (hash) — occurrences stay linear for a window "
+        "shared by 10^6 docs. The rewrite then re-tokenizes in a "
+        "second scan: untouched docs exit scan-side via an anti join "
+        "against the (checkpointed) touched-id set, and touched docs "
+        "are posexploded so covered positions are removed by a "
+        "shuffle-linear (id, pos) anti join — a 50k-token boilerplate "
+        "doc costs 50k parallel join rows, not an O(tokens x covered) "
+        "scan inside one task.",
     )
 
     out = (
