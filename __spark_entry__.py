@@ -28,14 +28,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # one of them lands on the driver's scoreboard this round; the
 # remainder (all driver-green in round 2) follow in registration
 # order and are covered by tools/correctness_mirror.py regardless.
-# Exactly 50 entries: fmtstr_topic (mirror-green in r01 and r02) was
-# bumped to the back to keep every round-3 query inside the cut.
+# Exactly 50 entries: fmtstr_topic, split_string_expand,
+# desensitize_md5_span and parse_timestamp_tz (each mirror-green in
+# r01 and r02) were bumped to the back to keep every round-3 query
+# inside the cut.
 _FRONT = [
+    "asof_prior_error", "bucketed_colocated_join", "text_gopher_flags",
     "corpus_mixture_report", "corpus_badwords_filter", "streaming_sessionize",
     "dedup_embedding_banded", "multimodal_frames", "multimodal_resize",
-    "split_char_quoted", "split_string_expand", "anchor_extract",
-    "transform_drop_b64", "string_replace_unquote", "desensitize_md5_span",
-    "filter_key_regex", "parse_timestamp_tz", "aggregators_pack_tags",
+    "split_char_quoted", "anchor_extract",
+    "transform_drop_b64", "string_replace_unquote",
+    "filter_key_regex", "aggregators_pack_tags",
     "context_colocate", "cloud_meta_tags", "otel_trace",
     "file_source_lines", "merge_multiline_single_line",
     "streaming_rate_limit", "streaming_pipeline_agg",

@@ -556,3 +556,87 @@ def unigram_lm_scores(
             F.col("sum_cost_micro") / F.greatest(F.col("n_tokens"), F.lit(1))
         ).cast("bigint").alias("ce_micro"),
     )
+
+
+# The word-level rule set from Gopher (Rae et al. 2021, table A1) —
+# the line/repetition rules of the same table live in
+# ``repetition_stats`` / ``drop_boilerplate_lines``; join the three
+# outputs on the id to apply the full battery.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_pct: int = 10,
+    min_alpha_pct: int = 80,
+    min_stop_hits: int = 2,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Gopher-style word-level quality rules as one scan-side pass:
+    per document, a 0/1 flag per fired rule plus the composite
+    ``keep``. Every ratio threshold is evaluated by INTEGER
+    cross-multiplication (``100 * n_alpha < pct * n_words``) — no
+    division, no floats, so any engine computes identical flags and
+    the rule battery stays inside whole-stage codegen.
+
+    Rules: token-count band, mean-word-length band (via total word
+    chars vs bounds x n), symbol-to-word ratio (`#` and `...`),
+    alphabetic-word fraction, and distinct-stopword minimum.
+
+    Scale shape: pure expressions over one scan — zero shuffles, no
+    Python; compose with ``repetition_stats`` (its own single-shuffle
+    aggregate) for the full Gopher battery.
+    """
+    stopwords = stopwords or GOPHER_STOPWORDS
+    t = F.col(text_col)
+    toks = tokens_col(t)
+    stop_arr = F.array(*[F.lit(w) for w in stopwords])
+    feat = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("__nw__"),
+        F.coalesce(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            ),
+            F.lit(0).cast("long"),
+        ).alias("__wlen__"),
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+        .cast("long")
+        .alias("__alpha__"),
+        (
+            (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+            + F.floor(
+                (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit(""))))
+                / F.lit(3)
+            )
+        ).cast("long").alias("__sym__"),
+        F.size(F.array_intersect(F.transform(toks, F.lower), stop_arr))
+        .cast("long")
+        .alias("__stop__"),
+    )
+    nw = F.col("__nw__")
+    flag_len = ((nw < min_tokens) | (nw > max_tokens)).cast("long")
+    flag_wlen = (
+        (F.col("__wlen__") < min_mean_word_len * nw)
+        | (F.col("__wlen__") > max_mean_word_len * nw)
+    ).cast("long")
+    flag_sym = (F.col("__sym__") * 100 > max_symbol_pct * nw).cast("long")
+    flag_alpha = (F.col("__alpha__") * 100 < min_alpha_pct * nw).cast("long")
+    flag_stop = (F.col("__stop__") < min_stop_hits).cast("long")
+    total = flag_len + flag_wlen + flag_sym + flag_alpha + flag_stop
+    return feat.select(
+        F.col(id_col),
+        nw.alias("n_tokens"),
+        flag_len.alias("flag_token_count"),
+        flag_wlen.alias("flag_mean_word_len"),
+        flag_sym.alias("flag_symbol_ratio"),
+        flag_alpha.alias("flag_alpha_ratio"),
+        flag_stop.alias("flag_stopwords"),
+        (total == 0).cast("long").alias("keep"),
+    )

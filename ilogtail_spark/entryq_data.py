@@ -1726,3 +1726,145 @@ def q_corpus_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
     return corpus.mixture_report(docs).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# as-of join — latest prior error state attached to every click
+# ---------------------------------------------------------------------------
+@query(
+    "asof_prior_error",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), r0 AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'error' AND user_id IS NOT NULL AND ts IS NOT NULL
+    ), r AS (
+      -- deterministic winner among equal (user, ts): greatest payload,
+      -- mirroring the Spark side's lexicographic struct ordering
+      SELECT user_id, ts, event_id, value FROM (
+        SELECT r0.*, row_number() OVER (
+          PARTITION BY user_id, ts ORDER BY event_id DESC, value DESC) AS rn
+        FROM r0) WHERE rn = 1
+    )
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+           coalesce(epoch_us(r.ts), -1) AS err_ts_us,
+           coalesce(r.event_id, -1) AS err_event_id,
+           coalesce(r.value, -1.0) AS err_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.event_id
+    """,
+)
+def q_asof_prior_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ilogtail_spark.dataops import asof
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof.asof_join(
+        left, right, on="user_id", ts_col="ts",
+        right_cols=["event_id", "value"], prefix="err_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.coalesce(
+            F.unix_micros(F.col("err_ts").cast("timestamp")), F.lit(-1)
+        ).alias("err_ts_us"),
+        F.coalesce(F.col("err_event_id"), F.lit(-1)).alias("err_event_id"),
+        F.coalesce(F.col("err_value"), F.lit(-1.0)).alias("err_value"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join — shuffle elimination persisted at rest
+# ---------------------------------------------------------------------------
+@query(
+    "bucketed_colocated_join",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(floor(sum(l_quantity)) AS BIGINT) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders and lineitem bucketed by orderkey, then join them
+    WITHOUT any exchange under the join (the bucket spec co-locates
+    both sides at rest — plans/bucketed.py docstring has the 100 TB
+    sizing rule). The aggregate on top is the only shuffle, and it
+    carries (priority, count, sum) rows. Results are identical to the
+    unbucketed oracle join by construction — bucketing is a physical
+    layout choice, invisible to semantics."""
+    from ilogtail_spark.plans import bucketed as B
+
+    db = B.create_bucket_db(spark)
+    B.write_bucketed(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        f"{db}.orders_b", "o_orderkey", 8,
+    )
+    B.write_bucketed(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+        f"{db}.lineitem_b", "l_orderkey", 8,
+    )
+    j = B.colocated_join(
+        spark, f"{db}.orders_b", f"{db}.lineitem_b",
+        "o_orderkey", "l_orderkey",
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.floor(F.sum("l_quantity")).cast("bigint").alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher word-level quality rules (integer cross-multiplied flags)
+# ---------------------------------------------------------------------------
+@query(
+    "text_gopher_flags",
+    f"""
+    WITH feat AS (
+      SELECT doc_id,
+             {SQL_TOKENS.format(col="text")} AS w,
+             length(text) - length(replace(text, '#', '')) AS hash_n,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS ell_n
+      FROM documents
+    ), f2 AS (
+      SELECT doc_id, len(w) AS nw,
+             coalesce(list_aggregate(list_transform(w, x -> length(x)), 'sum'), 0) AS wlen,
+             len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+             hash_n + ell_n AS sym,
+             len(list_intersect(list_transform(w, x -> lower(x)),
+                 ['the','be','to','of','and','that','have','with'])) AS stop
+      FROM feat
+    )
+    SELECT doc_id, CAST(nw AS BIGINT) AS n_tokens,
+      CAST(CASE WHEN nw < 30 OR nw > 100000 THEN 1 ELSE 0 END AS BIGINT) AS flag_token_count,
+      CAST(CASE WHEN wlen < 3 * nw OR wlen > 10 * nw THEN 1 ELSE 0 END AS BIGINT) AS flag_mean_word_len,
+      CAST(CASE WHEN sym * 100 > 10 * nw THEN 1 ELSE 0 END AS BIGINT) AS flag_symbol_ratio,
+      CAST(CASE WHEN alpha * 100 < 80 * nw THEN 1 ELSE 0 END AS BIGINT) AS flag_alpha_ratio,
+      CAST(CASE WHEN stop < 1 THEN 1 ELSE 0 END AS BIGINT) AS flag_stopwords,
+      CAST(CASE WHEN (CASE WHEN nw < 30 OR nw > 100000 THEN 1 ELSE 0 END)
+                   + (CASE WHEN wlen < 3 * nw OR wlen > 10 * nw THEN 1 ELSE 0 END)
+                   + (CASE WHEN sym * 100 > 10 * nw THEN 1 ELSE 0 END)
+                   + (CASE WHEN alpha * 100 < 80 * nw THEN 1 ELSE 0 END)
+                   + (CASE WHEN stop < 1 THEN 1 ELSE 0 END) = 0
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM f2 ORDER BY doc_id
+    """,
+)
+def q_text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.gopher_flags(
+        docs, min_tokens=30, min_stop_hits=1
+    ).orderBy("doc_id")

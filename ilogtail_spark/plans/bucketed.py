@@ -1,0 +1,96 @@
+"""Bucketed tables — shuffle elimination persisted at rest.
+
+The reference co-locates related records by hashing a partition key
+at WRITE time (kafka flusher `HashKeys` partitioning,
+`aggregator_shardhash`'s xxhash-mod shard routing): every consumer
+then finds all rows for one key in one shard and never re-partitions.
+The Spark-native analog is table bucketing: `bucketBy(n, key)` hashes
+each row to one of n bucket files per write task, records the spec in
+the catalog, and every later scan exposes `HashPartitioning(key, n)`
+to Catalyst — so joins and aggregations ON THE BUCKET KEY plan with
+ZERO Exchange on the bucketed side.
+
+Why this is the 100 TB design: a fact table is written once and
+joined thousands of times. An unbucketed join shuffles 100 TB per
+query; a bucketed join shuffles it once at write (where the write was
+shuffling anyway) and never again. Both sides bucketed with the same
+key and bucket count co-locate: the join is a zero-exchange
+sort-merge over aligned bucket files — at 1000 executors each task
+reads bucket i of both tables, no network at all.
+
+Sizing: buckets are the unit of join parallelism — pick
+`num_buckets` so one bucket of the BIG table is 100-500 MB
+(e.g. 100 TB / 256 MB ≈ 400k buckets). Too few buckets caps
+parallelism; too many makes small files. Bucket counts must match
+across tables meant to co-join (or differ by a power-of-two factor
+with `spark.sql.bucketing.coalesceBucketsInJoin.enabled`).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def create_bucket_db(spark: SparkSession, prefix: str = "ilogtail_buckets") -> str:
+    """Create a uniquely-named database over a fresh temp location —
+    concurrent harness processes (driver + mirror) must never write
+    the same warehouse path."""
+    loc = tempfile.mkdtemp(prefix=prefix + "_")
+    db = f"{prefix}_{uuid.uuid4().hex[:12]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+    return db
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    num_buckets: int,
+    sort: bool = True,
+    align_write: bool = True,
+) -> None:
+    """Persist ``df`` as a bucketed (and per-bucket sorted) table.
+
+    ``align_write`` repartitions by the bucket expression first so
+    each write task holds exactly one bucket's rows — one file per
+    bucket, which is what lets a later sort-merge join trust the
+    per-bucket sort order and skip its Sort as well. (Without it,
+    every task writes a sliver of every bucket: correct, but
+    many-files-per-bucket forces a re-sort at read.)
+    """
+    src = df.repartition(num_buckets, F.col(key)) if align_write else df
+    writer = src.write.format("parquet").mode("overwrite").bucketBy(
+        num_buckets, key
+    )
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
+
+
+def colocated_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    left_key: str,
+    right_key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two co-bucketed tables on their bucket keys — Catalyst
+    sees matching HashPartitioning output from both scans and plans
+    the join with no Exchange (assert via ``n_exchanges``)."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.join(right, left[left_key] == right[right_key], how)
+
+
+def n_exchanges(df: DataFrame) -> int:
+    """Shuffle Exchange nodes in the executed plan (broadcast
+    exchanges excluded) — 0 for a genuinely co-located join."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )

@@ -580,3 +580,53 @@ class TestUnigramLM:
         score = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
         out = textstats.unigram_lm_scores(score, ref=ref, vocab_size=2).collect()[0]
         assert out["n_oov"] == 2  # c and d fall outside the top-2 vocab
+
+
+class TestGopherFlags:
+    def _flags(self, spark, text, **kw):
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        return textstats.gopher_flags(df, **kw).collect()[0]
+
+    def test_clean_doc_keeps(self, spark):
+        text = "the quick brown fox jumps over the lazy dog and runs on with that have be to of " * 4
+        r = self._flags(spark, text.strip(), min_tokens=10)
+        assert r["keep"] == 1
+        assert (
+            r["flag_token_count"] + r["flag_mean_word_len"]
+            + r["flag_symbol_ratio"] + r["flag_alpha_ratio"]
+            + r["flag_stopwords"]
+        ) == 0
+
+    def test_each_rule_fires_alone(self, spark):
+        base = dict(min_tokens=3, min_stop_hits=1)
+        assert self._flags(spark, "the of", **base)["flag_token_count"] == 1
+        # mean word length > 10
+        long_words = "the " + " ".join(["verylongwordhere"] * 9)
+        assert self._flags(spark, long_words, **base)["flag_mean_word_len"] == 1
+        # > 10% symbol-to-word
+        sym = "the cat ### sat ... on a mat"
+        assert self._flags(spark, sym, **base)["flag_symbol_ratio"] == 1
+        # < 80% alphabetic words
+        nums = "the 12 34 56 78 90"
+        assert self._flags(spark, nums, **base)["flag_alpha_ratio"] == 1
+        # no stopwords at all
+        nostop = "cat sat mat dog fox run"
+        r = self._flags(spark, nostop, **base)
+        assert r["flag_stopwords"] == 1 and r["keep"] == 0
+
+    def test_cross_multiplication_boundary(self, spark):
+        # exactly 80% alphabetic (4/5): NOT flagged (strict <)
+        r = self._flags(spark, "the cat sat on 42", min_tokens=3, min_stop_hits=1)
+        assert r["flag_alpha_ratio"] == 0
+
+    def test_empty_text(self, spark):
+        r = self._flags(spark, "", min_tokens=1)
+        assert r["n_tokens"] == 0 and r["flag_token_count"] == 1 and r["keep"] == 0
+
+    def test_no_shuffle_plan(self, spark):
+        df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+        plan = (
+            textstats.gopher_flags(df)._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Python" not in plan

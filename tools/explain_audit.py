@@ -478,6 +478,79 @@ def main() -> int:
         "scan inside one task.",
     )
 
+    # 20. as-of join: union + single keyed window — ONE shuffle total,
+    # no join node, no pair explosion
+    from ilogtail_spark.dataops import asof
+
+    ev20 = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    q20 = asof.asof_join(
+        ev20.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts"),
+        ev20.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id"),
+        on="user_id", ts_col="ts", right_cols=["event_id"],
+    )
+    p20 = formatted(q20)
+    audit(
+        "as-of join (union + running-last window, single shuffle)",
+        q20,
+        [
+            ("exactly one shuffle exchange", n_shuffles(p20) == 1),
+            ("no join node (no pair/range explosion)",
+             "Join" not in p20),
+            ("single window pass", p20.count("Window") <= 2),
+            ("no Python stage", "Python" not in p20),
+        ],
+        "Nearest-prior-state enrichment without a range join: both "
+        "sides union into one narrow keyed stream and a running "
+        "last(payload, ignorenulls) window carries each right row "
+        "forward. One Exchange on the key, O(1) window state per "
+        "task, payload as a single struct column.",
+    )
+
+    # 21. bucketed co-located join: both tables bucketed by the join
+    # key — the join itself plans with ZERO exchanges (the shuffle
+    # was paid once, at write time, where the write shuffled anyway)
+    from ilogtail_spark.plans import bucketed as B
+
+    db21 = B.create_bucket_db(spark, prefix="ilogtail_buckets_audit")
+    B.write_bucketed(
+        spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+            "o_orderkey", "o_orderpriority"),
+        f"{db21}.orders_b", "o_orderkey", 4,
+    )
+    B.write_bucketed(
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"),
+        f"{db21}.lineitem_b", "l_orderkey", 4,
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q21 = B.colocated_join(
+            spark, f"{db21}.orders_b", f"{db21}.lineitem_b",
+            "o_orderkey", "l_orderkey",
+        )
+        q21.count()
+        p21 = q21._jdf.queryExecution().executedPlan().toString()
+        audit(
+            "bucketed co-located join (zero-exchange SMJ)",
+            q21,
+            [
+                ("zero shuffle exchanges under the join",
+                 B.n_exchanges(q21) == 0),
+                ("sort-merge join (no broadcast crutch)",
+                 "SortMergeJoin" in p21),
+            ],
+            "Both tables are bucketed by the join key with equal "
+            "bucket counts: each scan exposes HashPartitioning to "
+            "Catalyst, so the sort-merge join reads aligned bucket "
+            "files with NO network. At 100 TB the fact table is "
+            "written once (shuffling where the write already "
+            "shuffled) and co-joins forever after for free — the "
+            "at-rest analog of the reference's kafka HashKeys / "
+            "shardhash partitioning.",
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
