@@ -594,7 +594,9 @@ def gopher_flags(
     aggregate) for the full Gopher battery.
     """
     stopwords = stopwords or GOPHER_STOPWORDS
-    t = F.col(text_col)
+    # NULL text counts as empty (flags must be 0/1, never NULL) —
+    # same guard as quality_score/mixture_report, mirrored in oracles
+    t = F.coalesce(F.col(text_col), F.lit(""))
     toks = tokens_col(t)
     stop_arr = F.array(*[F.lit(w) for w in stopwords])
     feat = df.select(

@@ -1805,26 +1805,34 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ilogtail_spark.plans import bucketed as B
 
     db = B.create_bucket_db(spark)
-    B.write_bucketed(
-        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
-        f"{db}.orders_b", "o_orderkey", 8,
-    )
-    B.write_bucketed(
-        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
-        f"{db}.lineitem_b", "l_orderkey", 8,
-    )
-    j = B.colocated_join(
-        spark, f"{db}.orders_b", f"{db}.lineitem_b",
-        "o_orderkey", "l_orderkey",
-    )
-    return (
-        j.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_items"),
-            F.floor(F.sum("l_quantity")).cast("bigint").alias("sum_qty"),
+    try:
+        B.write_bucketed(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+            f"{db}.orders_b", "o_orderkey", 8,
         )
-        .orderBy("o_orderpriority")
-    )
+        B.write_bucketed(
+            _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+            f"{db}.lineitem_b", "l_orderkey", 8,
+        )
+        j = B.colocated_join(
+            spark, f"{db}.orders_b", f"{db}.lineitem_b",
+            "o_orderkey", "l_orderkey",
+        )
+        agg = (
+            j.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                F.floor(F.sum("l_quantity")).cast("bigint").alias("sum_qty"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        # materialize the 5-row result BEFORE dropping the bucket db:
+        # repeated harness invocations must not accumulate full
+        # bucketed table copies under /tmp
+        rows, schema = agg.collect(), agg.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        B.drop_bucket_db(spark, db)
 
 
 # ---------------------------------------------------------------------------
@@ -1835,9 +1843,9 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH feat AS (
       SELECT doc_id,
-             {SQL_TOKENS.format(col="text")} AS w,
-             length(text) - length(replace(text, '#', '')) AS hash_n,
-             (length(text) - length(replace(text, '...', ''))) // 3 AS ell_n
+             {SQL_TOKENS.format(col="coalesce(text, '')")} AS w,
+             length(coalesce(text, '')) - length(replace(coalesce(text, ''), '#', '')) AS hash_n,
+             (length(coalesce(text, '')) - length(replace(coalesce(text, ''), '...', ''))) // 3 AS ell_n
       FROM documents
     ), f2 AS (
       SELECT doc_id, len(w) AS nw,

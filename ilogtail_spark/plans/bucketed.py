@@ -45,6 +45,23 @@ def create_bucket_db(spark: SparkSession, prefix: str = "ilogtail_buckets") -> s
     return db
 
 
+def drop_bucket_db(spark: SparkSession, db: str) -> None:
+    """Drop a bucket database AND its temp warehouse directory —
+    pair with create_bucket_db so repeated invocations (driver
+    scoreboard, mirror, audits) never accumulate table copies."""
+    import shutil
+
+    loc = (
+        spark.sql(f"DESCRIBE DATABASE {db}")
+        .filter(F.col("info_name") == "Location")
+        .collect()
+    )
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    if loc:
+        path = loc[0]["info_value"].removeprefix("file:")
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -88,9 +105,11 @@ def colocated_join(
 
 
 def n_exchanges(df: DataFrame) -> int:
-    """Shuffle Exchange nodes in the executed plan (broadcast
-    exchanges excluded) — 0 for a genuinely co-located join."""
+    """Shuffle Exchange nodes in the executed plan — 0 for a
+    genuinely co-located join. Counts EVERY shuffle distribution
+    (hash, range, single-partition, …), excluding broadcast
+    exchanges and reused references to already-counted ones."""
+    import re
+
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return plan.count("Exchange hashpartitioning") + plan.count(
-        "Exchange rangepartitioning"
-    )
+    return len(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange", plan))

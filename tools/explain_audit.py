@@ -361,7 +361,7 @@ def main() -> int:
     q15 = corpus.contamination_stats(docs, bench15, n=5)
     p15 = formatted(q15)
     audit(
-        "benchmark decontamination (broadcast semi-probe)",
+        "benchmark decontamination (broadcast left-join probe)",
         q15,
         [
             ("bench side broadcasts", "BroadcastExchange" in p15),
@@ -496,7 +496,9 @@ def main() -> int:
             ("exactly one shuffle exchange", n_shuffles(p20) == 1),
             ("no join node (no pair/range explosion)",
              "Join" not in p20),
-            ("single window pass", p20.count("Window") <= 2),
+            # formatted explain prints each node twice (tree line +
+            # detail header): exactly one Window node == 2 mentions
+            ("single window pass", p20.count("Window") == 2),
             ("no Python stage", "Python" not in p20),
         ],
         "Nearest-prior-state enrichment without a range join: both "
@@ -550,6 +552,7 @@ def main() -> int:
         )
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        B.drop_bucket_db(spark, db21)
 
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
