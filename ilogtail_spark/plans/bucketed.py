@@ -104,6 +104,23 @@ def colocated_join(
     return left.join(right, left[left_key] == right[right_key], how)
 
 
+def selected_buckets(df: DataFrame) -> tuple[int, int] | None:
+    """(selected, total) bucket counts from the executed plan's scan —
+    an equality filter on the bucket key prunes the scan to the ONE
+    matching bucket file per table (point lookups over 100 TB read
+    1/num_buckets of the data with zero index structures). Requires a
+    bucketed scan: set
+    ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false``
+    for filter-only queries, since the planner otherwise falls back
+    to a plain file scan when no exchange is saved. Returns None when
+    the scan is not bucketed."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
 def n_exchanges(df: DataFrame) -> int:
     """Shuffle Exchange nodes in the executed plan — 0 for a
     genuinely co-located join. Counts EVERY shuffle distribution

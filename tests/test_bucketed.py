@@ -82,6 +82,20 @@ class TestColocatedJoin:
             map(tuple, plain.collect())
         )
 
+    def test_bucket_pruning_on_key_filter(self, spark, tables):
+        # a point filter on the bucket key must scan ONE bucket file
+        db, _, _ = tables
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        try:
+            q = spark.table(f"{db}.orders_b").filter(F.col("o_orderkey") == 7)
+            assert B.selected_buckets(q) == (1, 4)
+        finally:
+            spark.conf.unset(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+            )
+
     def test_one_file_per_bucket(self, spark, tables):
         # align_write repartitions by the bucket expression: each
         # bucket's rows land in ONE task, so one file per bucket
