@@ -29,17 +29,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # remainder (all driver-green in round 2) follow in registration
 # order and are covered by tools/correctness_mirror.py regardless.
 # Exactly 50 entries: fmtstr_topic, split_string_expand,
-# desensitize_md5_span and parse_timestamp_tz (each mirror-green in
-# r01 and r02) were bumped to the back to keep every round-3 query
-# inside the cut.
+# desensitize_md5_span, parse_timestamp_tz and otel_trace (each
+# mirror-green in r01 and r02) were bumped to the back to keep every
+# round-3 query inside the cut.
 _FRONT = [
     "asof_prior_error", "bucketed_colocated_join", "text_gopher_flags",
+    "salted_skew_join",
     "corpus_mixture_report", "corpus_badwords_filter", "streaming_sessionize",
     "dedup_embedding_banded", "multimodal_frames", "multimodal_resize",
     "split_char_quoted", "anchor_extract",
     "transform_drop_b64", "string_replace_unquote",
     "filter_key_regex", "aggregators_pack_tags",
-    "context_colocate", "cloud_meta_tags", "otel_trace",
+    "context_colocate", "cloud_meta_tags",
     "file_source_lines", "merge_multiline_single_line",
     "streaming_rate_limit", "streaming_pipeline_agg",
     "streaming_multiline_merge", "lineage_resume", "lineage_incremental",

@@ -1876,3 +1876,34 @@ def q_text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.gopher_flags(
         docs, min_tokens=30, min_stop_hits=1
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# salted skew-safe join — hot-key spreading with exact join parity
+# ---------------------------------------------------------------------------
+@query(
+    "salted_skew_join",
+    """
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_events
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted join must produce EXACTLY the rows of the plain
+    equi join (the oracle) — salting is a physical spreading of one
+    hot key over salt_buckets tasks, invisible to semantics."""
+    from ilogtail_spark.plans import skew
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), "event_id"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_nationkey"
+    )
+    j = skew.salted_join(ev, cust, on="k", salt_buckets=8, salt_src=["event_id"])
+    return (
+        j.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .orderBy("c_nationkey")
+    )

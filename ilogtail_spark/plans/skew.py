@@ -100,3 +100,46 @@ def stable_turn_order(df: DataFrame, conv_col: str = "conv_id", idx_col: str = "
     (a total order across 10^12 turns is never needed; per-sink files
     are conversation-contiguous which is the observable contract)."""
     return df.repartition(F.col(conv_col)).sortWithinPartitions(conv_col, idx_col)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+    salt_src: list[str] | None = None,
+) -> DataFrame:
+    """Skew-safe equi join for the regime AQE's skew split does not
+    cover: salt the big/skewed LEFT side per row and replicate the
+    RIGHT side across every salt value, joining on (key, salt) — one
+    hot key's rows spread over ``salt_buckets`` tasks instead of
+    serializing into one.
+
+    When to use which join strategy at 100 TB:
+    * tiny dim -> broadcast (plans/pipeline, dict_map);
+    * skewed SMJ -> AQE skew-join split (on by default in session.py)
+      handles it at runtime for sort-merge plans;
+    * mid-size right side + pathologically hot left keys (the
+      power-law user/conversation) -> THIS: replication costs
+      |right| x salt_buckets rows, bounded and chosen by the caller,
+      and the left side still shuffles exactly once.
+
+    ``salt_src``: columns giving per-ROW identity for the left salt
+    (default: all left columns). Must not be only the key itself — a
+    key-derived salt sends the hot key to one bucket again. Results
+    are identical to ``left.join(right, on, how)`` for 'inner' and
+    'left' (each left row sees exactly the one replicated copy of
+    each matching right row that carries its salt).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left' only")
+    src = [F.col(c) for c in (salt_src or left.columns)]
+    l_salted = left.withColumn(
+        "__salt__", F.pmod(F.xxhash64(*src), F.lit(salt_buckets))
+    )
+    r_salted = right.withColumn(
+        "__salt__",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    return l_salted.join(r_salted, [on, "__salt__"], how).drop("__salt__")

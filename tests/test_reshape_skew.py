@@ -440,3 +440,50 @@ def test_merge_multiline_no_cap_schema_unchanged(spark):
     )(df)
     assert "__chunk__" not in out.columns
     assert out.count() == 1
+
+
+class TestSaltedJoin:
+    def test_parity_with_plain_join_inner_and_left(self, spark):
+        from ilogtail_spark.plans import skew
+
+        left = spark.createDataFrame(
+            [(1, i) for i in range(200)] + [(2, 900), (3, 901)],
+            "k long, row_id long",
+        )
+        right = spark.createDataFrame(
+            [(1, "hot"), (2, "warm"), (4, "unmatched")], "k long, tag string"
+        )
+        for how in ("inner", "left"):
+            salted = skew.salted_join(
+                left, right, on="k", salt_buckets=8,
+                salt_src=["row_id"], how=how,
+            )
+            plain = left.join(right, "k", how)
+            assert sorted(map(tuple, salted.collect())) == sorted(
+                map(tuple, plain.collect())
+            )
+
+    def test_hot_key_spreads_over_buckets(self, spark):
+        from ilogtail_spark.plans import skew
+        from pyspark.sql import functions as F
+
+        left = spark.createDataFrame(
+            [(1, i) for i in range(512)], "k long, row_id long"
+        )
+        salts = (
+            left.withColumn(
+                "__salt__",
+                F.pmod(F.xxhash64(F.col("row_id")), F.lit(8)),
+            )
+            .select("__salt__").distinct().count()
+        )
+        assert salts == 8  # one hot key fans out over all buckets
+
+    def test_rejects_unsupported_how(self, spark):
+        from ilogtail_spark.plans import skew
+
+        df = spark.createDataFrame([(1, 2)], "k long, v long")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            skew.salted_join(df, df, on="k", how="full")
