@@ -554,6 +554,40 @@ def main() -> int:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         B.drop_bucket_db(spark, db21)
 
+    # 22. salted skew-safe join: the join keys must include the salt
+    # (that IS the hot-key spreading) and the plan must stay a single
+    # equi join — no extra shuffle beyond the two keyed exchanges
+    from ilogtail_spark.plans import skew as skew_ops
+
+    ev22 = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    cust22 = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    q22 = skew_ops.salted_join(
+        ev22.select("user_id", "event_id"), cust22,
+        on="user_id", salt_buckets=8, salt_src=["event_id"],
+    )
+    p22 = formatted(q22)
+    audit(
+        "salted skew-safe join (hot key spread over salt buckets)",
+        q22,
+        [
+            ("join keys include the salt", "__salt__" in p22),
+            ("single equi join (hash or sort-merge)",
+             ("SortMergeJoin" in p22) or ("BroadcastHashJoin" in p22)
+             or ("ShuffledHashJoin" in p22)),
+            ("at most one shuffle per side", n_shuffles(p22) <= 2),
+            ("no Python stage", "Python" not in p22),
+        ],
+        "The left side salts per ROW (never key-derived — that would "
+        "re-concentrate the hot key) and the right side replicates "
+        "across all salt values via a scan-side explode, so the "
+        "(key, salt) equi join spreads a power-law key over "
+        "salt_buckets tasks. Replication cost |right| x buckets is "
+        "bounded and caller-chosen; results are pinned identical to "
+        "the plain join by test + oracle.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
