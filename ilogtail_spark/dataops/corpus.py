@@ -231,6 +231,13 @@ def quality_tiered_sample(
     return df.filter(h < thr)
 
 
+# above this many range partitions the per-partition offset apply
+# switches from a literal CASE chain to a broadcast join (a WHEN chain
+# of depth 10^4-10^5 degrades Catalyst analysis and falls out of
+# whole-stage codegen past the 64KB method limit)
+_OFFSET_CASE_MAX = 512
+
+
 def global_prefix_sum(
     df: DataFrame,
     order_col: str,
@@ -253,6 +260,12 @@ def global_prefix_sum(
     (3) window WITHIN each partition (parallel) and add the offset.
     Order ties are broken deterministically only if ``order_col`` is
     unique — callers pass a unique id.
+
+    Fault note: the localCheckpoint pins partition identity but is
+    NOT replicated — an executor loss mid-job fails the job (rerun)
+    rather than silently recomputing with different partition ids;
+    for long cluster jobs set a reliable checkpoint dir and swap in
+    ``df.checkpoint()`` upstream.
     """
     spark = df.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
@@ -268,16 +281,36 @@ def global_prefix_sum(
     for r in sorted(totals, key=lambda r: r["__pid__"]):
         offsets[r["__pid__"]] = acc
         acc += r["__t__"] or 0
-    # the offset table is num_partitions rows — fold it into a literal
-    # CASE chain (constant after codegen) instead of a join: zero extra
-    # exchanges, no driver-side DataFrame round-trip
-    off: Column = F.lit(0).cast("bigint")
-    for pid, o in offsets.items():
-        off = F.when(F.col("__pid__") == pid, F.lit(o).cast("bigint")).otherwise(off)
     w = Window.partitionBy("__pid__").orderBy(order_col)
+    if len(offsets) <= _OFFSET_CASE_MAX:
+        # small offset table — fold it into a literal CASE chain
+        # (constant after codegen) instead of a join: zero extra
+        # exchanges, no driver-side DataFrame round-trip
+        off: Column = F.lit(0).cast("bigint")
+        for pid, o in offsets.items():
+            off = F.when(
+                F.col("__pid__") == pid, F.lit(o).cast("bigint")
+            ).otherwise(off)
+        return (
+            parts.withColumn(out_col, F.sum(value_col).over(w) + off)
+            .drop("__pid__")
+        )
+    # large partition counts (the 100 TB regime is 10^4-10^5 range
+    # partitions): a depth-num_partitions WHEN chain blows up Catalyst
+    # analysis and overruns the 64KB codegen method limit. Broadcast-
+    # join the tiny (pid, offset) table instead — BroadcastHashJoin
+    # adds no Exchange on the data side, so the plan stays one shuffle.
+    spark = parts.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(pid), int(o)) for pid, o in offsets.items()],
+        schema="__pid__ int, __off__ bigint",
+    )
     return (
-        parts.withColumn(out_col, F.sum(value_col).over(w) + off)
-        .drop("__pid__")
+        parts.join(F.broadcast(off_df), "__pid__", "left")
+        .withColumn(
+            out_col, F.sum(value_col).over(w) + F.coalesce("__off__", F.lit(0))
+        )
+        .drop("__pid__", "__off__")
     )
 
 

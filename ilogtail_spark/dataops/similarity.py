@@ -91,13 +91,32 @@ def hyperplane_component(plane: int, dim: int) -> float:
 from functools import lru_cache
 
 
-@lru_cache(maxsize=64)
+def _gateway_key() -> int:
+    """Cache key component tying memoized Columns to the LIVE py4j
+    gateway: a Column wraps a JVM reference, so a Column cached under
+    one SparkContext is poison after a JVM restart in the same Python
+    process (common in test harnesses). Keying on id(active context)
+    makes a restart a cache miss instead of a dead-gateway error."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    return id(sc) if sc is not None else 0
+
+
 def _planes_literal(plane_offset: int, num_planes: int, dim: int) -> Column:
-    """The plane matrix as ONE array<array<double>> Column, memoized:
-    building num_planes x dim literal nodes crosses py4j per node
-    (~0.6 s at 24x64) and the identical matrix recurs across every
-    LSH query in a session. Column objects are immutable expression
-    wrappers, safe to share across plans within a process."""
+    """The plane matrix as ONE array<array<double>> Column, memoized
+    per (gateway, params): building num_planes x dim literal nodes
+    crosses py4j per node (~0.6 s at 24x64) and the identical matrix
+    recurs across every LSH query in a session. Column objects are
+    immutable expression wrappers, safe to share across plans within
+    one SparkContext's lifetime — never across a JVM restart."""
+    return _planes_literal_cached(_gateway_key(), plane_offset, num_planes, dim)
+
+
+@lru_cache(maxsize=64)
+def _planes_literal_cached(
+    gateway: int, plane_offset: int, num_planes: int, dim: int
+) -> Column:
     return F.array(
         *[
             F.array(*[F.lit(hyperplane_component(p, d)) for d in range(dim)])
@@ -197,11 +216,13 @@ def centroid_matrix(centroids: list[list[float]]) -> Column:
     single Literal node under ConstantFolding). Memoized per distinct
     centroid set — corpus assignment and query probing reuse one
     Column instead of re-crossing py4j per literal node."""
-    return _centroid_matrix_cached(tuple(tuple(float(x) for x in c) for c in centroids))
+    return _centroid_matrix_cached(
+        _gateway_key(), tuple(tuple(float(x) for x in c) for c in centroids)
+    )
 
 
 @lru_cache(maxsize=16)
-def _centroid_matrix_cached(key: tuple) -> Column:
+def _centroid_matrix_cached(gateway: int, key: tuple) -> Column:
     return F.array(*[F.array(*[F.lit(x) for x in c]) for c in key])
 
 

@@ -96,8 +96,11 @@ def repetition_stats(
     All three are floor fixed-point micro integers (same rationale as
     quality_score: bit-identical across engines, no float-tie drift).
     Pure scan-side expressions over the token/line arrays — zero
-    shuffle, zero Python."""
-    t = F.col(text_col)
+    shuffle, zero Python. NULL text counts as empty (all three stats
+    0), matching the explicit NULL guards in gopher_flags /
+    quality_score / mixture_report — extraction-failure NULL rows get
+    flags, not NULLs."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
     mega = F.lit(1_000_000).cast("long")
     feat = df.select(
         F.col(id_col),

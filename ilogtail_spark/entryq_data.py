@@ -707,7 +707,7 @@ def q_text_drop_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH src AS (
       SELECT doc_id,
-             text || CASE WHEN doc_id % 3 = 0
+             coalesce(text, '') || CASE WHEN doc_id % 3 = 0
                           THEN chr(10) || 'repeat me' || chr(10) || 'repeat me'
                           ELSE '' END AS t
       FROM documents
@@ -744,7 +744,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     t = F.when(
         F.col("doc_id") % 3 == 0,
-        F.concat(F.col("text"), F.lit("\nrepeat me\nrepeat me")),
+        F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit("\nrepeat me\nrepeat me")),
     ).otherwise(F.col("text"))
     return textstats.repetition_stats(docs.withColumn("text", t)).orderBy("doc_id")
 

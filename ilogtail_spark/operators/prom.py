@@ -66,6 +66,7 @@ def prom_parse(
     text_col: str = "text",
     default_ts_ms: int | None = None,
     keep_cols: bool = False,
+    out_cols: tuple[str, str, str, str] = ("name", "labels", "value", "ts_ms"),
 ) -> DataFrame:
     """Parse one exposition-format line per row into ``(name, labels,
     value, ts_ms)``. Comment (#) and blank lines, lines whose value
@@ -75,7 +76,10 @@ def prom_parse(
     ProcessorPromParseMetricNative.cpp:64 SetTag(NAME).
     ``keep_cols=True`` appends the four metric columns instead of
     replacing the frame (the processor surface needs the event's
-    other columns to survive).
+    other columns to survive); pass ``out_cols`` to rename the four
+    outputs when the input frame already has a column named ``name``/
+    ``labels``/``value``/``ts_ms`` — appending a duplicate name would
+    fail the query at analysis with an ambiguous-reference error.
 
     Regex cost: the line pattern runs ONCE per row (a single
     regexp_replace rewriting the match into a \\x01-delimited
@@ -106,10 +110,10 @@ def prom_parse(
     ok = okline & value.isNotNull() & body.rlike(_BODY_RE)
     base = df.filter(F.coalesce(ok, F.lit(False)))
     cols = [
-        name.alias("name"),
-        labels.alias("labels"),
-        value.alias("value"),
-        ts_ms.alias("ts_ms"),
+        name.alias(out_cols[0]),
+        labels.alias(out_cols[1]),
+        value.alias(out_cols[2]),
+        ts_ms.alias(out_cols[3]),
     ]
     if keep_cols:
         return base.select("*", *cols)
@@ -230,8 +234,14 @@ class ProcessorPromParseMetric(Processor):
     def apply(self, df: DataFrame) -> DataFrame:
         fields = F.col(FIELDS_COL)
         v = fields.getItem(self.SourceKey)
+        # reserved __-prefixed output names: the event frame's fields
+        # map can legitimately carry columns named name/labels/value/
+        # ts_ms (e.g. a prior extract stage) — colliding appended
+        # columns would make every later reference ambiguous
+        out = ("__pp_name__", "__pp_labels__", "__pp_value__", "__pp_ts_ms__")
         parsed = prom_parse(
-            df.withColumn("__line__", v), "__line__", keep_cols=True
+            df.withColumn("__line__", v), "__line__", keep_cols=True,
+            out_cols=out,
         )
         # metric-event fields: labels FIRST, reserved keys LAST — under
         # the session's LAST_WIN map dedup a label literally named
@@ -239,19 +249,17 @@ class ProcessorPromParseMetric(Processor):
         # other column (tags, id/mirror cols) survives untouched.
         new_fields = F.map_concat(
             F.map_filter(
-                F.col("labels"), lambda k, _: k != F.lit("__name__")
+                F.col(out[1]), lambda k, _: k != F.lit("__name__")
             ),
             F.create_map(
-                F.lit("__name__"), F.col("name"),
-                F.lit("value"), F.col("value").cast("string"),
+                F.lit("__name__"), F.col(out[0]),
+                F.lit("value"), F.col(out[2]).cast("string"),
             ),
             F.when(
-                F.col("ts_ms").isNotNull(),
+                F.col(out[3]).isNotNull(),
                 F.create_map(
-                    F.lit("__time_ms__"), F.col("ts_ms").cast("string")
+                    F.lit("__time_ms__"), F.col(out[3]).cast("string")
                 ),
             ).otherwise(F.create_map().cast("map<string,string>")),
         )
-        return parsed.withColumn(FIELDS_COL, new_fields).drop(
-            "__line__", "name", "labels", "value", "ts_ms"
-        )
+        return parsed.withColumn(FIELDS_COL, new_fields).drop("__line__", *out)

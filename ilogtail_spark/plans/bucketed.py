@@ -48,9 +48,12 @@ def create_bucket_db(spark: SparkSession, prefix: str = "ilogtail_buckets") -> s
 def drop_bucket_db(spark: SparkSession, db: str) -> None:
     """Drop a bucket database AND its temp warehouse directory —
     pair with create_bucket_db so repeated invocations (driver
-    scoreboard, mirror, audits) never accumulate table copies."""
-    import shutil
+    scoreboard, mirror, audits) never accumulate table copies.
 
+    The rmtree only fires when the reported location is under the
+    system temp dir (where create_bucket_db puts it): calling this on
+    a pre-existing database must never delete a real warehouse
+    directory — the catalog DROP alone is the safe degraded path."""
     loc = (
         spark.sql(f"DESCRIBE DATABASE {db}")
         .filter(F.col("info_name") == "Location")
@@ -58,8 +61,23 @@ def drop_bucket_db(spark: SparkSession, db: str) -> None:
     )
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
     if loc:
-        path = loc[0]["info_value"].removeprefix("file:")
-        shutil.rmtree(path, ignore_errors=True)
+        _rmtree_if_tempdir(loc[0]["info_value"].removeprefix("file:"))
+
+
+def _rmtree_if_tempdir(path: str) -> None:
+    """rmtree ``path`` ONLY when it lives under the system temp dir
+    (where create_bucket_db puts warehouses). Leftovers can survive
+    the catalog DROP (e.g. a crashed prior run's stale metastore
+    entry), but a real warehouse directory must never be deleted by
+    this cleanup — outside tempdir the catalog drop alone is the safe
+    degraded path."""
+    import os
+    import shutil
+
+    real = os.path.realpath(path)
+    tmp = os.path.realpath(tempfile.gettempdir())
+    if real.startswith(tmp + os.sep):
+        shutil.rmtree(real, ignore_errors=True)
 
 
 def write_bucketed(

@@ -110,3 +110,39 @@ class TestColocatedJoin:
         path = loc.removeprefix("file:")
         files = [f for f in os.listdir(path) if f.startswith("part-")]
         assert len(files) == 4
+
+
+class TestDbLifecycle:
+    def test_rmtree_guard_refuses_paths_outside_tempdir(self, spark):
+        # the cleanup rmtree is only safe for create_bucket_db's
+        # tempdir locations; anything else (a real warehouse dir)
+        # must survive untouched
+        import os
+        import shutil
+        import tempfile
+        import uuid
+
+        keep = os.path.join(os.getcwd(), f".bucket_guard_{uuid.uuid4().hex[:8]}")
+        os.makedirs(keep)
+        try:
+            B._rmtree_if_tempdir(keep)
+            assert os.path.isdir(keep)  # refused — outside tempdir
+        finally:
+            shutil.rmtree(keep, ignore_errors=True)
+        gone = tempfile.mkdtemp(prefix="bucket_guard_")
+        B._rmtree_if_tempdir(gone)
+        assert not os.path.exists(gone)  # allowed — under tempdir
+
+    def test_drop_removes_tempdir_warehouse(self, spark):
+        import os
+
+        db = B.create_bucket_db(spark, prefix="ilogtail_buckets_guard")
+        loc = (
+            spark.sql(f"DESCRIBE DATABASE {db}")
+            .filter(F.col("info_name") == "Location")
+            .collect()[0]["info_value"]
+            .removeprefix("file:")
+        )
+        assert os.path.isdir(loc)
+        B.drop_bucket_db(spark, db)
+        assert not os.path.exists(loc)

@@ -127,6 +127,24 @@ class TestPacking:
             acc += (i * 7) % 13 + 1
             assert got[i] == acc
 
+    def test_prefix_sum_broadcast_offset_path(self, spark, monkeypatch):
+        # above _OFFSET_CASE_MAX partitions the offset apply switches
+        # from a literal CASE chain to a broadcast join — force the
+        # switch low and check exact values + the join strategy
+        monkeypatch.setattr(corpus, "_OFFSET_CASE_MAX", 2)
+        df = spark.createDataFrame(
+            [(i, (i * 7) % 13 + 1) for i in range(500)], "doc_id long, v long"
+        )
+        out = corpus.global_prefix_sum(df, "doc_id", "v", num_partitions=8)
+        from tests.test_plans import formatted
+
+        assert "BroadcastHashJoin" in formatted(out)
+        got = {r["doc_id"]: r["cum"] for r in out.collect()}
+        acc = 0
+        for i in range(500):
+            acc += (i * 7) % 13 + 1
+            assert got[i] == acc
+
     def test_pack_shards(self, spark):
         df = spark.createDataFrame(
             [(i, " ".join(["w"] * 10)) for i in range(100)],

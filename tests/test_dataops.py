@@ -251,6 +251,18 @@ class TestTextStats:
         assert out[3]["top_bigram_frac_micro"] == 333_333  # 1 of 3
         assert out[3]["dup_bigram_frac_micro"] == 0
 
+    def test_repetition_stats_null_text_is_zero(self, spark):
+        # extraction-failure NULL rows get 0 flags, not NULL — the
+        # same coalesce contract as gopher_flags / quality_score
+        df = spark.createDataFrame(
+            [(1, None), (2, "")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in textstats.repetition_stats(df).collect()}
+        for i in (1, 2):
+            assert out[i]["dup_line_frac_micro"] == 0
+            assert out[i]["top_bigram_frac_micro"] == 0
+            assert out[i]["dup_bigram_frac_micro"] == 0
+
     def test_vocab_topk_counts_and_ties(self, spark):
         rows = [
             (1, "alpha beta beta gamma"),

@@ -89,6 +89,24 @@ class TestPromParse:
         assert dict(out[0]["tags"]) == {"host": "h1"}
         assert out[0]["conv_id"] == "c9"
 
+    def test_processor_with_colliding_top_level_columns(self, spark):
+        # an event frame can legitimately carry columns literally
+        # named name/labels/value/ts_ms (a prior extract stage);
+        # the parse must not create ambiguous duplicates
+        df = (
+            events_df(spark, [{"content": "m 3"}])
+            .withColumn("name", F.lit("keepme"))
+            .withColumn("value", F.lit(9))
+            .withColumn("labels", F.lit("x"))
+            .withColumn("ts_ms", F.lit(7))
+        )
+        out = compile_processors(
+            [{"Type": "processor_prom_parse_metric"}]
+        )(df).collect()
+        assert out[0]["name"] == "keepme" and out[0]["value"] == 9
+        assert out[0]["labels"] == "x" and out[0]["ts_ms"] == 7
+        assert dict(out[0]["fields"])["value"] == "3.0"
+
     def test_label_named_value_does_not_clobber_sample(self, spark):
         df = events_df(spark, [{"content": 'm{value="x"} 7'}])
         out = fields_of(
