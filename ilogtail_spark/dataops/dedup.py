@@ -482,11 +482,18 @@ def ngram_jaccard_pairs(
 def simhash_expr(
     df: DataFrame,
     text_col: str = "text",
-    nbits: int = 32,
+    nbits: int = 64,
 ) -> DataFrame:
     """SimHash over whitespace tokens as a pure Column expression:
     token hash = first 15 hex chars of md5 (60-bit bigint, portable);
     bit b of the simhash = sign of sum over tokens of (2*bit_b - 1).
+
+    Default nbits=64 — the safe operating point for corpus-scale
+    candidate blocking (2^16-value blocks at blocks=4, vs only 256 at
+    nbits=32, which self-joins quadratically). Note the token hash is
+    60-bit, so bits 60-63 of every token vote negative and those
+    signature bits are constant 0 — harmless for hamming distance,
+    and block 3 still carries 12 effective bits.
 
     Single-pass vote aggregate: ONE traversal of the token-hash array
     builds the whole vote vector (zip_with against a constant-folded
@@ -584,7 +591,7 @@ def simhash_pandas(df: DataFrame, text_col: str = "text", nbits: int = 64) -> Da
 def simhash_candidates(
     df_with_simhash: DataFrame,
     id_col: str = "doc_id",
-    nbits: int = 32,
+    nbits: int = 64,
     blocks: int = 4,
     max_block_bucket: int | None = None,
 ) -> DataFrame:
@@ -593,12 +600,13 @@ def simhash_candidates(
     < blocks agree on at least one block -> bucket groupBy per block,
     self-join within buckets.
 
-    Scale note: block-value cardinality is 2^(nbits/blocks) — at
-    nbits=32/blocks=4 that is only 256 buckets per block, quadratic
-    trouble at corpus scale. Use nbits=64 (2^16 buckets) for large
-    corpora, and/or ``max_block_bucket`` to drop hot blocks outright
-    (the simhash twin of minhash's max_band_bucket; exact-dedup-first
-    removes the identical-content cause)."""
+    Scale note: block-value cardinality is 2^(nbits/blocks) — the
+    nbits=64 default gives 2^16 buckets per block, the safe operating
+    point; nbits=32 is only 256 buckets per block, quadratic trouble
+    at corpus scale (kept available for short-text workloads only).
+    ``max_block_bucket`` drops hot blocks outright (the simhash twin
+    of minhash's max_band_bucket; exact-dedup-first removes the
+    identical-content cause)."""
     width = nbits // blocks
     mask = (1 << width) - 1
     parts = []

@@ -21,9 +21,14 @@ term filter, once with idf weights attached. The final top-k is a
 rank-over-window partitioned by query_id — cardinality |queries| ×
 |matching docs|, already restricted.
 
-Scores are emitted quantized (``score_milli`` = floor(score×1000))
-so cross-engine compares are exact; ranking uses the quantized
-score with a doc-id tie-break, deterministic on any engine.
+Scores are emitted quantized — and the quantization happens PER TERM
+CONTRIBUTION (micro-ints, floor(c×10^6)) BEFORE the per-doc sum, the
+same pattern as DSIR's importance_scores: a sum of bigints is
+order-independent, so the score — and therefore the rank — is
+bit-identical at any parallelism, cluster size, or engine. Summing
+doubles first and flooring after (the previous form) could flip a
+milli-point near a .001 boundary between runs, because Spark does
+not guarantee float addition order across partitionings.
 """
 
 from __future__ import annotations
@@ -47,8 +52,10 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-k BM25-scored documents per query.
 
-    Returns (query_id, doc_id, score_milli, rank), rank 1..k per
-    query, ordered by (score_milli DESC, doc_id ASC).
+    Returns (query_id, doc_id, score_micro, rank), rank 1..k per
+    query, ordered by (score_micro DESC, doc_id ASC). ``score_micro``
+    is the sum of per-term contributions each floored to micro-ints —
+    order-independent, identical at every parallelism.
 
     BM25 (Robertson/Sparck Jones, the Lucene "plus one" idf form so
     weights are never negative):
@@ -104,26 +111,35 @@ def bm25_topk(
         )
     )
 
+    # quantize EACH term contribution to a micro-int before the sum:
+    # every input (tf, df, n, dl, avgdl) is a pure function of the
+    # data, so each floored term is deterministic, and the bigint sum
+    # is order-independent — no float-addition-order rank flips
     contrib = posts.join(F.broadcast(widf), "__w__").select(
         F.col(query_id_col),
         F.col(id_col),
-        (
-            F.col("__idf__")
-            * (F.col("__tf__") * (k1 + 1.0))
-            / (
-                F.col("__tf__")
-                + k1 * (1.0 - b + b * F.col("__dl__") / F.col("__avgdl__"))
+        F.floor(
+            (
+                F.col("__idf__")
+                * (F.col("__tf__") * (k1 + 1.0))
+                / (
+                    F.col("__tf__")
+                    + k1 * (1.0 - b + b * F.col("__dl__") / F.col("__avgdl__"))
+                )
             )
-        ).alias("__s__"),
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("__s__"),
     )
     scored = contrib.groupBy(query_id_col, id_col).agg(
-        F.floor(F.sum("__s__") * 1000).cast("bigint").alias("score_milli")
+        F.sum("__s__").alias("score_micro")
     )
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("score_milli").desc(), F.col(id_col).asc()
+        F.col("score_micro").desc(), F.col(id_col).asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "score_milli", "rank")
+        .select(query_id_col, id_col, "score_micro", "rank")
     )

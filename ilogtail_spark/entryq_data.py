@@ -252,10 +252,13 @@ def q_dedup_near_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def _simhash_votes_sql(nbits: int) -> str:
     """Shared SQL for the per-bit sign votes over the token-hash list
-    ``hs`` — single source for every simhash oracle."""
+    ``hs`` — single source for every simhash oracle. Bit 63's mask is
+    the signed-long min value (two's complement), mirroring the Spark
+    engine — {1 << 63} would widen DuckDB's sum to HUGEINT."""
     return " + ".join(
         f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
-        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+        f"THEN 1 ELSE -1 END)) > 0 THEN {(1 << b) if b < 63 else -(1 << 63)} "
+        f"ELSE 0 END)"
         for b in range(nbits)
     )
 
@@ -277,10 +280,11 @@ def _simhash_oracle(nbits: int) -> str:
     """
 
 
-@query("dedup_simhash", _simhash_oracle(32))
+@query("dedup_simhash", _simhash_oracle(64))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exercises the nbits=64 DEFAULT — the corpus-scale operating point
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return dedup.simhash_expr(docs, nbits=32).select("doc_id", "simhash").orderBy(
+    return dedup.simhash_expr(docs).select("doc_id", "simhash").orderBy(
         "doc_id"
     )
 
@@ -544,7 +548,7 @@ def q_dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
-def _simhash_candidates_oracle(nbits: int = 32, blocks: int = 4) -> str:
+def _simhash_candidates_oracle(nbits: int = 64, blocks: int = 4) -> str:
     width = nbits // blocks
     mask = (1 << width) - 1
     votes = _simhash_votes_sql(nbits)
@@ -581,9 +585,11 @@ def _simhash_candidates_oracle(nbits: int = 32, blocks: int = 4) -> str:
 
 @query("dedup_simhash_candidates", _simhash_candidates_oracle())
 def q_dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exercises the nbits=64 defaults (2^16-value blocks, the safe
+    # corpus-scale configuration)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    sig = dedup.simhash_expr(docs, nbits=32).select("doc_id", "simhash")
-    return dedup.simhash_candidates(sig, nbits=32, blocks=4).orderBy("a", "b")
+    sig = dedup.simhash_expr(docs).select("doc_id", "simhash")
+    return dedup.simhash_candidates(sig).orderBy("a", "b")
 
 
 @query("sim_lsh_buckets", _lsh_bucket_oracle())
@@ -1135,10 +1141,13 @@ def _bm25_oracle(k: int = 5, qmod: int = 97, qrem: int = 5, qlen: int = 8) -> st
     ), dfreq AS (
       SELECT term, count(*) AS df FROM tf GROUP BY term
     ), contrib AS (
+      -- per-term contribution floored to micro-ints BEFORE the sum
+      -- (mirrors bm25_topk: bigint sums are order-independent)
       SELECT q.query_id, t.doc_id,
-             ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             CAST(floor(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
                * (t.tf * 2.2)
-               / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS c
+               / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+               * 1000000) AS BIGINT) AS c
       FROM tf t
       JOIN dfreq d USING (term)
       JOIN qterms q USING (term)
@@ -1146,13 +1155,13 @@ def _bm25_oracle(k: int = 5, qmod: int = 97, qrem: int = 5, qlen: int = 8) -> st
       CROSS JOIN stats s
     ), scored AS (
       SELECT query_id, doc_id,
-             CAST(floor(sum(c) * 1000) AS BIGINT) AS score_milli
+             CAST(sum(c) AS BIGINT) AS score_micro
       FROM contrib GROUP BY query_id, doc_id
     )
-    SELECT query_id, doc_id, score_milli,
+    SELECT query_id, doc_id, score_micro,
            CAST(row_number() OVER (
              PARTITION BY query_id
-             ORDER BY score_milli DESC, doc_id ASC) AS INT) AS rank
+             ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank
     FROM scored
     QUALIFY rank <= {k}
     ORDER BY query_id, rank
@@ -1175,7 +1184,7 @@ def q_retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = retrieval.bm25_topk(docs, probes, k=5)
     return out.select(
-        "query_id", "doc_id", "score_milli", F.col("rank").cast("int").alias("rank")
+        "query_id", "doc_id", "score_micro", F.col("rank").cast("int").alias("rank")
     ).orderBy("query_id", "rank")
 
 
