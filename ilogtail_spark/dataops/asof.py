@@ -17,8 +17,13 @@ every later left row. Scale shape at 100 TB:
 * The right payload rides as a struct so adding columns never adds
   plan nodes or extra windows.
 * Hot-key caveat (same as sessionization): one key with billions of
-  rows serializes into a task — bound by time bucket first (join on
-  (key, day) with a per-day seed row) when a key can exceed a task.
+  rows serializes into a task. ``bucket_seconds`` bounds it: the
+  stream joins on (key, time-bucket) instead, and a per-bucket SEED
+  row carries the last prior state across bucket boundaries — the
+  result is IDENTICAL to the unbucketed join (parity is test-pinned
+  and the registry query shares the plain DuckDB ASOF oracle), but
+  the per-task window state is one bucket of one key, so a hot key
+  spreads over #buckets tasks instead of serializing into one.
 
 Tie semantics match DuckDB ``ASOF JOIN`` on ``l.ts >= r.ts`` with a
 deterministic winner among equal right timestamps: the payload struct
@@ -42,6 +47,7 @@ def asof_join(
     prefix: str = "asof_",
     tolerance_seconds: float | None = None,
     strict: bool = False,
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row gains ``prefix+ts_col``
     (the matched right timestamp) and ``prefix+c`` for each payload
@@ -54,6 +60,13 @@ def asof_join(
     match stream (SQL equality semantics: NULL keys match nothing);
     left rows always survive, with NULL as-of columns when
     unmatchable.
+
+    ``bucket_seconds`` (e.g. 86400 for daily) switches to the
+    skew-safe plan: windows partition on (key, bucket) and seed rows
+    carry the latest prior right state into each bucket, so no task
+    ever sorts more than one bucket of one key. Results are identical
+    to the unbucketed join — use it whenever a single key's row count
+    can exceed a task (the hot-conversation regime).
     """
     right_cols = right_cols or [c for c in right.columns if c not in (on, ts_col)]
     lcols = list(left.columns)
@@ -87,18 +100,74 @@ def asof_join(
         F.lit(2 if strict else 0).alias("__side__"),
     )
 
-    w = (
-        Window.partitionBy("__k__")
-        .orderBy(
-            F.col("__ts__").asc_nulls_first(),
-            F.col("__side__").asc(),
-            F.col("__rp__").asc_nulls_first(),
+    order = [
+        F.col("__ts__").asc_nulls_first(),
+        F.col("__side__").asc(),
+        F.col("__rp__").asc_nulls_first(),
+    ]
+    if bucket_seconds is None:
+        w = (
+            Window.partitionBy("__k__")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    m = lp.unionByName(r2).withColumn(
-        "__m__", F.last("__rp__", ignorenulls=True).over(w)
-    )
+        m = lp.unionByName(r2).withColumn(
+            "__m__", F.last("__rp__", ignorenulls=True).over(w)
+        )
+    else:
+        # skew-safe variant: window per (key, bucket); per-bucket SEED
+        # rows carry the latest prior right state across boundaries.
+        # The payload struct leads with the right timestamp, so
+        # max(__rp__) IS the running-last winner — per bucket, and
+        # across buckets (later buckets strictly dominate on ts).
+        bucket_us = int(bucket_seconds) * 1_000_000
+        ts_type = rp.schema["__ts__"].dataType
+
+        def b_of(ts: Column) -> Column:
+            return F.floor(
+                F.unix_micros(ts.cast("timestamp")) / F.lit(bucket_us)
+            )
+
+        rb = r2.withColumn("__b__", b_of(F.col("__ts__")))
+        lb = lp.withColumn("__b__", b_of(F.col("__ts__")))
+        cand = rb.groupBy("__k__", "__b__").agg(F.max("__rp__").alias("__c__"))
+        allb = (
+            lb.select("__k__", "__b__")
+            .distinct()
+            .unionByName(cand.select("__k__", "__b__"))
+            .distinct()
+        )
+        # running max over STRICTLY EARLIER buckets — a per-key window
+        # again, but over the per-bucket candidate rows (cardinality =
+        # active buckets per key, e.g. days), never the event stream
+        wseed = (
+            Window.partitionBy("__k__")
+            .orderBy(F.col("__b__").asc_nulls_first())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        seeds = (
+            allb.join(cand, ["__k__", "__b__"], "left")
+            .withColumn("__carry__", F.max("__c__").over(wseed))
+            .where(F.col("__carry__").isNotNull())
+            .select(
+                "__k__",
+                F.lit(None).cast(ts_type).alias("__ts__"),
+                F.col("__carry__").alias("__rp__"),
+                F.lit(None).cast(lp_type).alias("__lp__"),
+                F.lit(-1).alias("__side__"),
+                "__b__",
+            )
+        )
+        w = (
+            Window.partitionBy("__k__", "__b__")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        m = (
+            lb.unionByName(rb)
+            .unionByName(seeds)
+            .withColumn("__m__", F.last("__rp__", ignorenulls=True).over(w))
+        )
 
     matched: Column = F.col("__m__")
     if tolerance_seconds is not None:

@@ -14,9 +14,11 @@ share the same partitioning, Catalyst plans a single Exchange + one
 Sort; verified in PLANS.md). State per task is O(1) — running
 windows stream through sorted rows, nothing is buffered per user.
 Hot-key caveat: a single user with billions of events serializes
-into one task — pre-split such synthetic actors upstream (the
-pipeline's skew salting ops) or bound sessions by day first; real
-user activity is naturally bounded.
+into one task — :func:`sessionize_bounded` bounds the partition to
+(user, day) so a hot key spreads over #days tasks (sessions then
+never span the boundary — the BigQuery-sessionize / daily-rollup
+semantics), or pre-split synthetic actors upstream with the
+pipeline's skew salting ops.
 """
 
 from __future__ import annotations
@@ -84,6 +86,67 @@ def _sessionize_valid(
         "session_id",
         F.concat_ws(":", F.col(user_col).cast("string"), F.col("session_ordinal")),
     )
+
+
+def sessionize_bounded(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str | None = None,
+    bound_seconds: int = 86_400,
+) -> DataFrame:
+    """Day-bounded (generally: ``bound_seconds``-bounded) session
+    assignment — the skew-safe twin of :func:`sessionize` for the
+    hot-key regime where one user's events can exceed a task.
+
+    Windows partition on (user, bucket) where bucket =
+    floor(epoch / bound_seconds), so the per-task sort is one bucket
+    of one user. SEMANTICS DIFFER from the unbounded form by design:
+    a session never spans a bucket boundary (an event stream running
+    past UTC midnight starts a new session) — the daily-session
+    contract of BigQuery sessionize / batch rollup jobs, where the
+    boundary split is the point, not a defect. Appends
+    ``session_bucket`` (the bucket ordinal, day number for the
+    default), ``session_ordinal`` (1-based per user+bucket) and
+    ``session_id`` (``"<user>:<bucket>:<ordinal>"``). NULL-timestamp
+    events get NULL session columns, as in :func:`sessionize`.
+    """
+    valid = df.where(F.col(ts_col).isNotNull())
+    epoch_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket = F.floor(epoch_us / F.lit(int(bound_seconds) * 1_000_000))
+    valid = valid.withColumn("session_bucket", bucket)
+    order = [F.col(ts_col).asc()] + (
+        [F.col(order_col).asc()] if order_col else []
+    )
+    w = Window.partitionBy(user_col, "session_bucket").orderBy(*order)
+    prev_us = F.lag(epoch_us).over(w)
+    new_sess = F.when(
+        prev_us.isNull() | (epoch_us - prev_us > gap_seconds * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(user_col, "session_bucket").orderBy(
+        *order
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessioned = (
+        valid.withColumn("session_ordinal", F.sum(new_sess).over(run))
+        .withColumn(
+            "session_id",
+            F.concat_ws(
+                ":",
+                F.col(user_col).cast("string"),
+                F.col("session_bucket"),
+                F.col("session_ordinal"),
+            ),
+        )
+    )
+    unplaceable = (
+        df.where(F.col(ts_col).isNull())
+        .withColumn("session_bucket", F.lit(None).cast("long"))
+        .withColumn("session_ordinal", F.lit(None).cast("long"))
+        .withColumn("session_id", F.lit(None).cast("string"))
+    )
+    return sessioned.unionByName(unplaceable)
 
 
 def session_stats(

@@ -1455,6 +1455,57 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sessionize_daily",
+    """
+    WITH bkt AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS b
+      FROM events
+    ), flagged AS (
+      SELECT event_id, user_id, ts, b,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > 3600::BIGINT * 1000000
+                  THEN 1 ELSE 0 END AS f
+      FROM bkt
+      WINDOW w AS (PARTITION BY user_id, b ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT event_id, user_id, b,
+             sum(f) OVER (PARTITION BY user_id, b ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS ord
+      FROM flagged
+    )
+    SELECT event_id, user_id,
+           CAST(b AS BIGINT) AS session_bucket,
+           CAST(ord AS BIGINT) AS session_ordinal,
+           CAST(user_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)
+             || ':' || CAST(ord AS VARCHAR) AS session_id
+    FROM sess WHERE user_id % 50 = 7
+    ORDER BY event_id
+    """,
+)
+def q_sessionize_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe sessionization: windows partition on (user, day) so a
+    hot user spreads over #days tasks; sessions split at UTC midnight
+    by design (daily-rollup semantics)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = sessions.sessionize_bounded(
+        ev, gap_seconds=3600, order_col="event_id"
+    )
+    return (
+        out.where(F.col("user_id") % 50 == 7)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("session_bucket").cast("bigint").alias("session_bucket"),
+            F.col("session_ordinal").cast("bigint").alias("session_ordinal"),
+            "session_id",
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
     "session_stats",
     f"""
     WITH {_session_cte(_SESSION_GAP)}
@@ -1740,9 +1791,10 @@ def q_corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # as-of join — latest prior error state attached to every click
 # ---------------------------------------------------------------------------
-@query(
-    "asof_prior_error",
-    """
+# shared by asof_prior_error and asof_prior_error_daily: the bucketed
+# (skew-safe) plan is contract-identical to the plain as-of join, so
+# both run against the SAME DuckDB ASOF JOIN oracle
+_ASOF_ORACLE = """
     WITH l AS (
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
     ), r0 AS (
@@ -1762,9 +1814,10 @@ def q_corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(r.value, -1.0) AS err_value
     FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
     ORDER BY l.event_id
-    """,
-)
-def q_asof_prior_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _asof_query(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
     from ilogtail_spark.dataops import asof
 
     ev = _t(spark, sf_dir, "events")
@@ -1776,7 +1829,7 @@ def q_asof_prior_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = asof.asof_join(
         left, right, on="user_id", ts_col="ts",
-        right_cols=["event_id", "value"], prefix="err_",
+        right_cols=["event_id", "value"], prefix="err_", **kw
     )
     return out.select(
         "event_id",
@@ -1788,6 +1841,19 @@ def q_asof_prior_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("err_event_id"), F.lit(-1)).alias("err_event_id"),
         F.coalesce(F.col("err_value"), F.lit(-1.0)).alias("err_value"),
     ).orderBy("event_id")
+
+
+@query("asof_prior_error", _ASOF_ORACLE)
+def q_asof_prior_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _asof_query(spark, sf_dir)
+
+
+@query("asof_prior_error_daily", _ASOF_ORACLE)
+def q_asof_prior_error_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe variant: (key, day) windows + per-day seed rows —
+    same oracle, because the bucketed plan is contract-identical;
+    a hot key spreads over #days tasks instead of serializing."""
+    return _asof_query(spark, sf_dir, bucket_seconds=86_400)
 
 
 # ---------------------------------------------------------------------------

@@ -123,3 +123,93 @@ class TestAsofPlan:
             left, right, on="user_id", ts_col="ts", right_cols=["value"]
         )
         assert out.columns == ["event_id", "user_id", "ts", "asof_ts", "asof_value"]
+
+
+class TestAsofBucketed:
+    """bucket_seconds: the skew-safe (key, bucket) + seed-row plan
+    must return IDENTICAL results to the unbucketed join."""
+
+    def test_all_semantics_match_unbucketed(self, frames):
+        left, right = frames
+        for kw in ({}, {"strict": True}, {"tolerance_seconds": 5}):
+            plain = _run(left, right, **kw)
+            bucketed = _run(left, right, bucket_seconds=10, **kw)
+            assert plain.keys() == bucketed.keys()
+            for k in plain:
+                assert tuple(plain[k]) == tuple(bucketed[k]), (k, kw)
+
+    def test_parity_on_randomized_stream(self, spark):
+        # 40 keys x dense event stream, bucket = 1 minute; matches must
+        # carry across many empty and non-empty bucket boundaries
+        left = spark.range(2000).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 40).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1700000000) + (F.col("id") * 37) % 7200
+            ).alias("ts"),
+        )
+        right = spark.range(300).select(
+            (F.col("id") + 10_000).alias("event_id"),
+            (F.col("id") % 17).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1700000000) + (F.col("id") * 211) % 7200
+            ).alias("ts"),
+            (F.col("id") % 7).cast("double").alias("value"),
+        )
+        a = sorted(tuple(r) for r in asof.asof_join(
+            left, right, on="user_id", ts_col="ts",
+            right_cols=["event_id", "value"],
+        ).collect())
+        b = sorted(tuple(r) for r in asof.asof_join(
+            left, right, on="user_id", ts_col="ts",
+            right_cols=["event_id", "value"], bucket_seconds=60,
+        ).collect())
+        assert a == b
+
+    def test_hot_key_spreads_over_buckets(self, spark):
+        # ONE user at 100x the median volume: the unbucketed plan would
+        # sort all its rows in one task; bucketed, every (key, bucket)
+        # window partition holds at most one day of that key
+        hot = spark.range(10_000).select(
+            F.col("id").alias("event_id"),
+            F.lit(777).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1700000000) + F.col("id") * 864  # spread over ~100 days
+            ).alias("ts"),
+        )
+        cold = spark.range(100).select(
+            (F.col("id") + 50_000).alias("event_id"),
+            (F.col("id") % 10).alias("user_id"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        )
+        left = hot.unionByName(cold)
+        right = spark.range(50).select(
+            (F.col("id") + 90_000).alias("event_id"),
+            F.when(F.col("id") % 2 == 0, 777).otherwise(F.col("id") % 10)
+            .cast("long").alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1700000000) + F.col("id") * 100_000
+            ).alias("ts"),
+            F.lit(1.0).alias("value"),
+        )
+        a = sorted(tuple(r) for r in asof.asof_join(
+            left, right, on="user_id", ts_col="ts",
+            right_cols=["event_id", "value"],
+        ).collect())
+        b = sorted(tuple(r) for r in asof.asof_join(
+            left, right, on="user_id", ts_col="ts",
+            right_cols=["event_id", "value"], bucket_seconds=86_400,
+        ).collect())
+        assert a == b
+        # plan: the event-stream window partitions on (key, bucket)
+        out = asof.asof_join(
+            left, right, on="user_id", ts_col="ts",
+            right_cols=["event_id"], bucket_seconds=86_400,
+        )
+        import re
+
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the event-stream window's partition spec is [__k__, __b__]
+        assert re.search(
+            r"windowspecdefinition\(__k__#\d+L?, __b__#\d+L?, __ts__", plan
+        ), plan

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from ilogtail_spark.dataops import sessions
 
 
@@ -108,3 +110,88 @@ class TestReviewRegressions:
         )
         out = sessions.sessionize(df, gap_seconds=600, order_col="event_id").collect()
         assert {r["session_ordinal"] for r in out} == {1, 2}
+
+
+class TestSessionizeBounded:
+    def test_splits_at_bucket_boundary(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1, 23, 59, 0)
+        df = spark.createDataFrame(
+            [
+                (1, 7, base),
+                # 2 min later but past UTC midnight -> new day, new session
+                (2, 7, base + dt.timedelta(minutes=2)),
+                (3, 7, base + dt.timedelta(minutes=4)),
+            ],
+            "event_id long, user_id long, ts timestamp",
+        )
+        out = {
+            r["event_id"]: r
+            for r in sessions.sessionize_bounded(
+                df, gap_seconds=1800, order_col="event_id"
+            ).collect()
+        }
+        assert out[1]["session_ordinal"] == 1
+        assert out[2]["session_bucket"] == out[1]["session_bucket"] + 1
+        assert out[2]["session_ordinal"] == 1  # numbering restarts per day
+        assert out[3]["session_ordinal"] == 1  # same session as #2
+        assert out[2]["session_id"] == out[3]["session_id"]
+        assert out[1]["session_id"] != out[2]["session_id"]
+
+    def test_matches_unbounded_within_one_bucket(self, spark):
+        # when no stream crosses a boundary, per-bucket ordinals equal
+        # the unbounded form's
+        df = spark.range(300).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 7).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1700000000) + (F.col("id") * 997) % 80000
+            ).alias("ts"),
+        )
+        plain = {
+            r["event_id"]: r["session_ordinal"]
+            for r in sessions.sessionize(
+                df, gap_seconds=120, order_col="event_id"
+            ).collect()
+        }
+        bounded = {
+            r["event_id"]: r["session_ordinal"]
+            for r in sessions.sessionize_bounded(
+                df, gap_seconds=120, order_col="event_id",
+                bound_seconds=100_000,  # all events in ONE bucket
+            ).collect()
+        }
+        assert plain == bounded
+
+    def test_hot_user_100x_median(self, spark):
+        # one user with 100x the median event volume spread over ~50
+        # days: the bounded form partitions on (user, day) so the hot
+        # key spreads across tasks, and NULL-ts rows stay NULL
+        hot = spark.range(10_000).select(
+            F.col("id").alias("event_id"),
+            F.lit(42).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1700000000) + F.col("id") * 432
+            ).alias("ts"),
+        )
+        cold = spark.range(100).select(
+            (F.col("id") + 100_000).alias("event_id"),
+            (F.col("id") % 10 + 100).alias("user_id"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 60).alias("ts"),
+        )
+        df = hot.unionByName(cold)
+        out = sessions.sessionize_bounded(df, gap_seconds=600, order_col="event_id")
+        rows = out.where(F.col("user_id") == 42).collect()
+        assert len(rows) == 10_000
+        # 432 s gap < 600 -> one session per day for the hot user;
+        # 86400/432 = 200 events/day => 50 buckets, ordinal always 1
+        assert {r["session_ordinal"] for r in rows} == {1}
+        assert len({r["session_bucket"] for r in rows}) == 51  # spans 51 UTC days
+        # plan: the window partitions on (user, bucket)
+        import re
+
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert re.search(
+            r"windowspecdefinition\(user_id#\d+L?, session_bucket#\d+L?", plan
+        ), plan

@@ -588,6 +588,101 @@ def main() -> int:
         "the plain join by test + oracle.",
     )
 
+    # 23. bucketed as-of join: the skew-safe variant — the event-stream
+    # window must partition on (key, bucket), with the cross-bucket
+    # carry done on per-bucket candidate rows (metadata cardinality),
+    # never the event stream
+    q23 = asof.asof_join(
+        ev20.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts"),
+        ev20.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id"),
+        on="user_id", ts_col="ts", right_cols=["event_id"],
+        bucket_seconds=86_400,
+    )
+    p23 = formatted(q23)
+    audit(
+        "as-of join, day-bounded (skew-safe: (key, bucket) windows + seed rows)",
+        q23,
+        [
+            ("event-stream window partitions on (key, bucket)",
+             bool(re.search(
+                 r"windowspecdefinition\(__k__#\d+L?, __b__#\d+L?, __ts__", p23))),
+            ("cross-bucket carry window runs per key over BUCKET rows only",
+             bool(re.search(
+                 r"windowspecdefinition\(__k__#\d+L?, __b__#\d+L? ASC", p23))),
+            ("only joins are the tiny seed metadata join (no event-stream join)",
+             p23.count("SortMergeJoin") + p23.count("ShuffledHashJoin") <= 2
+             and "NestedLoop" not in p23),
+            ("no Python stage", "Python" not in p23),
+        ],
+        "Hot-key-safe as-of join: per-bucket SEED rows carry the "
+        "latest prior right state across bucket boundaries, so no "
+        "task ever sorts more than one (key, bucket) slice. The "
+        "carry itself is a window over per-bucket candidate rows "
+        "(days, not events). Results are pinned identical to the "
+        "unbucketed join by test + the shared DuckDB ASOF oracle.",
+    )
+
+    # 24. bounded sessionize: both windows (lag flag + running sum)
+    # share the (user, bucket) partitioning -> ONE exchange
+    from ilogtail_spark.dataops import sessions as sess_ops
+
+    q24 = sess_ops.sessionize_bounded(
+        ev20.select("event_id", "user_id", "ts"),
+        gap_seconds=3600, order_col="event_id",
+    )
+    p24 = formatted(q24)
+    audit(
+        "sessionize, day-bounded (skew-safe (user, day) windows)",
+        q24,
+        [
+            ("window partitions on (user, session_bucket)",
+             bool(re.search(
+                 r"windowspecdefinition\(user_id#\d+L?, session_bucket#\d+L?",
+                 p24))),
+            ("exactly one shuffle exchange (both windows share it)",
+             n_shuffles(p24) == 1),
+            ("no Python stage", "Python" not in p24),
+        ],
+        "A hot user spreads over #days tasks instead of serializing "
+        "into one; sessions split at the bucket boundary by design "
+        "(daily-rollup semantics). The lag flag and the running "
+        "ordinal sum share one Exchange.",
+    )
+
+    # 25. global_prefix_sum above the CASE-chain threshold: the
+    # per-partition offset apply must be a broadcast join (bounded
+    # plan size at 4096 partitions) and add ZERO data-side shuffles
+    # after the checkpointed range partitioning
+    from ilogtail_spark.dataops import corpus as corpus_ops
+
+    docs25 = spark.range(5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 13 + 1).alias("v")
+    )
+    q25 = corpus_ops.global_prefix_sum(docs25, "doc_id", "v", num_partitions=4096)
+    p25 = formatted(q25)
+    audit(
+        "global prefix sum at 4096 range partitions (broadcast offset join)",
+        q25,
+        [
+            ("offset apply is a broadcast hash join", "BroadcastHashJoin" in p25),
+            ("the join adds NO data-side shuffle (only the window's pid "
+             "exchange, present in both offset-apply forms)",
+             n_shuffles(p25) == 1),
+            ("plan size bounded (no O(partitions) literal CASE chain)",
+             len(p25) < 20_000),
+            ("no Python evaluation stage over data",
+             not re.search(r"EvalPython|InPandas", p25)),
+        ],
+        "Two-phase scan at the 100 TB partition count: the offset "
+        "table (one row per range partition, driver-built) broadcast-"
+        "joins onto the checkpointed layout — a 4096-deep WHEN chain "
+        "would blow Catalyst analysis and fall out of whole-stage "
+        "codegen. The only Exchange is the window's hashpartitioning "
+        "on __pid__ (Catalyst cannot see the checkpointed RDD's "
+        "physical layout), identical under the old CASE chain; the "
+        "broadcast join itself adds zero exchanges.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
