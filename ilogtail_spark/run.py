@@ -10,7 +10,8 @@ Usage (local or cluster — the script is the same; on a cluster add
     python -m ilogtail_spark.run --config pipeline.json \
         --input synthetic:100000 --out /tmp/out --run-id r1
 
-The config is the JSON analog of the reference's collection YAML:
+The config is JSON or YAML (*.yaml/*.yml — the reference's native
+pipeline-config surface); both carry the same mapping:
 
     {
       "processors": [{"Type": "processor_regex", ...}, ...],
@@ -29,9 +30,32 @@ import sys
 import time
 
 
+def load_config(path: str) -> dict:
+    """Load a pipeline config — JSON, or YAML for *.yaml/*.yml (the
+    reference pipelines are YAML, CollectionPipeline.cpp:119; JSON
+    stays the programmatic default). YAML is parsed with safe_load
+    only — configs are data, never executable tags."""
+    if path.endswith((".yaml", ".yml")):
+        import yaml
+
+        with open(path) as f:
+            cfg = yaml.safe_load(f)
+    else:
+        with open(path) as f:
+            cfg = json.load(f)
+    if not isinstance(cfg, dict):
+        raise SystemExit(f"config {path} must be a mapping, got {type(cfg).__name__}")
+    return cfg
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="ilogtail_spark.run", description=__doc__)
-    ap.add_argument("--config", required=True, help="pipeline config JSON file")
+    ap.add_argument(
+        "--config",
+        required=True,
+        help="pipeline config file — JSON, or YAML (*.yaml/*.yml), the "
+        "reference's native pipeline-config surface",
+    )
     ap.add_argument(
         "--input",
         required=True,
@@ -53,8 +77,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = ap.parse_args(argv)
 
-    with open(args.config) as f:
-        cfg = json.load(f)
+    cfg = load_config(args.config)
 
     from ilogtail_spark.session import get_spark
     from ilogtail_spark.model import to_events

@@ -223,3 +223,60 @@ def test_iceberg_capability_documented(spark):
     from ilogtail_spark.sinks.writers import iceberg_available
 
     assert iceberg_available(spark) is False
+
+
+def test_cli_yaml_config_runs_pipeline(spark, tmp_path, capsys):
+    """--config pipeline.yaml: the reference's native config surface
+    (CollectionPipeline.cpp:119 loads YAML pipelines); same pipeline
+    dict, YAML syntax, end-to-end through the CLI entry point."""
+    from ilogtail_spark import run as cli
+
+    cfg = tmp_path / "pipe.yaml"
+    cfg.write_text(
+        """\
+processors:
+  - Type: processor_regex
+    SourceKey: content
+    Regex: '^(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d{3}) (\\d+) \\[([^\\]]+)\\] (\\w+)  (.*)$'
+    Keys: [log_time, tid, thread, level, msg]
+    KeepSource: true
+router:
+  Mode: first_match
+  SourceKey: role
+  RouterRegex: ['user|assistant', 'tool']
+  RouterLogstore: [sink_chat, sink_tool]
+  DefaultLogstore: sink_default
+flushers:
+  - Name: sink_chat
+  - Name: sink_tool
+  - Name: sink_default
+agg_keys: [role, tool]
+"""
+    )
+    rc = cli.main(
+        [
+            "--config", str(cfg),
+            "--input", "synthetic:2000",
+            "--out", str(tmp_path / "yout"),
+            "--run-id", "y1",
+        ]
+    )
+    assert rc == 0
+    import json as _json
+
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    res = _json.loads(line)
+    assert res["finished"] is True
+    assert sum(res["sink_counts"].values()) == 2000
+    assert set(res["sink_counts"]) == {"sink_chat", "sink_tool", "sink_default"}
+
+
+def test_load_config_rejects_non_mapping(tmp_path):
+    from ilogtail_spark import run as cli
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("- just\n- a list\n")
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cli.load_config(str(bad))
