@@ -63,13 +63,19 @@ def _sessionize_valid(
     user_col: str,
     ts_col: str,
     order_col: str | None,
+    extra_partition_cols: tuple[str, ...] = (),
+    id_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
-    """Session assignment over the non-null-timestamp rows only."""
+    """Session assignment over the non-null-timestamp rows only — the
+    ONE lag/flag/running-sum core shared by :func:`sessionize` and
+    :func:`sessionize_bounded` (``extra_partition_cols`` adds the
+    bucket key; ``id_cols`` are the session_id prefix components)."""
     valid = df.where(F.col(ts_col).isNotNull())
     order = [F.col(ts_col).asc()] + (
         [F.col(order_col).asc()] if order_col else []
     )
-    w = Window.partitionBy(user_col).orderBy(*order)
+    parts = [F.col(user_col)] + [F.col(c) for c in extra_partition_cols]
+    w = Window.partitionBy(*parts).orderBy(*order)
     # parquet TIMESTAMP may load as NTZ, which cannot cast to long
     # directly — route through a zoned timestamp (session tz is UTC)
     epoch_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
@@ -78,13 +84,18 @@ def _sessionize_valid(
         prev_us.isNull() | (epoch_us - prev_us > gap_seconds * 1_000_000),
         F.lit(1),
     ).otherwise(F.lit(0))
-    run = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
+    run = Window.partitionBy(*parts).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     with_ord = valid.withColumn("session_ordinal", F.sum(new_sess).over(run))
+    id_cols = id_cols or (user_col,)
     return with_ord.withColumn(
         "session_id",
-        F.concat_ws(":", F.col(user_col).cast("string"), F.col("session_ordinal")),
+        F.concat_ws(
+            ":",
+            *[F.col(c).cast("string") for c in id_cols],
+            F.col("session_ordinal"),
+        ),
     )
 
 
@@ -112,37 +123,20 @@ def sessionize_bounded(
     ``session_id`` (``"<user>:<bucket>:<ordinal>"``). NULL-timestamp
     events get NULL session columns, as in :func:`sessionize`.
     """
-    valid = df.where(F.col(ts_col).isNotNull())
     epoch_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     bucket = F.floor(epoch_us / F.lit(int(bound_seconds) * 1_000_000))
-    valid = valid.withColumn("session_bucket", bucket)
-    order = [F.col(ts_col).asc()] + (
-        [F.col(order_col).asc()] if order_col else []
-    )
-    w = Window.partitionBy(user_col, "session_bucket").orderBy(*order)
-    prev_us = F.lag(epoch_us).over(w)
-    new_sess = F.when(
-        prev_us.isNull() | (epoch_us - prev_us > gap_seconds * 1_000_000),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    run = Window.partitionBy(user_col, "session_bucket").orderBy(
-        *order
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sessioned = (
-        valid.withColumn("session_ordinal", F.sum(new_sess).over(run))
-        .withColumn(
-            "session_id",
-            F.concat_ws(
-                ":",
-                F.col(user_col).cast("string"),
-                F.col("session_bucket"),
-                F.col("session_ordinal"),
-            ),
-        )
+    bucketed = df.withColumn("session_bucket", bucket)
+    sessioned = _sessionize_valid(
+        bucketed,
+        gap_seconds,
+        user_col,
+        ts_col,
+        order_col,
+        extra_partition_cols=("session_bucket",),
+        id_cols=(user_col, "session_bucket"),
     )
     unplaceable = (
-        df.where(F.col(ts_col).isNull())
-        .withColumn("session_bucket", F.lit(None).cast("long"))
+        bucketed.where(F.col(ts_col).isNull())  # session_bucket already NULL
         .withColumn("session_ordinal", F.lit(None).cast("long"))
         .withColumn("session_id", F.lit(None).cast("string"))
     )

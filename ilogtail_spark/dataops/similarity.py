@@ -91,16 +91,32 @@ def hyperplane_component(plane: int, dim: int) -> float:
 from functools import lru_cache
 
 
+import itertools
+import weakref
+
+# monotonic token per SparkContext OBJECT (weak keys): id() could be
+# recycled by the allocator after a context is GC'd, silently reviving
+# stale cache entries — a counter held via weakref cannot collide
+_gateway_tokens: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_gateway_counter = itertools.count(1)
+
+
 def _gateway_key() -> int:
     """Cache key component tying memoized Columns to the LIVE py4j
     gateway: a Column wraps a JVM reference, so a Column cached under
     one SparkContext is poison after a JVM restart in the same Python
-    process (common in test harnesses). Keying on id(active context)
-    makes a restart a cache miss instead of a dead-gateway error."""
+    process (common in test harnesses). Each context object gets a
+    fresh monotonic token, so a restart is always a cache miss."""
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
-    return id(sc) if sc is not None else 0
+    if sc is None:
+        return 0
+    tok = _gateway_tokens.get(sc)
+    if tok is None:
+        tok = next(_gateway_counter)
+        _gateway_tokens[sc] = tok
+    return tok
 
 
 def _planes_literal(plane_offset: int, num_planes: int, dim: int) -> Column:
