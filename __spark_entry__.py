@@ -29,7 +29,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round (bm25 micro-quantization, simhash nbits=64 default,
 # repetition NULL guard, prefix-sum broadcast offsets, prom out-col
 # aliasing, similarity cache keying, bucket-db lifecycle) plus the
-# two NEW round-4 queries (asof_prior_error_daily, sessionize_daily);
+# three NEW round-4 queries (asof_prior_error_daily, sessionize_daily,
+# corpus_chunk_windows);
 # (3) r03-unsampled queries in registration order (driver-green in
 # r01/r02, mirror-green r03) until the cut is full. Everything out of
 # the cut stays covered by tools/correctness_mirror.py.
@@ -39,6 +40,7 @@ _FRONT = [
     "retrieval_bm25_topk", "dedup_simhash", "dedup_simhash_candidates",
     "text_repetition", "corpus_pack_shards",
     "asof_prior_error", "asof_prior_error_daily", "sessionize_daily",
+    "corpus_chunk_windows",
     "prom_parse_metrics", "prom_relabel_chain",
     "sim_ann_lsh_topk", "bucketed_colocated_join",
     "regex_parse", "filter_regex", "filter_condition_tree",
@@ -53,7 +55,6 @@ _FRONT = [
     "skew_salted_count", "encrypt_roundtrip", "apsara_parse",
     "geoip_enrich", "otel_metric", "sls_record_format",
     "dedup_exact", "dedup_minhash_sig", "dedup_minhash_pairs",
-    "dedup_jaccard",
 ]
 
 

@@ -349,6 +349,69 @@ def pack_token_budget(
     )
 
 
+def chunk_windows(
+    df: DataFrame,
+    window: int = 128,
+    stride: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    chunking step of embedding/retrieval indexing and long-document
+    training prep (every RAG pipeline's first transform; the fixed
+    window/stride sliding form used by LongFormer-style pretraining
+    data builds).
+
+    One chunk starts at every ``stride`` tokens while the start is
+    inside the document: starts 0, stride, 2*stride, ... < n_tokens
+    (so the final, possibly short, tail is always covered and the rule
+    is a pure function of the token count — deterministic across
+    engines and reruns). Documents with no tokens (empty or NULL text)
+    produce no chunks.
+
+    Returns (id, chunk_idx, start_tok, n_tokens, chunk_md5): offsets
+    plus a digest of the space-rejoined window, NOT the window text —
+    downstream exact/near dedup of chunks operates on digests, and the
+    caller can always re-slice the text by (start_tok, n_tokens), so
+    the explode never multiplies stored text by the overlap factor.
+
+    Scale shape at 100 TB: pure scan-side expressions (tokenize once,
+    one posexplode over the start sequence, per-chunk slice+md5 inside
+    codegen) — zero shuffle, row growth = ceil(n/stride) per doc,
+    bounded by the caller's window/stride choice.
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = tokens_col(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__t__")).withColumn(
+        "__n__", F.size("__t__")
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("__n__") - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    chunked = (
+        base.where(F.col("__n__") > 0)
+        .select(
+            F.col(id_col),
+            "__t__",
+            "__n__",
+            F.posexplode(starts).alias("chunk_idx", "__s__"),
+        )
+    )
+    piece = F.slice(F.col("__t__"), F.col("__s__") + 1, window)
+    return chunked.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("__s__").cast("bigint").alias("start_tok"),
+        F.least(F.lit(window), F.col("__n__") - F.col("__s__"))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR-style importance scoring (data selection for language models)
 # ---------------------------------------------------------------------------

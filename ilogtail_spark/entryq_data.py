@@ -1118,6 +1118,34 @@ def q_corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# document chunking — overlapping token windows (RAG / long-doc prep)
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_chunk_windows",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(col="text")} AS w FROM documents
+    ), sized AS (
+      SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0
+    ), st AS (
+      SELECT doc_id, w, n, unnest(range(0, n, 64)) AS s FROM sized
+    )
+    SELECT doc_id,
+           CAST(s // 64 AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS start_tok,
+           CAST(least(128, n - s) AS BIGINT) AS n_tokens,
+           md5(array_to_string(w[s+1:s+128], ' ')) AS chunk_md5
+    FROM st ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return corpus.chunk_windows(docs, window=128, stride=64).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+# ---------------------------------------------------------------------------
 # BM25 retrieval top-k — inverted-index scoring
 # ---------------------------------------------------------------------------
 def _bm25_oracle(k: int = 5, qmod: int = 97, qrem: int = 5, qlen: int = 8) -> str:

@@ -347,3 +347,46 @@ class TestSpanRemovalEdges:
         )
         out = corpus.mixture_report(df).collect()
         assert out[0]["n_docs"] == 2 and out[0]["n_tokens"] == 2
+
+
+class TestChunkWindows:
+    def test_windows_overlap_and_tail(self, spark):
+        # 10 tokens, window 4, stride 3 -> starts 0,3,6,9
+        df = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(10)))],
+            "doc_id long, text string",
+        )
+        out = sorted(
+            corpus.chunk_windows(df, window=4, stride=3).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        assert [(r["chunk_idx"], r["start_tok"], r["n_tokens"]) for r in out] == [
+            (0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 1)
+        ]
+        import hashlib
+
+        assert out[1]["chunk_md5"] == hashlib.md5(b"t3 t4 t5 t6").hexdigest()
+        assert out[3]["chunk_md5"] == hashlib.md5(b"t9").hexdigest()
+
+    def test_short_doc_one_full_cover_chunk(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "only")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in corpus.chunk_windows(df, 128, 64).collect()}
+        assert out[1]["chunk_idx"] == 0 and out[1]["n_tokens"] == 2
+        assert out[2]["n_tokens"] == 1
+
+    def test_empty_and_null_docs_yield_no_chunks(self, spark):
+        df = spark.createDataFrame(
+            [(1, ""), (2, None), (3, "   ")], "doc_id long, text string"
+        )
+        assert corpus.chunk_windows(df).count() == 0
+
+    def test_rejects_nonpositive_params(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            corpus.chunk_windows(df, window=0)
+        with _pytest.raises(ValueError):
+            corpus.chunk_windows(df, stride=0)
