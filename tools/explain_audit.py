@@ -683,6 +683,30 @@ def main() -> int:
         "broadcast join itself adds zero exchanges.",
     )
 
+    # 26. document chunking: pure scan-side explode — offsets + chunk
+    # digests only, never chunk text, zero shuffle
+    docs26 = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    q26 = corpus_ops.chunk_windows(docs26, window=128, stride=64)
+    p26 = formatted(q26)
+    audit(
+        "document chunking (overlapping token windows, scan-side)",
+        q26,
+        [
+            ("zero shuffle exchanges", n_shuffles(p26) == 0),
+            ("no Python stage", "Python" not in p26),
+            ("single generate (posexplode) node", p26.count("Generate") == 2),
+            ("scan reads only (doc_id, text)",
+             bool(re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", p26))),
+        ],
+        "RAG/long-doc chunk prep: tokenize once, posexplode the start "
+        "sequence, slice+md5 per chunk inside codegen. The output "
+        "carries offsets and digests, never the window text, so the "
+        "overlap factor multiplies rows, not stored bytes; chunk-level "
+        "exact dedup then runs on 32-byte digests.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
