@@ -366,8 +366,10 @@ def chunk_windows(
     inside the document: starts 0, stride, 2*stride, ... < n_tokens
     (so the final, possibly short, tail is always covered and the rule
     is a pure function of the token count — deterministic across
-    engines and reruns). Documents with no tokens (empty or NULL text)
-    produce no chunks.
+    engines and reruns). ``stride <= window`` covers every token at
+    least once (overlapping / exact tiling); ``stride > window`` is
+    the SAMPLED-windows mode and leaves inter-window gaps by design.
+    Documents with no tokens (empty or NULL text) produce no chunks.
 
     Returns (id, chunk_idx, start_tok, n_tokens, chunk_md5): offsets
     plus a digest of the space-rejoined window, NOT the window text —

@@ -462,3 +462,48 @@ class TestTextOpsDifferential:
             ((t, tc[t], dc[t]) for t in tc), key=lambda x: (-x[1], x[0])
         )[:8]
         assert got == want
+
+
+class TestChunkWindowsDifferential:
+    def test_chunks_match_python_oracle_and_cover_all_tokens(self, spark):
+        """Randomized corpora: every chunk row matches a pure-Python
+        re-derivation (starts, sizes, digests), and the window set
+        covers every token index at least once."""
+        import hashlib
+
+        from ilogtail_spark.dataops import corpus as corpus_ops
+
+        rng = random.Random(SEED + 1)
+        rows = []
+        for i in range(150):
+            n = rng.randint(0, 40)
+            words = [f"w{rng.randint(0, 30)}" for _ in range(n)]
+            # inject irregular whitespace shapes
+            sep = rng.choice([" ", "  ", " \t ", "\n"])
+            rows.append((i, sep.join(words)))
+        rows += [(900, ""), (901, None), (902, "solo"), (903, " x  y \n z ")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for window, stride in ((5, 3), (8, 8), (3, 7)):
+            got = {}
+            for r in corpus_ops.chunk_windows(df, window, stride).collect():
+                got.setdefault(r["doc_id"], []).append(
+                    (r["chunk_idx"], r["start_tok"], r["n_tokens"], r["chunk_md5"])
+                )
+            for doc_id, text in rows:
+                toks = text.split() if text else []
+                exp = []
+                for idx, s in enumerate(range(0, len(toks), stride)):
+                    piece = toks[s : s + window]
+                    exp.append(
+                        (idx, s, len(piece),
+                         hashlib.md5(" ".join(piece).encode()).hexdigest())
+                    )
+                assert sorted(got.get(doc_id, [])) == exp, (doc_id, window, stride)
+                if stride <= window:
+                    # full coverage holds only for overlapping/tiling
+                    # strides; stride > window is the SAMPLED-windows
+                    # mode and leaves gaps by design
+                    covered = set()
+                    for _, s, k, _h in exp:
+                        covered.update(range(s, s + k))
+                    assert covered == set(range(len(toks)))
