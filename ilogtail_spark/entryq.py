@@ -506,6 +506,79 @@ def q_e2e_sink_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multi-pipeline, one scan — the reference agent's multi-config mode
+# (CollectionPipelineManager name->pipeline map; every event group is
+# offered to each config). Two configs with different processors and
+# routers run over ONE persisted scan of the events table.
+# ---------------------------------------------------------------------------
+@query(
+    "multi_pipeline_counts",
+    """
+    WITH a AS (
+      SELECT 'web' AS config,
+             CASE WHEN regexp_full_match(event_type, 'click|view') THEN 'm_web'
+                  WHEN regexp_full_match(event_type, 'purchase|signup') THEN 'm_account'
+                  ELSE 'm_other' END AS sink
+      FROM events
+    ), b AS (
+      SELECT 'audit' AS config,
+             CASE WHEN regexp_full_match(CAST(user_id AS VARCHAR), '[0-9]*[02468]')
+                  THEN 'm_even' ELSE 'm_odd' END AS sink
+      FROM events
+      WHERE regexp_matches(event_type, '^(click|error)$')
+    )
+    SELECT config, sink, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    GROUP BY config, sink
+    ORDER BY config, sink
+    """,
+)
+def q_multi_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ilogtail_spark.plans.multi import CONFIG_COL, run_pipelines
+    from ilogtail_spark.plans.router import SINK_COL
+
+    ev = _events(spark, sf_dir)
+    pipelines = {
+        "web": Pipeline(
+            router={
+                "Mode": "first_match",
+                "SourceKey": "event_type",
+                "RouterRegex": ["click|view", "purchase|signup"],
+                "RouterLogstore": ["m_web", "m_account"],
+                "DefaultLogstore": "m_other",
+            },
+        ),
+        "audit": Pipeline(
+            processors=[
+                {
+                    "Type": "processor_filter_regex",
+                    "Include": {"event_type": "^(click|error)$"},
+                }
+            ],
+            router={
+                "Mode": "first_match",
+                "SourceKey": "user_id",
+                "RouterRegex": ["[0-9]*[02468]"],
+                "RouterLogstore": ["m_even"],
+                "DefaultLogstore": "m_odd",
+            },
+        ),
+    }
+    routed = run_pipelines(ev, pipelines)
+    out = (
+        routed.groupBy(CONFIG_COL, F.col(SINK_COL).alias("sink"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(CONFIG_COL, "sink")
+    )
+    # tiny aggregate: materialize it, then release the one-scan cache
+    # (run_pipelines persisted `ev`) so back-to-back registry queries
+    # don't accumulate cached relations
+    out = out.localCheckpoint()
+    ev.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
 # processor_grok — parse a synthesized access-log line; the oracle
 # reconstructs the fields from the same deterministic construction
 # ---------------------------------------------------------------------------

@@ -1,0 +1,79 @@
+"""Multi-pipeline execution over ONE input scan — the reference
+agent's core operating mode re-expressed for Spark.
+
+iLogtail runs MANY collection configs in one process; an input can
+feed several pipelines at once (pluginmanager/plugin_manager.go
+LogstoreConfigs map; core/collection_pipeline/CollectionPipelineManager.h
+keeps a name->pipeline map and dispatches every event group to each
+matching pipeline). The naive Spark translation — one job per config
+— re-reads the source M times: at 100 TB that is M full scans.
+
+Here the scan is paid ONCE: the (projected) input is persisted, every
+pipeline transforms the SAME cached relation (processor chains differ
+per config, including cardinality-changing ones — each branch is an
+independent plan over the in-memory relation), each branch is tagged
+with its config name, and the tagged branches union into ONE write
+partitioned by (config, sink). Storage level is MEMORY_AND_DISK so a
+cache partition that doesn't fit spills instead of silently
+re-scanning parquet (re-scan is exactly what this module exists to
+avoid; at cluster scale size executor storage memory for the
+projected input, not the raw table).
+
+Plan shape (asserted in PLANS.md): ONE parquet scan (the cache
+materialization), M InMemoryTableScan branches, zero extra shuffles
+beyond what each pipeline itself plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ilogtail_spark.plans.pipeline import Pipeline
+
+CONFIG_COL = "config"
+
+
+def run_pipelines(
+    events: DataFrame,
+    pipelines: dict[str, Pipeline],
+) -> DataFrame:
+    """Route ``events`` through every named pipeline over one scan.
+
+    Returns the union of all routed frames with a ``config`` column
+    (the pipeline name) prepended — write it once with
+    ``partitionBy(config, sink)`` for the per-(config, sink) layout,
+    or aggregate per (config, sink) for routed-row counters. Column
+    sets may differ per pipeline (processors add fields); the union
+    is by name with missing columns NULL-filled.
+
+    The input is persisted here (that IS the one-scan mechanism);
+    the caller releases it with ``events.unpersist()`` after the
+    returned frame has been consumed.
+    """
+    if not pipelines:
+        raise ValueError("run_pipelines requires at least one pipeline")
+    cached = events.persist()  # MEMORY_AND_DISK default in Spark 3+/4
+    branches = []
+    for name, pipe in pipelines.items():
+        routed = pipe.route(cached)
+        branches.append(
+            routed.select(F.lit(name).alias(CONFIG_COL), "*")
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b, allowMissingColumns=True)
+    return out
+
+
+def sink_counts(multi_routed: DataFrame) -> dict[tuple[str, str], int]:
+    """Per-(config, sink) routed-row counts — the multi-config analog
+    of the reference's per-logstore counters (one aggregate job)."""
+    from ilogtail_spark.plans.router import SINK_COL
+
+    rows = (
+        multi_routed.groupBy(CONFIG_COL, SINK_COL)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return {(r[CONFIG_COL], r[SINK_COL]): r["n"] for r in rows}

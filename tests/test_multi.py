@@ -1,0 +1,136 @@
+"""Multi-pipeline one-scan execution: per-(config, sink) counts must
+equal running each pipeline separately, and the plan must read the
+source ONCE (cache materialization) with one InMemoryTableScan per
+pipeline branch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ilogtail_spark.model import to_events
+from ilogtail_spark.plans.multi import CONFIG_COL, run_pipelines, sink_counts
+from ilogtail_spark.plans.pipeline import Pipeline
+from ilogtail_spark.plans.router import SINK_COL
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pipelines() -> dict[str, Pipeline]:
+    return {
+        "web": Pipeline(
+            router={
+                "Mode": "first_match",
+                "SourceKey": "event_type",
+                "RouterRegex": ["click|view", "purchase|signup"],
+                "RouterLogstore": ["m_web", "m_account"],
+                "DefaultLogstore": "m_other",
+            },
+        ),
+        "audit": Pipeline(
+            processors=[
+                {
+                    "Type": "processor_filter_regex",
+                    "Include": {"event_type": "^(click|error)$"},
+                }
+            ],
+            router={
+                "Mode": "first_match",
+                "SourceKey": "user_id",
+                "RouterRegex": ["[0-9]*[02468]"],
+                "RouterLogstore": ["m_even"],
+                "DefaultLogstore": "m_odd",
+            },
+        ),
+    }
+
+
+def _events(spark):
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    return to_events(
+        df,
+        content_col="props",
+        field_cols=["event_type", "user_id"],
+        id_cols=["event_id", "ts"],
+    )
+
+
+class TestRunPipelines:
+    def test_counts_equal_separate_runs(self, spark):
+        ev = _events(spark)
+        pipelines = _pipelines()
+        multi = run_pipelines(ev, pipelines)
+        got = sink_counts(multi)
+        ev.unpersist()
+        for name, pipe in pipelines.items():
+            solo = (
+                pipe.route(_events(spark))
+                .groupBy(SINK_COL)
+                .count()
+                .collect()
+            )
+            for r in solo:
+                assert got[(name, r[SINK_COL])] == r["count"], (name, r)
+        # every counted key belongs to a known pipeline
+        assert {k[0] for k in got} == set(pipelines)
+
+    def test_single_source_scan_in_plan(self, spark):
+        import io
+        import re
+        from contextlib import redirect_stdout
+
+        ev = _events(spark)
+        multi = run_pipelines(ev, _pipelines())
+        try:
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                multi.explain("formatted")
+            plan = buf.getvalue()
+            # one InMemoryTableScan per pipeline branch...
+            assert plan.count("InMemoryTableScan") >= 2
+            # ...and all branches share ONE parquet scan node (the
+            # formatted tree prints the shared node id once per
+            # reference — count distinct ids, not mentions)
+            scan_ids = set(re.findall(r"Scan parquet\s*\((\d+)\)", plan))
+            assert len(scan_ids) == 1, scan_ids
+        finally:
+            ev.unpersist()
+
+    def test_rejects_empty(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            run_pipelines(_events(spark), {})
+
+    def test_disjoint_added_columns_null_fill(self, spark):
+        # a processor that adds fields in one pipeline must not break
+        # the by-name union: missing columns NULL-fill
+        ev = _events(spark)
+        pipelines = {
+            "plain": Pipeline(
+                router={"Mode": "first_match", "SourceKey": "event_type",
+                        "RouterRegex": [".*"], "RouterLogstore": ["s"],
+                        "DefaultLogstore": "s"},
+            ),
+            "tagged": Pipeline(
+                processors=[{"Type": "processor_add_fields",
+                             "Fields": {"stage": "audit"}}],
+                router={"Mode": "first_match", "SourceKey": "event_type",
+                        "RouterRegex": [".*"], "RouterLogstore": ["t"],
+                        "DefaultLogstore": "t"},
+            ),
+        }
+        multi = run_pipelines(ev, pipelines)
+        try:
+            rows = (
+                multi.groupBy(CONFIG_COL)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            n = {r[CONFIG_COL]: r["n"] for r in rows}
+            assert n["plain"] == n["tagged"] > 0
+            tagged = multi.filter(
+                (F.col(CONFIG_COL) == "tagged")
+            ).limit(1).collect()[0]
+            assert dict(tagged["fields"]).get("stage") == "audit"
+        finally:
+            ev.unpersist()

@@ -707,6 +707,55 @@ def main() -> int:
         "exact dedup then runs on 32-byte digests.",
     )
 
+    # 27. multi-pipeline, one scan: M configs over a single persisted
+    # read — the reference agent's multi-config operating mode
+    from ilogtail_spark.entryq import QUERIES as _Q
+
+    q27 = _Q["multi_pipeline_counts"](spark, SF_DIR)
+    p27 = formatted(q27)
+    # the query localCheckpoints its tiny aggregate, so audit the
+    # pre-checkpoint union shape directly
+    from ilogtail_spark.model import to_events as _to_events
+    from ilogtail_spark.plans.multi import run_pipelines as _run_pipelines
+    from ilogtail_spark.plans.pipeline import Pipeline as _P
+
+    ev27 = _to_events(
+        spark.read.parquet(f"{SF_DIR}/events.parquet"),
+        content_col="props", field_cols=["event_type", "user_id"],
+        id_cols=["event_id", "ts"],
+    )
+    m27 = _run_pipelines(ev27, {
+        "web": _P(router={"Mode": "first_match", "SourceKey": "event_type",
+                          "RouterRegex": ["click|view"],
+                          "RouterLogstore": ["m_web"],
+                          "DefaultLogstore": "m_other"}),
+        "audit": _P(processors=[{"Type": "processor_filter_regex",
+                                 "Include": {"event_type": "^(click|error)$"}}],
+                    router={"Mode": "first_match", "SourceKey": "user_id",
+                            "RouterRegex": ["[0-9]*[02468]"],
+                            "RouterLogstore": ["m_even"],
+                            "DefaultLogstore": "m_odd"}),
+    })
+    pm27 = formatted(m27)
+    ev27.unpersist()
+    audit(
+        "multi-pipeline over ONE scan (the agent's multi-config mode)",
+        q27,
+        [
+            ("one shared parquet scan node across all pipeline branches",
+             len(set(re.findall(r"Scan parquet\s*\((\d+)\)", pm27))) == 1),
+            ("one InMemoryTableScan per pipeline branch",
+             pm27.count("InMemoryTableScan") >= 2),
+            ("branch transforms stay expression-only (no Python eval)",
+             not re.search(r"EvalPython|InPandas", pm27)),
+        ],
+        "M collection configs run over one persisted read instead of "
+        "M source scans — at 100 TB that is the difference between 1 "
+        "and M full-table reads. Each config's processors and router "
+        "plan independently over the cached relation; the tagged "
+        "branches union by name into one write/aggregate.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
