@@ -48,13 +48,88 @@ def load_config(path: str) -> dict:
     return cfg
 
 
+def _load_input(spark, args):
+    from ilogtail_spark.model import to_events
+
+    if args.input.startswith("synthetic:"):
+        from ilogtail_spark.sources.transcripts import generate_transcripts
+
+        df = generate_transcripts(spark, n_turns=int(args.input.split(":", 1)[1]))
+    else:
+        df = spark.read.parquet(args.input)
+    return to_events(df, content_col=args.content_col)
+
+
+def _run_multi(spark, args, cfgs: dict, make_pipe) -> int:
+    """Batch multi-config run — M pipelines over ONE scan (the
+    reference agent's operating mode: CollectionPipelineManager keeps
+    a name->pipeline map and offers every event group to each).
+    Output: events partitioned by (config, sink) under the run_id
+    directory, idempotent per run_id; manifest records per-
+    (config, sink) routed counts. Reruns of a finished run_id
+    short-circuit exactly like single-config runs."""
+    from pyspark.sql import functions as F
+
+    from ilogtail_spark.plans.lineage import RunManifest
+    from ilogtail_spark.plans.multi import CONFIG_COL, run_pipelines
+    from ilogtail_spark.plans.router import SINK_COL
+
+    manifest = RunManifest.load(args.out, args.run_id)
+    t0 = time.time()
+    if not manifest.finished:
+        events = _load_input(spark, args)
+        routed = run_pipelines(
+            events, {name: make_pipe(c) for name, c in cfgs.items()}
+        )
+        out_path = f"{args.out}/events/run_id={args.run_id}"
+        (
+            routed.withColumnRenamed(SINK_COL, "sink")
+            .write.mode("overwrite")
+            .partitionBy(CONFIG_COL, "sink")
+            .parquet(out_path)
+        )
+        events.unpersist()
+        counts = {
+            f"{r[CONFIG_COL]}/{r['sink']}": r["n"]
+            for r in spark.read.parquet(out_path)
+            .groupBy(CONFIG_COL, "sink")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        manifest.sink_counts = dict(sorted(counts.items()))
+        manifest.events_location = out_path
+        manifest.phases["events"] = True
+        manifest.finished = True
+        manifest.save(args.out)
+    elapsed = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "run_id": args.run_id,
+                "mode": "multi",
+                "configs": sorted(cfgs),
+                "finished": manifest.finished,
+                "elapsed_sec": round(elapsed, 3),
+                "sink_counts": manifest.sink_counts,
+            },
+            sort_keys=True,
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="ilogtail_spark.run", description=__doc__)
     ap.add_argument(
         "--config",
         required=True,
-        help="pipeline config file — JSON, or YAML (*.yaml/*.yml), the "
-        "reference's native pipeline-config surface",
+        nargs="+",
+        help="pipeline config file(s) — JSON, or YAML (*.yaml/*.yml), the "
+        "reference's native pipeline-config surface. Several files = "
+        "the reference agent's multi-config mode: every pipeline runs "
+        "over ONE scan of the input (batch mode only), outputs "
+        "partitioned by (config, sink); each config is named by its "
+        "file stem",
     )
     ap.add_argument(
         "--input",
@@ -77,20 +152,35 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = ap.parse_args(argv)
 
-    cfg = load_config(args.config)
+    import os as _os
+
+    cfgs = {
+        _os.path.splitext(_os.path.basename(p))[0]: load_config(p)
+        for p in args.config
+    }
+    if len(cfgs) != len(args.config):
+        raise SystemExit("--config files must have distinct names")
+    cfg = next(iter(cfgs.values()))
 
     from ilogtail_spark.session import get_spark
-    from ilogtail_spark.model import to_events
     from ilogtail_spark.plans.lineage import run_pipeline
     from ilogtail_spark.plans.pipeline import Pipeline
 
     spark = get_spark(app_name=f"ilogtail_spark:{args.run_id}", master=args.master)
 
-    pipe = Pipeline(
-        processors=cfg.get("processors", []),
-        router=cfg.get("router"),
-        flushers=cfg.get("flushers", []),
-    )
+    def _pipe(c: dict) -> Pipeline:
+        return Pipeline(
+            processors=c.get("processors", []),
+            router=c.get("router"),
+            flushers=c.get("flushers", []),
+        )
+
+    pipe = _pipe(cfg)
+
+    if len(cfgs) > 1:
+        if args.mode == "streaming":
+            raise SystemExit("multi-config runs are batch mode only")
+        return _run_multi(spark, args, cfgs, _pipe)
 
     if args.mode == "streaming":
         if args.input.startswith("synthetic:"):
@@ -164,13 +254,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
 
-    if args.input.startswith("synthetic:"):
-        from ilogtail_spark.sources.transcripts import generate_transcripts
-
-        df = generate_transcripts(spark, n_turns=int(args.input.split(":", 1)[1]))
-    else:
-        df = spark.read.parquet(args.input)
-    events = to_events(df, content_col=args.content_col)
+    events = _load_input(spark, args)
 
     t0 = time.time()
     manifest = run_pipeline(

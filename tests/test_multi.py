@@ -134,3 +134,72 @@ class TestRunPipelines:
             assert dict(tagged["fields"]).get("stage") == "audit"
         finally:
             ev.unpersist()
+
+
+class TestMultiConfigCLI:
+    def test_cli_multi_config_one_scan(self, spark, tmp_path, capsys):
+        """Several --config files = the agent's multi-config mode:
+        per-(config, sink) counts, idempotent rerun short-circuit."""
+        import json
+
+        from ilogtail_spark import run as cli
+
+        a = tmp_path / "web.yaml"
+        a.write_text(
+            "router:\n  Mode: first_match\n  SourceKey: role\n"
+            "  RouterRegex: ['user|assistant']\n"
+            "  RouterLogstore: [sink_chat]\n  DefaultLogstore: sink_rest\n"
+            "flushers: [{Name: sink_chat}, {Name: sink_rest}]\n"
+        )
+        b = tmp_path / "audit.yaml"
+        b.write_text(
+            "processors:\n"
+            "  - Type: processor_filter_regex\n"
+            "    Include: {role: '^tool$'}\n"
+            "router:\n  Mode: first_match\n  SourceKey: role\n"
+            "  RouterRegex: ['.*']\n"
+            "  RouterLogstore: [sink_all]\n  DefaultLogstore: sink_all\n"
+            "flushers: [{Name: sink_all}]\n"
+        )
+        args = [
+            "--config", str(a), str(b),
+            "--input", "synthetic:3000",
+            "--out", str(tmp_path / "mout"),
+            "--run-id", "m1",
+        ]
+        assert cli.main(args) == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["mode"] == "multi" and res["finished"]
+        counts = res["sink_counts"]
+        web_total = sum(v for k, v in counts.items() if k.startswith("web/"))
+        assert web_total == 3000  # web config routes every turn
+        # audit keeps only tool turns; web's rest-sink also holds the
+        # generator's other non-chat roles, so it bounds audit's count
+        assert 0 < counts["audit/sink_all"] <= counts["web/sink_rest"]
+        # rerun: finished manifest short-circuits with identical counts
+        assert cli.main(args) == 0
+        res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res2["elapsed_sec"] < 1.0
+        assert res2["sink_counts"] == counts
+
+    def test_cli_multi_config_rejects_streaming_and_dup_names(self, tmp_path):
+        import pytest as _pytest
+
+        from ilogtail_spark import run as cli
+
+        c = tmp_path / "a.yaml"
+        c.write_text("flushers: []\n")
+        with _pytest.raises(SystemExit):
+            cli.main([
+                "--config", str(c), str(c),
+                "--input", "synthetic:10", "--out", str(tmp_path / "x"),
+                "--run-id", "r",
+            ])
+        d = tmp_path / "b.yaml"
+        d.write_text("flushers: []\n")
+        with _pytest.raises(SystemExit):
+            cli.main([
+                "--config", str(c), str(d), "--mode", "streaming",
+                "--input", str(tmp_path), "--out", str(tmp_path / "y"),
+                "--run-id", "r2",
+            ])
