@@ -45,6 +45,35 @@ def load_config(path: str) -> dict:
             cfg = json.load(f)
     if not isinstance(cfg, dict):
         raise SystemExit(f"config {path} must be a mapping, got {type(cfg).__name__}")
+    return _normalize_reference_config(cfg)
+
+
+def _normalize_reference_config(cfg: dict) -> dict:
+    """Accept a pipeline file written for the REFERENCE agent verbatim
+    (example_config/*/config/*.yaml): its `enable`/`global` keys are
+    control-plane settings with no Spark analog (dropped), `inputs`
+    name file/container sources that this runner replaces with
+    --input (dropped with a stderr note so nobody thinks a path was
+    honored), and flushers carry `Type: flusher_xxx` instead of a
+    sink `Name` — derive Name from Type so routing has a sink label.
+    Processor Type names are already shared with the reference, so
+    the `processors` list passes through untouched."""
+    cfg = dict(cfg)
+    cfg.pop("enable", None)
+    cfg.pop("global", None)
+    if cfg.pop("inputs", None) is not None:
+        print(
+            "note: config 'inputs' section ignored — the input table "
+            "comes from --input",
+            file=sys.stderr,
+        )
+    flushers = []
+    for fl in cfg.get("flushers", []) or []:
+        fl = dict(fl)
+        if "Name" not in fl and "Type" in fl:
+            fl["Name"] = str(fl["Type"]).removeprefix("flusher_")
+        flushers.append(fl)
+    cfg["flushers"] = flushers
     return cfg
 
 

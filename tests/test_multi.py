@@ -203,3 +203,41 @@ class TestMultiConfigCLI:
                 "--input", str(tmp_path), "--out", str(tmp_path / "y"),
                 "--run-id", "r2",
             ])
+
+
+class TestReferenceConfigCompat:
+    def test_reference_yaml_loads_and_runs(self, spark, tmp_path, capsys):
+        """A pipeline file in the REFERENCE agent's own YAML shape
+        (enable/inputs/flushers-with-Type, cf.
+        example_config/start_with_docker/config/file_simple.yaml)
+        loads verbatim: control-plane keys drop, flusher Type becomes
+        the sink name, processors pass through."""
+        import json
+
+        from ilogtail_spark import run as cli
+
+        cfg = tmp_path / "ref_style.yaml"
+        cfg.write_text(
+            "enable: true\n"
+            "inputs:\n"
+            "  - Type: input_file\n"
+            "    FilePaths: ['/home/test-log/*.log']\n"
+            "processors:\n"
+            "  - Type: processor_add_fields\n"
+            "    Fields: {source: refcfg}\n"
+            "flushers:\n"
+            "  - Type: flusher_stdout\n"
+            "    OnlyStdout: true\n"
+        )
+        loaded = cli.load_config(str(cfg))
+        assert "enable" not in loaded and "inputs" not in loaded
+        assert loaded["flushers"][0]["Name"] == "stdout"
+        rc = cli.main([
+            "--config", str(cfg),
+            "--input", "synthetic:500",
+            "--out", str(tmp_path / "rout"),
+            "--run-id", "ref1",
+        ])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["finished"] and sum(res["sink_counts"].values()) == 500
