@@ -564,18 +564,20 @@ def q_multi_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         ),
     }
-    routed = run_pipelines(ev, pipelines)
-    out = (
-        routed.groupBy(CONFIG_COL, F.col(SINK_COL).alias("sink"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(CONFIG_COL, "sink")
-    )
-    # tiny aggregate: materialize it, then release the one-scan cache
-    # (run_pipelines persisted `ev`) so back-to-back registry queries
-    # don't accumulate cached relations
-    out = out.localCheckpoint()
-    ev.unpersist()
-    return out
+    try:
+        routed = run_pipelines(ev, pipelines)
+        out = (
+            routed.groupBy(CONFIG_COL, F.col(SINK_COL).alias("sink"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(CONFIG_COL, "sink")
+        )
+        # tiny aggregate: materialize it, then release the one-scan
+        # cache (run_pipelines persisted `ev`) so back-to-back
+        # registry queries don't accumulate cached relations — in a
+        # finally so a failed job can't leak the persisted input
+        return out.localCheckpoint()
+    finally:
+        ev.unpersist()
 
 
 # ---------------------------------------------------------------------------

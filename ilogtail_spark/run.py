@@ -68,10 +68,16 @@ def _normalize_reference_config(cfg: dict) -> dict:
             file=sys.stderr,
         )
     flushers = []
+    seen: dict[str, int] = {}
     for fl in cfg.get("flushers", []) or []:
         fl = dict(fl)
         if "Name" not in fl and "Type" in fl:
-            fl["Name"] = str(fl["Type"]).removeprefix("flusher_")
+            base = str(fl["Type"]).removeprefix("flusher_")
+            # two flushers of the same Type are distinct sinks in the
+            # reference (e.g. two flusher_sls projects) — suffix the
+            # derived name instead of silently merging their routes
+            seen[base] = seen.get(base, 0) + 1
+            fl["Name"] = base if seen[base] == 1 else f"{base}_{seen[base]}"
         flushers.append(fl)
     cfg["flushers"] = flushers
     return cfg
@@ -106,28 +112,48 @@ def _run_multi(spark, args, cfgs: dict, make_pipe) -> int:
     manifest = RunManifest.load(args.out, args.run_id)
     t0 = time.time()
     if not manifest.finished:
+        from ilogtail_spark.sinks.writers import sink_aggregates
+
         events = _load_input(spark, args)
-        routed = run_pipelines(
-            events, {name: make_pipe(c) for name, c in cfgs.items()}
-        )
-        out_path = f"{args.out}/events/run_id={args.run_id}"
-        (
-            routed.withColumnRenamed(SINK_COL, "sink")
-            .write.mode("overwrite")
-            .partitionBy(CONFIG_COL, "sink")
-            .parquet(out_path)
-        )
-        events.unpersist()
-        counts = {
-            f"{r[CONFIG_COL]}/{r['sink']}": r["n"]
-            for r in spark.read.parquet(out_path)
-            .groupBy(CONFIG_COL, "sink")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        try:
+            routed = run_pipelines(
+                events, {name: make_pipe(c) for name, c in cfgs.items()}
+            ).withColumnRenamed(SINK_COL, "sink")
+            out_path = f"{args.out}/events/run_id={args.run_id}"
+            (
+                routed.write.mode("overwrite")
+                .partitionBy(CONFIG_COL, "sink")
+                .parquet(out_path)
+            )
+            manifest.phases["events"] = True
+            # counts from the (still-cached) routed frame, NOT a
+            # re-read of the written output: one aggregate instead of
+            # a second full pass, and an all-rows-dropped run yields
+            # {} instead of an unreadable empty parquet directory
+            counts = {
+                f"{r[CONFIG_COL]}/{r['sink']}": r["n"]
+                for r in routed.groupBy(CONFIG_COL, "sink")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            # per-config aggregates, matching single-config behavior
+            for name, c in cfgs.items():
+                keys = c.get("agg_keys")
+                if keys is None:
+                    continue
+                agg = sink_aggregates(
+                    routed.filter(F.col(CONFIG_COL) == name).drop(CONFIG_COL),
+                    keys=keys,
+                    time_bucket=c.get("time_bucket", "1 hour"),
+                )
+                agg.write.mode("overwrite").parquet(
+                    f"{args.out}/aggregates/run_id={args.run_id}/config={name}"
+                )
+                manifest.phases[f"aggregates:{name}"] = True
+        finally:
+            events.unpersist()
         manifest.sink_counts = dict(sorted(counts.items()))
         manifest.events_location = out_path
-        manifest.phases["events"] = True
         manifest.finished = True
         manifest.save(args.out)
     elapsed = time.time() - t0
@@ -204,12 +230,12 @@ def main(argv: list[str] | None = None) -> int:
             flushers=c.get("flushers", []),
         )
 
-    pipe = _pipe(cfg)
-
     if len(cfgs) > 1:
         if args.mode == "streaming":
             raise SystemExit("multi-config runs are batch mode only")
         return _run_multi(spark, args, cfgs, _pipe)
+
+    pipe = _pipe(cfg)
 
     if args.mode == "streaming":
         if args.input.startswith("synthetic:"):
