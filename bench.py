@@ -64,6 +64,44 @@ def bench_pipeline_transcripts(spark, n_turns: int, samples: int = 2) -> dict:
     }
 
 
+def bench_multi_config(spark, n_turns: int, m: int = 3, samples: int = 2) -> dict:
+    """The multi-config one-scan claim, measured: run the headline
+    pipeline alone, then M variants of it over ONE persisted scan
+    (plans/multi.run_pipelines). If the one-scan design holds, M
+    configs cost far less than M times one config — the ratio is the
+    reported number (scan amortization, the reference agent's whole
+    reason for running many configs in one process)."""
+    from ilogtail_spark.benchflow import build_headline_pipeline, headline_pipeline
+    from ilogtail_spark.model import to_events
+    from ilogtail_spark.plans.multi import run_pipelines
+    from ilogtail_spark.sources.transcripts import generate_transcripts
+
+    one = []
+    for _ in range(samples):
+        t0 = time.time()
+        _consume(build_headline_pipeline(spark, n_turns))
+        one.append(time.time() - t0)
+
+    multi = []
+    for _ in range(samples):
+        ev = to_events(generate_transcripts(spark, n_turns=n_turns))
+        t0 = time.time()
+        try:
+            routed = run_pipelines(
+                ev, {f"cfg{i}": headline_pipeline() for i in range(m)}
+            )
+            _consume(routed)
+            multi.append(time.time() - t0)
+        finally:
+            ev.unpersist()
+    return {
+        "configs": m,
+        "one_config_sec": round(min(one), 3),
+        "multi_config_sec": round(min(multi), 3),
+        "cost_ratio_vs_m_runs": round(min(multi) / (m * min(one)), 3),
+    }
+
+
 def bench_ann_recall(spark, n_queries: int = 20, k: int = 3) -> dict:
     """Recall of the LSH ANN (single-probe and multi-probe) against
     exact cosine top-k over the embeddings table — the quality side of
@@ -153,6 +191,7 @@ def main() -> int:
     per_query["pipeline_transcripts_e2e"] = round(pipe["sec"], 3)
 
     ann_recall = bench_ann_recall(spark)
+    multi_cfg = bench_multi_config(spark, max(100_000, n_turns // 4))
 
     total = round(sum(per_query.values()), 3)
     payload = {
@@ -166,6 +205,7 @@ def main() -> int:
             "pipeline_all_secs": pipe["all_secs"],
             "cpus": CPUS,
             "ann_recall": ann_recall,
+            "multi_config": multi_cfg,
         },
         # top-level duplicate of the headline number: the driver keeps
         # only the TAIL of stdout (r02/r03 records hold the last 2000
