@@ -30,7 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # repetition NULL guard, prefix-sum broadcast offsets, prom out-col
 # aliasing, similarity cache keying, bucket-db lifecycle) plus the
 # four NEW round-4 queries (asof_prior_error_daily, sessionize_daily,
-# corpus_chunk_windows, multi_pipeline_counts);
+# corpus_chunk_windows, multi_pipeline_counts, dedup_semantic);
 # (3) r03-unsampled queries in registration order (driver-green in
 # r01/r02, mirror-green r03) until the cut is full. Everything out of
 # the cut stays covered by tools/correctness_mirror.py.
@@ -40,7 +40,7 @@ _FRONT = [
     "retrieval_bm25_topk", "dedup_simhash", "dedup_simhash_candidates",
     "text_repetition", "corpus_pack_shards",
     "asof_prior_error", "asof_prior_error_daily", "sessionize_daily",
-    "corpus_chunk_windows", "multi_pipeline_counts",
+    "corpus_chunk_windows", "multi_pipeline_counts", "dedup_semantic",
     "prom_parse_metrics", "prom_relabel_chain",
     "sim_ann_lsh_topk", "bucketed_colocated_join",
     "regex_parse", "filter_regex", "filter_condition_tree",
@@ -54,7 +54,7 @@ _FRONT = [
     "split_log_string", "merge_multiline", "log_to_metric",
     "skew_salted_count", "encrypt_roundtrip", "apsara_parse",
     "geoip_enrich", "otel_metric", "sls_record_format",
-    "dedup_exact", "dedup_minhash_sig",
+    "dedup_exact",
 ]
 
 

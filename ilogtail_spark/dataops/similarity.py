@@ -483,6 +483,70 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings with the deterministic
+    IVF coarse quantizer, compare cosines WITHIN each cluster only,
+    and drop every vector that has a lower-id cluster-mate at cosine
+    >= ``threshold``. Returns the kept (id, cluster) rows.
+
+    Deterministic keep rule: the LOWEST id of each semantic-duplicate
+    neighborhood survives (the paper keeps a pseudo-random member per
+    epsilon-group; pair-based keep-min is its reproducible analog and
+    matches the keep-min contract of near_dedup_filter/url dedup, so
+    the same run is bit-identical on any engine or cluster size).
+
+    Scale shape at 100 TB: assignment is scan-side (constant-folded
+    centroid literal, no shuffle); the only join is the within-cluster
+    self-join, quadratic in CLUSTER size — n_centroids must grow with
+    the corpus exactly like LSH planes, and ``max_cluster`` drops
+    over-full clusters from pairing outright (the semantic twin of
+    minhash's max_band_bucket; members of a skipped cluster are all
+    kept). Short/NULL vectors have no cluster identity and are kept.
+    """
+    cents = seed_centroids(corpus, n_centroids, vec_col, id_col)
+    assigned = ivf_assign(corpus, cents, vec_col, list_col="cluster")
+    v = with_double_vec(assigned, vec_col).select(
+        F.col(id_col), F.col("cluster"), F.col("__vec__").alias("v")
+    )
+    members = v.filter(F.col("cluster").isNotNull())
+    if max_cluster is not None:
+        hot = (
+            members.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .filter(F.col("__n__") > max_cluster)
+            .drop("__n__")
+        )
+        members = members.join(hot, ["cluster"], "left_anti")
+    left = members.select(
+        F.col(id_col).alias("a"), "cluster", F.col("v").alias("va")
+    )
+    right = members.select(
+        F.col(id_col).alias("b"),
+        F.col("cluster").alias("cluster_r"),
+        F.col("v").alias("vb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    drops = (
+        left.join(
+            right,
+            (F.col("cluster") == F.col("cluster_r")) & (F.col("a") < F.col("b")),
+        )
+        .withColumn("__cos__", cos)
+        .filter(F.col("__cos__") >= threshold)
+        .select(F.col("b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(drops, [id_col], "left_anti").select(id_col, "cluster")
+
+
 def probe_buckets(bucket: Column, num_planes: int, probes: int) -> Column:
     """Multi-probe bucket set: the query's own bucket plus, when
     ``probes >= 1``, every bucket at Hamming distance 1 (each sign bit

@@ -495,6 +495,55 @@ def q_sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", "rk")
 
 
+def _semantic_dedup_oracle(n_centroids: int = 16, threshold: float = 0.3) -> str:
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid,
+             list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y))))
+               AS ce
+      FROM v WHERE vec_id < {n_centroids}
+    ), scored_c AS (
+      SELECT v.vec_id, c.cid,
+             list_sum(list_transform(range({DIM}), i -> v.e[i+1] * c.ce[i+1])) AS s
+      FROM v CROSS JOIN c
+    ), assign AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+        FROM scored_c
+      ) WHERE rn = 1
+    ), drops AS (
+      SELECT DISTINCT r.vec_id
+      FROM assign l
+      JOIN assign r ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+      JOIN v lv ON lv.vec_id = l.vec_id
+      JOIN v rv ON rv.vec_id = r.vec_id
+      WHERE {_cosine_sql("lv.e", "rv.e")} >= {threshold}
+    )
+    SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster
+    FROM assign a
+    WHERE a.vec_id NOT IN (SELECT vec_id FROM drops)
+    ORDER BY a.vec_id
+    """
+
+
+@query("dedup_semantic", _semantic_dedup_oracle())
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: IVF-cluster the embeddings, drop every vector with a
+    lower-id cluster-mate above the cosine threshold (keep-min rule,
+    deterministic on any engine)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # threshold 0.3 exercises real drops on the synthetic vectors
+    # (production SemDeDup runs ~0.95 on model embeddings)
+    out = similarity.semantic_dedup(emb, threshold=0.3, n_centroids=16)
+    return out.select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster")
+    ).orderBy("vec_id")
+
+
 def _embedding_neardup_oracle(
     num_planes: int = 16, threshold: float = 0.3, num_bands: int = 1
 ) -> str:

@@ -642,3 +642,65 @@ class TestGopherFlags:
             .executedPlan().toString()
         )
         assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestSemanticDedup:
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_keep_min_within_cluster(self, spark):
+        # vectors 0/1 identical direction -> same cluster, cos=1.0:
+        # the lower id survives; orthogonal vector 2 is untouched
+        dim = 4
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [2.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+        ]
+        out = similarity.semantic_dedup(
+            self._emb(spark, rows), threshold=0.95, n_centroids=2
+        )
+        kept = sorted(r["vec_id"] for r in out.collect())
+        assert kept == [0, 2]
+
+    def test_threshold_is_sharp_within_cluster(self, spark):
+        # cluster 0 holds vecs 0/2/3: cos(2,3) ~ 0.99995 crosses the
+        # 0.999 threshold (3 dropped by keep-min), cos(0,2) ~ 0.99875
+        # does not (2 kept); cluster 1's seed is untouched
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),   # centroid 0
+            (1, [0.0, 1.0, 0.0, 0.0]),   # centroid 1
+            (2, [1.0, 0.05, 0.0, 0.0]),  # cluster 0
+            (3, [1.0, 0.06, 0.0, 0.0]),  # cluster 0, near-dup of 2 -> dropped
+        ]
+        out = similarity.semantic_dedup(
+            self._emb(spark, rows), threshold=0.999, n_centroids=2
+        )
+        kept = sorted(r["vec_id"] for r in out.collect())
+        assert kept == [0, 1, 2]
+
+    def test_max_cluster_skips_hot_cluster(self, spark):
+        rows = [(i, [1.0, float(i) * 0.001, 0.0, 0.0]) for i in range(10)]
+        df = self._emb(spark, rows)
+        # uncapped: everything collapses to vec 0
+        assert similarity.semantic_dedup(df, 0.9, n_centroids=1).count() == 1
+        # capped below the cluster size: pairing skipped, all kept
+        assert (
+            similarity.semantic_dedup(
+                df, 0.9, n_centroids=1, max_cluster=5
+            ).count()
+            == 10
+        )
+
+    def test_short_vectors_kept_with_null_cluster(self, spark):
+        rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [1.0]), (2, None)]
+        out = {
+            r["vec_id"]: r["cluster"]
+            for r in similarity.semantic_dedup(
+                self._emb(spark, rows), 0.9, n_centroids=1
+            ).collect()
+        }
+        assert set(out) == {0, 1, 2}
+        assert out[1] is None and out[2] is None
