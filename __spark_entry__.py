@@ -29,7 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round (bm25 micro-quantization, simhash nbits=64 default,
 # repetition NULL guard, prefix-sum broadcast offsets, prom out-col
 # aliasing, similarity cache keying, bucket-db lifecycle) plus the
-# four NEW round-4 queries (asof_prior_error_daily, sessionize_daily,
+# five NEW round-4 queries (asof_prior_error_daily, sessionize_daily,
 # corpus_chunk_windows, multi_pipeline_counts, dedup_semantic);
 # (3) r03-unsampled queries in registration order (driver-green in
 # r01/r02, mirror-green r03) until the cut is full. Everything out of

@@ -567,9 +567,12 @@ def q_multi_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         routed = run_pipelines(ev, pipelines)
         out = (
-            routed.groupBy(CONFIG_COL, F.col(SINK_COL).alias("sink"))
+            routed.groupBy(
+                F.col(CONFIG_COL).alias("config"),
+                F.col(SINK_COL).alias("sink"),
+            )
             .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(CONFIG_COL, "sink")
+            .orderBy("config", "sink")
         )
         # tiny aggregate: materialize it, then release the one-scan
         # cache (run_pipelines persisted `ev`) so back-to-back

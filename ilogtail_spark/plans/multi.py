@@ -31,7 +31,9 @@ from pyspark.sql import functions as F
 
 from ilogtail_spark.plans.pipeline import Pipeline
 
-CONFIG_COL = "config"
+# reserved internal name, same convention as router.SINK_COL — a data
+# column literally named "config" must never collide with the tag
+CONFIG_COL = "__config__"
 
 
 def run_pipelines(
@@ -53,6 +55,10 @@ def run_pipelines(
     """
     if not pipelines:
         raise ValueError("run_pipelines requires at least one pipeline")
+    # __config__ is reserved: an input column by that name would make
+    # every later reference ambiguous (AMBIGUOUS_REFERENCE at analysis)
+    if CONFIG_COL in events.columns:
+        events = events.drop(CONFIG_COL)
     cached = events.persist()  # MEMORY_AND_DISK default in Spark 3+/4
     branches = []
     for name, pipe in pipelines.items():
@@ -66,14 +72,21 @@ def run_pipelines(
     return out
 
 
-def sink_counts(multi_routed: DataFrame) -> dict[tuple[str, str], int]:
-    """Per-(config, sink) routed-row counts — the multi-config analog
-    of the reference's per-logstore counters (one aggregate job)."""
+def _resolve_sink_col(df: DataFrame) -> str:
     from ilogtail_spark.plans.router import SINK_COL
 
+    return "sink" if "sink" in df.columns else SINK_COL
+
+
+def sink_counts(multi_routed: DataFrame) -> dict[tuple[str, str], int]:
+    """Per-(config, sink) routed-row counts — the multi-config analog
+    of the reference's per-logstore counters (one aggregate job).
+    Accepts the internal frame (``__sink__``) or the storage-boundary
+    renamed one (``sink``)."""
+    sink_col = _resolve_sink_col(multi_routed)
     rows = (
-        multi_routed.groupBy(CONFIG_COL, SINK_COL)
+        multi_routed.groupBy(CONFIG_COL, sink_col)
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    return {(r[CONFIG_COL], r[SINK_COL]): r["n"] for r in rows}
+    return {(r[CONFIG_COL], r[sink_col]): r["n"] for r in rows}

@@ -59,7 +59,13 @@ def _normalize_reference_config(cfg: dict) -> dict:
     Processor Type names are already shared with the reference, so
     the `processors` list passes through untouched."""
     cfg = dict(cfg)
-    cfg.pop("enable", None)
+    if cfg.pop("enable", True) is False:
+        # the reference agent would NOT run this pipeline; silently
+        # executing a disabled config is an operational trap — make
+        # the operator remove it from the command line instead
+        raise SystemExit(
+            "config is disabled (enable: false) — remove it from --config"
+        )
     cfg.pop("global", None)
     if cfg.pop("inputs", None) is not None:
         print(
@@ -99,47 +105,48 @@ def _run_multi(spark, args, cfgs: dict, make_pipe) -> int:
     """Batch multi-config run — M pipelines over ONE scan (the
     reference agent's operating mode: CollectionPipelineManager keeps
     a name->pipeline map and offers every event group to each).
-    Output: events partitioned by (config, sink) under the run_id
-    directory, idempotent per run_id; manifest records per-
-    (config, sink) routed counts. Reruns of a finished run_id
-    short-circuit exactly like single-config runs."""
+    Output: events partitioned by (config, sink[, topic]) under the
+    run_id directory via the SAME write path as single-config runs
+    (writers.write_routed — topic handling, file sizing, and the
+    Iceberg branch included), idempotent per run_id; the manifest
+    commits per phase (events, then each config's aggregates) so a
+    crash resumes at the failed phase instead of re-scanning. Reruns
+    of a finished run_id short-circuit exactly like single-config
+    runs."""
     from pyspark.sql import functions as F
 
     from ilogtail_spark.plans.lineage import RunManifest
-    from ilogtail_spark.plans.multi import CONFIG_COL, run_pipelines
-    from ilogtail_spark.plans.router import SINK_COL
+    from ilogtail_spark.plans.multi import CONFIG_COL, run_pipelines, sink_counts
+    from ilogtail_spark.sinks.writers import sink_aggregates, write_routed
 
     manifest = RunManifest.load(args.out, args.run_id)
     t0 = time.time()
     if not manifest.finished:
-        from ilogtail_spark.sinks.writers import sink_aggregates
-
         events = _load_input(spark, args)
         try:
             routed = run_pipelines(
                 events, {name: make_pipe(c) for name, c in cfgs.items()}
-            ).withColumnRenamed(SINK_COL, "sink")
-            out_path = f"{args.out}/events/run_id={args.run_id}"
-            (
-                routed.write.mode("overwrite")
-                .partitionBy(CONFIG_COL, "sink")
-                .parquet(out_path)
             )
-            manifest.phases["events"] = True
-            # counts from the (still-cached) routed frame, NOT a
-            # re-read of the written output: one aggregate instead of
-            # a second full pass, and an all-rows-dropped run yields
-            # {} instead of an unreadable empty parquet directory
-            counts = {
-                f"{r[CONFIG_COL]}/{r['sink']}": r["n"]
-                for r in routed.groupBy(CONFIG_COL, "sink")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-            # per-config aggregates, matching single-config behavior
+            if not manifest.phases.get("events"):
+                manifest.events_location = write_routed(
+                    routed, args.out, args.run_id,
+                    leading_partitions={CONFIG_COL: "config"},
+                )
+                # counts from the (still-cached) routed frame, NOT a
+                # re-read of the output: one aggregate instead of a
+                # second full pass, and an all-rows-dropped run yields
+                # {} instead of an unreadable empty parquet directory
+                manifest.sink_counts = dict(
+                    sorted(
+                        (f"{c}/{s}", n)
+                        for (c, s), n in sink_counts(routed).items()
+                    )
+                )
+                manifest.phases["events"] = True
+                manifest.save(args.out)  # commit the expensive phase
             for name, c in cfgs.items():
                 keys = c.get("agg_keys")
-                if keys is None:
+                if keys is None or manifest.phases.get(f"aggregates:{name}"):
                     continue
                 agg = sink_aggregates(
                     routed.filter(F.col(CONFIG_COL) == name).drop(CONFIG_COL),
@@ -150,10 +157,9 @@ def _run_multi(spark, args, cfgs: dict, make_pipe) -> int:
                     f"{args.out}/aggregates/run_id={args.run_id}/config={name}"
                 )
                 manifest.phases[f"aggregates:{name}"] = True
+                manifest.save(args.out)
         finally:
             events.unpersist()
-        manifest.sink_counts = dict(sorted(counts.items()))
-        manifest.events_location = out_path
         manifest.finished = True
         manifest.save(args.out)
     elapsed = time.time() - t0

@@ -59,21 +59,36 @@ def write_routed(
     out_root: str,
     run_id: str,
     max_records_per_file: int = 1_000_000,
+    leading_partitions: dict[str, str] | None = None,
 ) -> str:
     """One-pass multi-sink write, idempotent per run_id (a rerun
     overwrites the whole run_id directory — the analog of the
     reference's exactly-once range checkpoint replay,
     core/collection_pipeline/queue/ExactlyOnceQueueManager.h:41).
+
+    ``leading_partitions``: ordered {internal column -> storage name}
+    prepended before sink/topic in the partition layout — the
+    multi-config mode passes ``{CONFIG_COL: "config"}`` so both modes
+    share ONE write path (same topic handling, file sizing, Iceberg
+    branch).
     """
     path = events_path(out_root, run_id)
     # Partition dir names must not start with '_' (Spark's file index
-    # treats _-prefixed paths as hidden), so __sink__/__topic__ become
-    # plain sink/topic at the storage boundary.
-    out = routed.withColumnRenamed(SINK_COL, "sink")
-    partition_cols = ["sink"]
+    # treats _-prefixed paths as hidden), so __sink__/__topic__/... get
+    # plain names at the storage boundary. A pre-existing DATA column
+    # already holding a boundary name is released to <name>__data
+    # first — never silently dropped, never ambiguous.
+    out = routed
+    renames = list((leading_partitions or {}).items())
+    renames.append((SINK_COL, "sink"))
     if TOPIC_COL in routed.columns:
-        out = out.withColumnRenamed(TOPIC_COL, "topic")
-        partition_cols.append("topic")
+        renames.append((TOPIC_COL, "topic"))
+    partition_cols = []
+    for src, dst in renames:
+        if dst in out.columns and src in out.columns and src != dst:
+            out = out.withColumnRenamed(dst, f"{dst}__data")
+        out = out.withColumnRenamed(src, dst)
+        partition_cols.append(dst)
     if iceberg_available(routed.sparkSession):
         # Iceberg path (UNEXERCISED in this image — no runtime jar; see
         # module docstring): one table partitioned by (run_id, sink),

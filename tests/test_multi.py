@@ -331,3 +331,60 @@ class TestMultiConfigEdges:
         import os
 
         assert not os.path.exists(str(out / "aggregates" / "run_id=g1" / "config=noagg"))
+
+
+class TestMultiConfigReviewRegressions:
+    def test_input_with_config_and_sink_columns(self, spark, tmp_path):
+        """Inputs legitimately carrying 'config'/'sink' data columns
+        must not make references ambiguous: __config__ is reserved,
+        and the storage boundary releases clashing data columns to
+        <name>__data instead of colliding."""
+        import duckdb
+
+        src = tmp_path / "in"
+        df = spark.range(100).select(
+            F.col("id").alias("turn_idx"),
+            F.lit("c1").alias("conv_id"),
+            F.when(F.col("id") % 2 == 0, "user").otherwise("tool").alias("role"),
+            F.lit("hello world").alias("text"),
+            F.lit("search").alias("tool"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+            F.lit("legacy_cfg").alias("config"),   # clashing data cols
+            F.lit("legacy_sink").alias("sink"),
+        )
+        df.write.parquet(str(src))
+        from ilogtail_spark import run as cli
+
+        a = tmp_path / "w.yaml"
+        a.write_text(
+            "router:\n  Mode: first_match\n  SourceKey: role\n"
+            "  RouterRegex: ['user']\n  RouterLogstore: [s_user]\n"
+            "  DefaultLogstore: s_rest\nflushers: [{Name: s_user}, {Name: s_rest}]\n"
+        )
+        b = tmp_path / "x.yaml"
+        b.write_text(
+            "router:\n  Mode: first_match\n  SourceKey: role\n"
+            "  RouterRegex: ['.*']\n  RouterLogstore: [s_all]\n"
+            "  DefaultLogstore: s_all\nflushers: [{Name: s_all}]\n"
+        )
+        out = tmp_path / "cout"
+        assert cli.main([
+            "--config", str(a), str(b),
+            "--input", str(src), "--out", str(out), "--run-id", "c1",
+        ]) == 0
+        # the clashing data columns survived, renamed at the boundary
+        part = duckdb.sql(
+            f"select * from read_parquet('{out}/events/run_id=c1/config=w/sink=s_user/*.parquet') limit 1"
+        ).fetchdf()
+        assert "sink__data" in part.columns
+        assert part["sink__data"][0] == "legacy_sink"
+
+    def test_disabled_reference_config_is_rejected(self, tmp_path):
+        import pytest as _pytest
+
+        from ilogtail_spark import run as cli
+
+        cfg = tmp_path / "off.yaml"
+        cfg.write_text("enable: false\nflushers: []\n")
+        with _pytest.raises(SystemExit, match="disabled"):
+            cli.load_config(str(cfg))
