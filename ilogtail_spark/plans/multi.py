@@ -13,11 +13,14 @@ pipeline transforms the SAME cached relation (processor chains differ
 per config, including cardinality-changing ones — each branch is an
 independent plan over the in-memory relation), each branch is tagged
 with its config name, and the tagged branches union into ONE write
-partitioned by (config, sink). Storage level is MEMORY_AND_DISK so a
-cache partition that doesn't fit spills instead of silently
-re-scanning parquet (re-scan is exactly what this module exists to
-avoid; at cluster scale size executor storage memory for the
-projected input, not the raw table).
+partitioned by (config, sink). Storage level defaults to
+MEMORY_AND_DISK so a cache partition that doesn't fit spills instead
+of silently re-scanning parquet (re-scan is exactly what this module
+exists to avoid; at cluster scale size executor storage memory for
+the projected input, not the raw table) — ``run_pipelines``'s
+``storage_level`` parameter picks DISK_ONLY / serialized residence or
+opts out of the persist entirely (M re-scans) when a second on-disk
+copy of the input is the wrong trade.
 
 Plan shape (asserted in PLANS.md): ONE parquet scan (the cache
 materialization), M InMemoryTableScan branches, zero extra shuffles
@@ -39,6 +42,7 @@ CONFIG_COL = "__config__"
 def run_pipelines(
     events: DataFrame,
     pipelines: dict[str, Pipeline],
+    storage_level: str | None = "MEMORY_AND_DISK",
 ) -> DataFrame:
     """Route ``events`` through every named pipeline over one scan.
 
@@ -49,20 +53,52 @@ def run_pipelines(
     sets may differ per pipeline (processors add fields); the union
     is by name with missing columns NULL-filled.
 
-    The input is persisted here (that IS the one-scan mechanism);
-    the caller releases it with ``events.unpersist()`` after the
-    returned frame has been consumed.
+    ``storage_level`` picks the one-scan mechanism's cost point — the
+    100 TB tradeoff is persist-once vs M re-scans:
+
+    - ``"MEMORY_AND_DISK"`` (default): the input is persisted and
+      every branch reads the cached relation; a partition that does
+      not fit executor memory spills. At full-table scale this is
+      effectively a second on-disk copy of the (projected) input —
+      size storage for the projection, not the raw table.
+    - ``"DISK_ONLY"`` / ``"MEMORY_ONLY"`` / any
+      ``pyspark.StorageLevel`` attribute name: same mechanism, chosen
+      residence (``DISK_ONLY`` when executor memory is the scarce
+      resource and one serialized disk copy beats M scans).
+    - ``None``: no persist at all — each of the M pipelines re-scans
+      the source. Correct answers, M scan costs; the right choice
+      only when the source scan is cheaper than materializing a copy
+      (heavily pruned scans, tiny M, or no spare disk).
+
+    When persisting, the persisted frame IS the ``events`` object
+    passed in (even when a reserved ``__config__`` column has to be
+    dropped — the drop is a projection OVER the cached relation), so
+    the documented release contract ``events.unpersist()`` always
+    targets the live cache entry.
     """
     if not pipelines:
         raise ValueError("run_pipelines requires at least one pipeline")
+    if storage_level is not None:
+        from pyspark import StorageLevel
+
+        if isinstance(storage_level, str):
+            try:
+                storage_level = getattr(StorageLevel, storage_level)
+            except AttributeError:
+                raise ValueError(
+                    f"unknown storage_level {storage_level!r}: expected a "
+                    "pyspark.StorageLevel attribute name (MEMORY_AND_DISK, "
+                    "DISK_ONLY, ...) or None for no persist"
+                ) from None
+        events = events.persist(storage_level)
     # __config__ is reserved: an input column by that name would make
-    # every later reference ambiguous (AMBIGUOUS_REFERENCE at analysis)
-    if CONFIG_COL in events.columns:
-        events = events.drop(CONFIG_COL)
-    cached = events.persist()  # MEMORY_AND_DISK default in Spark 3+/4
+    # every later reference ambiguous (AMBIGUOUS_REFERENCE at analysis).
+    # Dropped AFTER the persist so the cached plan is the caller's
+    # frame and the projection still hits the cache.
+    base = events.drop(CONFIG_COL) if CONFIG_COL in events.columns else events
     branches = []
     for name, pipe in pipelines.items():
-        routed = pipe.route(cached)
+        routed = pipe.route(base)
         branches.append(
             routed.select(F.lit(name).alias(CONFIG_COL), "*")
         )

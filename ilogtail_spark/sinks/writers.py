@@ -85,7 +85,16 @@ def write_routed(
         renames.append((TOPIC_COL, "topic"))
     partition_cols = []
     for src, dst in renames:
-        if dst in out.columns and src in out.columns and src != dst:
+        # withColumnRenamed on a missing src is a silent no-op — and a
+        # DATA column already named dst would then silently become the
+        # partition column. Fail loudly instead.
+        if src not in out.columns:
+            raise ValueError(
+                f"write_routed: internal column {src!r} missing from the "
+                f"routed frame (columns: {out.columns}) — route the frame "
+                "through a Router (or run_pipelines) before writing"
+            )
+        if dst in out.columns and src != dst:
             out = out.withColumnRenamed(dst, f"{dst}__data")
         out = out.withColumnRenamed(src, dst)
         partition_cols.append(dst)

@@ -390,3 +390,45 @@ class TestChunkWindows:
             corpus.chunk_windows(df, window=0)
         with _pytest.raises(ValueError):
             corpus.chunk_windows(df, stride=0)
+
+
+class TestChunkDedup:
+    def test_boilerplate_collapses_keep_min(self, spark):
+        # the same 4-token license header opens docs 1, 2 and 5; with
+        # window=stride=4 it is chunk 0 of each — one survivor (the
+        # lowest doc_id), dup_count carries the corpus-wide repetition
+        header = "apache license version two"
+        df = spark.createDataFrame(
+            [
+                (5, header + " body five"),
+                (1, header + " body one extra"),
+                (2, header + " different tail"),
+                (3, "entirely fresh words here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = corpus.chunk_dedup(df, window=4, stride=4).collect()
+        by_digest = {}
+        for r in out:
+            by_digest.setdefault(r["chunk_md5"], []).append(r)
+        import hashlib
+
+        hdr_md5 = hashlib.md5(header.encode()).hexdigest()
+        assert len(by_digest[hdr_md5]) == 1
+        keeper = by_digest[hdr_md5][0]
+        assert keeper["doc_id"] == 1 and keeper["chunk_idx"] == 0
+        assert keeper["dup_count"] == 3
+        # every digest appears exactly once and unique chunks carry 1
+        assert all(len(v) == 1 for v in by_digest.values())
+        fresh_md5 = hashlib.md5(b"entirely fresh words here").hexdigest()
+        assert by_digest[fresh_md5][0]["dup_count"] == 1
+
+    def test_within_doc_repeat_dedups(self, spark):
+        # a doc repeating the same window internally keeps the lowest
+        # chunk_idx occurrence
+        df = spark.createDataFrame(
+            [(7, "x y x y x y")], "doc_id long, text string"
+        )
+        out = corpus.chunk_dedup(df, window=2, stride=2).collect()
+        assert len(out) == 1
+        assert out[0]["chunk_idx"] == 0 and out[0]["dup_count"] == 3

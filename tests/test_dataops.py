@@ -138,6 +138,24 @@ class TestSimilarity:
         assert r1 >= r0
         assert r1 > 0.5  # on this smooth circle fixture recall is high
 
+    def test_default_planes_scale_with_corpus(self, spark):
+        # planes track corpus size so per-probe occupancy stays near
+        # the target: tiny corpora floor at 2, 10^9 derives 22
+        assert similarity.default_lsh_planes(500) == 2
+        assert similarity.default_lsh_planes(2000) == 3
+        assert similarity.default_lsh_planes(10**9) == 22
+
+    def test_recall_floor_at_defaults_on_bench_fixture(self, spark):
+        # the r04 finding: fixed 8 planes on the 500-vector bench
+        # corpus left recall at 0.10; recall-aware defaults (derived
+        # planes + probes=1) must clear 0.6 (measured 0.92)
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 20)
+        k = 3
+        brute = similarity.cosine_topk(emb, q, k=k).collect()
+        ann = similarity.ann_lsh_topk(emb, q, dim=64, k=k).collect()
+        assert self._recall(ann, brute, k) >= 0.6
+
     def test_probe_buckets_hamming1(self, spark):
         df = spark.createDataFrame([("1010",)], "b string")
         out = df.select(
@@ -378,6 +396,31 @@ class TestIVF:
 
         r1, r2 = rec(1), rec(2)
         assert r2 >= r1
+
+    def test_ivf_topk_shifted_id_space(self, spark):
+        # seed_centroids takes the k LOWEST ids present, so an id space
+        # offset by 10^6 (incremental snapshots) yields the identical
+        # result shifted — it must not crash or return empty
+        off = 1_000_000
+        emb = self._emb(spark)
+        shifted = emb.select(
+            (F.col("vec_id") + off).alias("vec_id"), "embedding"
+        )
+        base = similarity.ann_ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 3), k=3, n_centroids=4, nprobe=2
+        ).collect()
+        shift = similarity.ann_ivf_topk(
+            shifted,
+            shifted.filter(F.col("vec_id") < off + 3),
+            k=3,
+            n_centroids=4,
+            nprobe=2,
+        ).collect()
+        norm = lambda rows, d: sorted(
+            (r["query_id"] - d, r["nbr_id"] - d, r["rk"], r["cos"]) for r in rows
+        )
+        assert norm(base, 0) == norm(shift, off)
+        assert base  # non-empty
 
 
 class TestResize:
@@ -704,3 +747,36 @@ class TestSemanticDedup:
         }
         assert set(out) == {0, 1, 2}
         assert out[1] is None and out[2] is None
+
+    def test_shifted_id_space_parity(self, spark):
+        # centroid seeding must survive id spaces that don't start at 0
+        # (incremental snapshots offset ids): shifting every id by 10^6
+        # shifts the output ids by exactly 10^6 and nothing else
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [1.0, 0.05, 0.0, 0.0]),
+            (3, [1.0, 0.06, 0.0, 0.0]),
+        ]
+        off = 1_000_000
+        base = similarity.semantic_dedup(
+            self._emb(spark, rows), threshold=0.999, n_centroids=2
+        )
+        shifted = similarity.semantic_dedup(
+            self._emb(spark, [(i + off, v) for i, v in rows]),
+            threshold=0.999,
+            n_centroids=2,
+        )
+        base_out = sorted((r["vec_id"], r["cluster"]) for r in base.collect())
+        shift_out = sorted(
+            (r["vec_id"] - off, r["cluster"]) for r in shifted.collect()
+        )
+        assert base_out == shift_out
+        assert [i for i, _ in base_out] == [0, 1, 2]
+
+    def test_empty_corpus_raises_clear_error(self, spark):
+        import pytest as _pytest
+
+        empty = self._emb(spark, []).filter("vec_id < 0")
+        with _pytest.raises(ValueError, match="no rows"):
+            similarity.seed_centroids(empty, 4)

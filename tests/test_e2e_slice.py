@@ -297,3 +297,20 @@ def test_load_config_rejects_non_mapping(tmp_path):
 
     with _pytest.raises(SystemExit):
         cli.load_config(str(bad))
+
+
+def test_write_routed_missing_sink_col_raises(spark, tmp_path):
+    """An unrouted frame (no __sink__) that happens to carry a DATA
+    column named 'sink' must error loudly, not silently partition by
+    the data column (withColumnRenamed no-ops on a missing source)."""
+    from pyspark.sql import functions as F
+
+    from ilogtail_spark.sinks import writers
+
+    df = spark.range(5).select(
+        F.col("id"), F.lit("legacy").alias("sink")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="__sink__"):
+        writers.write_routed(df, str(tmp_path), "r1")

@@ -101,6 +101,56 @@ class TestRunPipelines:
         with _pytest.raises(ValueError):
             run_pipelines(_events(spark), {})
 
+    def test_storage_level_none_same_counts_no_cache(self, spark):
+        # persist=off trades M re-scans for zero cache footprint —
+        # answers must be identical and no cache entry may be created
+        ev_cached = _events(spark)
+        pipelines = _pipelines()
+        base = sink_counts(run_pipelines(ev_cached, pipelines))
+        ev_cached.unpersist()
+        ev_plain = _events(spark)
+        got = sink_counts(
+            run_pipelines(ev_plain, pipelines, storage_level=None)
+        )
+        assert got == base
+        lvl = ev_plain.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk)
+
+    def test_storage_level_disk_only_applies_to_caller_frame(self, spark):
+        ev = _events(spark)
+        try:
+            run_pipelines(ev, _pipelines(), storage_level="DISK_ONLY")
+            lvl = ev.storageLevel
+            assert lvl.useDisk and not lvl.useMemory
+        finally:
+            ev.unpersist()
+
+    def test_unknown_storage_level_rejected(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="storage_level"):
+            run_pipelines(
+                _events(spark), _pipelines(), storage_level="NOT_A_LEVEL"
+            )
+
+    def test_reserved_config_column_dropped_cache_on_caller(self, spark):
+        # an input carrying the reserved __config__ column: the tag
+        # must come from the pipeline name, and the persist must land
+        # on the CALLER's frame so events.unpersist() releases it
+        ev = _events(spark).withColumn(CONFIG_COL, F.lit("stale"))
+        try:
+            multi = run_pipelines(ev, _pipelines())
+            tags = {
+                r[CONFIG_COL]
+                for r in multi.select(CONFIG_COL).distinct().collect()
+            }
+            assert tags == set(_pipelines())
+            assert ev.storageLevel.useMemory or ev.storageLevel.useDisk
+        finally:
+            ev.unpersist()
+        lvl = ev.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk)
+
     def test_disjoint_added_columns_null_fill(self, spark):
         # a processor that adds fields in one pipeline must not break
         # the by-name union: missing columns NULL-fill

@@ -707,6 +707,35 @@ def main() -> int:
         "exact dedup then runs on 32-byte digests.",
     )
 
+    # 26b. chunk-level exact dedup: the chunk_windows composition —
+    # ONE digest shuffle end to end (row_number and dup_count share
+    # the chunk_md5 Window partitioning)
+    q26b = corpus_ops.chunk_dedup(docs26, window=128, stride=64)
+    p26b = formatted(q26b)
+    audit(
+        "chunk-level exact dedup (chunk_windows -> keep-min on digest)",
+        q26b,
+        [
+            ("exactly ONE shuffle exchange (the chunk_md5 hash "
+             "partitioning, shared by row_number and dup_count)",
+             n_shuffles(p26b) == 1),
+            ("both Window nodes (row_number + dup_count) sit over ONE "
+             "Sort — no second sort/partition pass",
+             len(re.findall(r"Window \(\d+\)", p26b)) == 2
+             and len(re.findall(r"Sort \(\d+\)", p26b)) == 1),
+            ("no Python stage", "Python" not in p26b),
+            ("scan reads only (doc_id, text)",
+             bool(re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", p26b))),
+        ],
+        "The composed RAG-prep pipeline: chunking stays scan-side "
+        "(section above — zero shuffle, digests only), so the dedup's "
+        "single Exchange moves (id, idx, offsets, 32-byte digest) "
+        "rows, never chunk text. At 100 TB the shuffled bytes are "
+        "~50 bytes/chunk regardless of window size; boilerplate "
+        "chunks collapse to one index entry with dup_count carrying "
+        "the corpus-wide repetition for downstream weighting.",
+    )
+
     # 27. multi-pipeline, one scan: M configs over a single persisted
     # read — the reference agent's multi-config operating mode
     from ilogtail_spark.entryq import QUERIES as _Q

@@ -85,6 +85,36 @@ def main() -> int:
         emb_buckets = similarity.lsh_bucket(emb, dim=64, num_planes=16)
         eb_max, eb_avg = _occupancy(emb_buckets, ["bucket"])
 
+        # semantic_dedup's cost core is the within-cluster self-join:
+        # candidate pairs = sum over clusters of n_c*(n_c-1)/2, exact
+        # from cluster sizes alone (no need to run the join). Two
+        # operating points: n_centroids scaled with the corpus (the
+        # documented mode — docstring: "n_centroids must grow with the
+        # corpus exactly like LSH planes") vs frozen at the small-SF
+        # value (the why of scaling it).
+        def sem_pairs(k: int) -> tuple[int, int]:
+            cents = similarity.seed_centroids(emb, k)
+            assigned = similarity.ivf_assign(
+                emb, cents, "embedding", list_col="cluster"
+            )
+            sizes = (
+                assigned.filter(F.col("cluster").isNotNull())
+                .groupBy("cluster")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") <= 10_000)  # the default max_cluster
+            )
+            row = sizes.agg(
+                F.sum(F.expr("n * (n - 1) / 2")).alias("p"),
+                F.max("n").alias("mx"),
+            ).collect()[0]
+            return int(row["p"] or 0), int(row["mx"] or 0)
+
+        t0 = time.time()
+        k_scaled = max(4, n_vecs // 125)  # ~125 vectors per cluster
+        sem_p, sem_max = sem_pairs(k_scaled)
+        sem_sec = time.time() - t0
+        semf_p, _ = sem_pairs(4)  # frozen small-SF centroid count
+
         rows.append(
             dict(
                 sf=sf_name, n_docs=n_docs, n_vecs=n_vecs,
@@ -94,6 +124,8 @@ def main() -> int:
                 shc_pairs=shc_pairs, shc_sec=round(shc_sec, 1),
                 emb_pairs=emb_pairs, emb_sec=round(emb_sec, 1),
                 eb_max=eb_max, eb_avg=round(eb_avg, 2),
+                sem_pairs=sem_p, sem_k=k_scaled, sem_max=sem_max,
+                sem_sec=round(sem_sec, 1), semf_pairs=semf_p,
             )
         )
         print(rows[-1])
@@ -117,6 +149,8 @@ def main() -> int:
         ("sh_pairs", "simhash-pigeonhole (uncapped)", False, growth_docs),
         ("shc_pairs", "simhash-pigeonhole (max_block_bucket=20)", True, growth_docs),
         ("emb_pairs", "embedding-LSH", True, growth_vecs),
+        ("sem_pairs", "semantic within-cluster (n_centroids scaled)", True, growth_vecs),
+        ("semf_pairs", "semantic within-cluster (n_centroids frozen)", False, growth_vecs),
     ):
         base = max(a[key], 1)
         ratio = b[key] / base
@@ -147,7 +181,7 @@ def main() -> int:
         for label, pa, pb, ratio, growth, passed, gated in verdicts:
             verdict = (
                 "linear-ish PASS" if passed
-                else ("SUPERLINEAR" if gated else "superlinear — the cap's motivation")
+                else ("SUPERLINEAR" if gated else "superlinear — the cap/scaling's motivation")
             )
             lines.append(
                 f"| {label} | {pa} | {pb} | {ratio:.1f}x | {growth:.0f}x | {verdict} |"
@@ -166,6 +200,9 @@ def main() -> int:
             f"mean {a['mh_avg']} -> {b['mh_avg']}.",
             f"Embedding LSH (16 planes) occupancy: max {a['eb_max']} -> {b['eb_max']}, "
             f"mean {a['eb_avg']} -> {b['eb_avg']}.",
+            f"Semantic clusters (scaled n_centroids {a['sem_k']} -> {b['sem_k']}): "
+            f"max members {a['sem_max']} -> {b['sem_max']} (cap 10000 idle); the "
+            f"frozen-centroids row shows why n_centroids scales with the corpus.",
             f"Wall (local[16], s): minhash {a['mh_sec']} -> {b['mh_sec']}, "
             f"simhash {a['sh_sec']} -> {b['sh_sec']}, "
             f"embedding {a['emb_sec']} -> {b['emb_sec']}.",
