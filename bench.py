@@ -201,6 +201,14 @@ def main() -> int:
     multi_cfg = bench_multi_config(spark, max(100_000, n_turns // 4))
 
     total = round(sum(per_query.values()), 3)
+    # continuity with r01-r03 records (which were one cold shot per
+    # query): the sum of FIRST samples is the old metric definition —
+    # reported alongside so cross-round comparisons stay like-for-like
+    total_cold = round(
+        sum(s[0] for s in query_samples.values())
+        + per_query["pipeline_transcripts_e2e"],
+        3,
+    )
     payload = {
         "metric": "total headline query wall time",
         "value": total,
@@ -213,6 +221,7 @@ def main() -> int:
             "cpus": CPUS,
             "ann_recall": ann_recall,
             "multi_config": multi_cfg,
+            "total_cold_first_sample_sec": total_cold,
         },
         # top-level duplicate of the headline number: the driver keeps
         # only the TAIL of stdout (r02/r03 records hold the last 2000
