@@ -306,17 +306,46 @@ def seed_centroids(
     snapshot-offset ids that ``incremental_run`` produces, or any
     sampled subset. On a dense 0-based corpus the two are identical.
     The limit(k) collect moves <= k * dim doubles to the driver —
-    bounded, not row-scale."""
+    bounded, not row-scale.
+
+    Seed hygiene (rows a corrupt corpus puts at the lowest ids):
+    NULL-id / NULL-vector / empty-vector rows are never seeds — Spark
+    sorts NULL ids FIRST, so without the filter one NULL-id row would
+    occupy a seed slot (and a NULL vector would crash normalization);
+    such rows keep their usual no-cluster-identity treatment
+    downstream. Driver-side, a seed containing NULL elements is
+    skipped, and seeds shorter than the longest seed are dropped
+    (a truncated vector cannot span the space — and inferring dim
+    from it would silently prefix-truncate every assignment). Fewer
+    than k centroids is fine: the IVF structure is unchanged."""
     import math
 
-    rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
-    if not rows:
-        raise ValueError(
-            f"seed_centroids: corpus has no rows — cannot seed {k} centroids"
+    rows = (
+        df.filter(
+            F.col(id_col).isNotNull()
+            & F.col(vec_col).isNotNull()
+            & (F.size(F.col(vec_col)) > 0)
         )
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    vecs = [
+        [float(x) for x in r[vec_col]]
+        for r in rows
+        if not any(x is None for x in r[vec_col])
+    ]
+    if not vecs:
+        raise ValueError(
+            f"seed_centroids: corpus has no usable vectors — cannot seed "
+            f"{k} centroids"
+        )
+    dmax = max(len(v) for v in vecs)
     out = []
-    for r in rows:
-        v = [float(x) for x in r[vec_col]]
+    for v in vecs:
+        if len(v) < dmax:
+            continue
         n = math.sqrt(sum(x * x for x in v)) or 1.0
         out.append([x / n for x in v])
     return out
@@ -489,13 +518,18 @@ def embedding_neardup_pairs(
     )
 
 
+# default hot-cluster cap for semantic_dedup — shared with the scale
+# audit and the DuckDB oracle so a retune cannot silently diverge
+SEMANTIC_MAX_CLUSTER = 10_000
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float,
     n_centroids: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    max_cluster: int | None = 10_000,
+    max_cluster: int | None = SEMANTIC_MAX_CLUSTER,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embeddings with the deterministic

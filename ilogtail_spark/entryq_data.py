@@ -500,6 +500,11 @@ def q_sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_dedup_oracle(n_centroids: int = 16, threshold: float = 0.3) -> str:
+    # models the library's DEFAULT hot-cluster cap: clusters with more
+    # than max_cluster members are skipped from pairing (all kept) —
+    # idle at fixture scale, but the oracle must track the default or
+    # any corpus with a hot cluster becomes a latent parity divergence
+    max_cluster = similarity.SEMANTIC_MAX_CLUSTER
     return f"""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -519,10 +524,13 @@ def _semantic_dedup_oracle(n_centroids: int = 16, threshold: float = 0.3) -> str
           PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
         FROM scored_c
       ) WHERE rn = 1
+    ), sizes AS (
+      SELECT cluster, count(*) AS n FROM assign GROUP BY cluster
     ), drops AS (
       SELECT DISTINCT r.vec_id
       FROM assign l
       JOIN assign r ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+      JOIN sizes sz ON sz.cluster = l.cluster AND sz.n <= {max_cluster}
       JOIN v lv ON lv.vec_id = l.vec_id
       JOIN v rv ON rv.vec_id = r.vec_id
       WHERE {_cosine_sql("lv.e", "rv.e")} >= {threshold}

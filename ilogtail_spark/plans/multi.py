@@ -82,14 +82,17 @@ def run_pipelines(
         from pyspark import StorageLevel
 
         if isinstance(storage_level, str):
-            try:
-                storage_level = getattr(StorageLevel, storage_level)
-            except AttributeError:
+            resolved = getattr(StorageLevel, storage_level, None)
+            # class attrs that aren't levels (methods, dunders) must
+            # fail HERE with the descriptive message, not later inside
+            # persist() with an opaque Py4J error
+            if not isinstance(resolved, StorageLevel):
                 raise ValueError(
                     f"unknown storage_level {storage_level!r}: expected a "
                     "pyspark.StorageLevel attribute name (MEMORY_AND_DISK, "
                     "DISK_ONLY, ...) or None for no persist"
-                ) from None
+                )
+            storage_level = resolved
         events = events.persist(storage_level)
     # __config__ is reserved: an input column by that name would make
     # every later reference ambiguous (AMBIGUOUS_REFERENCE at analysis).

@@ -778,5 +778,42 @@ class TestSemanticDedup:
         import pytest as _pytest
 
         empty = self._emb(spark, []).filter("vec_id < 0")
-        with _pytest.raises(ValueError, match="no rows"):
+        with _pytest.raises(ValueError, match="no usable vectors"):
             similarity.seed_centroids(empty, 4)
+
+    def test_null_rows_never_seed_and_are_kept(self, spark):
+        # Spark sorts NULL ids FIRST: without seed hygiene the NULL-id
+        # row and the NULL-vector row (lowest real id) would occupy
+        # seed slots and crash normalization. They must be skipped as
+        # seeds but KEPT in the output (no cluster identity).
+        rows = [
+            (None, [9.0, 9.0, 9.0, 9.0]),
+            (0, None),
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [1.0, 0.01, 0.0, 0.0]),
+        ]
+        cents = similarity.seed_centroids(self._emb(spark, rows), 2)
+        assert len(cents) == 2 and cents[0][0] == 1.0  # ids 1 and 2 seed
+        out = similarity.semantic_dedup(
+            self._emb(spark, rows), threshold=0.999, n_centroids=2
+        ).collect()
+        by_id = {r["vec_id"]: r["cluster"] for r in out}
+        # NULL id kept — its valid vector still gets a cluster, but
+        # NULL ids never win an a<b comparison so it can neither drop
+        # nor be dropped
+        assert None in by_id and by_id[None] is not None
+        assert 0 in by_id and by_id[0] is None  # NULL vector kept
+        assert 1 in by_id and 3 not in by_id  # 3 deduped against 1
+
+    def test_short_seed_dropped_not_dim_truncating(self, spark):
+        # a truncated lowest-id vector must not shrink the inferred
+        # dim (which would prefix-truncate every assignment) — it is
+        # dropped from the seed set instead
+        rows = [
+            (0, [1.0, 2.0]),  # corrupt short vector at the lowest id
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+        ]
+        cents = similarity.seed_centroids(self._emb(spark, rows), 3)
+        assert [len(c) for c in cents] == [4, 4]

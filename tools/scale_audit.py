@@ -101,7 +101,7 @@ def main() -> int:
                 assigned.filter(F.col("cluster").isNotNull())
                 .groupBy("cluster")
                 .agg(F.count(F.lit(1)).alias("n"))
-                .filter(F.col("n") <= 10_000)  # the default max_cluster
+                .filter(F.col("n") <= similarity.SEMANTIC_MAX_CLUSTER)
             )
             row = sizes.agg(
                 F.sum(F.expr("n * (n - 1) / 2")).alias("p"),
