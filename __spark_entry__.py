@@ -36,6 +36,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # The 14 r03-latest that miss the cut + the r04-checked remainder
 # stay covered by tools/correctness_mirror.py.
 _FRONT = [
+    # round-5 new queries first (never driver-checked), then the
+    # r04-unsampled rotation ordered oldest-driver-check first
+    "dedup_minhash_incremental", "corpus_mixture_rebalance",
+    "text_pii_redact", "events_hotkeys",
     "corpus_chunk_dedup",
     "dedup_semantic", "sim_ann_lsh_topk", "multi_pipeline_counts",
     "dedup_minhash_sig", "dedup_minhash_pairs", "dedup_jaccard",

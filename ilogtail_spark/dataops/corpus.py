@@ -777,3 +777,100 @@ def mixture_report(
             "n_docs", "n_tokens", "n_chars", "n_dup_docs",
         )
     )
+
+
+# rebalance_mixture compares a 6-hex-char draw (granularity 1/16^6 ~
+# 6e-8) instead of deterministic_keep's 8: the per-source threshold is
+# computed from DATA (target*16^6 div source_tokens) in exact BIGINT
+# arithmetic, and 6 hex digits keep the multiplication overflow-safe
+# to 2^63/16^6 ~ 5.5e14 target tokens per source — comfortably past a
+# 100 TB corpus — where 8 digits would overflow at 2^31. A
+# double-precision rate would be simpler but engines may round the
+# last ulp differently, and one flipped threshold bit changes which
+# documents survive; integer math is bit-identical everywhere.
+_REBALANCE_HEX_DIGITS = 6
+
+
+def rebalance_mixture(
+    df: DataFrame,
+    targets: dict[str, int],
+    token_budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "",
+) -> DataFrame:
+    """Rebalance a corpus to target per-source token shares — the
+    DoReMi/Pile-style "mixture weighting" step: given ``targets``
+    mapping source -> weight in MICRO units (parts per 1,000,000 of
+    ``token_budget``), deterministically downsample each source so
+    its expected token contribution is ``token_budget * weight_micro
+    / 1e6``. Sources absent from ``targets`` are dropped (weight 0);
+    a source whose target exceeds its actual volume is kept whole
+    (rates cap at 1 — upsampling/repeating is epoch logic, not a
+    filter's job).
+
+    The keep/drop decision is the same seedless md5 draw as
+    :func:`deterministic_keep` — a pure function of (salt, id), so
+    the sample is reproducible across runs, partitionings, and
+    cluster sizes — but the per-source threshold is data-dependent:
+    rate_s = min(1, target_tokens_s / total_tokens_s). All threshold
+    arithmetic is exact BIGINT (see _REBALANCE_HEX_DIGITS above), so
+    any engine computes the identical document set.
+
+    Scale shape: one narrow pre-aggregate of (source, sum tokens) —
+    a handful of rows, broadcast back — then the keep filter is a
+    scan-side expression on the main pass. Document text never
+    shuffles; the only exchange is the tiny per-source total.
+    """
+    scale = 16 ** _REBALANCE_HEX_DIGITS
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    ntok = F.size(tokens_col(text)).cast("bigint")
+    totals = (
+        df.select(F.col(source_col).alias("__g__"), ntok.alias("__nt__"))
+        .groupBy("__g__")
+        .agg(F.sum("__nt__").alias("__tot__"))
+    )
+    pairs: list[Column] = []
+    for src, weight_micro in sorted(targets.items()):
+        pairs += [F.lit(src), F.lit(int(weight_micro))]
+    wmap = F.create_map(*pairs) if pairs else F.create_map()
+    # target tokens in exact integer micro math (matches the oracle's
+    # budget * w // 1000000), then the 6-hex threshold; >= total means
+    # rate 1 -> 'g' sorts after every hex digit, keeping all rows. A
+    # weight-0 / absent source gets threshold '000000', below every
+    # draw -> dropped.
+    thr = F.when(F.col("__target__") >= F.col("__tot__"), F.lit("g")).otherwise(
+        F.lpad(
+            F.lower(F.hex(F.expr(f"__target__ * {scale} div __tot__"))),
+            _REBALANCE_HEX_DIGITS,
+            "0",
+        )
+    )
+    rates = (
+        totals.select(
+            "__g__",
+            "__tot__",
+            F.coalesce(wmap[F.col("__g__")], F.lit(0)).cast("bigint").alias("__w__"),
+        )
+        .select(
+            "__g__",
+            "__tot__",
+            F.expr(f"{int(token_budget)} * __w__ div 1000000").alias("__target__"),
+        )
+        .select("__g__", thr.alias("__thr__"))
+    )
+    draw = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        1,
+        _REBALANCE_HEX_DIGITS,
+    )
+    return (
+        df.join(
+            F.broadcast(rates),
+            df[source_col] == rates["__g__"],
+            "inner",
+        )
+        .filter(draw < F.col("__thr__"))
+        .drop("__g__", "__thr__")
+    )

@@ -682,3 +682,76 @@ def state_digests_for(
     """Digest rows to append to the incremental-dedup state for a
     batch of KEPT documents (one distinct md5 per content)."""
     return df.select(F.md5(F.col(text_col)).alias(digest_col)).distinct()
+
+
+def state_bands_for(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH band rows (band_idx, band_hash) for a batch of KEPT
+    documents — the NEAR-dup analog of :func:`state_digests_for`. The
+    distinct compacts the state (identical boilerplate families
+    collapse to one band row); num_hashes/band_size must match the
+    values later passed to :func:`incremental_near_dedup`, so persist
+    them alongside the state table."""
+    sig = minhash_signature(
+        df.select(id_col, text_col), text_col, num_hashes, id_col=id_col,
+        keep_signatureless=False,
+    )
+    bands = minhash_bands(sig, num_hashes, band_size, id_col)
+    return bands.select("band_idx", "band_hash").distinct()
+
+
+def incremental_near_dedup(
+    new_df: DataFrame,
+    state_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Incremental NEAR dedup of a new snapshot/batch against the LSH
+    band state of every previously-kept document — the "don't
+    re-admit a lightly-edited copy of something the corpus already
+    holds" step of a continuously-refreshed corpus (the MinHash twin
+    of :func:`incremental_exact_dedup`; reference analog: the same
+    exactly-once checkpoint contract of
+    core/checkpoint/CheckpointManager.cpp, applied to content
+    similarity instead of file offsets).
+
+    ``state_bands`` holds distinct (band_idx, band_hash) rows from
+    :func:`state_bands_for` on earlier kept batches, unioned by the
+    caller's pipeline. A new document sharing ANY band with the state
+    is dropped; the rest of the batch (after in-batch exact keep-min)
+    survives. In-batch NEAR duplicates are deliberately NOT resolved
+    here — that is :func:`near_dedup_filter`'s job; compose the two
+    when admitting a batch.
+
+    Scale story (100 TB): document text NEVER shuffles — signatures
+    are a map-side partial aggregate over scan-side shingles, bands
+    are |batch| x num_bands digest rows, and the history check is one
+    left-semi join on (band_idx, 32-hex band_hash) against a state
+    that carries digests only. Unlike the candidate-pair self-join
+    there is no quadratic bucket risk: semi-join output is bounded by
+    the batch side, so no hot-bucket cap is needed. Cost scales with
+    the increment + state digests, never with re-scanning historical
+    text. Documents with fewer than shingle_n tokens have no LSH
+    identity and pass through (exact dedup is the right tool for
+    those — same contract as minhash_bands).
+    """
+    batch_keep = drop_exact_duplicates(new_df, text_col=text_col, id_col=id_col)
+    sig = minhash_signature(
+        batch_keep.select(id_col, text_col), text_col, num_hashes,
+        id_col=id_col, keep_signatureless=False,
+    )
+    bands = minhash_bands(sig, num_hashes, band_size, id_col)
+    seen = state_bands.select("band_idx", "band_hash")
+    hit = (
+        bands.join(seen, ["band_idx", "band_hash"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return batch_keep.join(hit, id_col, "left_anti")

@@ -445,6 +445,52 @@ def pii_flags(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+# (pattern, placeholder) in APPLICATION ORDER — email first (it
+# contains dot-runs an IP pattern could later chew on), then the
+# dash-shaped numbers from most to least specific, IPs last. The
+# placeholders contain no digits or '@', so a later pattern can never
+# match inside an earlier replacement.
+PII_REDACTIONS: list[tuple[str, str]] = [
+    (EMAIL_RE, "<EMAIL>"),
+    (SSN_RE, "<SSN>"),
+    (PHONE_RE, "<PHONE>"),
+    (IP_RE, "<IP>"),
+]
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact PII in place — the rewrite side of the policy whose
+    detection side is :func:`pii_flags` (and whose event-pipeline
+    twin is processor_desensitize, reference
+    plugins/processor/desensitize/processor_desensitize.go): emails,
+    SSN-shaped and phone-shaped numbers, and IPv4 literals become
+    typed placeholders, applied as a fixed chain of global
+    regexp_replace passes (order documented on PII_REDACTIONS).
+
+    Returns (id, text, n_redacted) with ``text_col`` REPLACED by the
+    redacted form; ``n_redacted`` counts pattern matches on the
+    ORIGINAL text (pre-redaction, same expressions as pii_flags), so
+    flag-then-redact pipelines see consistent numbers. Pure scan-side
+    expressions — four regexp passes inside WholeStageCodegen, no
+    Python, no shuffle; at 100 TB this is a free rider on whatever
+    scan already reads the text."""
+    t = F.col(text_col)
+    red = t
+    n_total: Column = F.lit(0)
+    for pattern, placeholder in PII_REDACTIONS:
+        n_total = n_total + F.size(F.regexp_extract_all(t, F.lit(pattern), 0))
+        red = F.regexp_replace(red, pattern, placeholder)
+    others = [c for c in df.columns if c not in (id_col, text_col)]
+    return df.select(
+        F.col(id_col),
+        red.alias(text_col),
+        n_total.cast("bigint").alias("n_redacted"),
+        *others,
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Canonical-form fingerprint (the classic key-collision method):
     md5 of the sorted distinct lowercase tokens. Word-order- and

@@ -2117,3 +2117,207 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash near-dedup — new batch vs the LSH band state of
+# previously-kept docs (state = doc_id % 3 == 0, batch = the rest)
+# ---------------------------------------------------------------------------
+def _minhash_incremental_oracle() -> str:
+    mins = ", ".join(
+        f"list_aggregate(list_transform(s, x -> md5('{i}:' || x)), 'min') AS mh{i}"
+        for i in range(8)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {j} AS band_idx, "
+        f"md5(mh{2 * j} || '|' || mh{2 * j + 1}) AS band_hash FROM sig"
+        for j in range(4)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(col="text")} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(range(len(w) - 2),
+                                      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+                  ELSE [] END AS s
+      FROM toks
+    ), sig AS (
+      SELECT doc_id, {mins} FROM sh
+    ), bands AS (
+{band_selects}
+    ), state_b AS (
+      SELECT DISTINCT band_idx, band_hash FROM bands
+      WHERE doc_id % 3 = 0 AND band_hash IS NOT NULL
+    ), batch AS (
+      SELECT doc_id, md5(text) AS d,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents WHERE doc_id % 3 <> 0
+    ), bk AS (
+      SELECT doc_id, d FROM batch WHERE rn = 1
+    ), hit AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands b JOIN state_b s USING (band_idx, band_hash)
+      WHERE b.doc_id % 3 <> 0
+    )
+    SELECT bk.doc_id, bk.d AS text_md5 FROM bk
+    WHERE NOT EXISTS (SELECT 1 FROM hit h WHERE h.doc_id = bk.doc_id)
+    ORDER BY doc_id
+    """
+
+
+@query("dedup_minhash_incremental", _minhash_incremental_oracle())
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    state = dedup.state_bands_for(docs.filter(F.col("doc_id") % 3 == 0))
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    out = dedup.incremental_near_dedup(new, state)
+    return out.select(
+        "doc_id", F.md5(F.col("text")).alias("text_md5")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# mixture rebalancing to target per-source token shares (DoReMi-style
+# weighting; exact-integer thresholds so any engine keeps the same docs)
+# ---------------------------------------------------------------------------
+_REBALANCE_TARGETS = {
+    "src0": 400_000,
+    "src1": 300_000,
+    "src2": 200_000,
+    "src3": 100_000,
+    "src4": 1_000_000,  # target above the source's volume -> kept whole
+}
+_REBALANCE_BUDGET = 2000
+
+
+def _rebalance_oracle() -> str:
+    values = ", ".join(
+        f"('{s}', {w})" for s, w in sorted(_REBALANCE_TARGETS.items())
+    )
+    scale = 16 ** corpus._REBALANCE_HEX_DIGITS
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, source, len({SQL_TOKENS.format(col="text")}) AS nt
+      FROM documents
+    ), tot AS (
+      SELECT source, sum(nt) AS tot FROM tok GROUP BY source
+    ), w(source, wm) AS (
+      VALUES {values}
+    ), tgt AS (
+      SELECT tot.source, tot.tot,
+             (CAST({_REBALANCE_BUDGET} AS BIGINT) * coalesce(w.wm, 0)) // 1000000
+               AS tgt
+      FROM tot LEFT JOIN w USING (source)
+    ), thr AS (
+      SELECT source,
+             CASE WHEN tgt >= tot THEN 'g'
+                  ELSE lower(lpad(to_hex((tgt * {scale}) // tot), 6, '0')) END
+               AS thr
+      FROM tgt
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(nt) AS BIGINT) AS kept_tokens
+    FROM tok JOIN thr USING (source)
+    WHERE substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 6) < thr
+    GROUP BY source ORDER BY source
+    """
+
+
+@query("corpus_mixture_rebalance", _rebalance_oracle())
+def q_corpus_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    kept = corpus.rebalance_mixture(
+        docs, _REBALANCE_TARGETS, token_budget=_REBALANCE_BUDGET, salt="mix"
+    )
+    ntok = F.size(dedup.tokens_col(F.coalesce(F.col("text"), F.lit(""))))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum(ntok).cast("bigint").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the rewrite twin of text_pii_flags, same injected PII
+# ---------------------------------------------------------------------------
+def _pii_redact_oracle() -> str:
+    red = "text"
+    counts = []
+    for pattern, placeholder in textstats.PII_REDACTIONS:
+        red = f"regexp_replace({red}, '{pattern}', '{placeholder}', 'g')"
+        counts.append(f"len(regexp_extract_all(text, '{pattern}'))")
+    total = " + ".join(counts)
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 5 = 0
+                          THEN ' contact bob' || CAST(doc_id AS VARCHAR) || '@example.com'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0
+                          THEN ' call 555-123-4567' ELSE '' END
+                  || CASE WHEN doc_id % 11 = 0
+                          THEN ' host 10.1.2.3' ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           md5({red}) AS redacted_md5,
+           CAST({total} AS BIGINT) AS n_redacted
+    FROM d ORDER BY doc_id
+    """
+
+
+@query("text_pii_redact", _pii_redact_oracle())
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.format_string(" contact bob%d@example.com", F.col("doc_id")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-123-4567")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" host 10.1.2.3")).otherwise(
+                F.lit("")
+            ),
+        ),
+    ).select("doc_id", "text")
+    out = textstats.pii_redact(d)
+    return out.select(
+        "doc_id", F.md5(F.col("text")).alias("redacted_md5"), "n_redacted"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# heavy-hitter / hot-key report — the measurement step before salting
+# ---------------------------------------------------------------------------
+@query(
+    "events_hotkeys",
+    """
+    WITH c AS (
+      SELECT event_type AS key, count(*) AS n_rows FROM events GROUP BY 1
+    ), t AS (
+      SELECT sum(n_rows) AS tot FROM c
+    )
+    SELECT key,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST((n_rows * 1000000) // tot AS BIGINT) AS share_micro,
+           CAST((n_rows * 1000000) // tot >= 100000 AS INT) AS is_hot
+    FROM c, t ORDER BY n_rows DESC, key ASC LIMIT 5
+    """,
+)
+def q_events_hotkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ilogtail_spark.plans import skew
+
+    ev = _t(spark, sf_dir, "events").select("event_type")
+    return skew.hotkey_stats(
+        ev, "event_type", top_k=5, hot_share_micro=100_000
+    )

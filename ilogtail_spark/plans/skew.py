@@ -143,3 +143,50 @@ def salted_join(
         F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
     )
     return l_salted.join(r_salted, [on, "__salt__"], how).drop("__salt__")
+
+
+def hotkey_stats(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+    hot_share_micro: int = 100_000,
+) -> DataFrame:
+    """Heavy-hitter report for a key column — the measurement step
+    that decides WHETHER the skew machinery above is needed: the
+    top-``top_k`` keys by row count, each with its share of the total
+    in integer micro units and an ``is_hot`` flag at
+    ``hot_share_micro`` (default 10%). Run it on conv_id/user_id
+    before choosing between plain repartition, salted_join, and
+    AQE — a key whose share exceeds ~1/num_partitions is the one that
+    serializes a task.
+
+    Scale shape: ONE partial-aggregated groupBy on the key (the same
+    shuffle any per-key count pays); the grand total re-aggregates
+    the per-key counts (digest-sized input, no second scan) and
+    broadcast-joins back as a single row; top-k is sort+limit —
+    Catalyst plans TakeOrderedAndProject, so only k rows per
+    partition ever move. Ties break by key ascending so the report is
+    deterministic across partitionings.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").alias("__total__"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "key",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            # integer `div`, not floor(float /): bit-identical in any
+            # engine, no last-ulp rounding hazard at big counts
+            F.expr("n_rows * 1000000 div __total__")
+            .cast("bigint")
+            .alias("share_micro"),
+        )
+        .withColumn(
+            "is_hot",
+            (F.col("share_micro") >= hot_share_micro).cast("int"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(top_k)
+    )

@@ -432,3 +432,79 @@ class TestChunkDedup:
         out = corpus.chunk_dedup(df, window=2, stride=2).collect()
         assert len(out) == 1
         assert out[0]["chunk_idx"] == 0 and out[0]["dup_count"] == 3
+
+
+class TestRebalanceMixture:
+    DOCS = [
+        # src a: 3 docs x 4 tokens = 12 tokens
+        (0, "one two three four", "a"),
+        (1, "five six seven eight", "a"),
+        (2, "nine ten eleven twelve", "a"),
+        # src b: 2 docs x 5 tokens = 10 tokens
+        (3, "b one b two b", "b"),
+        (4, "b three b four b", "b"),
+        # src c: 1 doc, weight omitted from targets -> dropped
+        (5, "c tokens never kept", "c"),
+    ]
+
+    @staticmethod
+    def _expected(targets, budget, salt=""):
+        import hashlib
+        import re
+
+        toks = {
+            i: len([t for t in re.split(r"\s+", txt) if t])
+            for i, txt, _ in TestRebalanceMixture.DOCS
+        }
+        tot = {}
+        for i, _, s in TestRebalanceMixture.DOCS:
+            tot[s] = tot.get(s, 0) + toks[i]
+        kept = []
+        for i, _, s in TestRebalanceMixture.DOCS:
+            tgt = budget * targets.get(s, 0) // 1_000_000
+            if tgt >= tot[s]:
+                kept.append(i)
+                continue
+            thr = format(tgt * 16**6 // tot[s], "06x")
+            draw = hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:6]
+            if draw < thr:
+                kept.append(i)
+        return sorted(kept)
+
+    def df(self, spark):
+        return spark.createDataFrame(
+            self.DOCS, "doc_id long, text string, source string"
+        )
+
+    def test_matches_integer_threshold_math(self, spark):
+        targets = {"a": 300_000, "b": 200_000}
+        out = corpus.rebalance_mixture(
+            self.df(spark), targets, token_budget=20, salt="s"
+        )
+        got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+        assert got == self._expected(targets, 20, salt="s")
+
+    def test_overweight_source_kept_whole_and_absent_dropped(self, spark):
+        targets = {"a": 1_000_000}  # 20-token budget >= src a's 12
+        out = corpus.rebalance_mixture(
+            self.df(spark), targets, token_budget=20
+        )
+        got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+        assert got == [0, 1, 2]  # all of a, none of b or c
+
+    def test_reproducible_across_partitionings(self, spark):
+        targets = {"a": 500_000, "b": 500_000}
+        base = self.df(spark)
+        a = corpus.rebalance_mixture(base, targets, token_budget=10)
+        b = corpus.rebalance_mixture(
+            base.repartition(7, "doc_id"), targets, token_budget=10
+        )
+        assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+            r["doc_id"] for r in b.collect()
+        )
+
+    def test_passes_all_columns_through(self, spark):
+        out = corpus.rebalance_mixture(
+            self.df(spark), {"a": 1_000_000}, token_budget=100
+        )
+        assert set(out.columns) == {"doc_id", "text", "source"}

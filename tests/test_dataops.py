@@ -817,3 +817,138 @@ class TestSemanticDedup:
         ]
         cents = similarity.seed_centroids(self._emb(spark, rows), 3)
         assert [len(c) for c in cents] == [4, 4]
+
+
+class TestIncrementalNearDedup:
+    @staticmethod
+    def _bands(text: str, num_hashes: int = 8, band_size: int = 2, n: int = 3):
+        """Independent python reimplementation of the minhash band set
+        (differential check against the Spark path)."""
+        import hashlib
+        import re
+
+        toks = [t for t in re.split(r"\s+", text) if t]
+        if len(toks) < n:
+            return set()
+        sh = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        mh = [
+            min(
+                hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in sh
+            )
+            for i in range(num_hashes)
+        ]
+        return {
+            (
+                j,
+                hashlib.md5(
+                    f"{mh[j * band_size]}|{mh[j * band_size + 1]}".encode()
+                ).hexdigest(),
+            )
+            for j in range(num_hashes // band_size)
+        }
+
+    def test_matches_reference_band_logic(self, spark):
+        state_docs = [
+            (100, "the quick brown fox jumps over the lazy dog today"),
+            (101, "completely different content about spark pipelines"),
+        ]
+        batch_docs = [
+            # exact copy of state doc -> all bands shared -> dropped
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            # fresh -> kept
+            (2, "entirely novel words that no prior document carries"),
+            # in-batch exact pair -> keep-min only, then band check
+            (3, "repeated within this batch twice over many tokens"),
+            (4, "repeated within this batch twice over many tokens"),
+            # too short for LSH identity -> passes through
+            (5, "two words"),
+        ]
+        state_df = spark.createDataFrame(state_docs, "doc_id long, text string")
+        batch_df = spark.createDataFrame(batch_docs, "doc_id long, text string")
+        state = dedup.state_bands_for(state_df)
+        out = dedup.incremental_near_dedup(batch_df, state)
+        got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+
+        state_bands = set()
+        for _, t in state_docs:
+            state_bands |= self._bands(t)
+        seen_text = set()
+        expected = []
+        for i, t in sorted(batch_docs):
+            if t in seen_text:
+                continue
+            seen_text.add(t)
+            if self._bands(t) & state_bands:
+                continue
+            expected.append(i)
+        assert got == sorted(expected)
+        assert 1 not in got and 4 not in got
+        assert 2 in got and 3 in got and 5 in got
+
+    def test_near_edit_of_state_doc_dropped(self, spark):
+        # a long doc sharing most shingles with a state doc shares at
+        # least one band here (verified by the reference band logic —
+        # the assertion below recomputes it rather than assuming)
+        base = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon"
+        )
+        edited = base.replace("upsilon", "phi")
+        assert self._bands(base) & self._bands(edited), "fixture must collide"
+        state = dedup.state_bands_for(
+            spark.createDataFrame([(9, base)], "doc_id long, text string")
+        )
+        out = dedup.incremental_near_dedup(
+            spark.createDataFrame([(1, edited)], "doc_id long, text string"),
+            state,
+        )
+        assert out.count() == 0
+
+    def test_history_check_is_semi_join_no_pair_blowup(self, spark):
+        # the state comparison must plan as ONE semi join (bounded by
+        # the batch side) — never an inner self-join that could
+        # materialize candidate PAIRS
+        batch = spark.createDataFrame(
+            [(1, "some document text here for the plan test")],
+            "doc_id long, text string",
+        )
+        state = dedup.state_bands_for(batch)
+        plan = (
+            dedup.incremental_near_dedup(batch, state)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("LeftSemi") == 1
+        assert plan.count("LeftAnti") == 1  # the id-level history drop
+
+
+class TestPiiRedact:
+    def test_redacts_all_four_kinds(self, spark):
+        df = spark.createDataFrame(
+            [
+                (
+                    1,
+                    "mail bob@example.com ssn 123-45-6789 "
+                    "call 555-123-4567 host 10.1.2.3 end",
+                    "en",
+                ),
+                (2, "nothing sensitive here", "de"),
+            ],
+            "doc_id long, text string, lang string",
+        )
+        rows = {r["doc_id"]: r for r in textstats.pii_redact(df).collect()}
+        assert rows[1]["text"] == "mail <EMAIL> ssn <SSN> call <PHONE> host <IP> end"
+        assert rows[1]["n_redacted"] == 4
+        assert rows[2]["text"] == "nothing sensitive here"
+        assert rows[2]["n_redacted"] == 0
+        # non-text columns ride along untouched
+        assert rows[1]["lang"] == "en" and rows[2]["lang"] == "de"
+
+    def test_placeholders_not_rematched(self, spark):
+        # a placeholder must never be chewed on by a later pattern
+        df = spark.createDataFrame(
+            [(1, "x bob@example.com y 10.1.2.3")], "doc_id long, text string"
+        )
+        out = textstats.pii_redact(df).collect()[0]
+        assert out["text"] == "x <EMAIL> y <IP>"

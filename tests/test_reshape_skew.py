@@ -487,3 +487,29 @@ class TestSaltedJoin:
 
         with _pytest.raises(ValueError):
             skew.salted_join(df, df, on="k", how="full")
+
+
+class TestHotkeyStats:
+    def test_counts_shares_and_flags(self, spark):
+        rows = [("hot",)] * 6 + [("warm",)] * 3 + [("cold",)] * 1
+        df = spark.createDataFrame(rows, "k string")
+        out = skew.hotkey_stats(df, "k", top_k=2, hot_share_micro=500_000).collect()
+        assert [(r["key"], r["n_rows"]) for r in out] == [("hot", 6), ("warm", 3)]
+        assert out[0]["share_micro"] == 600_000 and out[0]["is_hot"] == 1
+        assert out[1]["share_micro"] == 300_000 and out[1]["is_hot"] == 0
+
+    def test_ties_break_by_key_ascending(self, spark):
+        rows = [("b",)] * 2 + [("a",)] * 2 + [("c",)] * 1
+        df = spark.createDataFrame(rows, "k string")
+        out = skew.hotkey_stats(df, "k", top_k=3).collect()
+        assert [r["key"] for r in out] == ["a", "b", "c"]
+
+    def test_plans_take_ordered_top_k(self, spark):
+        df = spark.createDataFrame([("x",), ("y",)], "k string")
+        plan = (
+            skew.hotkey_stats(df, "k", top_k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan

@@ -785,6 +785,92 @@ def main() -> int:
         "branches union by name into one write/aggregate.",
     )
 
+    # 28. incremental MinHash near-dedup: the history check must be a
+    # bounded semi join on band digests, never a pair-producing join
+    from ilogtail_spark.dataops import dedup as _dedup
+
+    docs28 = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    state28 = _dedup.state_bands_for(docs28.filter(F.col("doc_id") % 3 == 0))
+    q28 = _dedup.incremental_near_dedup(
+        docs28.filter(F.col("doc_id") % 3 != 0), state28
+    )
+    p28 = formatted(q28)
+    audit(
+        "incremental MinHash near-dedup (batch vs band state)",
+        q28,
+        [
+            ("history check is exactly ONE LeftSemi join (output bounded "
+             "by the batch side — no candidate-pair blowup possible)",
+             p28.count("Join type: LeftSemi") == 1),
+            ("id-level drop is ONE LeftAnti join",
+             p28.count("Join type: LeftAnti") == 1),
+            ("signatures partial-aggregate map-side (HashAggregate below "
+             "the exchange)", "HashAggregate" in p28),
+            ("no Python stage", not re.search(r"EvalPython|InPandas", p28)),
+        ],
+        "Admitting a new batch against the LSH band state of every "
+        "previously-kept document: signatures are a map-side partial "
+        "aggregate over scan-side shingles, and the state comparison "
+        "is a semi join on (band_idx, 32-hex digest). Cost scales "
+        "with the increment + state digests; historical text is "
+        "never re-read, batch text never shuffles for the check.",
+    )
+
+    # 29. mixture rebalance: per-source rates broadcast back, keep
+    # decision is a scan-side expression on the main pass
+    from ilogtail_spark.dataops import corpus as _corpus
+
+    docs29 = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    q29 = _corpus.rebalance_mixture(
+        docs29, {"src0": 400_000, "src1": 300_000}, token_budget=2000
+    )
+    p29 = formatted(q29)
+    audit(
+        "mixture rebalance to target token shares (broadcast rates)",
+        q29,
+        [
+            ("per-source threshold table joins by BROADCAST",
+             "BroadcastHashJoin" in p29 and "SortMergeJoin" not in p29),
+            ("exactly one shuffle exchange (the tiny per-source total "
+             "aggregate), none on the document pass",
+             n_shuffles(p29) == 1),
+            ("no Python stage", not re.search(r"EvalPython|InPandas", p29)),
+        ],
+        "The data-dependent sampling rates are one (source, threshold) "
+        "row per source — aggregated from a narrow token-count pass, "
+        "broadcast back, and applied as a deterministic md5 filter "
+        "expression. Document text never shuffles; at 100 TB the only "
+        "exchange carries one row per source. Thresholds are exact "
+        "BIGINT math, so any engine keeps the identical document set.",
+    )
+
+    # 30. PII redaction: a pure projection — free rider on any scan
+    from ilogtail_spark.dataops import textstats as _textstats
+
+    q30 = _textstats.pii_redact(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    )
+    p30 = formatted(q30)
+    audit(
+        "PII redaction (scan-side rewrite)",
+        q30,
+        [
+            ("zero shuffles, zero joins", n_shuffles(p30) == 0
+             and "Join" not in p30),
+            ("no Python stage — four regexp passes inside codegen",
+             not re.search(r"EvalPython|InPandas", p30)),
+            ("the projection is whole-stage-codegen'd (starred node)",
+             "* Project" in p30),
+        ],
+        "The redaction chain is four global regexp_replace passes in "
+        "one Project over the scan — the rewrite rides whatever pass "
+        "already reads the text, adding no stage of its own.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
