@@ -780,14 +780,15 @@ def mixture_report(
 
 
 # rebalance_mixture compares a 6-hex-char draw (granularity 1/16^6 ~
-# 6e-8) instead of deterministic_keep's 8: the per-source threshold is
-# computed from DATA (target*16^6 div source_tokens) in exact BIGINT
-# arithmetic, and 6 hex digits keep the multiplication overflow-safe
-# to 2^63/16^6 ~ 5.5e14 target tokens per source — comfortably past a
-# 100 TB corpus — where 8 digits would overflow at 2^31. A
+# 6e-8 — ample for corpus sampling rates): the per-source threshold
+# is computed from DATA (target*16^6 div source_tokens), so unlike
+# deterministic_keep the math cannot be pre-folded to a literal. All
+# threshold arithmetic runs as exact 128-bit integers (DECIMAL(38,0)
+# products on the Spark side, HUGEINT in the DuckDB oracle) — a
 # double-precision rate would be simpler but engines may round the
 # last ulp differently, and one flipped threshold bit changes which
-# documents survive; integer math is bit-identical everywhere.
+# documents survive; wide integer math is bit-identical everywhere
+# and cannot wrap at any realistic budget x weight x corpus size.
 _REBALANCE_HEX_DIGITS = 6
 
 
@@ -842,7 +843,13 @@ def rebalance_mixture(
     # draw -> dropped.
     thr = F.when(F.col("__target__") >= F.col("__tot__"), F.lit("g")).otherwise(
         F.lpad(
-            F.lower(F.hex(F.expr(f"__target__ * {scale} div __tot__"))),
+            F.lower(
+                F.hex(
+                    F.expr(
+                        f"CAST(__target__ AS DECIMAL(38,0)) * {scale} div __tot__"
+                    )
+                )
+            ),
             _REBALANCE_HEX_DIGITS,
             "0",
         )
@@ -856,7 +863,9 @@ def rebalance_mixture(
         .select(
             "__g__",
             "__tot__",
-            F.expr(f"{int(token_budget)} * __w__ div 1000000").alias("__target__"),
+            F.expr(
+                f"CAST({int(token_budget)} AS DECIMAL(38,0)) * __w__ div 1000000"
+            ).alias("__target__"),
         )
         .select("__g__", thr.alias("__thr__"))
     )

@@ -2196,7 +2196,10 @@ def _rebalance_oracle() -> str:
     values = ", ".join(
         f"('{s}', {w})" for s, w in sorted(_REBALANCE_TARGETS.items())
     )
-    scale = 16 ** corpus._REBALANCE_HEX_DIGITS
+    d = corpus._REBALANCE_HEX_DIGITS
+    scale = 16**d
+    # HUGEINT products mirror the Spark side's DECIMAL(38,0) math —
+    # both 128-bit exact, so neither engine can wrap or round
     return f"""
     WITH tok AS (
       SELECT doc_id, source, len({SQL_TOKENS.format(col="text")}) AS nt
@@ -2207,13 +2210,15 @@ def _rebalance_oracle() -> str:
       VALUES {values}
     ), tgt AS (
       SELECT tot.source, tot.tot,
-             (CAST({_REBALANCE_BUDGET} AS BIGINT) * coalesce(w.wm, 0)) // 1000000
-               AS tgt
+             CAST((CAST({_REBALANCE_BUDGET} AS HUGEINT) * coalesce(w.wm, 0))
+                  // 1000000 AS BIGINT) AS tgt
       FROM tot LEFT JOIN w USING (source)
     ), thr AS (
       SELECT source,
              CASE WHEN tgt >= tot THEN 'g'
-                  ELSE lower(lpad(to_hex((tgt * {scale}) // tot), 6, '0')) END
+                  ELSE lower(lpad(to_hex(CAST(
+                         (CAST(tgt AS HUGEINT) * {scale}) // tot AS BIGINT)),
+                       {d}, '0')) END
                AS thr
       FROM tgt
     )
@@ -2221,7 +2226,7 @@ def _rebalance_oracle() -> str:
            CAST(count(*) AS BIGINT) AS n_kept,
            CAST(sum(nt) AS BIGINT) AS kept_tokens
     FROM tok JOIN thr USING (source)
-    WHERE substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 6) < thr
+    WHERE substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, {d}) < thr
     GROUP BY source ORDER BY source
     """
 
@@ -2309,8 +2314,10 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT key,
            CAST(n_rows AS BIGINT) AS n_rows,
-           CAST((n_rows * 1000000) // tot AS BIGINT) AS share_micro,
-           CAST((n_rows * 1000000) // tot >= 100000 AS INT) AS is_hot
+           CAST((CAST(n_rows AS HUGEINT) * 1000000) // tot AS BIGINT)
+             AS share_micro,
+           CAST((CAST(n_rows AS HUGEINT) * 1000000) // tot >= 100000 AS INT)
+             AS is_hot
     FROM c, t ORDER BY n_rows DESC, key ASC LIMIT 5
     """,
 )

@@ -177,9 +177,13 @@ def hotkey_stats(
         .select(
             "key",
             F.col("n_rows").cast("bigint").alias("n_rows"),
-            # integer `div`, not floor(float /): bit-identical in any
-            # engine, no last-ulp rounding hazard at big counts
-            F.expr("n_rows * 1000000 div __total__")
+            # exact integer `div` over a DECIMAL(38,0) product, not
+            # floor(float /): no last-ulp rounding hazard, and the
+            # widened product cannot wrap BIGINT even when one key
+            # holds > 9.2e12 rows (n * 1e6 passes 2^63 right in the
+            # ultra-hot regime this report exists to flag). DuckDB's
+            # HUGEINT computes the identical 128-bit value.
+            F.expr("CAST(n_rows AS DECIMAL(38,0)) * 1000000 div __total__")
             .cast("bigint")
             .alias("share_micro"),
         )

@@ -459,14 +459,15 @@ class TestRebalanceMixture:
         tot = {}
         for i, _, s in TestRebalanceMixture.DOCS:
             tot[s] = tot.get(s, 0) + toks[i]
+        d = corpus._REBALANCE_HEX_DIGITS
         kept = []
         for i, _, s in TestRebalanceMixture.DOCS:
             tgt = budget * targets.get(s, 0) // 1_000_000
             if tgt >= tot[s]:
                 kept.append(i)
                 continue
-            thr = format(tgt * 16**6 // tot[s], "06x")
-            draw = hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:6]
+            thr = format(tgt * 16**d // tot[s], f"0{d}x")
+            draw = hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:d]
             if draw < thr:
                 kept.append(i)
         return sorted(kept)
