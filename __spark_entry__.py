@@ -40,6 +40,7 @@ _FRONT = [
     # r04-unsampled rotation ordered oldest-driver-check first
     "dedup_minhash_incremental", "corpus_mixture_rebalance",
     "text_pii_redact", "events_hotkeys",
+    "corpus_decontaminate_filter", "sim_cluster_report",
     "corpus_chunk_dedup",
     "dedup_semantic", "sim_ann_lsh_topk", "multi_pipeline_counts",
     "dedup_minhash_sig", "dedup_minhash_pairs", "dedup_jaccard",

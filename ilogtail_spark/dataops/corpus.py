@@ -883,3 +883,31 @@ def rebalance_mixture(
         .filter(draw < F.col("__thr__"))
         .drop("__g__", "__thr__")
     )
+
+
+def decontaminate_filter(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: Callable[[Column], Column] | None = None,
+    max_hits: int = 0,
+) -> DataFrame:
+    """The filter form of :func:`contamination_stats`: DROP documents
+    whose benchmark n-gram overlap exceeds ``max_hits`` (default 0 —
+    any shared 13-gram disqualifies, the GPT-3 appendix-C policy).
+    Returns the surviving rows of ``df`` with all columns intact.
+
+    Scale shape: the stats side is unchanged (benchmark shingles
+    broadcast, corpus text never shuffles); the contaminated-id set
+    is then BROADCAST for the anti join — contamination against an
+    eval set is rare by construction, so the set is tiny. If a
+    pathological benchmark contaminates a large corpus fraction,
+    drop the broadcast hint and let AQE pick the join side.
+    """
+    stats = contamination_stats(
+        df, benchmark, n=n, text_col=text_col, id_col=id_col, hash_fn=hash_fn
+    )
+    bad = stats.filter(F.col("n_contaminated") > max_hits).select(id_col)
+    return df.join(F.broadcast(bad), id_col, "left_anti")

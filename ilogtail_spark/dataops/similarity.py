@@ -681,3 +681,65 @@ def ann_lsh_topk(
             "query_id", "nbr_id", "rk", F.round(F.col("__cos_raw__"), 6).alias("cos")
         )
     )
+
+
+def cluster_report(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space data card: one row per IVF coarse cluster with
+    its population, label diversity, and dominant label — the
+    composition/diversity table a pretraining data card shows for an
+    embedded corpus (and the "is one domain swamping this region of
+    embedding space?" signal that motivates semantic_dedup's
+    hot-cluster cap).
+
+    Returns (ivf_list, n_vectors, n_labels, top_label, top_label_n,
+    top_share_micro); ties for the dominant label break to the
+    lowest label, and the share is exact fixed-point micro (128-bit
+    integer math, engine-identical). Vectors without an IVF identity
+    (NULL/short embeddings) are excluded — count them upstream with a
+    plain null filter if the card needs them.
+
+    Scale shape: cluster assignment is scan-side (constant-folded
+    centroid matrix, same O(1)-plan trick as ivf_assign everywhere
+    else); ONE partial-aggregated groupBy on (ivf_list, label) —
+    ints only — then the per-cluster windows run over n_centroids x
+    n_labels rows, a frame that is tiny by construction regardless
+    of corpus size.
+    """
+    cents = seed_centroids(df, n_centroids, vec_col=vec_col, id_col=id_col)
+    assigned = ivf_assign(df, cents, vec_col=vec_col).filter(
+        F.col("ivf_list").isNotNull()
+    )
+    per = assigned.groupBy(
+        "ivf_list", F.col(label_col).cast("bigint").alias("label")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("ivf_list")
+    wr = Window.partitionBy("ivf_list").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    return (
+        per.select(
+            "ivf_list",
+            "label",
+            "n",
+            F.sum("n").over(w).alias("n_vectors"),
+            F.count(F.lit(1)).over(w).alias("n_labels"),
+            F.row_number().over(wr).alias("__rn__"),
+        )
+        .filter(F.col("__rn__") == 1)
+        .select(
+            F.col("ivf_list").cast("bigint").alias("ivf_list"),
+            F.col("n_vectors").cast("bigint").alias("n_vectors"),
+            F.col("n_labels").cast("bigint").alias("n_labels"),
+            F.col("label").alias("top_label"),
+            F.col("n").cast("bigint").alias("top_label_n"),
+            F.expr("CAST(n AS DECIMAL(38,0)) * 1000000 div n_vectors")
+            .cast("bigint")
+            .alias("top_share_micro"),
+        )
+    )

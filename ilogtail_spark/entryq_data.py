@@ -2328,3 +2328,93 @@ def q_events_hotkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew.hotkey_stats(
         ev, "event_type", top_k=5, hot_share_micro=100_000
     )
+
+
+# ---------------------------------------------------------------------------
+# decontamination FILTER — the rewrite form of corpus_decontaminate
+# (same n=5 / benchmark = doc_id % 29 == 3 operating point)
+# ---------------------------------------------------------------------------
+def _decontaminate_filter_oracle(
+    n: int = 5, bench_mod: int = 29, bench_rem: int = 3, max_hits: int = 0
+) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(col="text")} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, {_shingle_sql(n)} AS s FROM toks
+    ), bench AS (
+      SELECT DISTINCT unnest(s) AS g FROM sh
+      WHERE doc_id % {bench_mod} = {bench_rem}
+    ), probe AS (
+      SELECT doc_id, unnest(s) AS g FROM sh
+    ), hits AS (
+      SELECT doc_id, count(*) AS n_contaminated FROM probe
+      WHERE g IN (SELECT g FROM bench) GROUP BY doc_id
+    )
+    SELECT d.doc_id, md5(d.text) AS text_md5
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE coalesce(h.n_contaminated, 0) <= {max_hits}
+    ORDER BY doc_id
+    """
+
+
+@query("corpus_decontaminate_filter", _decontaminate_filter_oracle())
+def q_corpus_decontaminate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 29 == 3)
+    out = corpus.decontaminate_filter(docs, bench, n=5, hash_fn=F.md5)
+    return out.select(
+        "doc_id", F.md5(F.col("text")).alias("text_md5")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cluster data card (population / label diversity per IVF list)
+# ---------------------------------------------------------------------------
+def _cluster_report_oracle(n_centroids: int = 16) -> str:
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid,
+             list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y))))
+               AS ce
+      FROM v WHERE vec_id < {n_centroids}
+    ), scored_c AS (
+      SELECT v.vec_id, c.cid,
+             list_sum(list_transform(range({DIM}), i -> v.e[i+1] * c.ce[i+1])) AS s
+      FROM v CROSS JOIN c
+    ), assign AS (
+      SELECT vec_id, cid AS ivf_list FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+        FROM scored_c
+      ) WHERE rn = 1
+    ), lab AS (
+      SELECT a.ivf_list, CAST(e.label AS BIGINT) AS label, count(*) AS n
+      FROM assign a JOIN embeddings e USING (vec_id)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(ivf_list AS BIGINT) AS ivf_list,
+           CAST(n_vectors AS BIGINT) AS n_vectors,
+           CAST(n_labels AS BIGINT) AS n_labels,
+           top_label,
+           CAST(top_label_n AS BIGINT) AS top_label_n,
+           CAST((CAST(top_label_n AS HUGEINT) * 1000000) // n_vectors AS BIGINT)
+             AS top_share_micro
+    FROM (
+      SELECT ivf_list, label AS top_label, n AS top_label_n,
+             sum(n) OVER (PARTITION BY ivf_list) AS n_vectors,
+             count(*) OVER (PARTITION BY ivf_list) AS n_labels,
+             row_number() OVER (
+               PARTITION BY ivf_list ORDER BY n DESC, label ASC) AS rn
+      FROM lab
+    ) WHERE rn = 1 ORDER BY ivf_list
+    """
+
+
+@query("sim_cluster_report", _cluster_report_oracle())
+def q_sim_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cluster_report(emb, n_centroids=16).orderBy("ivf_list")

@@ -509,3 +509,38 @@ class TestRebalanceMixture:
             self.df(spark), {"a": 1_000_000}, token_budget=100
         )
         assert set(out.columns) == {"doc_id", "text", "source"}
+
+
+class TestDecontaminateFilter:
+    def test_contaminated_doc_dropped_rows_intact(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "the secret eval answer is forty two")],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "prefix the secret eval answer is forty two suffix", "keepme"),
+                (2, "totally unrelated training document text here", "x"),
+                (3, "short doc", "y"),  # < n tokens: never contaminated
+            ],
+            "doc_id long, text string, extra string",
+        )
+        out = corpus.decontaminate_filter(docs, bench, n=5)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert set(rows) == {2, 3}
+        assert rows[2]["extra"] == "x"  # full rows survive
+
+    def test_max_hits_threshold(self, spark):
+        bench = spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+        )
+        doc = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        )
+        # the doc shares exactly 2 distinct 5-grams with the benchmark?
+        # no — one ('alpha..epsilon'); with max_hits=1 it survives
+        assert corpus.decontaminate_filter(doc, bench, n=5).count() == 0
+        assert (
+            corpus.decontaminate_filter(doc, bench, n=5, max_hits=1).count() == 1
+        )

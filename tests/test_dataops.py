@@ -952,3 +952,62 @@ class TestPiiRedact:
         )
         out = textstats.pii_redact(df).collect()[0]
         assert out["text"] == "x <EMAIL> y <IP>"
+
+
+class TestClusterReport:
+    def test_populations_labels_and_dominance(self, spark):
+        # two orthogonal clusters: ids 0-3 hug the x axis (label 7
+        # three times, label 9 once), ids 4-6 hug the y axis (label 5)
+        rows = [
+            (0, [1.0, 0.0], 7),
+            (1, [0.9, 0.1], 7),
+            (2, [0.95, 0.05], 7),
+            (3, [0.8, 0.2], 9),
+            (4, [0.0, 1.0], 5),
+            (5, [0.1, 0.9], 5),
+            (6, [0.05, 0.95], 5),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = {
+            r["ivf_list"]: r
+            for r in similarity.cluster_report(emb, n_centroids=2).collect()
+        }
+        # centroids seed from ids 0 (x axis) and 1 (x-ish): both point
+        # mostly along x, so recompute expectations from the operator's
+        # own assignment rather than guessing
+        cents = similarity.seed_centroids(emb, 2)
+        assign = {
+            r["vec_id"]: r["ivf_list"]
+            for r in similarity.ivf_assign(emb, cents).collect()
+        }
+        from collections import Counter
+
+        by_cluster: dict[int, Counter] = {}
+        labels = {i: lab for i, _, lab in rows}
+        for vid, cl in assign.items():
+            by_cluster.setdefault(cl, Counter())[labels[vid]] += 1
+        assert set(out) == set(by_cluster)
+        for cl, counts in by_cluster.items():
+            r = out[cl]
+            assert r["n_vectors"] == sum(counts.values())
+            assert r["n_labels"] == len(counts)
+            top_n = max(counts.values())
+            top_label = min(l for l, c in counts.items() if c == top_n)
+            assert r["top_label"] == top_label
+            assert r["top_label_n"] == top_n
+            assert r["top_share_micro"] == top_n * 1_000_000 // sum(counts.values())
+
+    def test_null_and_short_vectors_excluded(self, spark):
+        rows = [
+            (0, [1.0, 0.0], 1),
+            (1, [0.0, 1.0], 2),
+            (2, [1.0], 3),  # short: no IVF identity
+            (3, None, 4),  # null embedding
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = similarity.cluster_report(emb, n_centroids=2).collect()
+        assert sum(r["n_vectors"] for r in out) == 2

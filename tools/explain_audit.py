@@ -871,6 +871,63 @@ def main() -> int:
         "already reads the text, adding no stage of its own.",
     )
 
+    # 31. decontamination FILTER: tiny contaminated-id set broadcast
+    q31 = _corpus.decontaminate_filter(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text"),
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 29 == 3),
+        n=5,
+        hash_fn=F.md5,
+    )
+    p31 = formatted(q31)
+    audit(
+        "decontamination filter (broadcast anti join on the hit set)",
+        q31,
+        [
+            ("final join is a broadcast LEFT ANTI (hit set builds the "
+             "hash side)", "LeftAnti" in p31 and "BroadcastHashJoin" in p31),
+            ("benchmark shingles AND the contaminated-id set both "
+             "broadcast — no shuffle grows with the corpus",
+             n_broadcasts(p31) >= 2),
+            ("corpus text never shuffles (every non-broadcast exchange "
+             "carries digests/ids only)",
+             not re.search(r"Exchange hashpartitioning\([^)]*text", p31)),
+        ],
+        "The rewrite form of contamination_stats: the stats side keeps "
+        "its broadcast-probe shape, the resulting contaminated-id set "
+        "is broadcast for the anti join (contamination against an eval "
+        "set is rare by construction). Surviving documents stream "
+        "straight off the scan.",
+    )
+
+    # 32. embedding-cluster data card: scan-side assignment, int-only agg
+    from ilogtail_spark.dataops import similarity as _sim
+
+    q32 = _sim.cluster_report(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), n_centroids=16
+    )
+    p32 = formatted(q32)
+    audit(
+        "embedding-cluster data card (scan-side IVF assignment)",
+        q32,
+        [
+            ("cluster assignment joins nothing — the centroid matrix is "
+             "a constant-folded literal (seed collect aside, no join in "
+             "the plan)", "Join" not in p32),
+            ("no Python stage — assignment and shares are codegen "
+             "expressions", not re.search(r"EvalPython|InPandas", p32)),
+            ("every shuffle moves (ivf_list, label, n) ints — vectors "
+             "never shuffle",
+             not re.search(r"Exchange hashpartitioning\([^)]*embedding", p32)),
+        ],
+        "Per-cluster population/diversity/dominance: assignment is the "
+        "same O(1)-plan constant-folded centroid trick as ivf_assign "
+        "everywhere else; ONE partial-aggregated groupBy on (ivf_list, "
+        "label) — ints only — then windows over an n_centroids x "
+        "n_labels frame that is tiny regardless of corpus size.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
