@@ -911,3 +911,113 @@ def decontaminate_filter(
     )
     bad = stats.filter(F.col("n_contaminated") > max_hits).select(id_col)
     return df.join(F.broadcast(bad), id_col, "left_anti")
+
+
+def assign_splits(
+    df: DataFrame,
+    splits: dict[str, int],
+    id_col: str = "doc_id",
+    key_col: str | None = None,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: add ``out_col`` naming
+    which split each row belongs to. ``splits`` maps split name ->
+    share in MICRO units (parts per 1,000,000; must sum to exactly
+    1,000,000 so every row is assigned), evaluated in dict order.
+
+    The draw is the same seedless 8-hex md5 draw as
+    :func:`deterministic_keep` — a pure function of (salt, key) — so
+    the assignment is reproducible across runs, partitionings, and
+    engines, and a later re-run never migrates a document between
+    splits (the property that keeps eval sets frozen as the corpus
+    grows: NEW ids land in splits at the target rates, existing ids
+    never move). Cumulative thresholds are exact integer math on the
+    16^8 draw space.
+
+    ``key_col`` keys the draw by a grouping column instead of the row
+    id — pass a dedup cluster id, canonical URL, or source document
+    id so near-duplicate family members land in the SAME split (the
+    standard train/test-leakage guard; splitting i.i.d. by row id
+    puts near-dups of training docs in the eval set). Rows with a
+    NULL key fall back to the row id.
+
+    Scale shape: pure scan-side expression — one md5 + an ordered
+    when-chain of literal hex thresholds; no shuffle, no join. The
+    split column is a free rider on whatever pass already reads the
+    table.
+    """
+    total = sum(splits.values())
+    if total != 1_000_000:
+        raise ValueError(
+            f"split shares must sum to 1,000,000 micro (got {total}): "
+            "every row must be assigned to exactly one split"
+        )
+    if any(w < 0 for w in splits.values()):
+        raise ValueError("split shares must be non-negative")
+    key = (
+        F.coalesce(F.col(key_col).cast("string"), F.col(id_col).cast("string"))
+        if key_col is not None
+        else F.col(id_col).cast("string")
+    )
+    draw = F.substring(F.md5(F.concat(F.lit(salt), key)), 1, 8)
+    names = list(splits)
+    cum = 0
+    expr: Column = F.lit(names[-1])  # remainder of the 16^8 space
+    # build the when-chain back to front so earlier splits win
+    bounds: list[tuple[str, str]] = []
+    for name in names[:-1]:
+        cum += splits[name]
+        bounds.append((name, format(cum * 16**8 // 1_000_000, "08x")))
+    for name, thr in reversed(bounds):
+        expr = F.when(draw < F.lit(thr), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Diff two corpus snapshots by content digest: one row per doc id
+    present in either snapshot, with ``status`` in (added, removed,
+    changed, unchanged) plus both digests — the change report an
+    incremental 100 TB corpus build runs between crawls to size the
+    delta before reprocessing (and the audit trail for "what did this
+    refresh actually touch?").
+
+    Returns (id, status, old_md5, new_md5); ``include_unchanged``
+    keeps the (typically dominant) unchanged rows too.
+
+    Scale shape: each side reduces to (id, 32-hex digest) AT THE SCAN
+    — document text never shuffles; the full-outer sort-merge join
+    moves 40-byte rows regardless of document size. Output defaults
+    to changed rows only, which is small by construction between
+    adjacent snapshots.
+    """
+    o = old.select(
+        F.col(id_col).alias("__id__"),
+        F.md5(F.col(text_col)).alias("old_md5"),
+    )
+    n = new.select(
+        F.col(id_col).alias("__id__"),
+        F.md5(F.col(text_col)).alias("new_md5"),
+    )
+    joined = o.join(n, "__id__", "full_outer")
+    status = (
+        F.when(F.col("old_md5").isNull(), F.lit("added"))
+        .when(F.col("new_md5").isNull(), F.lit("removed"))
+        .when(F.col("old_md5") != F.col("new_md5"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.select(
+        F.col("__id__").alias(id_col),
+        status.alias("status"),
+        "old_md5",
+        "new_md5",
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out

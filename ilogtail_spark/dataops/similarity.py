@@ -743,3 +743,102 @@ def cluster_report(
             .alias("top_share_micro"),
         )
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "qvec"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q_i = round(x_i * 127 /
+    max|x|), clipping unnecessary by construction (|q_i| <= 127). Adds
+    ``out_col`` (array<int>, values in [-127, 127]) and ``qscale``
+    (double, max|x| / 127 — multiply back to dequantize).
+
+    Why ints: a 100 TB embedding column is 4 bytes/dim of float32 —
+    quantized it ships 1 byte/dim of payload across every shuffle,
+    broadcast, and at-rest copy, and dot products become EXACT BIGINT
+    math (no accumulation-order nondeterminism: any engine, any
+    partitioning, bit-identical scores). The rounding rule is written
+    as floor(r + 0.5) so every engine computes the identical code
+    (round() half-tie policy differs across engines; floor does not).
+
+    An all-zero vector quantizes to all zeros (qscale 0); a NULL
+    vector stays NULL. Pure scan-side expressions — no shuffle.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    q = F.when(mx == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.floor((x * F.lit(127.0)) / mx + F.lit(0.5)).cast("int"),
+        )
+    )
+    return df.withColumn(out_col, q).withColumn(
+        "qscale", F.when(mx == 0.0, F.lit(0.0)).otherwise(mx / F.lit(127.0))
+    )
+
+
+def cosine_topk_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact top-k over int8-quantized vectors — the reduced-precision
+    twin of :func:`cosine_topk` for corpora where the 4x shuffle/
+    broadcast byte saving matters more than the last ~0.3% of cosine
+    fidelity (at 100 TB it always does for the candidate-generation
+    pass; re-rank survivors at full precision if needed).
+
+    Scores are cos_q = dot_q / sqrt(|q|^2 * |c|^2) where dot_q and
+    both norms are EXACT integers (int8 x int8 summed in BIGINT), so
+    the only float ops are one multiply, one sqrt, one divide —
+    bit-identical in any IEEE engine, no accumulation-order drift.
+    Returns (query_id, nbr_id, rk, dot_q, cos_q); ranking breaks ties
+    to the lowest nbr_id. Zero vectors (norm 0) score NULL cosine and
+    rank last. ``queries`` is broadcast — the corpus never shuffles;
+    the only exchange is the final per-query top-k window.
+    """
+    cq = quantize_embeddings(corpus, vec_col).select(
+        F.col(id_col).alias("nbr_id"), F.col("qvec").alias("cv")
+    )
+    qq = quantize_embeddings(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("qv")
+    )
+
+    def idot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("bigint") * y.cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    joined = cq.join(F.broadcast(qq), F.col("nbr_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "nbr_id",
+        idot(F.col("cv"), F.col("qv")).alias("dot_q"),
+        idot(F.col("cv"), F.col("cv")).alias("__nc__"),
+        idot(F.col("qv"), F.col("qv")).alias("__nq__"),
+    ).withColumn(
+        "__cos_raw__",
+        F.when(
+            (F.col("__nc__") > 0) & (F.col("__nq__") > 0),
+            F.col("dot_q")
+            / F.sqrt((F.col("__nc__") * F.col("__nq__")).cast("double")),
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos_raw__").desc_nulls_last(), F.col("nbr_id").asc()
+    )
+    out = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "nbr_id", "rk", "dot_q", F.col("__cos_raw__").alias("cos_q"))
+    )
+    if round_to is not None:
+        out = out.withColumn("cos_q", F.round(F.col("cos_q"), round_to))
+    return out

@@ -2418,3 +2418,143 @@ def _cluster_report_oracle(n_centroids: int = 16) -> str:
 def q_sim_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cluster_report(emb, n_centroids=16).orderBy("ivf_list")
+
+
+# ---------------------------------------------------------------------------
+# deterministic split assignment (train/val/test; frozen-eval-set draw)
+# ---------------------------------------------------------------------------
+_SPLITS_MICRO = {"train": 900_000, "val": 50_000, "test": 50_000}
+
+
+def _split_assign_oracle() -> str:
+    names = list(_SPLITS_MICRO)
+    cum = 0
+    whens = []
+    for name in names[:-1]:
+        cum += _SPLITS_MICRO[name]
+        thr = format(cum * 16**8 // 1_000_000, "08x")
+        whens.append(f"WHEN draw < '{thr}' THEN '{name}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             substring(md5('' || CAST(doc_id AS VARCHAR)), 1, 8) AS draw
+      FROM documents
+    )
+    SELECT doc_id, {case} AS split FROM d ORDER BY doc_id
+    """
+
+
+@query("corpus_split_assign", _split_assign_oracle())
+def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = corpus.assign_splits(docs, _SPLITS_MICRO)
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff (added/removed/changed between two corpus snapshots)
+# ---------------------------------------------------------------------------
+def _snapshot_diff_oracle() -> str:
+    return """
+    WITH old AS (
+      SELECT doc_id, md5(text) AS old_md5 FROM documents
+    ), new_snap AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+                      ELSE text END) AS new_md5
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             md5('added doc ' || CAST(doc_id AS VARCHAR)) AS new_md5
+      FROM documents WHERE doc_id % 11 = 0
+    ), j AS (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.old_md5, n.new_md5
+      FROM old o FULL OUTER JOIN new_snap n USING (doc_id)
+    )
+    SELECT doc_id,
+           CASE WHEN old_md5 IS NULL THEN 'added'
+                WHEN new_md5 IS NULL THEN 'removed'
+                WHEN old_md5 <> new_md5 THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           old_md5, new_md5
+    FROM j
+    WHERE NOT (old_md5 IS NOT NULL AND new_md5 IS NOT NULL
+               AND old_md5 = new_md5)
+    ORDER BY doc_id
+    """
+
+
+@query("corpus_snapshot_diff", _snapshot_diff_oracle())
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new_snap = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.concat(
+                    F.lit("added doc "), F.col("doc_id").cast("string")
+                ).alias("text"),
+            )
+        )
+    )
+    return corpus.snapshot_diff(docs, new_snap).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized cosine top-k (exact-integer dot products)
+# ---------------------------------------------------------------------------
+def _cosine_topk_quantized_oracle(k: int = 5) -> str:
+    dot = f"list_sum(list_transform(range({DIM}), i -> c.qv[i+1] * q.qv[i+1]))"
+    nc = f"list_sum(list_transform(range({DIM}), i -> c.qv[i+1] * c.qv[i+1]))"
+    nq = f"list_sum(list_transform(range({DIM}), i -> q.qv[i+1] * q.qv[i+1]))"
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM v
+    ), q8 AS (
+      SELECT vec_id,
+             CASE WHEN mx = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(
+                    e, x -> CAST(floor((x * 127.0) / mx + 0.5) AS BIGINT))
+             END AS qv
+      FROM m
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+             {dot} AS dot_q, {nc} AS nc, {nq} AS nq
+      FROM q8 c CROSS JOIN q8 q
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT query_id, nbr_id, dot_q,
+             CASE WHEN nc > 0 AND nq > 0
+                  THEN dot_q / sqrt(CAST(nc * nq AS DOUBLE)) END AS cos_raw,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY (CASE WHEN nc > 0 AND nq > 0
+                         THEN dot_q / sqrt(CAST(nc * nq AS DOUBLE)) END)
+                        DESC NULLS LAST,
+                        nbr_id ASC) AS rk
+      FROM scored
+    )
+    SELECT query_id, nbr_id, rk, CAST(dot_q AS BIGINT) AS dot_q,
+           round(cos_raw, 6) AS cos_q
+    FROM ranked WHERE rk <= {k} ORDER BY query_id, rk
+    """
+
+
+@query("sim_cosine_topk_quantized", _cosine_topk_quantized_oracle())
+def q_sim_cosine_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk_quantized(emb, queries, k=5).orderBy(
+        "query_id", "rk"
+    )

@@ -544,3 +544,87 @@ class TestDecontaminateFilter:
         assert (
             corpus.decontaminate_filter(doc, bench, n=5, max_hits=1).count() == 1
         )
+
+
+class TestAssignSplits:
+    SPLITS = {"train": 900_000, "val": 50_000, "test": 50_000}
+
+    def test_matches_reference_draw_and_is_exhaustive(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(400)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["split"]
+            for r in corpus.assign_splits(df, self.SPLITS).collect()
+        }
+        import hashlib
+
+        def expect(i: int) -> str:
+            draw = hashlib.md5(str(i).encode()).hexdigest()[:8]
+            cum = 0
+            names = list(self.SPLITS)
+            for name in names[:-1]:
+                cum += self.SPLITS[name]
+                if draw < format(cum * 16**8 // 1_000_000, "08x"):
+                    return name
+            return names[-1]
+
+        assert got == {i: expect(i) for i in range(400)}
+        # every row assigned; majority split dominates at these shares
+        assert set(got.values()) <= set(self.SPLITS)
+        assert sum(1 for v in got.values() if v == "train") > 300
+
+    def test_key_col_keeps_families_together(self, spark):
+        rows = [(i, f"fam{i % 7}") for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, family string")
+        out = corpus.assign_splits(
+            df, self.SPLITS, key_col="family"
+        ).collect()
+        by_family: dict[str, set] = {}
+        for r in out:
+            by_family.setdefault(r["family"], set()).add(r["split"])
+        assert all(len(s) == 1 for s in by_family.values())
+
+    def test_null_key_falls_back_to_id(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, "k")], "doc_id long, family string"
+        )
+        out = corpus.assign_splits(df, self.SPLITS, key_col="family")
+        assert out.filter(F.col("split").isNull()).count() == 0
+
+    def test_bad_shares_rejected(self, spark):
+        df = spark.createDataFrame([(1,)], "doc_id long")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="sum to 1,000,000"):
+            corpus.assign_splits(df, {"train": 1})
+        with _pytest.raises(ValueError, match="non-negative"):
+            corpus.assign_splits(
+                df, {"a": -1, "b": 1_000_001}
+            )
+
+
+class TestSnapshotDiff:
+    def test_all_statuses(self, spark):
+        old = spark.createDataFrame(
+            [(1, "same"), (2, "will change"), (3, "will vanish")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(1, "same"), (2, "changed!"), (4, "brand new")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r for r in corpus.snapshot_diff(old, new).collect()
+        }
+        assert set(out) == {2, 3, 4}
+        assert out[2]["status"] == "changed"
+        assert out[2]["old_md5"] is not None and out[2]["new_md5"] is not None
+        assert out[3]["status"] == "removed" and out[3]["new_md5"] is None
+        assert out[4]["status"] == "added" and out[4]["old_md5"] is None
+
+    def test_include_unchanged(self, spark):
+        old = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        out = corpus.snapshot_diff(old, old, include_unchanged=True).collect()
+        assert len(out) == 1 and out[0]["status"] == "unchanged"
+        assert corpus.snapshot_diff(old, old).count() == 0

@@ -1011,3 +1011,86 @@ class TestClusterReport:
         )
         out = similarity.cluster_report(emb, n_centroids=2).collect()
         assert sum(r["n_vectors"] for r in out) == 2
+
+
+class TestQuantizedCosine:
+    def test_quantize_codes_and_scale(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, [1.0, -0.5, 0.25, 0.0]),
+                (1, [0.0, 0.0, 0.0, 0.0]),
+                (2, None),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        rows = {
+            r["vec_id"]: r
+            for r in similarity.quantize_embeddings(df).collect()
+        }
+        assert rows[0]["qvec"] == [127, -63, 32, 0]  # floor(r+0.5) rule
+        assert abs(rows[0]["qscale"] - 1.0 / 127.0) < 1e-12
+        assert rows[1]["qvec"] == [0, 0, 0, 0] and rows[1]["qscale"] == 0.0
+        assert rows[2]["qvec"] is None
+        mx = max(
+            abs(v)
+            for r in rows.values()
+            if r["qvec"]
+            for v in r["qvec"]
+        )
+        assert mx <= 127
+
+    def test_topk_matches_python_reference(self, spark):
+        import hashlib
+        import math
+
+        def vec(i: int) -> list[float]:
+            return [
+                (int(hashlib.md5(f"{i},{d}".encode()).hexdigest()[:4], 16)
+                 % 200 - 100) / 100.0
+                for d in range(8)
+            ]
+
+        rows = [(i, vec(i)) for i in range(30)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        queries = df.filter(F.col("vec_id") < 3)
+        got = [
+            (r["query_id"], r["nbr_id"], r["rk"], r["dot_q"], r["cos_q"])
+            for r in similarity.cosine_topk_quantized(df, queries, k=4)
+            .orderBy("query_id", "rk")
+            .collect()
+        ]
+
+        def quant(v: list[float]) -> list[int]:
+            m = max(abs(x) for x in v)
+            if m == 0:
+                return [0] * len(v)
+            return [math.floor((x * 127.0) / m + 0.5) for x in v]
+
+        qd = {i: quant(v) for i, v in rows}
+        expect = []
+        for qi in range(3):
+            scored = []
+            for ci, _ in rows:
+                if ci == qi:
+                    continue
+                dot = sum(a * b for a, b in zip(qd[ci], qd[qi]))
+                nc = sum(a * a for a in qd[ci])
+                nq = sum(a * a for a in qd[qi])
+                cos = dot / math.sqrt(nc * nq) if nc and nq else None
+                scored.append((ci, dot, cos))
+            scored.sort(key=lambda t: (-(t[2] if t[2] is not None else -9), t[0]))
+            for rk, (ci, dot, cos) in enumerate(scored[:4], start=1):
+                expect.append((qi, ci, rk, dot, round(cos, 6)))
+        assert got == expect
+
+    def test_zero_vector_ranks_last(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = similarity.cosine_topk_quantized(
+            df, df.filter(F.col("vec_id") == 0), k=2
+        ).collect()
+        by_rk = {r["rk"]: r for r in out}
+        assert by_rk[1]["nbr_id"] == 1
+        assert by_rk[2]["nbr_id"] == 2 and by_rk[2]["cos_q"] is None

@@ -928,6 +928,83 @@ def main() -> int:
         "n_labels frame that is tiny regardless of corpus size.",
     )
 
+    # 33. split assignment: a free-riding scan-side expression
+    q33 = _corpus.assign_splits(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+        {"train": 900_000, "val": 50_000, "test": 50_000},
+    )
+    p33 = formatted(q33)
+    audit(
+        "train/val/test split assignment (scan-side draw)",
+        q33,
+        [
+            ("zero shuffles, zero joins", n_shuffles(p33) == 0
+             and "Join" not in p33),
+            ("no Python stage — md5 draw + literal-threshold when-chain "
+             "inside codegen", not re.search(r"EvalPython|InPandas", p33)),
+            ("the projection is whole-stage-codegen'd (starred node)",
+             "* Project" in p33),
+        ],
+        "Split assignment is one md5 substring compare against literal "
+        "hex thresholds — a pure projection riding whatever pass "
+        "already reads the table; the draw is a function of (salt, "
+        "key) so re-runs and re-partitionings never migrate a "
+        "document between splits.",
+    )
+
+    # 34. snapshot diff: digest at the scan, join 40-byte rows
+    docs33 = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    q34 = _corpus.snapshot_diff(
+        docs33, docs33.filter(F.col("doc_id") % 7 != 0)
+    )
+    p34 = formatted(q34)
+    audit(
+        "corpus snapshot diff (digest-only full-outer join)",
+        q34,
+        [
+            ("document text never shuffles — every exchange carries "
+             "(id, 32-hex digest) only",
+             not re.search(r"Exchange hashpartitioning\([^)]*text", p34)),
+            ("the diff is ONE full-outer sort-merge join",
+             p34.count("SortMergeJoin FullOuter") == 1),
+            ("no Python stage", not re.search(r"EvalPython|InPandas", p34)),
+        ],
+        "Each snapshot reduces to (id, md5) in the scan stage Project, "
+        "so the join moves ~40-byte rows no matter how large the "
+        "documents are; at 100 TB the diff costs two digest scans "
+        "plus one narrow shuffle.",
+    )
+
+    # 35. quantized cosine top-k: int8 payload, exact integer dots
+    q35 = _sim.cosine_topk_quantized(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+            F.col("vec_id") < 5
+        ),
+        k=5,
+    )
+    p35 = formatted(q35)
+    audit(
+        "int8-quantized cosine top-k (broadcast queries, integer dots)",
+        q35,
+        [
+            ("the query side broadcasts — the corpus never shuffles "
+             "for scoring", n_broadcasts(p35) >= 1),
+            ("exactly ONE shuffle: the final per-query top-k window",
+             n_shuffles(p35) == 1),
+            ("no Python stage — quantization and BIGINT dot products "
+             "are codegen expressions",
+             not re.search(r"EvalPython|InPandas", p35)),
+        ],
+        "The reduced-precision twin of cosine_topk: int8 codes ship "
+        "1 byte/dim (4x less than float32) across the broadcast and "
+        "the window exchange, and every dot product is exact BIGINT "
+        "math — bit-identical at any parallelism, no accumulation-"
+        "order drift to adjudicate.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
