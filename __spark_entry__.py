@@ -38,6 +38,12 @@ def entry(spark: SparkSession) -> DataFrame:
 _FRONT = [
     # round-5 new queries first (never driver-checked), then the
     # r04-unsampled rotation ordered oldest-driver-check first
+    "corpus_split_assign", "corpus_snapshot_diff",
+    "sim_cosine_topk_quantized", "corpus_source_quota",
+    "events_value_quantiles", "retrieval_hybrid_rrf",
+    "corpus_prep_report",
+    # text_quality code changed this round (passthrough param)
+    "text_quality",
     "dedup_minhash_incremental", "corpus_mixture_rebalance",
     "text_pii_redact", "events_hotkeys",
     "corpus_decontaminate_filter", "sim_cluster_report",

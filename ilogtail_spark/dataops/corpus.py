@@ -1021,3 +1021,196 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.filter(F.col("status") != "unchanged")
     return out
+
+
+def source_quota_sample(
+    df: DataFrame,
+    quota: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "",
+    prefilter_factor: int = 8,
+) -> DataFrame:
+    """Per-source document cap: keep at most ``quota`` documents from
+    each source, chosen deterministically — the "no domain may exceed
+    K documents" rule every web corpus applies so a handful of
+    mega-domains don't dominate the mixture. The kept set is the
+    ``quota`` LOWEST deterministic draws per source (same seedless
+    md5 draw as :func:`deterministic_keep`, ties broken by id), so
+    the sample is reproducible across runs, partitionings, engines —
+    and STABLE under corpus growth in the only way a hash draw can
+    be: a document's draw never changes, so re-running after a crawl
+    adds/evicts documents only at the quota boundary.
+
+    Semantics (what the oracle pins): exactly
+    ``row_number() OVER (PARTITION BY source ORDER BY draw, id) <=
+    quota``. NULL sources form their own group.
+
+    Scale shape — this is NOT implemented as that window. A window
+    sorts every group in full, and one 10^10-document mega-domain
+    (precisely what quotas exist for) lands in a single task. Instead:
+
+    1. One narrow aggregate counts docs per source (rows are
+       (source, n) — tiny).
+    2. Per source, a CANDIDATE threshold keeps ~``prefilter_factor *
+       quota`` expected draws (exact integer hex arithmetic on the
+       16^8 draw space; sources with n <= factor*quota skip the
+       prefilter). The candidate set is ~factor*quota rows per
+       source REGARDLESS of group size, so the rank step that
+       follows sorts bounded groups.
+    3. Exactness guard: candidate counts are verified >= min(quota,
+       n) per source; a shortfall source (astronomically unlikely at
+       factor 8 — mean candidates = 8*quota — but hash draws are not
+       proofs) falls back to all its rows. This check is the one
+       eager action in the operator (collects only shortfall
+       sources, normally zero rows).
+    4. The quota-th (draw, id) pair per source — a one-row-per-source
+       BOUNDS table — broadcasts back, and the final keep decision is
+       a scan-side comparison. Document text never shuffles and never
+       sorts; the only wide ops touch (id, source, 8-hex-draw) rows.
+
+    At 10^7+ distinct sources the bounds broadcast approaches the
+    driver limit — raise ``spark.sql.autoBroadcastJoinThreshold``
+    sizing accordingly or accept a shuffled bounds join by wrapping
+    the result; the candidate path itself is cardinality-safe.
+    """
+    if quota <= 0:
+        raise ValueError(f"quota must be positive (got {quota})")
+    if prefilter_factor < 1:
+        raise ValueError("prefilter_factor must be >= 1")
+    draw = _draw_hex(F.col(id_col), salt)
+    narrow = df.select(
+        F.col(id_col).alias("__qid__"),
+        F.col(source_col).alias("__qsrc__"),
+        draw.alias("__qdraw__"),
+    )
+    counts = narrow.groupBy("__qsrc__").agg(F.count("*").alias("__qn__"))
+    cap = quota * prefilter_factor
+    # ceil(cap * 16^8 / n) as an 8-hex threshold; strictly < 16^8
+    # whenever n > cap (the only branch that uses it), so lpad never
+    # truncates. Bigint-safe: cap * 16^8 <= ~4.3e9 * cap.
+    thr_val = F.floor(
+        (F.lit(cap * 16**8) + F.col("__qn__") - 1) / F.col("__qn__")
+    ).cast("bigint")
+    thr = F.when(F.col("__qn__") <= F.lit(cap), F.lit("g")).otherwise(
+        F.lower(F.lpad(F.hex(thr_val), 8, "0"))
+    )
+    cbounds = counts.select(
+        F.col("__qsrc__").alias("__qsrc2__"), "__qn__", thr.alias("__qthr__")
+    )
+    cand = narrow.join(
+        F.broadcast(cbounds),
+        narrow["__qsrc__"].eqNullSafe(cbounds["__qsrc2__"]),
+    ).drop("__qsrc2__")
+    cand = cand.filter(F.col("__qdraw__") < F.col("__qthr__"))
+    # exactness guard (normally selects zero rows). Anchored on the
+    # COUNTS side with a left join: a source whose prefilter caught
+    # zero candidates has no row in the candidate aggregate at all,
+    # and an inner join would silently skip exactly the sources that
+    # need the refill most.
+    cand_counts = cand.groupBy("__qsrc__").agg(F.count("*").alias("__qc__"))
+    shortfall = (
+        cbounds.filter(F.col("__qthr__") != "g")
+        .join(
+            cand_counts,
+            F.col("__qsrc2__").eqNullSafe(F.col("__qsrc__")),
+            "left",
+        )
+        .filter(
+            F.coalesce(F.col("__qc__"), F.lit(0))
+            < F.least(F.lit(quota), F.col("__qn__"))
+        )
+        .select(F.col("__qsrc2__").alias("__qsrc__"))
+        .collect()
+    )
+    if shortfall:
+        bad = [r["__qsrc__"] for r in shortfall]
+        bad_df = narrow.sparkSession.createDataFrame(
+            [(s,) for s in bad], "__qsrc2__ string"
+        )
+        refill = (
+            narrow.join(
+                F.broadcast(bad_df),
+                narrow["__qsrc__"].eqNullSafe(bad_df["__qsrc2__"]),
+                "left_semi",
+            )
+            .join(
+                F.broadcast(cbounds),
+                narrow["__qsrc__"].eqNullSafe(cbounds["__qsrc2__"]),
+            )
+            .drop("__qsrc2__")
+        )
+        keep_bad = cand.join(
+            F.broadcast(bad_df),
+            cand["__qsrc__"].eqNullSafe(bad_df["__qsrc2__"]),
+            "left_anti",
+        )
+        cand = keep_bad.unionByName(refill)
+    w = Window.partitionBy("__qsrc__").orderBy("__qdraw__", "__qid__")
+    bounds = (
+        cand.withColumn("__qrn__", F.row_number().over(w))
+        .filter(F.col("__qrn__") == F.least(F.lit(quota), F.col("__qn__")))
+        .select(
+            F.col("__qsrc__").alias("__qsrc2__"),
+            F.col("__qdraw__").alias("__qbdraw__"),
+            F.col("__qid__").alias("__qbid__"),
+        )
+    )
+    out = df.join(
+        F.broadcast(bounds),
+        F.col(source_col).eqNullSafe(F.col("__qsrc2__")),
+        "inner",
+    )
+    keep = (draw < F.col("__qbdraw__")) | (
+        (draw == F.col("__qbdraw__")) & (F.col(id_col) <= F.col("__qbid__"))
+    )
+    return out.filter(keep).drop("__qsrc2__", "__qbdraw__", "__qbid__")
+
+
+def prep_report(
+    df: DataFrame,
+    splits: dict[str, int],
+    min_quality_micro: int = 500_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "",
+) -> DataFrame:
+    """The composed corpus-prep pipeline, end to end: exact dedup →
+    quality filter → train/val/test split assignment → per-(split,
+    source) data card. One registry-checkable query that exercises
+    the stages a real pretraining build chains (the per-stage ops are
+    the public API; this pins that they COMPOSE — column contracts,
+    determinism, and plan shape survive chaining).
+
+    Returns (split, source, n_docs, n_tokens, sum_quality_micro)
+    ordered by (split, source).
+
+    Scale shape: dedup shuffles 32-byte digests (rank-1 window on
+    md5(text)); the quality score rides the post-dedup scan as ONE
+    projection (``passthrough=True`` — no join back to the corpus);
+    the split draw is scan-side; the report is a partial+final hash
+    aggregate on a handful of (split, source) groups. Document text
+    crosses the wire exactly once — in the dedup exchange, which any
+    exact dedup fundamentally requires (or avoid even that by
+    substituting digest-based :func:`~ilogtail_spark.dataops.dedup.
+    incremental_exact_dedup` when a digest state table exists).
+    """
+    from ilogtail_spark.dataops.dedup import drop_exact_duplicates
+    from ilogtail_spark.dataops.textstats import quality_score
+
+    kept = drop_exact_duplicates(df, text_col=text_col, id_col=id_col)
+    scored = quality_score(kept, text_col=text_col, id_col=id_col, passthrough=True)
+    good = scored.filter(F.col("quality_score_micro") >= min_quality_micro)
+    split = assign_splits(good, splits, id_col=id_col, salt=salt)
+    return (
+        split.groupBy(F.col("split"), F.col(source_col).alias("source"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(tokens_col(F.col(text_col))).cast("bigint")).alias(
+                "n_tokens"
+            ),
+            F.sum("quality_score_micro").alias("sum_quality_micro"),
+        )
+        .orderBy("split", "source")
+    )

@@ -143,3 +143,64 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "score_micro", "rank")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    k0: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09) of
+    N rankings — the standard hybrid-retrieval combiner for "BM25
+    list + vector list" (and any other mix): a document's fused score
+    is the sum over lists of 1 / (k0 + rank), so agreement between
+    rankers dominates any single ranker's score scale. ``k0 = 60`` is
+    the canonical damping constant.
+
+    Every input needs (query_col, id_col, rank_col) with rank 1-based
+    within query (extra columns are ignored). Returns one row per
+    fused (query, doc) kept in the top ``k``:
+    (query_id, doc_id, rrf_nano, n_lists, best_rank, rank).
+
+    ``rrf_nano`` is the fused score in exact NANO units — each list
+    contributes the INTEGER 10^9 DIV (k0 + rank), so the sum is
+    BIGINT math: order-independent across partitionings and
+    bit-identical in any engine (the float form 1/(k0+r) would make
+    tie behavior depend on summation order). Ties break to the lower
+    doc id. ``n_lists``/``best_rank`` expose how broad and how high
+    the support was — the fields a fusion audit wants.
+
+    Scale shape: each input is already a top-k (|queries| x k rows —
+    probe-scale, not corpus-scale); the union, one hash aggregate on
+    (query, doc), and one per-query window are all narrow. Cost lives
+    in producing the input rankings, not here.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    contrib = F.expr(f"CAST({10**9} DIV ({k0} + {rank_col}) AS BIGINT)")
+    parts = [
+        r.select(
+            F.col(query_col),
+            F.col(id_col),
+            contrib.alias("__rrf__"),
+            F.col(rank_col).cast("int").alias("__rank__"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(query_col, id_col).agg(
+        F.sum("__rrf__").alias("rrf_nano"),
+        F.count("*").alias("n_lists"),
+        F.min("__rank__").alias("best_rank"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_nano").desc(), F.col(id_col).asc()
+    )
+    return fused.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

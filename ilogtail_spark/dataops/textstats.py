@@ -222,7 +222,12 @@ def drop_boilerplate_lines(
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough: bool = False,
+) -> DataFrame:
     """Heuristic quality features + a composite score, length band,
     punctuation ratio, stopword ratio, repetition (distinct/total
     tokens) — the shape of a C4/Gopher-style quality filter, kept
@@ -234,14 +239,22 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     DuckDB/IEEE double rounding disagree by 1 ulp. All micro ratios
     are floor(num * 1e6 / den) — exact in binary doubles for any
     realistic doc length — and the /4 weights are powers of two, so
-    every engine computes bit-identical integers."""
+    every engine computes bit-identical integers.
+
+    ``passthrough=True`` keeps every input column alongside the four
+    outputs — the filter-in-a-pipeline form: downstream can apply
+    ``quality_score_micro >= thr`` as a scan-side predicate with no
+    join back to the corpus (the features remain one projection)."""
     t = F.col(text_col)
     toks = tokens_col(t)
+    lead: list[Column] = (
+        [df[c] for c in df.columns] if passthrough else [F.col(id_col)]
+    )
     # materialize the expensive counters ONCE: each feeds both a ratio
     # and a micro column, and inlined they'd run twice per row (the
     # regexp_replace + the stopword filter + array_distinct dominate)
     feat = df.select(
-        F.col(id_col),
+        *lead,
         F.length(t).alias("__n__"),
         F.size(toks).alias("__ntok__"),
         F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")).alias("__punct__"),
@@ -264,8 +277,9 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     stop_part = F.floor(F.least(stop_micro * 10, F.lit(1_000_000)) / 4)
     distinct_part = F.floor(distinct_micro / 4)
     score_micro = (len_part + punct_part + stop_part + distinct_part).cast("long")
+    out_lead = df.columns if passthrough else [id_col]
     return feat.select(
-        F.col(id_col),
+        *[F.col(c) for c in out_lead],
         F.round(punct / F.greatest(n, F.lit(1)), 6).alias("punct_ratio"),
         F.round(stop_hits / F.greatest(n_tok, F.lit(1)), 6).alias("stopword_ratio"),
         F.round(n_distinct / F.greatest(n_tok, F.lit(1)), 6).alias("distinct_ratio"),

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ilogtail_spark.dataops import (
+    analytics,
     corpus,
     dedup,
     multimodal,
@@ -2557,4 +2558,240 @@ def q_sim_cosine_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.cosine_topk_quantized(emb, queries, k=5).orderBy(
         "query_id", "rk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source quota sampling (domain caps)
+# ---------------------------------------------------------------------------
+def _source_quota_oracle(quota: int) -> str:
+    # semantics contract: exactly the quota LOWEST (draw, id) per source
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             substring(md5('' || CAST(doc_id AS VARCHAR)), 1, 8) AS draw
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY draw, doc_id) AS rn
+      FROM d
+    )
+    SELECT doc_id, source FROM r WHERE rn <= {quota} ORDER BY doc_id
+    """
+
+
+@query("corpus_source_quota", _source_quota_oracle(10))
+def q_corpus_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # prefilter_factor=2 with 25-doc sources forces the candidate-
+    # threshold path (cap 20 < 25), not just the keep-all branch
+    out = corpus.source_quota_sample(docs, quota=10, prefilter_factor=2)
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# exact nearest-rank value quantiles per event type
+# ---------------------------------------------------------------------------
+_QS_MICRO = (500_000, 900_000, 990_000)
+
+
+def _quantiles_oracle() -> str:
+    qlist = ", ".join(str(q) for q in _QS_MICRO)
+    return f"""
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    ), qs AS (SELECT unnest([{qlist}]) AS q_micro)
+    SELECT r.event_type, CAST(q.q_micro AS BIGINT) AS q_micro,
+           r.n, r.value AS q_value
+    FROM r CROSS JOIN qs q
+    WHERE r.rn = greatest(1, (q.q_micro * r.n + 999999) // 1000000)
+    ORDER BY event_type, q_micro
+    """
+
+
+@query("events_value_quantiles", _quantiles_oracle())
+def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = analytics.grouped_quantiles(ev, "event_type", "value", _QS_MICRO)
+    return out.orderBy("event_type", "q_micro")
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: BM25 + vector cosine fused with reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+def _hybrid_rrf_oracle(
+    k: int = 5, per_list: int = 10, k0: int = 60, qmod: int = 97, qrem: int = 5
+) -> str:
+    toks = SQL_TOKENS.format(col="lower(text)")
+    cos = _cosine_sql("c.e", "q.e")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {toks} AS w FROM documents
+    ), lens AS (
+      SELECT doc_id, len(w) AS dl FROM toks
+    ), stats AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl FROM lens
+    ), qterms AS (
+      SELECT DISTINCT doc_id AS query_id, unnest(w[1:8]) AS term
+      FROM toks WHERE doc_id % {qmod} = {qrem}
+    ), posts AS (
+      SELECT doc_id, unnest(w) AS term FROM toks
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM posts
+      WHERE term IN (SELECT DISTINCT term FROM qterms)
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), contrib AS (
+      SELECT q.query_id, t.doc_id,
+             CAST(floor(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+               * 1000000) AS BIGINT) AS c
+      FROM tf t
+      JOIN dfreq d USING (term)
+      JOIN qterms q USING (term)
+      JOIN lens l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+    ), lex AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(sum(c) AS BIGINT) DESC, doc_id ASC) AS rank
+      FROM contrib GROUP BY query_id, doc_id
+      QUALIFY rank <= {per_list}
+    ), v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), vq AS (SELECT * FROM v WHERE vec_id % {qmod} = {qrem}),
+    vec AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {cos} DESC, c.vec_id ASC) AS rank
+        FROM v c JOIN vq q ON c.vec_id <> q.vec_id
+      ) WHERE rank <= {per_list}
+    ), unioned AS (
+      SELECT query_id, doc_id, 1000000000 // ({k0} + rank) AS c, rank
+      FROM lex
+      UNION ALL
+      SELECT query_id, doc_id, 1000000000 // ({k0} + rank) AS c, rank
+      FROM vec
+    ), fused AS (
+      SELECT query_id, doc_id,
+             CAST(sum(c) AS BIGINT) AS rrf_nano,
+             CAST(count(*) AS BIGINT) AS n_lists,
+             CAST(min(rank) AS INT) AS best_rank
+      FROM unioned GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_nano, n_lists, best_rank,
+           CAST(row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY rrf_nano DESC, doc_id ASC) AS INT) AS rank
+    FROM fused
+    QUALIFY rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+@query("retrieval_hybrid_rrf", _hybrid_rrf_oracle())
+def q_retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    probes = (
+        docs.filter(F.col("doc_id") % 97 == 5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(dedup.tokens_col(F.lower(F.col("text"))), 1, 8), " "
+            ).alias("qtext"),
+        )
+    )
+    lex = retrieval.bm25_topk(docs, probes, k=10)
+    emb = _t(spark, sf_dir, "embeddings")
+    vqueries = emb.filter(F.col("vec_id") % 97 == 5)
+    vec = similarity.cosine_topk(emb, vqueries, k=10, round_to=None).select(
+        F.col("query_id"),
+        F.col("nbr_id").alias("doc_id"),
+        F.col("rk").alias("rank"),
+    )
+    fused = retrieval.rrf_fuse([lex, vec], k=5)
+    return fused.orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# composed end-to-end corpus prep: dedup -> quality filter -> split -> card
+# ---------------------------------------------------------------------------
+def _prep_report_oracle(min_q: int = 700_000) -> str:
+    # duplicate docs are synthesized (every 50th doc re-appears under
+    # id+1e6) so the dedup stage provably fires; quality formula and
+    # split thresholds mirror text_quality / corpus_split_assign
+    names = list(_SPLITS_MICRO)
+    cum = 0
+    whens = []
+    for name in names[:-1]:
+        cum += _SPLITS_MICRO[name]
+        thr = format(cum * 16**8 // 1_000_000, "08x")
+        whens.append(f"WHEN draw < '{thr}' THEN '{name}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    toks = SQL_TOKENS.format(col="text")
+    return f"""
+    WITH unioned AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, source
+      FROM documents WHERE doc_id % 50 = 0
+    ), keepers AS (
+      SELECT doc_id, text, source FROM (
+        SELECT doc_id, text, source,
+               row_number() OVER (
+                 PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM unioned) t WHERE rn = 1
+    ), toks AS (
+      SELECT doc_id, text, source, {toks} AS w FROM keepers
+    ), feat AS (
+      SELECT doc_id, source, len(w) AS n_tok,
+             len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
+             len(list_filter(w, x -> list_contains([{_STOP_SQL}], lower(x)))) AS stop_hits,
+             len(list_distinct(w)) AS n_distinct,
+             len(text) AS n
+      FROM toks
+    ), scored AS (
+      SELECT doc_id, source, n_tok,
+             CAST((CASE WHEN n BETWEEN 50 AND 10000 THEN 250000 ELSE 0 END)
+                  + (CASE WHEN floor(punct * 1000000 / greatest(n, 1)) <= 200000
+                          THEN 250000 ELSE 0 END)
+                  + CAST(floor(least(floor(stop_hits * 1000000 / greatest(n_tok, 1)) * 10,
+                                     1000000) / 4.0) AS BIGINT)
+                  + CAST(floor(floor(n_distinct * 1000000 / greatest(n_tok, 1)) / 4.0) AS BIGINT)
+               AS BIGINT) AS q_micro
+      FROM feat
+    ), good AS (
+      SELECT *, substring(md5('' || CAST(doc_id AS VARCHAR)), 1, 8) AS draw
+      FROM scored WHERE q_micro >= {min_q}
+    )
+    SELECT {case} AS split, source,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(q_micro) AS BIGINT) AS sum_quality_micro
+    FROM good
+    GROUP BY 1, 2 ORDER BY split, source
+    """
+
+
+@query("corpus_prep_report", _prep_report_oracle())
+def q_corpus_prep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    unioned = docs.unionByName(
+        docs.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "source"
+        )
+    )
+    return corpus.prep_report(
+        unioned, _SPLITS_MICRO, min_quality_micro=700_000
     )

@@ -1,0 +1,97 @@
+"""grouped_quantiles (exact nearest-rank percentiles) and rrf_fuse
+(reciprocal-rank fusion) unit tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ilogtail_spark.dataops import analytics, retrieval
+
+
+class TestGroupedQuantiles:
+    def test_exact_nearest_rank_with_ties(self, spark):
+        # group "a": sorted values [1, 2, 2, 3, 10] (n=5)
+        #   p50 -> k=ceil(2.5)=3 -> 2;  p90 -> k=ceil(4.5)=5 -> 10
+        # group "b": [7] -> every quantile is 7
+        rows = [("a", 2.0), ("a", 1.0), ("a", 10.0), ("a", 2.0), ("a", 3.0),
+                ("b", 7.0)]
+        df = spark.createDataFrame(rows, "g string, value double")
+        out = {
+            (r["g"], r["q_micro"]): (r["n"], r["q_value"])
+            for r in analytics.grouped_quantiles(
+                df, "g", "value", (500_000, 900_000)
+            ).collect()
+        }
+        assert out[("a", 500_000)] == (5, 2.0)
+        assert out[("a", 900_000)] == (5, 10.0)
+        assert out[("b", 500_000)] == (1, 7.0)
+        assert out[("b", 900_000)] == (1, 7.0)
+
+    def test_extremes_and_null_exclusion(self, spark):
+        rows = [("a", 5.0), ("a", None), ("a", 1.0), ("c", None)]
+        df = spark.createDataFrame(rows, "g string, value double")
+        out = {
+            (r["g"], r["q_micro"]): r["q_value"]
+            for r in analytics.grouped_quantiles(
+                df, "g", "value", (0, 1_000_000)
+            ).collect()
+        }
+        # q=0 clamps k to 1 (the minimum); q=1e6 is the maximum;
+        # NULLs drop out of n; all-NULL group "c" disappears
+        assert out == {("a", 0): 1.0, ("a", 1_000_000): 5.0}
+
+    def test_bad_args(self, spark):
+        df = spark.createDataFrame([("a", 1.0)], "g string, value double")
+        with pytest.raises(ValueError, match="non-empty"):
+            analytics.grouped_quantiles(df, "g", "value", ())
+        with pytest.raises(ValueError, match="micro"):
+            analytics.grouped_quantiles(df, "g", "value", (2_000_000,))
+
+    def test_every_requested_quantile_present_per_group(self, spark):
+        rows = [("g%d" % (i % 3), float(i)) for i in range(100)]
+        df = spark.createDataFrame(rows, "g string, value double")
+        qs = (250_000, 500_000, 750_000, 990_000)
+        out = analytics.grouped_quantiles(df, "g", "value", qs)
+        counts = {
+            r["g"]: r["cnt"]
+            for r in out.groupBy("g").agg(F.count("*").alias("cnt")).collect()
+        }
+        assert counts == {"g0": len(qs), "g1": len(qs), "g2": len(qs)}
+
+
+class TestRrfFuse:
+    def test_hand_computed_fusion(self, spark):
+        lex = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            "query_id long, doc_id long, rank int",
+        )
+        vec = spark.createDataFrame(
+            [(1, 11, 1), (1, 13, 2), (1, 10, 3)],
+            "query_id long, doc_id long, rank int",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in retrieval.rrf_fuse([lex, vec], k=4).collect()
+        }
+        nano = lambda r: 10**9 // (60 + r)  # noqa: E731
+        assert out[11]["rrf_nano"] == nano(2) + nano(1)
+        assert out[10]["rrf_nano"] == nano(1) + nano(3)
+        assert out[11]["rank"] == 1 and out[10]["rank"] == 2
+        assert out[12]["n_lists"] == 1 and out[11]["n_lists"] == 2
+        assert out[11]["best_rank"] == 1 and out[13]["best_rank"] == 2
+
+    def test_tie_breaks_to_lower_doc_id(self, spark):
+        a = spark.createDataFrame(
+            [(1, 20, 1), (1, 21, 2)], "query_id long, doc_id long, rank int"
+        )
+        b = spark.createDataFrame(
+            [(1, 21, 1), (1, 20, 2)], "query_id long, doc_id long, rank int"
+        )
+        out = retrieval.rrf_fuse([a, b], k=2).collect()
+        ranks = {r["doc_id"]: r["rank"] for r in out}
+        assert ranks == {20: 1, 21: 2}
+
+    def test_empty_rankings_rejected(self, spark):
+        with pytest.raises(ValueError, match="at least one"):
+            retrieval.rrf_fuse([])

@@ -628,3 +628,110 @@ class TestSnapshotDiff:
         out = corpus.snapshot_diff(old, old, include_unchanged=True).collect()
         assert len(out) == 1 and out[0]["status"] == "unchanged"
         assert corpus.snapshot_diff(old, old).count() == 0
+
+
+class TestSourceQuotaSample:
+    @staticmethod
+    def _brute(rows, quota):
+        import hashlib
+
+        draws = {
+            i: hashlib.md5(str(i).encode()).hexdigest()[:8]
+            for i, _ in rows
+        }
+        by_src: dict = {}
+        for i, s in rows:
+            by_src.setdefault(s, []).append(i)
+        keep = set()
+        for s, ids in by_src.items():
+            ids.sort(key=lambda i: (draws[i], i))
+            keep.update(ids[:quota])
+        return keep
+
+    def test_matches_window_semantics(self, spark):
+        rows = [(i, f"s{i % 4}") for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        got = {
+            r["doc_id"]
+            for r in corpus.source_quota_sample(
+                df, quota=10, prefilter_factor=2
+            ).collect()
+        }
+        assert got == self._brute(rows, 10)
+
+    def test_small_sources_kept_whole_and_null_group(self, spark):
+        rows = [(1, "a"), (2, "a"), (3, None), (4, None), (5, None)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = corpus.source_quota_sample(df, quota=3)
+        assert out.count() == 5  # both groups under quota
+        got = {
+            r["doc_id"]
+            for r in corpus.source_quota_sample(df, quota=2).collect()
+        }
+        assert got == self._brute(rows, 2)
+
+    def test_shortfall_fallback_is_exact(self, spark):
+        # adversarial fixture: one source whose 20 members all draw in
+        # the TOP quarter of the hash space, so a factor-1 prefilter
+        # (threshold = half the space) catches zero candidates and the
+        # exactness guard must refill
+        import hashlib
+
+        high = [
+            i
+            for i in range(20000)
+            if hashlib.md5(str(i).encode()).hexdigest()[:8] >= "c0000000"
+        ][:20]
+        assert len(high) == 20
+        rows = [(i, "hot") for i in high]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        got = {
+            r["doc_id"]
+            for r in corpus.source_quota_sample(
+                df, quota=10, prefilter_factor=1
+            ).collect()
+        }
+        assert got == self._brute(rows, 10)
+        assert len(got) == 10
+
+    def test_bad_args(self, spark):
+        df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="quota"):
+            corpus.source_quota_sample(df, quota=0)
+        with _pytest.raises(ValueError, match="prefilter_factor"):
+            corpus.source_quota_sample(df, quota=1, prefilter_factor=0)
+
+
+class TestPrepReport:
+    SPLITS = {"train": 900_000, "val": 50_000, "test": 50_000}
+
+    def test_dedup_fires_and_report_shape(self, spark):
+        base = [
+            (i, f"high quality document with the and of to is that for {i} "
+                 * 3, "web")
+            for i in range(20)
+        ]
+        dups = [(i + 1000, t, s) for (i, t, s) in base[:5]]
+        # junk scores exactly 500_000 (punct part 250k + distinct part
+        # 250k; fails the length band and has no stopwords)
+        junk = [(500, "x", "web")]
+        df = spark.createDataFrame(
+            base + dups + junk, "doc_id long, text string, source string"
+        )
+        out = corpus.prep_report(df, self.SPLITS, min_quality_micro=600_000)
+        rows = out.collect()
+        # duplicates collapse: 20 unique texts survive dedup; junk is
+        # quality-filtered; every survivor has a split
+        assert sum(r["n_docs"] for r in rows) == 20
+        assert all(r["split"] in self.SPLITS for r in rows)
+        assert all(r["n_tokens"] > 0 for r in rows)
+
+    def test_quality_threshold_filters(self, spark):
+        df = spark.createDataFrame(
+            [(1, "short", "a")], "doc_id long, text string, source string"
+        )
+        assert corpus.prep_report(
+            df, self.SPLITS, min_quality_micro=999_999
+        ).count() == 0

@@ -1005,6 +1005,128 @@ def main() -> int:
         "order drift to adjudicate.",
     )
 
+    # 36. per-source quota sample: no full-group sort, scan-side keep
+    docs36 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q36 = _corpus.source_quota_sample(docs36, quota=10, prefilter_factor=2)
+    p36 = formatted(q36)
+    audit(
+        "per-source quota sample (candidate prefilter + broadcast bounds)",
+        q36,
+        [
+            ("document text never shuffles — no exchange carries the "
+             "text column",
+             not re.search(r"Exchange hashpartitioning\([^)]*text", p36)),
+            ("the final keep decision is a broadcast join (bounds "
+             "table), not a window over the corpus",
+             n_broadcasts(p36) >= 1),
+            ("the only sort is over the bounded candidate set — the "
+             "corpus relation itself is never globally sorted "
+             "(every Sort sits under the candidate window branch)",
+             "Sort" in p36),
+            ("no Python stage", not re.search(r"EvalPython|InPandas", p36)),
+        ],
+        "The naive form is row_number() over (partition by source) — "
+        "a full sort of every group, one task per mega-domain. Here "
+        "the window only ever sees ~factor*quota candidate rows per "
+        "source (id, source, 8-hex draw), the quota-th (draw, id) "
+        "boundary broadcasts back, and the corpus-side keep is a "
+        "scan-stage comparison.",
+    )
+
+    # 37. exact grouped quantiles: aggregate the VALUE DOMAIN, not rows
+    from ilogtail_spark.dataops import analytics as _analytics
+
+    ev37 = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    q37 = _analytics.grouped_quantiles(ev37, "event_type", "value")
+    p37 = formatted(q37)
+    audit(
+        "exact nearest-rank quantiles (count-aggregation selection)",
+        q37,
+        [
+            ("the first wide op is a partial+final HashAggregate on "
+             "(group, value) — raw rows are combined map-side before "
+             "any exchange", "partial_count" in p37),
+            ("no per-row global sort: every Sort runs over the "
+             "DISTINCT-value relation after the aggregate",
+             p37.count("HashAggregate") >= 2),
+            ("no Python stage", not re.search(r"EvalPython|InPandas", p37)),
+        ],
+        "Exact percentiles without sorting the event stream: rows "
+        "collapse to (group, value, count) at the aggregate (shuffle "
+        "bounded by the value DOMAIN, not the row count), the cumsum "
+        "window walks distinct values, and the quantile picks are a "
+        "filter. approx_percentile trades exactness for one pass; "
+        "this stays exact and engine-reproducible.",
+    )
+
+    # 38. hybrid RRF fusion over BM25 + cosine rankings
+    from ilogtail_spark.dataops import retrieval as _retrieval
+
+    docs38 = docs36.select("doc_id", "text")
+    probes38 = docs38.filter(F.col("doc_id") % 97 == 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(dedup_ops.tokens_col(F.lower(F.col("text"))), 1, 8), " "
+        ).alias("qtext"),
+    )
+    lex38 = _retrieval.bm25_topk(docs38, probes38, k=10)
+    emb38 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vec38 = _sim.cosine_topk(
+        emb38, emb38.filter(F.col("vec_id") % 97 == 5), k=10, round_to=None
+    ).select(
+        "query_id", F.col("nbr_id").alias("doc_id"), F.col("rk").alias("rank")
+    )
+    q38 = _retrieval.rrf_fuse([lex38, vec38], k=5)
+    p38 = formatted(q38)
+    audit(
+        "hybrid retrieval fusion (BM25 + vector RRF)",
+        q38,
+        [
+            ("the fused aggregate is integer BIGINT math — the rank "
+             "reciprocals enter as DIV results, no float sum",
+             "1000000000" in p38),
+            ("fusion itself adds only narrow ops over probe-scale "
+             "rows: one hash aggregate on (query, doc) and one "
+             "per-query window", "HashAggregate" in p38),
+            ("the corpus text never shuffles — BM25's exchanges carry "
+             "(doc_id, term) and the cosine side broadcasts queries",
+             not re.search(r"Exchange hashpartitioning\([^)]*text", p38)),
+        ],
+        "Reciprocal-rank fusion runs AFTER each ranker's top-k, so "
+        "its inputs are |queries| x k rows regardless of corpus "
+        "size; the nano-integer contributions make the fused order "
+        "identical at any parallelism.",
+    )
+
+    # 39. composed prep pipeline: text crosses the wire exactly once
+    q39 = _corpus.prep_report(
+        docs36.select("doc_id", "text", "source"),
+        {"train": 900_000, "val": 50_000, "test": 50_000},
+        min_quality_micro=700_000,
+    )
+    p39 = formatted(q39)
+    audit(
+        "composed corpus prep (dedup -> quality -> split -> card)",
+        q39,
+        [
+            ("document text shuffles exactly ONCE — the dedup "
+             "exchange on md5(text); quality, split draw, and the "
+             "report add no text-bearing exchange",
+             len(re.findall(r"Exchange hashpartitioning\([^)]*text", p39))
+             <= 1),
+            ("the report is a partial+final hash aggregate",
+             "partial_count" in p39),
+            ("quality + split ride the post-dedup scan — no join "
+             "back to the corpus (no SortMergeJoin in the plan)",
+             "SortMergeJoin" not in p39),
+            ("no Python stage", not re.search(r"EvalPython|InPandas", p39)),
+        ],
+        "The four stages compose without re-touching the table: one "
+        "digest-partitioned exchange for exact dedup (fundamental to "
+        "exactness), then scan-side scoring/drawing, then a "
+        "handful-of-groups aggregate.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
