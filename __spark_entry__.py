@@ -41,7 +41,8 @@ _FRONT = [
     "corpus_split_assign", "corpus_snapshot_diff",
     "sim_cosine_topk_quantized", "corpus_source_quota",
     "events_value_quantiles", "retrieval_hybrid_rrf",
-    "corpus_prep_report",
+    "corpus_prep_report", "corpus_line_dedup", "events_funnel",
+    "events_cohort_retention", "corpus_token_quantiles",
     # text_quality code changed this round (passthrough param)
     "text_quality",
     "dedup_minhash_incremental", "corpus_mixture_rebalance",

@@ -97,3 +97,165 @@ def grouped_quantiles(
         F.col("__n__").alias("n"),
         F.col("__v__").alias(out_value),
     )
+
+
+def funnel_report(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis — "how many users reached step k IN
+    ORDER?" (view → click → purchase), the conversion report every
+    event-analytics stack exposes (SLS/BigQuery funnel SQL, Amplitude
+    funnels). A user converts through step k if there exist events
+    e_1 < e_2 < ... < e_k (strictly increasing timestamps) with the
+    step types in order; classic strict-sequence semantics.
+
+    Returns one row per step: (step_idx, step, n_users,
+    conversion_micro) where conversion_micro is the exact integer
+    share of step-1 users who reached this step (floor(n_k * 1e6 /
+    n_1); 1_000_000 for step 1 itself, 0 when nobody entered).
+
+    Scale shape: a narrow pre-projection keeps only funnel-step
+    events as (user, step, ts); level k is "min event time of step k
+    strictly after the user's level-(k-1) time", computed by joining
+    the SINGLE-STEP event slice against the previous level's
+    one-row-per-user frame — every post-shuffle frame is (user, ts).
+    Raw events shuffle once per step they participate in (each event
+    belongs to exactly one step slice), there is no window over the
+    raw stream and no per-user sort, and the final report aggregate
+    runs over |steps| x |users| tag rows collapsed map-side.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct")
+    u, t = F.col(user_col), F.col(ts_col)
+    narrow = df.filter(F.col(type_col).isin(list(steps))).select(
+        u.alias("__u__"),
+        F.col(type_col).alias("__s__"),
+        t.alias("__t__"),
+    )
+    # level 1: earliest step-1 event per user. Later steps need "first
+    # occurrence AFTER t_{k-1}" — one min per step in a single pass
+    # cannot answer that when events interleave (click-before-view
+    # must not count) — so each level re-joins the SINGLE-STEP event
+    # slice against the previous level's one-row-per-user frame.
+    # Every post-shuffle frame is (user, ts): narrow at any scale.
+    levels: list[DataFrame] = [
+        narrow.filter(F.col("__s__") == steps[0])
+        .groupBy("__u__")
+        .agg(F.min("__t__").alias("__r__"))
+    ]
+    for k in range(1, len(steps)):
+        step_events = narrow.filter(F.col("__s__") == steps[k]).select(
+            "__u__", "__t__"
+        )
+        levels.append(
+            step_events.join(levels[k - 1], "__u__")
+            .filter(F.col("__t__") > F.col("__r__"))
+            .groupBy("__u__")
+            .agg(F.min("__t__").alias("__r__"))
+        )
+    tagged = levels[0].select(
+        F.lit(1).alias("step_idx"), F.col("__u__")
+    )
+    for k in range(1, len(steps)):
+        tagged = tagged.unionByName(
+            levels[k].select(F.lit(k + 1).alias("step_idx"), F.col("__u__"))
+        )
+    counts = tagged.groupBy("step_idx").agg(F.count("*").alias("n_users"))
+    names = df.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step_idx int, step string"
+    )
+    full = names.join(counts, "step_idx", "left").withColumn(
+        "n_users", F.coalesce(F.col("n_users"), F.lit(0)).cast("bigint")
+    )
+    n1 = F.max(F.when(F.col("step_idx") == 1, F.col("n_users"))).over(
+        Window.partitionBy()
+    )
+    return (
+        full.withColumn("__n1__", n1)
+        .withColumn(
+            "conversion_micro",
+            # integer DIV: exact at any count (float division could
+            # land a hair under an integer and floor one off)
+            F.expr(
+                "CAST(CASE WHEN __n1__ > 0"
+                " THEN (n_users * 1000000) DIV __n1__"
+                " ELSE 0 END AS BIGINT)"
+            ),
+        )
+        .select("step_idx", "step", "n_users", "conversion_micro")
+        .orderBy("step_idx")
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention — "of the users whose FIRST event fell in
+    period P, how many were active in P+k?" — the second standard
+    event-analytics report next to :func:`funnel_report`.
+
+    ``period`` is ``"day"`` or ``"week"`` (date_trunc buckets; weeks
+    start Monday, Spark and DuckDB agree on ISO truncation). Returns
+    (cohort, offset, n_users, retention_micro) where cohort is the
+    truncated first-activity period, offset counts periods since the
+    cohort period (0 = the cohort period itself, always 1_000_000
+    micro by construction), and retention_micro is the exact integer
+    share of the cohort still active (n_k * 1e6 DIV cohort_size).
+
+    Scale shape: the raw stream collapses to DISTINCT (user, period)
+    at the first aggregate (map-side combined — the narrow frame is
+    bounded by users x active-periods, not events); first-activity
+    is one more min-aggregate on that frame; the join back is
+    co-keyed on user (one co-partitioned narrow join); the report
+    aggregate and the cohort-size window run over (cohort, offset)
+    cells — tiny. Raw events shuffle exactly once.
+    """
+    if period not in ("day", "week"):
+        raise ValueError(f"period must be 'day' or 'week' (got {period!r})")
+    per = F.date_trunc(period, F.col(ts_col))
+    activity = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("__u__"), per.alias("__p__"))
+        .distinct()
+    )
+    cohorts = activity.groupBy("__u__").agg(F.min("__p__").alias("__c__"))
+    joined = activity.join(cohorts, "__u__")
+    div = 7 if period == "week" else 1
+    offset = F.expr(
+        f"CAST(datediff(CAST(__p__ AS DATE), CAST(__c__ AS DATE))"
+        f" DIV {div} AS INT)"
+    )
+    cells = (
+        joined.select(F.col("__c__").alias("cohort"), offset.alias("offset"))
+        .groupBy("cohort", "offset")
+        .agg(F.count("*").alias("n_users"))  # (user, period) is distinct
+    )
+    size = F.max(F.when(F.col("offset") == 0, F.col("n_users"))).over(
+        Window.partitionBy("cohort")
+    )
+    return (
+        cells.withColumn("__size__", size)
+        .withColumn(
+            "retention_micro",
+            F.expr("CAST((n_users * 1000000) DIV __size__ AS BIGINT)"),
+        )
+        .select(
+            # yyyy-MM-dd STRING, not DATE: pandas/Arrow bridges render
+            # dates as midnight timestamps, so a string is the only
+            # type every engine and compare layer prints identically
+            F.date_format(F.col("cohort"), "yyyy-MM-dd").alias("cohort"),
+            "offset",
+            "n_users",
+            "retention_micro",
+        )
+        .orderBy("cohort", "offset")
+    )

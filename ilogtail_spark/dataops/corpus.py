@@ -1023,6 +1023,49 @@ def snapshot_diff(
     return out
 
 
+def quota_candidates(
+    df: DataFrame,
+    quota: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "",
+    prefilter_factor: int = 8,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The candidate stage of :func:`source_quota_sample`, exposed so
+    the scale audit can measure it: returns (narrow, cbounds, cand)
+    where ``narrow`` is the (id, source, draw) projection, ``cbounds``
+    the per-source (n, candidate-threshold) table, and ``cand`` the
+    prefiltered candidate set whose size — ~prefilter_factor * quota
+    per oversized source, all rows of small sources — is what the
+    rank window actually sorts."""
+    draw = _draw_hex(F.col(id_col), salt)
+    narrow = df.select(
+        F.col(id_col).alias("__qid__"),
+        F.col(source_col).alias("__qsrc__"),
+        draw.alias("__qdraw__"),
+    )
+    counts = narrow.groupBy("__qsrc__").agg(F.count("*").alias("__qn__"))
+    cap = quota * prefilter_factor
+    # ceil(cap * 16^8 / n) as an 8-hex threshold; strictly < 16^8
+    # whenever n > cap (the only branch that uses it), so lpad never
+    # truncates. Bigint-safe: cap * 16^8 <= ~4.3e9 * cap.
+    thr_val = F.floor(
+        (F.lit(cap * 16**8) + F.col("__qn__") - 1) / F.col("__qn__")
+    ).cast("bigint")
+    thr = F.when(F.col("__qn__") <= F.lit(cap), F.lit("g")).otherwise(
+        F.lower(F.lpad(F.hex(thr_val), 8, "0"))
+    )
+    cbounds = counts.select(
+        F.col("__qsrc__").alias("__qsrc2__"), "__qn__", thr.alias("__qthr__")
+    )
+    cand = narrow.join(
+        F.broadcast(cbounds),
+        narrow["__qsrc__"].eqNullSafe(cbounds["__qsrc2__"]),
+    ).drop("__qsrc2__")
+    cand = cand.filter(F.col("__qdraw__") < F.col("__qthr__"))
+    return narrow, cbounds, cand
+
+
 def source_quota_sample(
     df: DataFrame,
     quota: int,
@@ -1079,30 +1122,9 @@ def source_quota_sample(
     if prefilter_factor < 1:
         raise ValueError("prefilter_factor must be >= 1")
     draw = _draw_hex(F.col(id_col), salt)
-    narrow = df.select(
-        F.col(id_col).alias("__qid__"),
-        F.col(source_col).alias("__qsrc__"),
-        draw.alias("__qdraw__"),
+    narrow, cbounds, cand = quota_candidates(
+        df, quota, id_col, source_col, salt, prefilter_factor
     )
-    counts = narrow.groupBy("__qsrc__").agg(F.count("*").alias("__qn__"))
-    cap = quota * prefilter_factor
-    # ceil(cap * 16^8 / n) as an 8-hex threshold; strictly < 16^8
-    # whenever n > cap (the only branch that uses it), so lpad never
-    # truncates. Bigint-safe: cap * 16^8 <= ~4.3e9 * cap.
-    thr_val = F.floor(
-        (F.lit(cap * 16**8) + F.col("__qn__") - 1) / F.col("__qn__")
-    ).cast("bigint")
-    thr = F.when(F.col("__qn__") <= F.lit(cap), F.lit("g")).otherwise(
-        F.lower(F.lpad(F.hex(thr_val), 8, "0"))
-    )
-    cbounds = counts.select(
-        F.col("__qsrc__").alias("__qsrc2__"), "__qn__", thr.alias("__qthr__")
-    )
-    cand = narrow.join(
-        F.broadcast(cbounds),
-        narrow["__qsrc__"].eqNullSafe(cbounds["__qsrc2__"]),
-    ).drop("__qsrc2__")
-    cand = cand.filter(F.col("__qdraw__") < F.col("__qthr__"))
     # exactness guard (normally selects zero rows). Anchored on the
     # COUNTS side with a left join: a source whose prefilter caught
     # zero candidates has no row in the candidate aggregate at all,
@@ -1213,4 +1235,106 @@ def prep_report(
             F.sum("quality_score_micro").alias("sum_quality_micro"),
         )
         .orderBy("split", "source")
+    )
+
+
+def drop_duplicate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """C4's global line dedup (Raffel et al. 2020 §2.2: "we discarded
+    all but one of any three-sentence span occurring more than once",
+    applied at the line granularity the public C4 release uses): a
+    line that appears in multiple documents — navigation chrome,
+    cookie banners, boilerplate footers — survives in exactly ONE
+    place, its first occurrence in (id, position) order; every other
+    occurrence is removed. Contrast with
+    :func:`remove_duplicate_spans`, which removes ALL occurrences of
+    duplicated token windows and keeps no canonical copy.
+
+    Returns (id, n_lines, n_removed, cleaned): ``cleaned`` re-joins
+    surviving lines with single newlines. Lines shorter than
+    ``min_line_chars`` (after trim) are passthrough — never deduped,
+    always kept (blank separators are not boilerplate). Line identity
+    is the md5 of the TRIMMED line.
+
+    Scale shape at 100 TB: line text never shuffles. The explode
+    emits (id, pos, 32-hex digest); the global winner per digest is
+    one min_by aggregate over those narrow rows; surviving positions
+    re-aggregate to (id, sorted int array); and the only text-bearing
+    operation is the final co-partitioned join of that positions
+    table back to the corpus on id — after which the rewrite is a
+    scan-side index filter on split(text). Untouched documents (the
+    overwhelming majority) pass through the same single join; a
+    two-branch split like remove_duplicate_spans' would save the
+    rewrite CPU but not the join, so the simpler one-path form wins
+    here.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    keyed = df.select(
+        F.col(id_col).alias("__lid__"),
+        F.posexplode(lines).alias("__pos__", "__line__"),
+    ).select(
+        "__lid__",
+        "__pos__",
+        F.md5(F.trim(F.col("__line__"))).alias("__lh__"),
+        (F.length(F.trim(F.col("__line__"))) >= min_line_chars).alias(
+            "__eligible__"
+        ),
+    )
+    dedupable = keyed.filter(F.col("__eligible__"))
+    # global first occurrence: min (id, pos) per digest — min_by on a
+    # packed struct keeps it ONE aggregate (no self-join, no window)
+    winners = dedupable.groupBy("__lh__").agg(
+        F.min(F.struct("__lid__", "__pos__")).alias("__w__"),
+        F.count("*").alias("__occ__"),
+    )
+    marked = dedupable.join(winners, "__lh__").select(
+        "__lid__",
+        "__pos__",
+        (
+            (F.col("__w__.__lid__") == F.col("__lid__"))
+            & (F.col("__w__.__pos__") == F.col("__pos__"))
+        ).alias("__keep__"),
+    )
+    survivors = (
+        marked.filter(F.col("__keep__"))
+        .groupBy("__lid__")
+        .agg(F.sort_array(F.collect_list("__pos__")).alias("__kept__"))
+    )
+    # passthrough lines (below min_line_chars) are always kept: union
+    # their positions into the kept set
+    passthrough = (
+        keyed.filter(~F.col("__eligible__"))
+        .groupBy("__lid__")
+        .agg(F.sort_array(F.collect_list("__pos__")).alias("__pt__"))
+    )
+    kept = (
+        survivors.join(passthrough, "__lid__", "full_outer")
+        .select(
+            "__lid__",
+            F.sort_array(
+                F.array_union(
+                    F.coalesce(F.col("__kept__"), F.array()),
+                    F.coalesce(F.col("__pt__"), F.array()),
+                )
+            ).alias("__kept__"),
+        )
+    )
+    joined = df.join(
+        kept, df[id_col] == kept["__lid__"], "left"
+    ).drop("__lid__")
+    keep_arr = F.coalesce(F.col("__kept__"), F.array())
+    rebuilt = F.array_join(
+        F.transform(keep_arr, lambda p: F.element_at(lines, p + 1)),
+        "\n",
+    )
+    n_lines = F.size(lines)
+    return joined.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        (n_lines - F.size(keep_arr)).cast("int").alias("n_removed"),
+        rebuilt.alias("cleaned"),
     )

@@ -2795,3 +2795,180 @@ def q_corpus_prep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.prep_report(
         unioned, _SPLITS_MICRO, min_quality_micro=700_000
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 global line dedup (keep one occurrence corpus-wide, rewrite docs)
+# ---------------------------------------------------------------------------
+def _line_dedup_oracle(per_line: int = 8) -> str:
+    # documents are single-line fixtures, so both sides first re-wrap
+    # text into 8-token lines (same deterministic rewrap)
+    toks = SQL_TOKENS.format(col="text")
+    return f"""
+    WITH wrapped AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(
+                 range((len(w) + {per_line} - 1) // {per_line}),
+                 i -> array_to_string(w[i*{per_line}+1 : i*{per_line}+{per_line}], ' ')),
+               chr(10)) AS text
+      FROM (SELECT doc_id, {toks} AS w FROM documents)
+    ), lines AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM wrapped
+    ), keyed AS (
+      SELECT doc_id, unnest(range(len(ls))) AS pos, ls FROM lines
+    ), k2 AS (
+      SELECT doc_id, pos, md5(trim(ls[pos+1])) AS lh,
+             len(trim(ls[pos+1])) >= 1 AS eligible
+      FROM keyed
+    ), winners AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (
+                 PARTITION BY lh ORDER BY doc_id, pos) AS rn
+        FROM k2 WHERE eligible) t WHERE rn = 1
+    ), keep AS (
+      SELECT doc_id, pos FROM winners
+      UNION ALL
+      SELECT doc_id, pos FROM k2 WHERE NOT eligible
+    ), agg AS (
+      SELECT doc_id, list_sort(list(pos)) AS kept FROM keep GROUP BY doc_id
+    )
+    SELECT l.doc_id,
+           CAST(len(ls) AS INT) AS n_lines,
+           CAST(len(ls) - len(coalesce(kept, [])) AS INT) AS n_removed,
+           coalesce(array_to_string(
+             list_transform(coalesce(kept, []), p -> ls[p+1]),
+             chr(10)), '') AS cleaned
+    FROM lines l LEFT JOIN agg a USING (doc_id)
+    ORDER BY l.doc_id
+    """
+
+
+def _rewrap_lines(docs: DataFrame, per_line: int = 8) -> DataFrame:
+    toks = dedup.tokens_col(F.col("text"))
+    n_lines = F.ceil(F.size(toks) / F.lit(per_line)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * per_line + 1, per_line), " "
+        ),
+    )
+    return docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+
+
+@query("corpus_line_dedup", _line_dedup_oracle())
+def q_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return corpus.drop_duplicate_lines(_rewrap_lines(docs)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis (ordered view -> click -> purchase conversion)
+# ---------------------------------------------------------------------------
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _funnel_oracle() -> str:
+    return """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), counts AS (
+      SELECT 1 AS step_idx, 'view' AS step, count(*) AS n FROM s1
+      UNION ALL SELECT 2, 'click', count(*) FROM s2
+      UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+    )
+    SELECT CAST(step_idx AS INT) AS step_idx, step,
+           CAST(n AS BIGINT) AS n_users,
+           CAST((n * 1000000) // (SELECT n FROM counts WHERE step_idx = 1)
+                AS BIGINT) AS conversion_micro
+    FROM counts ORDER BY step_idx
+    """
+
+
+@query("events_funnel", _funnel_oracle())
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.funnel_report(ev, _FUNNEL_STEPS)
+
+
+# ---------------------------------------------------------------------------
+# weekly cohort retention
+# ---------------------------------------------------------------------------
+def _retention_oracle() -> str:
+    return """
+    WITH a AS (
+      SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS p
+      FROM events WHERE ts IS NOT NULL
+    ), c AS (
+      SELECT u, min(p) AS c FROM a GROUP BY u
+    ), cells AS (
+      SELECT c.c AS cohort,
+             CAST(datediff('day', CAST(c.c AS DATE), CAST(a.p AS DATE)) // 7
+                  AS INT) AS "offset",
+             count(*) AS n_users
+      FROM a JOIN c USING (u) GROUP BY 1, 2
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort, "offset",
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST((n_users * 1000000)
+                // (max(CASE WHEN "offset" = 0 THEN n_users END)
+                    OVER (PARTITION BY cohort)) AS BIGINT) AS retention_micro
+    FROM cells ORDER BY cohort, "offset"
+    """
+
+
+@query("events_cohort_retention", _retention_oracle())
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.cohort_retention(ev, period="week")
+
+
+# ---------------------------------------------------------------------------
+# per-source token-length distribution (reuses grouped_quantiles)
+# ---------------------------------------------------------------------------
+def _token_quantiles_oracle() -> str:
+    toks = SQL_TOKENS.format(col="text")
+    qlist = ", ".join(str(q) for q in _QS_MICRO)
+    return f"""
+    WITH t AS (
+      SELECT source, len({toks}) AS n_tokens FROM documents
+    ), r AS (
+      SELECT source, n_tokens,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_tokens) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM t
+    ), qs AS (SELECT unnest([{qlist}]) AS q_micro)
+    SELECT r.source, CAST(q.q_micro AS BIGINT) AS q_micro, r.n,
+           CAST(r.n_tokens AS BIGINT) AS n_tokens
+    FROM r CROSS JOIN qs q
+    WHERE r.rn = greatest(1, (q.q_micro * r.n + 999999) // 1000000)
+    ORDER BY source, q_micro
+    """
+
+
+@query("corpus_token_quantiles", _token_quantiles_oracle())
+def q_corpus_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select(
+        "source",
+        F.size(dedup.tokens_col(F.col("text"))).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    out = analytics.grouped_quantiles(
+        lens, "source", "n_tokens", _QS_MICRO, out_value="n_tokens"
+    )
+    return out.orderBy("source", "q_micro")

@@ -95,3 +95,94 @@ class TestRrfFuse:
     def test_empty_rankings_rejected(self, spark):
         with pytest.raises(ValueError, match="at least one"):
             retrieval.rrf_fuse([])
+
+
+class TestFunnelReport:
+    def test_strict_order_and_conversion(self, spark):
+        rows = [
+            # u1 completes in order
+            (1, "view", "2024-01-01 10:00:00"),
+            (1, "click", "2024-01-01 10:01:00"),
+            (1, "purchase", "2024-01-01 10:02:00"),
+            # u2: click BEFORE view -> must not count past step 1
+            (2, "click", "2024-01-01 09:00:00"),
+            (2, "view", "2024-01-01 10:00:00"),
+            # u3: view + click only
+            (3, "view", "2024-01-01 08:00:00"),
+            (3, "click", "2024-01-01 08:30:00"),
+            # u4: never viewed -> not in funnel at all
+            (4, "purchase", "2024-01-01 07:00:00"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            r["step_idx"]: r
+            for r in analytics.funnel_report(
+                df, ["view", "click", "purchase"]
+            ).collect()
+        }
+        assert out[1]["n_users"] == 3 and out[1]["conversion_micro"] == 1_000_000
+        assert out[2]["n_users"] == 2  # u1, u3 (u2's click precedes view)
+        assert out[2]["conversion_micro"] == 666_666
+        assert out[3]["n_users"] == 1 and out[3]["conversion_micro"] == 333_333
+        assert out[3]["step"] == "purchase"
+
+    def test_equal_timestamps_do_not_advance(self, spark):
+        df = spark.createDataFrame(
+            [(1, "view", "2024-01-01 10:00:00"),
+             (1, "click", "2024-01-01 10:00:00")],
+            "user_id long, event_type string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            r["step_idx"]: r["n_users"]
+            for r in analytics.funnel_report(df, ["view", "click"]).collect()
+        }
+        assert out == {1: 1, 2: 0}  # strict >
+
+    def test_bad_args(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", "2024-01-01")], "user_id long, event_type string, ts string"
+        )
+        with pytest.raises(ValueError, match="at least 2"):
+            analytics.funnel_report(df, ["a"])
+        with pytest.raises(ValueError, match="distinct"):
+            analytics.funnel_report(df, ["a", "a"])
+
+
+class TestCohortRetention:
+    def test_weekly_cells(self, spark):
+        rows = [
+            (1, "2024-01-01 10:00:00"),  # week of Jan 1 (Mon)
+            (1, "2024-01-09 10:00:00"),  # week of Jan 8 -> offset 1
+            (2, "2024-01-02 10:00:00"),  # same cohort, never returns
+            (3, "2024-01-10 10:00:00"),  # cohort Jan 8
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        out = {
+            (str(r["cohort"]), r["offset"]): (r["n_users"], r["retention_micro"])
+            for r in analytics.cohort_retention(df, period="week").collect()
+        }
+        assert out[("2024-01-01", 0)] == (2, 1_000_000)
+        assert out[("2024-01-01", 1)] == (1, 500_000)
+        assert out[("2024-01-08", 0)] == (1, 1_000_000)
+        assert len(out) == 3
+
+    def test_daily_and_null_ts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 01:00:00"), (1, "2024-01-03 01:00:00"),
+             (2, None)],
+            "user_id long, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            r["offset"]: r["n_users"]
+            for r in analytics.cohort_retention(df, period="day").collect()
+        }
+        assert out == {0: 1, 2: 1}
+
+    def test_bad_period(self, spark):
+        df = spark.createDataFrame([(1, None)], "user_id long, ts timestamp")
+        with pytest.raises(ValueError, match="period"):
+            analytics.cohort_retention(df, period="month")

@@ -735,3 +735,57 @@ class TestPrepReport:
         assert corpus.prep_report(
             df, self.SPLITS, min_quality_micro=999_999
         ).count() == 0
+
+
+class TestDropDuplicateLines:
+    def test_first_occurrence_survives_globally(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta\ncommon footer\nunique one"),
+                (2, "common footer\nunique two"),
+                (3, "unique three\ncommon footer"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in corpus.drop_duplicate_lines(df).collect()
+        }
+        # footer survives only in doc 1 (its first (id, pos) occurrence)
+        assert out[1]["cleaned"] == "alpha beta\ncommon footer\nunique one"
+        assert out[1]["n_removed"] == 0
+        assert out[2]["cleaned"] == "unique two" and out[2]["n_removed"] == 1
+        assert out[3]["cleaned"] == "unique three" and out[3]["n_removed"] == 1
+        assert out[2]["n_lines"] == 2 and out[3]["n_lines"] == 2
+
+    def test_within_doc_duplicates_collapse(self, spark):
+        df = spark.createDataFrame(
+            [(1, "same\nsame\nsame")], "doc_id long, text string"
+        )
+        row = corpus.drop_duplicate_lines(df).collect()[0]
+        assert row["cleaned"] == "same" and row["n_removed"] == 2
+
+    def test_short_lines_pass_through(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a\n\nb"), (2, "a\n\nb")], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in corpus.drop_duplicate_lines(
+                df, min_line_chars=2
+            ).collect()
+        }
+        # every line is under 2 chars -> passthrough, nothing deduped
+        assert out[1]["cleaned"] == "a\n\nb" and out[1]["n_removed"] == 0
+        assert out[2]["cleaned"] == "a\n\nb" and out[2]["n_removed"] == 0
+
+    def test_trim_defines_identity(self, spark):
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, "  hello world  ")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["n_removed"]
+            for r in corpus.drop_duplicate_lines(df).collect()
+        }
+        assert out == {1: 0, 2: 1}

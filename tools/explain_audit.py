@@ -1127,6 +1127,91 @@ def main() -> int:
         "handful-of-groups aggregate.",
     )
 
+    # 40. C4 global line dedup: line text never shuffles
+    q40 = _corpus.drop_duplicate_lines(
+        docs36.select(
+            "doc_id",
+            F.regexp_replace("text", r"((\S+\s+){7}\S+)\s", "$1\n").alias(
+                "text"
+            ),
+        )
+    )
+    p40 = formatted(q40)
+    audit(
+        "C4 global line dedup (digest winners, positions-only rejoin)",
+        q40,
+        [
+            ("no exchange partitions on line or document text — the "
+             "dedup pipeline's keys are ids, positions, and 32-hex "
+             "digests (the one text-bearing shuffle is the final "
+             "id-keyed rejoin, document-granular)",
+             not re.search(
+                 r"Exchange hashpartitioning\([^)]*(?:text|__line__)", p40
+             )),
+            ("the global winner per line digest is ONE min_by-style "
+             "aggregate (min over a packed struct) — no self-join, no "
+             "window over raw lines",
+             "partial_min" in p40 or "min(" in p40),
+            ("the rewrite is scan-side: surviving positions come back "
+             "as an int array and the line filter is an expression",
+             "transform(" in p40 or "element_at" in p40),
+            ("no Python stage", not re.search(r"EvalPython|InPandas", p40)),
+        ],
+        "The explode emits (id, pos, digest); winner selection and "
+        "position re-aggregation are narrow; the only text-bearing "
+        "operation is the final co-partitioned join of the positions "
+        "table back to the corpus on id, after which the rebuild is "
+        "an index filter over split(text) inside codegen.",
+    )
+
+    # 41. funnel: every post-shuffle frame is (user, ts)
+    ev41 = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    q41 = _analytics.funnel_report(ev41, ["view", "click", "purchase"])
+    p41 = formatted(q41)
+    audit(
+        "ordered funnel (chained per-user first-hit frames)",
+        q41,
+        [
+            ("each funnel level is a partial+final hash aggregate — "
+             "map-side combine before every exchange",
+             "partial_min" in p41),
+            ("no window over the raw event stream: the only Window "
+             "node is the global n1 share over the |steps|-row "
+             "report frame",
+             not re.search(r"Window .*__u__", p41)),
+            ("step slices prune at the scan: event_type pushdown",
+             "event_type" in p41 and "PushedFilters" in p41),
+        ],
+        "Strict-order funnel semantics (t_k strictly after t_{k-1}) "
+        "without per-user event sorting: level k joins the step-k "
+        "event slice against the previous level's one-row-per-user "
+        "frame, so post-shuffle state is |users| rows per level "
+        "regardless of event volume.",
+    )
+
+    # 42. cohort retention: events collapse to (user, period) first
+    q42 = _analytics.cohort_retention(ev41, period="week")
+    p42 = formatted(q42)
+    audit(
+        "weekly cohort retention (distinct-activity pre-collapse)",
+        q42,
+        [
+            ("the raw stream collapses to DISTINCT (user, period) at "
+             "the FIRST aggregate — partial map-side",
+             "partial" in p42),
+            ("cohort assignment is one more min-aggregate on the "
+             "collapsed frame; the join back is user-keyed and "
+             "narrow", "SortMergeJoin" in p42 or "ShuffledHashJoin" in p42
+             or "BroadcastHashJoin" in p42),
+            ("the report window runs over (cohort, offset) cells, "
+             "not rows", "Window" in p42),
+            ("no Python stage", not re.search(r"EvalPython|InPandas", p42)),
+        ],
+        "Retention cost is bounded by users x active-periods, not "
+        "events: everything after the first distinct-aggregate "
+        "operates on the collapsed activity frame.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "

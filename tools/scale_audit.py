@@ -43,7 +43,7 @@ def _occupancy(bands, keys: list[str]) -> tuple[int, float]:
 def main() -> int:
     from pyspark.sql import functions as F
 
-    from ilogtail_spark.dataops import dedup, similarity
+    from ilogtail_spark.dataops import corpus, dedup, similarity
     from ilogtail_spark.session import get_spark
 
     spark = get_spark(app_name="scale_audit", master="local[16]")
@@ -115,6 +115,17 @@ def main() -> int:
         sem_sec = time.time() - t0
         semf_p, _ = sem_pairs(4)  # frozen small-SF centroid count
 
+        # source_quota_sample's cost core is the candidate set the
+        # rank window sorts: bounded by ~factor*quota per oversized
+        # source, so it grows with the SOURCE COUNT, not the corpus
+        t0 = time.time()
+        docs_src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _, _, qcand = corpus.quota_candidates(
+            docs_src, quota=10, prefilter_factor=2
+        )
+        qs_cand = qcand.count()
+        qs_sec = time.time() - t0
+
         rows.append(
             dict(
                 sf=sf_name, n_docs=n_docs, n_vecs=n_vecs,
@@ -126,6 +137,7 @@ def main() -> int:
                 eb_max=eb_max, eb_avg=round(eb_avg, 2),
                 sem_pairs=sem_p, sem_k=k_scaled, sem_max=sem_max,
                 sem_sec=round(sem_sec, 1), semf_pairs=semf_p,
+                qs_cand=qs_cand, qs_sec=round(qs_sec, 1),
             )
         )
         print(rows[-1])
@@ -151,6 +163,7 @@ def main() -> int:
         ("emb_pairs", "embedding-LSH", True, growth_vecs),
         ("sem_pairs", "semantic within-cluster (n_centroids scaled)", True, growth_vecs),
         ("semf_pairs", "semantic within-cluster (n_centroids frozen)", False, growth_vecs),
+        ("qs_cand", "quota-sample candidates (rows the rank window sorts)", True, growth_docs),
     ):
         base = max(a[key], 1)
         ratio = b[key] / base
@@ -203,6 +216,8 @@ def main() -> int:
             f"Semantic clusters (scaled n_centroids {a['sem_k']} -> {b['sem_k']}): "
             f"max members {a['sem_max']} -> {b['sem_max']} (cap 10000 idle); the "
             f"frozen-centroids row shows why n_centroids scales with the corpus.",
+            f"Quota-sample candidates grow with the source count, not the "
+            f"corpus: {a['qs_cand']} -> {b['qs_cand']} rows at 10x docs.",
             f"Wall (local[16], s): minhash {a['mh_sec']} -> {b['mh_sec']}, "
             f"simhash {a['sh_sec']} -> {b['sh_sec']}, "
             f"embedding {a['emb_sec']} -> {b['emb_sec']}.",
