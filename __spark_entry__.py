@@ -54,7 +54,7 @@ _FRONT = [
     "dedup_exact_keep", "dedup_cluster_ids", "dedup_near_filter",
     "sim_cosine_topk", "sim_ann_multiprobe", "sim_ann_ivf_topk",
     "dedup_embedding_cosine", "sim_lsh_buckets",
-    "text_token_stats", "text_quality", "text_lang_id",
+    "text_token_stats", "text_lang_id",
     "text_pii_flags", "text_fingerprint", "multimodal_features",
     "dedup_embedding_banded", "text_drop_boilerplate", "text_vocab_topk",
     "multimodal_frames", "multimodal_resize",

@@ -968,7 +968,14 @@ def assign_splits(
     bounds: list[tuple[str, str]] = []
     for name in names[:-1]:
         cum += splits[name]
-        bounds.append((name, format(cum * 16**8 // 1_000_000, "08x")))
+        # cum == 1e6 (trailing zero-share splits) maps to 16^8, which
+        # would render as the 9-char '100000000' and break the 8-char
+        # lexicographic compare — 'g' sorts after every hex digit and
+        # expresses the same "everything below here" threshold exactly
+        thr = "g" if cum >= 1_000_000 else format(
+            cum * 16**8 // 1_000_000, "08x"
+        )
+        bounds.append((name, thr))
     for name, thr in reversed(bounds):
         expr = F.when(draw < F.lit(thr), F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)
@@ -997,19 +1004,26 @@ def snapshot_diff(
     to changed rows only, which is small by construction between
     adjacent snapshots.
     """
+    # presence is tracked by explicit flags, NOT digest nullness:
+    # md5(NULL) is NULL, so a NULL-text row would otherwise be
+    # indistinguishable from an absent row and misreport as added
     o = old.select(
         F.col(id_col).alias("__id__"),
         F.md5(F.col(text_col)).alias("old_md5"),
+        F.lit(True).alias("__in_old__"),
     )
     n = new.select(
         F.col(id_col).alias("__id__"),
         F.md5(F.col(text_col)).alias("new_md5"),
+        F.lit(True).alias("__in_new__"),
     )
     joined = o.join(n, "__id__", "full_outer")
     status = (
-        F.when(F.col("old_md5").isNull(), F.lit("added"))
-        .when(F.col("new_md5").isNull(), F.lit("removed"))
-        .when(F.col("old_md5") != F.col("new_md5"), F.lit("changed"))
+        F.when(F.col("__in_old__").isNull(), F.lit("added"))
+        .when(F.col("__in_new__").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("old_md5").eqNullSafe(F.col("new_md5")), F.lit("changed")
+        )
         .otherwise(F.lit("unchanged"))
     )
     out = joined.select(
@@ -1048,10 +1062,12 @@ def quota_candidates(
     cap = quota * prefilter_factor
     # ceil(cap * 16^8 / n) as an 8-hex threshold; strictly < 16^8
     # whenever n > cap (the only branch that uses it), so lpad never
-    # truncates. Bigint-safe: cap * 16^8 <= ~4.3e9 * cap.
-    thr_val = F.floor(
-        (F.lit(cap * 16**8) + F.col("__qn__") - 1) / F.col("__qn__")
-    ).cast("bigint")
+    # truncates. Integer DIV, not float division: cap * 16^8 passes
+    # 2^53 at cap ~2.1e6 and doubles would round the ceiling there.
+    # Bigint-safe to cap ~2.1e9 (16^8 * cap < 2^63).
+    thr_val = F.expr(
+        f"CAST(({cap * 16**8} + __qn__ - 1) DIV __qn__ AS BIGINT)"
+    )
     thr = F.when(F.col("__qn__") <= F.lit(cap), F.lit("g")).otherwise(
         F.lower(F.lpad(F.hex(thr_val), 8, "0"))
     )
@@ -1229,9 +1245,9 @@ def prep_report(
         split.groupBy(F.col("split"), F.col(source_col).alias("source"))
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(F.size(tokens_col(F.col(text_col))).cast("bigint")).alias(
-                "n_tokens"
-            ),
+            # n_tokens rides along from quality_score's passthrough —
+            # re-tokenizing here would run the dominant cost twice
+            F.sum("n_tokens").alias("n_tokens"),
             F.sum("quality_score_micro").alias("sum_quality_micro"),
         )
         .orderBy("split", "source")
@@ -1285,11 +1301,10 @@ def drop_duplicate_lines(
         ),
     )
     dedupable = keyed.filter(F.col("__eligible__"))
-    # global first occurrence: min (id, pos) per digest — min_by on a
+    # global first occurrence: min (id, pos) per digest — min over a
     # packed struct keeps it ONE aggregate (no self-join, no window)
     winners = dedupable.groupBy("__lh__").agg(
         F.min(F.struct("__lid__", "__pos__")).alias("__w__"),
-        F.count("*").alias("__occ__"),
     )
     marked = dedupable.join(winners, "__lh__").select(
         "__lid__",
@@ -1331,10 +1346,19 @@ def drop_duplicate_lines(
         F.transform(keep_arr, lambda p: F.element_at(lines, p + 1)),
         "\n",
     )
-    n_lines = F.size(lines)
+    # NULL text: split(NULL) is NULL, size(NULL) is -1, and the doc is
+    # absent from the kept table — without the guard it would come out
+    # as cleaned='' with n_lines=-1. A NULL document passes through as
+    # NULL with zero counts instead.
+    is_null = F.col(text_col).isNull()
+    n_lines = F.when(is_null, F.lit(0)).otherwise(F.size(lines))
     return joined.select(
         F.col(id_col),
         n_lines.alias("n_lines"),
-        (n_lines - F.size(keep_arr)).cast("int").alias("n_removed"),
-        rebuilt.alias("cleaned"),
+        (n_lines - F.when(is_null, F.lit(0)).otherwise(F.size(keep_arr)))
+        .cast("int")
+        .alias("n_removed"),
+        F.when(is_null, F.lit(None).cast("string"))
+        .otherwise(rebuilt)
+        .alias("cleaned"),
     )

@@ -802,13 +802,6 @@ def cosine_topk_quantized(
     rank last. ``queries`` is broadcast — the corpus never shuffles;
     the only exchange is the final per-query top-k window.
     """
-    cq = quantize_embeddings(corpus, vec_col).select(
-        F.col(id_col).alias("nbr_id"), F.col("qvec").alias("cv")
-    )
-    qq = quantize_embeddings(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("qvec").alias("qv")
-    )
-
     def idot(a: Column, b: Column) -> Column:
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x.cast("bigint") * y.cast("bigint")),
@@ -816,13 +809,27 @@ def cosine_topk_quantized(
             lambda acc, v: acc + v,
         )
 
+    # norms are per-ROW properties — computed once per row BEFORE the
+    # corpus x queries join, not once per pair (3x O(dim) per pair
+    # otherwise; one extra bigint per broadcast row is free)
+    cq = quantize_embeddings(corpus, vec_col).select(
+        F.col(id_col).alias("nbr_id"),
+        F.col("qvec").alias("cv"),
+        idot(F.col("qvec"), F.col("qvec")).alias("__nc__"),
+    )
+    qq = quantize_embeddings(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("qv"),
+        idot(F.col("qvec"), F.col("qvec")).alias("__nq__"),
+    )
+
     joined = cq.join(F.broadcast(qq), F.col("nbr_id") != F.col("query_id"))
     scored = joined.select(
         "query_id",
         "nbr_id",
         idot(F.col("cv"), F.col("qv")).alias("dot_q"),
-        idot(F.col("cv"), F.col("cv")).alias("__nc__"),
-        idot(F.col("qv"), F.col("qv")).alias("__nq__"),
+        "__nc__",
+        "__nq__",
     ).withColumn(
         "__cos_raw__",
         F.when(

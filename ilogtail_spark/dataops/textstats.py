@@ -242,7 +242,8 @@ def quality_score(
     every engine computes bit-identical integers.
 
     ``passthrough=True`` keeps every input column alongside the four
-    outputs — the filter-in-a-pipeline form: downstream can apply
+    outputs plus ``n_tokens`` (already computed for the ratios) — the
+    filter-in-a-pipeline form: downstream can apply
     ``quality_score_micro >= thr`` as a scan-side predicate with no
     join back to the corpus (the features remain one projection)."""
     t = F.col(text_col)
@@ -278,8 +279,15 @@ def quality_score(
     distinct_part = F.floor(distinct_micro / 4)
     score_micro = (len_part + punct_part + stop_part + distinct_part).cast("long")
     out_lead = df.columns if passthrough else [id_col]
+    # passthrough mode also exposes the token count already computed
+    # for the ratios — downstream report stages would otherwise run
+    # the tokenizer (the dominant cost here) a second time per doc
+    extra = (
+        [n_tok.cast("bigint").alias("n_tokens")] if passthrough else []
+    )
     return feat.select(
         *[F.col(c) for c in out_lead],
+        *extra,
         F.round(punct / F.greatest(n, F.lit(1)), 6).alias("punct_ratio"),
         F.round(stop_hits / F.greatest(n_tok, F.lit(1)), 6).alias("stopword_ratio"),
         F.round(n_distinct / F.greatest(n_tok, F.lit(1)), 6).alias("distinct_ratio"),

@@ -2848,11 +2848,16 @@ def _line_dedup_oracle(per_line: int = 8) -> str:
 def _rewrap_lines(docs: DataFrame, per_line: int = 8) -> DataFrame:
     toks = dedup.tokens_col(F.col("text"))
     n_lines = F.ceil(F.size(toks) / F.lit(per_line)).cast("int")
-    lines = F.transform(
-        F.sequence(F.lit(0), n_lines - 1),
-        lambda i: F.array_join(
-            F.slice(toks, i * per_line + 1, per_line), " "
-        ),
+    # guard n_lines >= 1: sequence(0, -1) defaults to step -1 and
+    # yields [0, -1] on a zero-token doc, diverging from the oracle's
+    # empty range(0) (latent — current fixtures have no empty docs)
+    lines = F.when(n_lines <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * per_line + 1, per_line), " "
+            ),
+        )
     )
     return docs.select(
         "doc_id", F.array_join(lines, "\n").alias("text")

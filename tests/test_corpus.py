@@ -789,3 +789,58 @@ class TestDropDuplicateLines:
             for r in corpus.drop_duplicate_lines(df).collect()
         }
         assert out == {1: 0, 2: 1}
+
+
+class TestReviewRegressionsR5:
+    def test_assign_splits_trailing_zero_share(self, spark):
+        # cum hits 1e6 before the last split -> threshold must be the
+        # keep-all sentinel, not the 9-char '100000000' (which broke
+        # the 8-char lexicographic compare and leaked ~15/16 of rows
+        # into the zero-share split)
+        df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+        out = corpus.assign_splits(
+            df, {"a": 950_000, "b": 50_000, "zero": 0}
+        )
+        counts = {
+            r["split"]: r["cnt"]
+            for r in out.groupBy("split").agg(
+                F.count("*").alias("cnt")
+            ).collect()
+        }
+        assert counts.get("zero", 0) == 0
+        assert counts.get("a", 0) > 400  # ~95%
+        # degenerate single-split-takes-all with a zero tail
+        out2 = corpus.assign_splits(df, {"all": 1_000_000, "none": 0})
+        assert out2.filter(F.col("split") != "all").count() == 0
+
+    def test_snapshot_diff_null_text(self, spark):
+        old = spark.createDataFrame(
+            [(1, None), (2, None), (3, "x")], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(2, "now real"), (3, "x")], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r["status"]
+            for r in corpus.snapshot_diff(old, new).collect()
+        }
+        # doc 1 (NULL text, absent from new) is REMOVED, not 'added';
+        # doc 2 (NULL -> text) is CHANGED; doc 3 unchanged (filtered)
+        assert out == {1: "removed", 2: "changed"}
+        both_null = corpus.snapshot_diff(
+            spark.createDataFrame([(9, None)], "doc_id long, text string"),
+            spark.createDataFrame([(9, None)], "doc_id long, text string"),
+            include_unchanged=True,
+        ).collect()
+        assert both_null[0]["status"] == "unchanged"
+
+    def test_line_dedup_null_text(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, "keep me")], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r for r in corpus.drop_duplicate_lines(df).collect()
+        }
+        assert out[1]["n_lines"] == 0 and out[1]["n_removed"] == 0
+        assert out[1]["cleaned"] is None
+        assert out[2]["cleaned"] == "keep me"

@@ -19,9 +19,11 @@ class TestQualityPassthrough:
         }
         thru = textstats.quality_score(df, passthrough=True)
         assert set(thru.columns) == {
-            "doc_id", "text", "source", "punct_ratio", "stopword_ratio",
-            "distinct_ratio", "quality_score_micro",
+            "doc_id", "text", "source", "n_tokens", "punct_ratio",
+            "stopword_ratio", "distinct_ratio", "quality_score_micro",
         }
+        n_tok = {r["doc_id"]: r["n_tokens"] for r in thru.collect()}
+        assert n_tok == {1: 8, 2: 1}
         got = {r["doc_id"]: r for r in thru.collect()}
         assert {k: v["quality_score_micro"] for k, v in got.items()} == plain
         assert got[1]["source"] == "web" and got[2]["text"] == "zz"

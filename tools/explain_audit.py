@@ -1019,10 +1019,16 @@ def main() -> int:
             ("the final keep decision is a broadcast join (bounds "
              "table), not a window over the corpus",
              n_broadcasts(p36) >= 1),
-            ("the only sort is over the bounded candidate set — the "
-             "corpus relation itself is never globally sorted "
-             "(every Sort sits under the candidate window branch)",
-             "Sort" in p36),
+            ("the rank window sorts the bounded candidate set (a Sort "
+             "keyed on the draw exists) and no Sort consumes the text "
+             "column — the corpus relation is never globally sorted",
+             bool(
+                 re.search(
+                     r"\) Sort\nInput[^\n]*\nArguments: \[[^\]]*__qdraw__",
+                     p36,
+                 )
+             )
+             and not re.search(r"\) Sort\nInput[^\n]*\btext#", p36)),
             ("no Python stage", not re.search(r"EvalPython|InPandas", p36)),
         ],
         "The naive form is row_number() over (partition by source) — "
