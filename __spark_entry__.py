@@ -43,6 +43,8 @@ _FRONT = [
     "events_value_quantiles", "retrieval_hybrid_rrf",
     "corpus_prep_report", "corpus_line_dedup", "events_funnel",
     "events_cohort_retention", "corpus_token_quantiles",
+    "events_rate_spikes", "corpus_length_outliers",
+    "streaming_rate_spikes", "events_gapfill_hourly",
     # text_quality code changed this round (passthrough param)
     "text_quality",
     "dedup_minhash_incremental", "corpus_mixture_rebalance",

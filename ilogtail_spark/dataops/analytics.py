@@ -259,3 +259,128 @@ def cohort_retention(
         )
         .orderBy("cohort", "offset")
     )
+
+
+def rate_spikes(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    trailing: int = 24,
+    factor_micro: int = 3_000_000,
+    min_trailing: int = 3,
+) -> DataFrame:
+    """Event-rate spike report — "this hour's count is more than
+    factor x its trailing average" per event type, the alert rule
+    behind every log-volume anomaly monitor (SLS alerting, Datadog
+    monitors). Statistical z-scores need stddev floats that engines
+    disagree on in the last ulp; the factor-over-trailing-mean rule is
+    EXACT INTEGER math (count * trailing_n * 1e6 > factor_micro *
+    trailing_sum) so any engine raises the identical alerts.
+
+    Per (type, bucket): (event_type, bucket_ts, n_events, trailing_n,
+    trailing_sum, is_spike). The trailing window is the previous
+    ``trailing`` OBSERVED buckets of that type (rows, not wall-clock:
+    empty buckets don't produce rows — at log volume a silent hour is
+    itself an anomaly, a different monitor). Buckets with fewer than
+    ``min_trailing`` observed predecessors never flag (cold start).
+
+    Scale shape: the raw stream collapses to (type, bucket) counts in
+    ONE partial+final aggregate; the trailing window walks per-type
+    bucket rows — thousands per type-year, regardless of event
+    volume. Raw events shuffle zero times (map-side partials only
+    feed the tiny aggregate exchange).
+    """
+    if trailing < 1:
+        raise ValueError("trailing must be >= 1")
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(-trailing, -1)
+    )
+    out = counts.withColumn(
+        "trailing_n", F.count("n_events").over(w)
+    ).withColumn(
+        "trailing_sum",
+        F.coalesce(F.sum("n_events").over(w), F.lit(0)).cast("bigint"),
+    )
+    is_spike = (F.col("trailing_n") >= min_trailing) & (
+        F.col("n_events") * F.col("trailing_n") * F.lit(1_000_000)
+        > F.lit(factor_micro) * F.col("trailing_sum")
+    )
+    return out.select(
+        "event_type",
+        "bucket_ts",
+        "n_events",
+        F.col("trailing_n").cast("bigint").alias("trailing_n"),
+        "trailing_sum",
+        is_spike.alias("is_spike"),
+    )
+
+
+def gapfill_counts(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Dense per-(type, bucket) event counts with ZERO-FILLED gaps —
+    the resample/gap-fill step every telemetry store exposes (PromQL
+    range vectors, SLS time-series fill, Timescale time_bucket_gapfill).
+    Sparse aggregates silently skip empty buckets, which breaks
+    moving averages, rate math, and "silent hour" alerting downstream;
+    this emits one row per bucket between each type's first and last
+    event, count 0 where nothing happened.
+
+    Returns (event_type, bucket_ts, n_events) — bucket_ts is the
+    truncated bucket start; NULL timestamps are excluded.
+
+    Scale shape: the event stream collapses to sparse (type, bucket)
+    counts in one partial+final aggregate; the dense bucket axis is
+    GENERATED, not shuffled — one sequence() explode per type off a
+    two-value (min, max) pre-aggregate — and the fill is a narrow
+    left join on (type, bucket). Cost is bounded by types x buckets
+    in the time span, independent of event volume.
+    """
+    if bucket_seconds < 1:
+        raise ValueError("bucket_seconds must be >= 1")
+    b = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast(
+            "bigint"
+        )
+        * bucket_seconds
+    ).cast("timestamp")
+    base = df.filter(F.col(ts_col).isNotNull()).select(
+        F.col(type_col).alias("event_type"), b.alias("bucket_ts")
+    )
+    counts = base.groupBy("event_type", "bucket_ts").agg(
+        F.count("*").alias("__n__")
+    )
+    spans = base.groupBy("event_type").agg(
+        F.min("bucket_ts").alias("__lo__"), F.max("bucket_ts").alias("__hi__")
+    )
+    dense = spans.select(
+        "event_type",
+        F.explode(
+            F.expr(f"sequence(__lo__, __hi__, interval {bucket_seconds} seconds)")
+        ).alias("bucket_ts"),
+    )
+    return (
+        dense.join(counts, ["event_type", "bucket_ts"], "left")
+        .select(
+            "event_type",
+            "bucket_ts",
+            F.coalesce(F.col("__n__"), F.lit(0)).cast("bigint").alias(
+                "n_events"
+            ),
+        )
+        .orderBy("event_type", "bucket_ts")
+    )

@@ -2977,3 +2977,198 @@ def q_corpus_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         lens, "source", "n_tokens", _QS_MICRO, out_value="n_tokens"
     )
     return out.orderBy("source", "q_micro")
+
+
+# ---------------------------------------------------------------------------
+# event-rate spike report (factor-over-trailing-mean, exact integers)
+# ---------------------------------------------------------------------------
+def _rate_spikes_oracle(
+    trailing: int = 24, factor_micro: int = 3_000_000, min_trailing: int = 3
+) -> str:
+    return f"""
+    WITH counts AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             count(*) AS n_events
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, bucket_ts, n_events,
+             CAST(count(n_events) OVER w AS BIGINT) AS trailing_n,
+             CAST(coalesce(sum(n_events) OVER w, 0) AS BIGINT)
+               AS trailing_sum
+      FROM counts
+      WINDOW w AS (
+        PARTITION BY event_type ORDER BY bucket_ts
+        ROWS BETWEEN {trailing} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, bucket_ts, n_events, trailing_n, trailing_sum,
+           (trailing_n >= {min_trailing}
+            AND n_events * trailing_n * 1000000
+                > {factor_micro} * trailing_sum) AS is_spike
+    FROM t ORDER BY event_type, bucket_ts
+    """
+
+
+@query("events_rate_spikes", _rate_spikes_oracle())
+def q_events_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.rate_spikes(ev).orderBy("event_type", "bucket_ts")
+
+
+# ---------------------------------------------------------------------------
+# per-source length outliers (docs above their source's p99 tokens)
+# ---------------------------------------------------------------------------
+def _length_outliers_oracle(q_micro: int = 990_000) -> str:
+    toks = SQL_TOKENS.format(col="text")
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(len({toks}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), r AS (
+      SELECT source, n_tokens,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_tokens) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM t
+    ), p99 AS (
+      SELECT source, n_tokens AS p99_tokens
+      FROM r
+      WHERE rn = greatest(1, ({q_micro} * n + 999999) // 1000000)
+    )
+    SELECT t.doc_id, t.source, t.n_tokens, p.p99_tokens
+    FROM t JOIN p99 p USING (source)
+    WHERE t.n_tokens > p.p99_tokens
+    ORDER BY t.doc_id
+    """
+
+
+@query("corpus_length_outliers", _length_outliers_oracle())
+def q_corpus_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id",
+        "source",
+        F.size(dedup.tokens_col(F.col("text"))).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    p99 = analytics.grouped_quantiles(
+        lens, "source", "n_tokens", (990_000,), out_value="p99_tokens"
+    ).select("source", "p99_tokens")
+    out = lens.join(F.broadcast(p99), "source").filter(
+        F.col("n_tokens") > F.col("p99_tokens")
+    )
+    return out.select("doc_id", "source", "n_tokens", "p99_tokens").orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming rate-spike monitor — closed buckets across micro-batches
+# must equal the batch rate_spikes definition (each type's open tail
+# bucket is withheld pending state, so the oracle excludes it)
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_rate_spikes",
+    """
+    WITH counts AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us,
+             count(*) AS n_events
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, bucket_us, n_events,
+             CAST(count(n_events) OVER w AS BIGINT) AS trailing_n,
+             CAST(coalesce(sum(n_events) OVER w, 0) AS BIGINT)
+               AS trailing_sum
+      FROM counts
+      WINDOW w AS (
+        PARTITION BY event_type ORDER BY bucket_us
+        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ), mx AS (
+      SELECT event_type, max(bucket_us) AS mb FROM t GROUP BY event_type
+    )
+    SELECT t.event_type, t.bucket_us, CAST(t.n_events AS BIGINT) AS n_events,
+           t.trailing_n, t.trailing_sum,
+           (t.trailing_n >= 3
+            AND t.n_events * t.trailing_n * 1000000
+                > 3000000 * t.trailing_sum) AS is_spike
+    FROM t JOIN mx USING (event_type)
+    WHERE t.bucket_us < mx.mb
+    ORDER BY event_type, bucket_us
+    """,
+)
+def q_streaming_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import time as _time
+
+    from ilogtail_spark.streaming.stream import streaming_rate_spikes
+
+    root = tempfile.mkdtemp(prefix="ilogtail_spark_sspike_")
+    in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + (hi - lo) / 2
+    # two time-ordered files -> two micro-batches; buckets span the cut
+    ev.filter(F.col("ts") < F.lit(mid)).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    _time.sleep(1.1)  # distinct mtimes => deterministic batch order
+    ev.filter(F.col("ts") >= F.lit(mid)).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    (
+        streaming_rate_spikes(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .select(
+            "event_type", "bucket_us", "n_events", "trailing_n",
+            "trailing_sum", "is_spike",
+        )
+        .orderBy("event_type", "bucket_us")
+    )
+
+
+# ---------------------------------------------------------------------------
+# zero-filled per-(type, hour) counts (telemetry gap-fill / resample)
+# ---------------------------------------------------------------------------
+@query(
+    "events_gapfill_hourly",
+    """
+    WITH base AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts
+      FROM events WHERE ts IS NOT NULL
+    ), counts AS (
+      SELECT event_type, bucket_ts, count(*) AS n FROM base GROUP BY 1, 2
+    ), spans AS (
+      SELECT event_type, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+      FROM base GROUP BY 1
+    ), dense AS (
+      SELECT s.event_type,
+             unnest(generate_series(s.lo, s.hi, INTERVAL 1 HOUR))
+               AS bucket_ts
+      FROM spans s
+    )
+    SELECT d.event_type, d.bucket_ts,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+    FROM dense d LEFT JOIN counts c USING (event_type, bucket_ts)
+    ORDER BY event_type, bucket_ts
+    """,
+)
+def q_events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.gapfill_counts(ev)

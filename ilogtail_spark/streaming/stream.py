@@ -513,3 +513,102 @@ def streaming_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_rate_spikes(
+    stream_df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    trailing: int = 24,
+    factor_micro: int = 3_000_000,
+    min_trailing: int = 3,
+):
+    """Stateful streaming twin of :func:`dataops.analytics.rate_spikes`:
+    per event type, emit one row per CLOSED time bucket with its count,
+    the trailing window over previously observed buckets, and the
+    exact-integer spike verdict (count * trailing_n * 1e6 >
+    factor_micro * trailing_sum — the same portable alert rule as the
+    batch operator, no float stddev).
+
+    State per type = the OPEN bucket (start_us, count) plus the last
+    ``trailing`` closed-bucket counts (a bounded int array) — O(types
+    * trailing) total, no event buffering. A bucket closes when an
+    event of a LATER bucket arrives; the final open bucket stays
+    pending until its successor arrives (the same withheld-trailing-
+    partial contract as ``streaming_sessionize`` /
+    ``streaming_multiline_merge``). Late events older than the open
+    bucket fold into the open bucket (arrival-ordered semantics —
+    feed time-ordered batches, as a tailed log source naturally does,
+    for exact batch parity on closed buckets). Null timestamps drop.
+
+    Output: (event_type, bucket_us, n_events, trailing_n,
+    trailing_sum, is_spike) — bucket start in epoch MICROSECONDS
+    (same UTC-session precondition as streaming_sessionize).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if trailing < 1:
+        raise ValueError("trailing must be >= 1")
+    by_name = {f.name: f.dataType.simpleString() for f in stream_df.schema.fields}
+    type_t = by_name.get(type_col, "string")
+    out_schema = (
+        f"{type_col} {type_t}, bucket_us bigint, n_events bigint, "
+        "trailing_n bigint, trailing_sum bigint, is_spike boolean"
+    )
+    state_schema = "open_us bigint, open_n bigint, hist array<bigint>"
+    bucket_us_width = bucket_seconds * 1_000_000
+
+    def folder(key, pdfs, state: GroupState):
+        if state.exists:
+            open_us, open_n, hist = state.get
+            hist = list(hist)
+        else:
+            open_us, open_n, hist = None, 0, []
+        ts_list: list[int] = []
+        for pdf in pdfs:
+            pdf = pdf[pdf[ts_col].notna()]
+            ts_list.extend((pdf[ts_col].astype("int64") // 1000).tolist())
+        ts_list.sort()
+        rows: list[tuple] = []
+
+        def close_open() -> None:
+            nonlocal open_us, open_n, hist
+            tn, tsum = len(hist), sum(hist)
+            spike = tn >= min_trailing and (
+                open_n * tn * 1_000_000 > factor_micro * tsum
+            )
+            rows.append((*key, open_us, open_n, tn, tsum, spike))
+            hist.append(open_n)
+            if len(hist) > trailing:
+                hist = hist[-trailing:]
+
+        for t_us in ts_list:
+            b = (t_us // bucket_us_width) * bucket_us_width
+            if open_us is None:
+                open_us, open_n = b, 1
+            elif b <= open_us:
+                # same bucket, or late data: fold into the open bucket
+                open_n += 1
+            else:
+                close_open()
+                open_us, open_n = b, 1
+        if open_us is not None:
+            state.update((open_us, open_n, hist))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    type_col, "bucket_us", "n_events",
+                    "trailing_n", "trailing_sum", "is_spike",
+                ],
+            )
+
+    return stream_df.groupBy(F.col(type_col)).applyInPandasWithState(
+        folder,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -186,3 +186,82 @@ class TestCohortRetention:
         df = spark.createDataFrame([(1, None)], "user_id long, ts timestamp")
         with pytest.raises(ValueError, match="period"):
             analytics.cohort_retention(df, period="month")
+
+
+class TestRateSpikes:
+    def test_spike_detection_and_cold_start(self, spark):
+        # steady 10/hour for 5 hours, then 100 in hour 6
+        rows = []
+        eid = 0
+        for h in range(5):
+            for _ in range(10):
+                rows.append((eid, "err", f"2024-01-01 0{h}:30:00")); eid += 1
+        for _ in range(100):
+            rows.append((eid, "err", "2024-01-01 05:30:00")); eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            str(r["bucket_ts"]): r
+            for r in analytics.rate_spikes(df, min_trailing=3).collect()
+        }
+        assert len(out) == 6
+        # hours 0-2: cold start (trailing_n < 3) -> never spike
+        assert not out["2024-01-01 00:00:00"]["is_spike"]
+        assert not out["2024-01-01 02:00:00"]["is_spike"]
+        # hour 5: 100 > 3x avg(10) -> spike
+        last = out["2024-01-01 05:00:00"]
+        assert last["is_spike"] and last["trailing_n"] == 5
+        assert last["trailing_sum"] == 50
+        # steady hours never spike
+        assert not out["2024-01-01 04:00:00"]["is_spike"]
+
+    def test_boundary_is_strict(self, spark):
+        # exactly factor x mean must NOT flag (strict >)
+        rows = [(i, "e", f"2024-01-01 0{h}:00:00")
+                for h in range(4) for i in range(10)]
+        rows += [(99, "e", "2024-01-01 04:00:00")] * 30  # exactly 3x10
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            str(r["bucket_ts"]): r["is_spike"]
+            for r in analytics.rate_spikes(df).collect()
+        }
+        assert out["2024-01-01 04:00:00"] is False
+
+    def test_bad_args(self, spark):
+        df = spark.createDataFrame([(1, "e", None)],
+                                   "event_id long, event_type string, ts timestamp")
+        with pytest.raises(ValueError, match="trailing"):
+            analytics.rate_spikes(df, trailing=0)
+
+
+class TestGapfillCounts:
+    def test_zero_fills_missing_buckets(self, spark):
+        rows = [
+            (1, "a", "2024-01-01 00:10:00"),
+            (2, "a", "2024-01-01 00:20:00"),
+            (3, "a", "2024-01-01 03:05:00"),  # hours 1-2 silent
+            (4, "b", "2024-01-01 05:00:00"),
+            (5, "a", None),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            (r["event_type"], str(r["bucket_ts"])): r["n_events"]
+            for r in analytics.gapfill_counts(df).collect()
+        }
+        assert out[("a", "2024-01-01 00:00:00")] == 2
+        assert out[("a", "2024-01-01 01:00:00")] == 0
+        assert out[("a", "2024-01-01 02:00:00")] == 0
+        assert out[("a", "2024-01-01 03:00:00")] == 1
+        assert out[("b", "2024-01-01 05:00:00")] == 1
+        assert len(out) == 5  # 4 'a' buckets + 1 'b'; NULL ts dropped
+
+    def test_bad_bucket(self, spark):
+        df = spark.createDataFrame([(1, "a", None)],
+                                   "event_id long, event_type string, ts timestamp")
+        with pytest.raises(ValueError, match="bucket_seconds"):
+            analytics.gapfill_counts(df, bucket_seconds=0)

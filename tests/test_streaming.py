@@ -418,3 +418,65 @@ def test_streaming_sessionize_spans_batches_and_withholds_open_tail(
     assert r["user_id"] == 1 and r["session_ordinal"] == 1
     assert r["n_events"] == 3
     assert (r["ended_us"] - r["started_us"]) == 20_000_000
+
+
+class TestStreamingRateSpikes:
+    def test_state_carries_across_batches(self, spark, tmp_path):
+        import time as _time
+
+        from ilogtail_spark.streaming.stream import streaming_rate_spikes
+
+        in_dir = str(tmp_path / "in")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        # 4 steady hours of 10 + one 100-event hour + a closer event;
+        # split so the spike hour STRADDLES the two micro-batches
+        rows = []
+        eid = 0
+        for h in range(4):
+            for _ in range(10):
+                rows.append((eid, "err", f"2024-01-01 0{h}:15:00")); eid += 1
+        for m in (5, 10):  # first chunk of hour 4
+            for _ in range(40):
+                rows.append((eid, "err", f"2024-01-01 04:{m:02d}:00")); eid += 1
+        batch1 = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        rows2 = [(eid + i, "err", "2024-01-01 04:50:00") for i in range(20)]
+        rows2.append((9999, "err", "2024-01-01 05:00:01"))  # closes hour 4
+        batch2 = spark.createDataFrame(
+            rows2, "event_id long, event_type string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        batch1.coalesce(1).write.mode("append").parquet(in_dir)
+        _time.sleep(1.1)
+        batch2.coalesce(1).write.mode("append").parquet(in_dir)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, event_type string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        (
+            streaming_rate_spikes(stream, min_trailing=3)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        out = {
+            r["bucket_us"]: r
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        # hours 0-4 closed (hour 5 stays pending) — hour 4 counts from
+        # BOTH batches (80 + 20 = 100), trailing over 4 closed buckets
+        assert len(out) == 5
+        h4 = out[max(out)]
+        assert h4["n_events"] == 100
+        assert h4["trailing_n"] == 4 and h4["trailing_sum"] == 40
+        assert bool(h4["is_spike"])
+        # steady hours: not spikes (cold start or within factor)
+        assert sum(1 for r in out.values() if r["is_spike"]) == 1

@@ -1218,6 +1218,32 @@ def main() -> int:
         "operates on the collapsed activity frame.",
     )
 
+    # 43. rate spikes: events collapse before any wide op
+    q43 = _analytics.rate_spikes(ev41)
+    p43 = formatted(q43)
+    audit(
+        "event-rate spike report (trailing window over bucket counts)",
+        q43,
+        [
+            ("the raw stream collapses to (type, bucket) counts in a "
+             "partial+final aggregate — map-side combine first",
+             "partial_count" in p43),
+            ("the trailing window walks per-type BUCKET rows, not "
+             "events (Window is the PARENT of the count aggregate — "
+             "it prints before HashAggregate in the top-down tree)",
+             "Window" in p43
+             and p43.index("Window") < p43.index("HashAggregate")),
+            ("spike verdict is exact integer arithmetic in codegen — "
+             "no Python stage, no float stddev",
+             not re.search(r"EvalPython|InPandas", p43)),
+        ],
+        "The alert rule every engine computes identically: counts "
+        "aggregate map-side, the window state is one trailing sum "
+        "over at most `trailing` bucket rows per type, and the "
+        "comparison is BIGINT — reproducible across engines and "
+        "parallelism, unlike float z-scores.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
