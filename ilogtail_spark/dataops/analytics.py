@@ -261,6 +261,18 @@ def cohort_retention(
     )
 
 
+# dense-axis buckets generated per explode row in gapfill_counts —
+# bounds the per-row array allocation regardless of span width
+_GAPFILL_CHUNK = 8192
+
+# date_trunc units Spark actually recognizes (others return NULL)
+_TRUNC_UNITS = {
+    "year", "yyyy", "yy", "quarter", "month", "mon", "mm", "week",
+    "day", "dd", "hour", "minute", "second", "millisecond",
+    "microsecond",
+}
+
+
 def rate_spikes(
     df: DataFrame,
     type_col: str = "event_type",
@@ -293,6 +305,12 @@ def rate_spikes(
     """
     if trailing < 1:
         raise ValueError("trailing must be >= 1")
+    if bucket.lower() not in _TRUNC_UNITS:
+        # Spark's date_trunc silently yields NULL for unknown units —
+        # every row would collapse into one (type, NULL) bucket
+        raise ValueError(
+            f"bucket must be one of {sorted(_TRUNC_UNITS)}, got {bucket!r}"
+        )
     counts = (
         df.filter(F.col(ts_col).isNotNull())
         .groupBy(
@@ -331,6 +349,7 @@ def gapfill_counts(
     type_col: str = "event_type",
     ts_col: str = "ts",
     bucket_seconds: int = 3600,
+    max_buckets: int | None = 2_000_000,
 ) -> DataFrame:
     """Dense per-(type, bucket) event counts with ZERO-FILLED gaps —
     the resample/gap-fill step every telemetry store exposes (PromQL
@@ -344,43 +363,97 @@ def gapfill_counts(
     truncated bucket start; NULL timestamps are excluded.
 
     Scale shape: the event stream collapses to sparse (type, bucket)
-    counts in one partial+final aggregate; the dense bucket axis is
-    GENERATED, not shuffled — one sequence() explode per type off a
-    two-value (min, max) pre-aggregate — and the fill is a narrow
-    left join on (type, bucket). Cost is bounded by types x buckets
-    in the time span, independent of event volume.
+    counts in ONE partial+final aggregate; fillers are then generated
+    from each counts row's gap to its predecessor (one ``lag`` window
+    per type over BUCKET rows) — ONE raw scan, ONE tiny window
+    shuffle, NO join, and no second aggregate over raw events (a
+    separate min/max-span branch would re-scan the input: column
+    pruning makes the two counts subtrees differ, so Spark cannot
+    reuse the exchange — measured, not guessed). Filler buckets
+    explode in chunks of at most ``_GAPFILL_CHUNK`` so no single row
+    materializes a gap-sized array. ``max_buckets`` bounds any SINGLE
+    gap and fails the job LOUDLY instead of flooding it — one corrupt
+    epoch-0 row in a 2026 dataset at minute buckets would otherwise
+    quietly emit ~29M filler rows; pass None to uncap.
     """
     if bucket_seconds < 1:
         raise ValueError("bucket_seconds must be >= 1")
+    step = int(bucket_seconds)
+    chunk = _GAPFILL_CHUNK
     b = (
-        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast(
-            "bigint"
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step).cast("bigint") * step
+    )
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(type_col).alias("event_type"), b.alias("__bs__"))
+        .agg(F.count("*").alias("__n__"))
+    )
+    w = Window.partitionBy("event_type").orderBy("__bs__")
+    # fillers strictly between this bucket and its predecessor
+    gap_n = F.coalesce(
+        F.expr(f"(__bs__ - __prev__) div {step}") - F.lit(1),
+        F.lit(0).cast("bigint"),
+    )
+    if max_buckets is not None:
+        gap_n = F.when(
+            gap_n > int(max_buckets),
+            F.raise_error(
+                F.format_string(
+                    "gapfill_counts: type %s has a %s-bucket gap "
+                    f"(> max_buckets={int(max_buckets)}) — corrupt "
+                    "timestamp or too-fine bucket_seconds; pass "
+                    "max_buckets=None to uncap",
+                    F.col("event_type").cast("string"),
+                    gap_n.cast("string"),
+                )
+            ).cast("bigint"),
+        ).otherwise(gap_n)
+    # chunk axis: filler chunks [0..(gap-1) div chunk], plus -1 = the
+    # observed row itself (so every counts row survives the explode);
+    # __gap__ feeds it, keeping the guard load-bearing in the plan
+    chunks = F.concat(
+        F.when(
+            F.col("__gap__") > 0,
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.expr(f"(__gap__ - 1) div {chunk}"),
+            ),
+        ).otherwise(F.expr("array()").cast("array<bigint>")),
+        F.array(F.lit(-1).cast("bigint")),
+    )
+    self_row = F.array(
+        F.struct(
+            F.col("__bs__").alias("b"), F.col("__n__").alias("n")
         )
-        * bucket_seconds
-    ).cast("timestamp")
-    base = df.filter(F.col(ts_col).isNotNull()).select(
-        F.col(type_col).alias("event_type"), b.alias("bucket_ts")
     )
-    counts = base.groupBy("event_type", "bucket_ts").agg(
-        F.count("*").alias("__n__")
-    )
-    spans = base.groupBy("event_type").agg(
-        F.min("bucket_ts").alias("__lo__"), F.max("bucket_ts").alias("__hi__")
-    )
-    dense = spans.select(
-        "event_type",
-        F.explode(
-            F.expr(f"sequence(__lo__, __hi__, interval {bucket_seconds} seconds)")
-        ).alias("bucket_ts"),
+    filler_chunk = F.transform(
+        F.sequence(
+            F.col("__prev__") + (F.col("__c__") * chunk + 1) * step,
+            F.col("__prev__")
+            + F.least(
+                F.col("__gap__"), (F.col("__c__") + 1) * F.lit(chunk)
+            )
+            * step,
+            F.lit(step).cast("bigint"),
+        ),
+        lambda x: F.struct(
+            x.alias("b"), F.lit(0).cast("bigint").alias("n")
+        ),
     )
     return (
-        dense.join(counts, ["event_type", "bucket_ts"], "left")
+        counts.withColumn("__prev__", F.lag("__bs__").over(w))
+        .withColumn("__gap__", gap_n)
+        .withColumn("__c__", F.explode(chunks))
         .select(
             "event_type",
-            "bucket_ts",
-            F.coalesce(F.col("__n__"), F.lit(0)).cast("bigint").alias(
-                "n_events"
-            ),
+            F.explode(
+                F.when(F.col("__c__") == -1, self_row).otherwise(filler_chunk)
+            ).alias("__r__"),
+        )
+        .select(
+            "event_type",
+            F.col("__r__.b").cast("timestamp").alias("bucket_ts"),
+            F.col("__r__.n").alias("n_events"),
         )
         .orderBy("event_type", "bucket_ts")
     )

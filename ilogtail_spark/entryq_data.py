@@ -1812,6 +1812,46 @@ def q_corpus_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # equal the batch definition (the open tail session per user is the
 # withheld pending state, so the oracle excludes each user's last one)
 # ---------------------------------------------------------------------------
+def _drain_two_batch_stream(spark, ev, schema: str, transform):
+    """Shared micro-batch harness for the stateful streaming queries:
+    write ``ev`` as two time-ordered parquet files split at the
+    midpoint of ``ts`` (distinct mtimes => deterministic batch order),
+    drain them as two micro-batches (maxFilesPerTrigger=1,
+    AvailableNow) through ``transform(readStream)``, and return the
+    parquet sink read back. State that spans the midpoint cut is
+    exactly what each caller's test pins."""
+    import tempfile
+    import time as _time
+
+    root = tempfile.mkdtemp(prefix="ilogtail_spark_stream2_")
+    in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + (hi - lo) / 2
+    ev.filter(F.col("ts") < F.lit(mid)).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    _time.sleep(1.1)  # distinct mtimes => deterministic batch order
+    ev.filter(F.col("ts") >= F.lit(mid)).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    (
+        transform(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out_dir)
+
+
 @query(
     "streaming_sessionize",
     f"""
@@ -1832,41 +1872,18 @@ def q_corpus_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-    import time as _time
-
     from ilogtail_spark.streaming.stream import streaming_sessionize
 
-    root = tempfile.mkdtemp(prefix="ilogtail_spark_ssess_")
-    in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
     ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
-    mid = lo + (hi - lo) / 2
-    # two time-ordered files -> two micro-batches; sessions span the cut
-    ev.filter(F.col("ts") < F.lit(mid)).coalesce(1).write.mode("append").parquet(
-        in_dir
-    )
-    _time.sleep(1.1)  # distinct mtimes => deterministic batch order
-    ev.filter(F.col("ts") >= F.lit(mid)).coalesce(1).write.mode("append").parquet(
-        in_dir
-    )
-    stream = (
-        spark.readStream.schema("event_id long, ts timestamp, user_id long")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(in_dir)
-    )
-    (
-        streaming_sessionize(stream, gap_seconds=_SESSION_GAP)
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+    # sessions span the midpoint cut between the two micro-batches
+    out = _drain_two_batch_stream(
+        spark,
+        ev,
+        "event_id long, ts timestamp, user_id long",
+        lambda s: streaming_sessionize(s, gap_seconds=_SESSION_GAP),
     )
     return (
-        spark.read.parquet(out_dir)
+        out
         .select(
             "user_id", "session_ordinal", "n_events", "started_us", "ended_us"
         )
@@ -2944,7 +2961,7 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-source token-length distribution (reuses grouped_quantiles)
 # ---------------------------------------------------------------------------
 def _token_quantiles_oracle() -> str:
-    toks = SQL_TOKENS.format(col="text")
+    toks = SQL_TOKENS.format(col="coalesce(text, '')")
     qlist = ", ".join(str(q) for q in _QS_MICRO)
     return f"""
     WITH t AS (
@@ -2967,11 +2984,14 @@ def _token_quantiles_oracle() -> str:
 @query("corpus_token_quantiles", _token_quantiles_oracle())
 def q_corpus_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
+    # coalesce: NULL text = 0 tokens on BOTH engines (Spark size(NULL)
+    # is -1; DuckDB ranks NULL lengths last) — same guard as the
+    # mixture-rebalance query above
     lens = docs.select(
         "source",
-        F.size(dedup.tokens_col(F.col("text"))).cast("bigint").alias(
-            "n_tokens"
-        ),
+        F.size(
+            dedup.tokens_col(F.coalesce(F.col("text"), F.lit("")))
+        ).cast("bigint").alias("n_tokens"),
     )
     out = analytics.grouped_quantiles(
         lens, "source", "n_tokens", _QS_MICRO, out_value="n_tokens"
@@ -3019,7 +3039,7 @@ def q_events_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-source length outliers (docs above their source's p99 tokens)
 # ---------------------------------------------------------------------------
 def _length_outliers_oracle(q_micro: int = 990_000) -> str:
-    toks = SQL_TOKENS.format(col="text")
+    toks = SQL_TOKENS.format(col="coalesce(text, '')")
     return f"""
     WITH t AS (
       SELECT doc_id, source, CAST(len({toks}) AS BIGINT) AS n_tokens
@@ -3045,12 +3065,14 @@ def _length_outliers_oracle(q_micro: int = 990_000) -> str:
 @query("corpus_length_outliers", _length_outliers_oracle())
 def q_corpus_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
+    # coalesce: NULL text must count as 0 tokens on BOTH engines —
+    # size(NULL) is -1 in Spark while DuckDB ranks NULL lengths last
     lens = docs.select(
         "doc_id",
         "source",
-        F.size(dedup.tokens_col(F.col("text"))).cast("bigint").alias(
-            "n_tokens"
-        ),
+        F.size(
+            dedup.tokens_col(F.coalesce(F.col("text"), F.lit("")))
+        ).cast("bigint").alias("n_tokens"),
     )
     p99 = analytics.grouped_quantiles(
         lens, "source", "n_tokens", (990_000,), out_value="p99_tokens"
@@ -3100,41 +3122,18 @@ def q_corpus_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_streaming_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-    import time as _time
-
     from ilogtail_spark.streaming.stream import streaming_rate_spikes
 
-    root = tempfile.mkdtemp(prefix="ilogtail_spark_sspike_")
-    in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
     ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
-    mid = lo + (hi - lo) / 2
-    # two time-ordered files -> two micro-batches; buckets span the cut
-    ev.filter(F.col("ts") < F.lit(mid)).coalesce(1).write.mode(
-        "append"
-    ).parquet(in_dir)
-    _time.sleep(1.1)  # distinct mtimes => deterministic batch order
-    ev.filter(F.col("ts") >= F.lit(mid)).coalesce(1).write.mode(
-        "append"
-    ).parquet(in_dir)
-    stream = (
-        spark.readStream.schema("event_id long, ts timestamp, event_type string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(in_dir)
-    )
-    (
-        streaming_rate_spikes(stream)
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+    # hour buckets span the midpoint cut between the two micro-batches
+    out = _drain_two_batch_stream(
+        spark,
+        ev,
+        "event_id long, ts timestamp, event_type string",
+        streaming_rate_spikes,
     )
     return (
-        spark.read.parquet(out_dir)
+        out
         .select(
             "event_type", "bucket_us", "n_events", "trailing_n",
             "trailing_sum", "is_spike",

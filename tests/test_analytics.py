@@ -235,6 +235,10 @@ class TestRateSpikes:
                                    "event_id long, event_type string, ts timestamp")
         with pytest.raises(ValueError, match="trailing"):
             analytics.rate_spikes(df, trailing=0)
+        # Spark date_trunc returns NULL for unknown units — must raise,
+        # not collapse every row into one (type, NULL) bucket
+        with pytest.raises(ValueError, match="bucket"):
+            analytics.rate_spikes(df, bucket="15 minutes")
 
 
 class TestGapfillCounts:
@@ -265,3 +269,32 @@ class TestGapfillCounts:
                                    "event_id long, event_type string, ts timestamp")
         with pytest.raises(ValueError, match="bucket_seconds"):
             analytics.gapfill_counts(df, bucket_seconds=0)
+
+    def test_span_wider_than_one_chunk(self, spark):
+        # 20001 one-second buckets -> 3 explode chunks at 8192/chunk;
+        # dense axis must still be exact and contiguous
+        df = spark.createDataFrame(
+            [(1, "a", "2024-01-01 00:00:00"), (2, "a", "2024-01-01 05:33:20")],
+            "event_id long, event_type string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = analytics.gapfill_counts(df, bucket_seconds=1)
+        rows = out.collect()
+        assert len(rows) == 20_001
+        assert sum(r["n_events"] for r in rows) == 2
+        assert str(rows[0]["bucket_ts"]) == "2024-01-01 00:00:00"
+        assert str(rows[-1]["bucket_ts"]) == "2024-01-01 05:33:20"
+
+    def test_max_buckets_guard_raises(self, spark):
+        from pyspark.errors.exceptions.base import PySparkException
+
+        df = spark.createDataFrame(
+            [(1, "a", "1970-01-01 00:00:00"), (2, "a", "2024-01-01 00:00:00")],
+            "event_id long, event_type string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        with pytest.raises(PySparkException, match="max_buckets"):
+            analytics.gapfill_counts(df, bucket_seconds=60).collect()
+        # uncapped: the corrupt span is the caller's explicit choice
+        n = analytics.gapfill_counts(
+            df, bucket_seconds=7 * 86400, max_buckets=None
+        ).count()
+        assert n > 2_000

@@ -1221,6 +1221,7 @@ def main() -> int:
     # 43. rate spikes: events collapse before any wide op
     q43 = _analytics.rate_spikes(ev41)
     p43 = formatted(q43)
+    w_at, agg_at = p43.find("Window"), p43.find("HashAggregate")
     audit(
         "event-rate spike report (trailing window over bucket counts)",
         q43,
@@ -1231,8 +1232,7 @@ def main() -> int:
             ("the trailing window walks per-type BUCKET rows, not "
              "events (Window is the PARENT of the count aggregate — "
              "it prints before HashAggregate in the top-down tree)",
-             "Window" in p43
-             and p43.index("Window") < p43.index("HashAggregate")),
+             w_at >= 0 and agg_at >= 0 and w_at < agg_at),
             ("spike verdict is exact integer arithmetic in codegen — "
              "no Python stage, no float stddev",
              not re.search(r"EvalPython|InPandas", p43)),
@@ -1242,6 +1242,38 @@ def main() -> int:
         "over at most `trailing` bucket rows per type, and the "
         "comparison is BIGINT — reproducible across engines and "
         "parallelism, unlike float z-scores.",
+    )
+
+    # 44. gapfill: one raw scan, lag-driven fillers, no join
+    q44 = _analytics.gapfill_counts(ev41)
+    p44 = formatted(q44)
+    scans44 = sum(
+        1
+        for ln in p44.splitlines()
+        if ln.strip().startswith("(") and "Scan parquet" in ln
+    )
+    audit(
+        "gap-filled per-(type, bucket) counts (dense resample)",
+        q44,
+        [
+            ("raw events are scanned exactly ONCE — fillers come from "
+             "a lag window over the collapsed counts frame, not a "
+             "second span aggregate over the input (column pruning "
+             "makes a two-branch span plan unreusable: measured 2 "
+             "scans before this shape)",
+             scans44 == 1),
+            ("no join anywhere — the dense axis is generated in place "
+             "next to each observed bucket row",
+             "Join" not in p44),
+            ("counts collapse map-side before the per-type window",
+             "partial_count" in p44),
+        ],
+        "The gap-fill plan at 100 TB: event volume touches only the "
+        "first partial+final aggregate; everything after walks "
+        "(type, bucket) rows. Filler buckets explode in bounded "
+        "chunks, so a wide gap never materializes a span-sized array, "
+        "and the max_buckets guard fails loudly on corrupt timestamps "
+        "instead of flooding the output.",
     )
 
     out = (
