@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _FRONT = [
     # round-5 new queries first (never driver-checked), then the
     # r04-unsampled rotation ordered oldest-driver-check first
+    "conv_integrity_report", "conv_sft_pairs",
     "corpus_split_assign", "corpus_snapshot_diff",
     "sim_cosine_topk_quantized", "corpus_source_quota",
     "events_value_quantiles", "retrieval_hybrid_rrf",

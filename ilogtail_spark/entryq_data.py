@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ilogtail_spark.dataops import (
     analytics,
+    conversations,
     corpus,
     dedup,
     multimodal,
@@ -3171,3 +3172,118 @@ def q_streaming_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return analytics.gapfill_counts(ev)
+
+
+# ---------------------------------------------------------------------------
+# conversation structural integrity + SFT pair extraction: the driver's
+# events table is reshaped into the transcripts shape DETERMINISTICALLY
+# on BOTH engines (conv = user, turn_idx = per-user event rank, role =
+# event_type mapping), with integrity defects INJECTED for the report
+# query (every 19th event_id shifts its idx +1 => one dup + one gap)
+# ---------------------------------------------------------------------------
+_ROLE_CASE = """CASE event_type WHEN 'click' THEN 'user'
+        WHEN 'view' THEN 'assistant' WHEN 'purchase' THEN 'assistant'
+        WHEN 'error' THEN 'tool' ELSE 'system' END"""
+
+
+def _as_transcript(spark: SparkSession, sf_dir: str, inject: bool) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    # alias user_id -> conv_id BEFORE the rank window so the single
+    # hash exchange lands on conv_id and every downstream window in
+    # the conversation operators reuses it (aliasing above the window
+    # would strand the partitioning on user_id)
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("conv_id"), "event_id", "event_type", "props"
+    )
+    rn = (
+        F.row_number().over(_W.partitionBy("conv_id").orderBy("event_id")) - 1
+    ).cast("bigint")
+    idx = rn + F.when(F.col("event_id") % 19 == 0, 1).otherwise(0) if inject else rn
+    role = (
+        F.when(F.col("event_type") == "click", "user")
+        .when(F.col("event_type").isin("view", "purchase"), "assistant")
+        .when(F.col("event_type") == "error", "tool")
+        .otherwise("system")
+    )
+    return ev.select(
+        "conv_id",
+        idx.alias("turn_idx"),
+        role.alias("role"),
+        F.col("props").alias("text"),
+    )
+
+
+@query(
+    "conv_integrity_report",
+    f"""
+    WITH t AS (
+      SELECT user_id AS conv_id,
+             (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1)
+               + CASE WHEN event_id % 19 = 0 THEN 1 ELSE 0 END AS turn_idx,
+             {_ROLE_CASE} AS role
+      FROM events
+    ), f AS (
+      SELECT conv_id, turn_idx, role,
+             lag(role) OVER (PARTITION BY conv_id
+                             ORDER BY turn_idx, role) AS prev_role
+      FROM t
+    )
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(min(turn_idx) AS BIGINT) AS min_idx,
+           CAST(max(turn_idx) AS BIGINT) AS max_idx,
+           CAST(count(*) - count(DISTINCT turn_idx) AS BIGINT) AS n_dup_idx,
+           CAST(max(turn_idx) - min(turn_idx) + 1
+                - count(DISTINCT turn_idx) AS BIGINT) AS n_gap_idx,
+           CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_role_repeats,
+           CAST(sum(CASE WHEN role = 'tool'
+                         AND coalesce(prev_role, '') <> 'assistant'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_tool,
+           (count(*) = count(DISTINCT turn_idx)
+            AND max(turn_idx) - min(turn_idx) + 1 = count(DISTINCT turn_idx)
+            AND sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) = 0
+            AND sum(CASE WHEN role = 'tool'
+                         AND coalesce(prev_role, '') <> 'assistant'
+                    THEN 1 ELSE 0 END) = 0
+            AND min(turn_idx) = 0) AS is_clean
+    FROM f GROUP BY conv_id ORDER BY conv_id
+    """,
+)
+def q_conv_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=True)
+    return conversations.conversation_integrity(t).orderBy("conv_id")
+
+
+@query(
+    "conv_sft_pairs",
+    f"""
+    WITH t AS (
+      SELECT user_id AS conv_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+               AS turn_idx,
+             {_ROLE_CASE} AS role,
+             props AS text
+      FROM events
+    ), n AS (
+      SELECT conv_id, turn_idx, role,
+             md5(text) AS d, CAST(length(text) AS BIGINT) AS ch,
+             lead(turn_idx) OVER w AS nidx, lead(role) OVER w AS nrole,
+             lead(md5(text)) OVER w AS nd,
+             lead(CAST(length(text) AS BIGINT)) OVER w AS nch
+      FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, role)
+    )
+    SELECT conv_id,
+           CAST(turn_idx AS BIGINT) AS prompt_idx,
+           CAST(nidx AS BIGINT) AS response_idx,
+           d AS prompt_md5, nd AS response_md5,
+           ch AS prompt_chars, nch AS response_chars
+    FROM n
+    WHERE role = 'user' AND nrole = 'assistant' AND nidx = turn_idx + 1
+    ORDER BY conv_id, prompt_idx
+    """,
+)
+def q_conv_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    return conversations.sft_pairs(t)

@@ -1276,6 +1276,69 @@ def main() -> int:
         "instead of flooding the output.",
     )
 
+    # 45. conversation structure: one conv exchange, text never shuffles
+    from ilogtail_spark.dataops import conversations as _conv
+    from ilogtail_spark.entryq_data import _as_transcript
+
+    def _hash_exchanges(plan: str) -> list[str]:
+        return [
+            b
+            for b in plan.split("\n\n")
+            if b.strip().startswith("(")
+            and b.splitlines()[0].split(") ", 1)[-1].strip() == "Exchange"
+            and "hashpartitioning" in b
+        ]
+
+    # the operator's contract shape: transcripts arrive with turn_idx
+    # materialized (here: events reshaped scan-side, idx := event_id)
+    tr45 = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+    )
+    q45 = _conv.sft_pairs(tr45, prompt_role="click", response_role="view")
+    p45 = formatted(q45)
+    ex45 = _hash_exchanges(p45)
+    q45b = _conv.conversation_integrity(tr45)
+    p45b = formatted(q45b)
+    ex45b = _hash_exchanges(p45b)
+    # the registry derivation adds a rank window; its exchange must be
+    # REUSED by the operator (still exactly one hash exchange)
+    p45c = formatted(_conv.sft_pairs(_as_transcript(spark, SF_DIR, False)))
+    audit(
+        "conversation structure: SFT pair index + integrity report",
+        q45,
+        [
+            ("pair detection is lead() over ONE hash exchange on "
+             "conv_id (plus the final presentation sort)",
+             len(ex45) == 1),
+            ("text NEVER enters that shuffle — the exchange's column "
+             "list carries the scan-side md5/length, not the text "
+             "column",
+             "__md5__" in ex45[0] and "text#" not in ex45[0]),
+            ("no Python stage anywhere — digests, lead() and the "
+             "adjacency filter are codegen expressions",
+             not re.search(r"EvalPython|InPandas", p45 + p45b)),
+            ("integrity report: ONE hash exchange shared by the lag "
+             "window AND both per-conversation aggregate levels "
+             "(hashpartitioning(conv_id) satisfies the distinct-idx "
+             "aggregate's (conv_id, idx) clustering)",
+             len(ex45b) == 1),
+            ("when the input derives turn_idx via a rank window (the "
+             "registry query), the operator REUSES that window's "
+             "conv_id exchange instead of adding its own",
+             len(_hash_exchanges(p45c)) == 1),
+        ],
+        "sft_pairs at 100 TB: turn text is digested and measured in "
+        "the scan stage, so the conv_id exchange moves ~50-byte rows "
+        "per turn regardless of turn length; materializing pair text "
+        "is an explicit key join back to the source scan. The "
+        "integrity report walks the same shuffled rows once for the "
+        "lag window and folds them straight into the per-conversation "
+        "aggregate without re-partitioning.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
