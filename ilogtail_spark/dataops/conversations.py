@@ -53,9 +53,11 @@ def conversation_integrity(
 
     plus ``n_turns``, ``min_idx``/``max_idx``, and ``is_clean``
     (every defect count zero AND the conversation starts at idx 0).
-    NULL turn_idx rows count as defects via n_dup/gap arithmetic
-    (count_distinct ignores NULL, so a NULL idx surfaces in
-    ``n_dup_idx``).
+    NULL turn_idx rows count as defects in ``n_dup_idx``
+    (count_distinct ignores NULL); a conversation whose idx values
+    are ALL NULL reports NULL min/max with ``n_gap_idx`` 0 — its
+    corruption is already fully counted in ``n_dup_idx`` — and is
+    never clean.
 
     Ordering inside a conversation is (turn_idx, role): turn_idx ties
     are real data defects, and sorting ties by role makes the
@@ -78,7 +80,12 @@ def conversation_integrity(
         .select(
             "conv_id",
             "__idx__",
-            (F.col("__role__") == F.col("__prev__")).alias("__rep__"),
+            # coalesce: a conversation's FIRST turn (prev NULL) is not a
+            # repeat — without it a single-turn conversation sums an
+            # all-NULL group and reports NULL instead of 0
+            F.coalesce(
+                F.col("__role__") == F.col("__prev__"), F.lit(False)
+            ).alias("__rep__"),
             (
                 (F.col("__role__") == tool_role)
                 & (F.coalesce(F.col("__prev__"), F.lit("")) != responder_role)
@@ -94,9 +101,15 @@ def conversation_integrity(
         F.sum(F.col("__orph__").cast("bigint")).alias("n_orphan_tool"),
     )
     n_dup = (F.col("n_turns") - F.col("__nd__")).cast("bigint")
-    n_gap = (
-        F.col("max_idx") - F.col("min_idx") + 1 - F.col("__nd__")
-    ).cast("bigint")
+    # coalesce: an all-NULL-idx conversation has NULL min/max — its
+    # corruption is already fully counted in n_dup_idx (= n_turns),
+    # and a NULL gap count would silently drop it from sum()/filter()
+    n_gap = F.coalesce(
+        (F.col("max_idx") - F.col("min_idx") + 1 - F.col("__nd__")).cast(
+            "bigint"
+        ),
+        F.lit(0).cast("bigint"),
+    )
     return (
         out.select(
             "conv_id",
@@ -163,17 +176,22 @@ def sft_pairs(
         .cast("bigint")
         .alias("__chars__"),
     )
-    w = Window.partitionBy("conv_id").orderBy("__idx__", "__role__")
+    # __md5__ as the final tiebreaker: duplicate (idx, role) rows with
+    # DIFFERENT text would otherwise make lead() — and therefore the
+    # emitted digests — depend on physical row order
+    wt = Window.partitionBy("conv_id").orderBy(
+        "__idx__", "__role__", "__md5__"
+    )
     nxt = slim.select(
         "conv_id",
         "__idx__",
         "__role__",
         "__md5__",
         "__chars__",
-        F.lead("__idx__").over(w).alias("__nidx__"),
-        F.lead("__role__").over(w).alias("__nrole__"),
-        F.lead("__md5__").over(w).alias("__nmd5__"),
-        F.lead("__chars__").over(w).alias("__nchars__"),
+        F.lead("__idx__").over(wt).alias("__nidx__"),
+        F.lead("__role__").over(wt).alias("__nrole__"),
+        F.lead("__md5__").over(wt).alias("__nmd5__"),
+        F.lead("__chars__").over(wt).alias("__nchars__"),
     )
     cond: Column = (F.col("__role__") == prompt_role) & (
         F.col("__nrole__") == response_role

@@ -3075,6 +3075,15 @@ def q_corpus_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dedup.tokens_col(F.coalesce(F.col("text"), F.lit("")))
         ).cast("bigint").alias("n_tokens"),
     )
+    # lens feeds BOTH the p99 aggregate and the outer filter side;
+    # without a checkpoint Spark scans + regex-tokenizes the text
+    # twice (subtrees differ after column pruning). Checkpointing the
+    # narrow (id, source, n_tokens) ints costs one ~24 B/doc write —
+    # far cheaper than a second full-text tokenize pass at corpus
+    # scale. Same trade as corpus.dup_windows (corpus.py localCheckpoint
+    # note); windowing by source instead would sort all docs on a
+    # handful of hot source keys.
+    lens = lens.localCheckpoint(eager=False)
     p99 = analytics.grouped_quantiles(
         lens, "source", "n_tokens", (990_000,), out_value="p99_tokens"
     ).select("source", "p99_tokens")

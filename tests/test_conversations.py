@@ -105,3 +105,33 @@ class TestSftPairs:
         df = spark.createDataFrame([("c", 0, "user", "q")], SCHEMA)
         cols = conversations.sft_pairs(df).columns
         assert "text" not in cols
+
+
+class TestReviewRegressions:
+    def test_single_turn_conversation_is_clean_zero_repeats(self, spark):
+        # lag(role) is NULL on the only turn: repeats must be 0, not NULL
+        df = spark.createDataFrame([("solo", 0, "user", "hi")], SCHEMA)
+        r = conversations.conversation_integrity(df).collect()[0]
+        assert r["n_role_repeats"] == 0
+        assert r["is_clean"] is True
+
+    def test_all_null_idx_gap_is_zero_not_null(self, spark):
+        df = spark.createDataFrame(
+            [("c", None, "user", "a"), ("c", None, "assistant", "b")], SCHEMA
+        )
+        r = conversations.conversation_integrity(df).collect()[0]
+        assert r["n_gap_idx"] == 0          # not NULL
+        assert r["n_dup_idx"] == 2          # corruption counted here
+        assert r["min_idx"] is None
+        assert r["is_clean"] is False
+
+    def test_dup_idx_pair_digest_deterministic(self, spark):
+        # two user turns tied at (idx, role) with different text: the
+        # emitted prompt digest must not depend on physical row order
+        a = [("c", 0, "user", "AAAA"), ("c", 0, "user", "BBBB"),
+             ("c", 1, "assistant", "x")]
+        da = spark.createDataFrame(a, SCHEMA)
+        db = spark.createDataFrame(list(reversed(a)), SCHEMA)
+        ra = [r.asDict() for r in conversations.sft_pairs(da).collect()]
+        rb = [r.asDict() for r in conversations.sft_pairs(db).collect()]
+        assert ra == rb

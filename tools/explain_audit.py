@@ -1316,7 +1316,8 @@ def main() -> int:
             ("text NEVER enters that shuffle — the exchange's column "
              "list carries the scan-side md5/length, not the text "
              "column",
-             "__md5__" in ex45[0] and "text#" not in ex45[0]),
+             len(ex45) == 1
+             and "__md5__" in ex45[0] and "text#" not in ex45[0]),
             ("no Python stage anywhere — digests, lead() and the "
              "adjacency filter are codegen expressions",
              not re.search(r"EvalPython|InPandas", p45 + p45b)),
