@@ -38,6 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _FRONT = [
     # round-5 new queries first (never driver-checked), then the
     # r04-unsampled rotation ordered oldest-driver-check first
+    "conv_dedup", "conv_near_pairs", "conv_window_trim",
+    "conv_role_stats", "conv_pack_shards", "events_error_context",
     "conv_integrity_report", "conv_sft_pairs",
     "corpus_split_assign", "corpus_snapshot_diff",
     "sim_cosine_topk_quantized", "corpus_source_quota",

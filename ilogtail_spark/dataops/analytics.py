@@ -33,7 +33,7 @@ or 10^11 events. Row data never sorts globally.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -456,4 +456,96 @@ def gapfill_counts(
             F.col("__r__.n").alias("n_events"),
         )
         .orderBy("event_type", "bucket_ts")
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_ts: str = "ts",
+    start_ts: str = "start_ts",
+    end_ts: str = "end_ts",
+    keys: tuple[str, ...] = (),
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval equi-bucket join: pair every point row with
+    every range row whose half-open window [start_ts, end_ts) contains
+    the point's timestamp (and whose ``keys`` columns match) — the
+    "which events happened during this incident / deploy / session
+    window" primitive. Spark has no native range join (the inequality
+    condition alone plans a cartesian BroadcastNestedLoopJoin), so
+    this implements the standard bucketed decomposition:
+
+      * points get ONE bucket each: floor(epoch / bucket_seconds)
+      * each range EXPLODES over the buckets its window covers
+      * equi-join on (keys..., bucket), then the exact
+        start <= ts < end residual filter refines inside codegen
+
+    Correct by construction without a distinct: a point's single
+    bucket meets each range exactly once (the range covers any bucket
+    at most once). Cost scales with range-length/bucket_seconds
+    replication on the RANGE side only — size bucket_seconds near the
+    typical window length so most ranges explode to 1-2 rows; the
+    point side (the big side at 100 TB) never replicates, and both
+    sides shuffle on (keys, bucket), so a hot key is diluted across
+    its time axis rather than landing in one task.
+
+    Rows with NULL timestamps/bounds and ranges with end <= start
+    cannot match by definition and are dropped. Point columns keep
+    their names; range columns arrive under ``r_`` prefixes to avoid
+    collisions.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(
+            f"interval_join: bucket_seconds must be > 0, got {bucket_seconds}"
+        )
+    # exact integer MICROSECOND epoch on both sides: unix_timestamp
+    # truncates to seconds, which would shift a sub-second point or
+    # range boundary across a bucket edge. unix_micros only takes
+    # TIMESTAMP — the ltz cast is a no-op there and pins NTZ columns
+    # to the session zone (both sides get the same base, so bucket
+    # alignment is unaffected)
+    def _us(c: Column) -> Column:
+        return F.unix_micros(c.cast("timestamp_ltz"))
+
+    bucket_us = int(bucket_seconds) * 1_000_000
+    pb = points.filter(F.col(point_ts).isNotNull()).withColumn(
+        "__b__",
+        F.floor(_us(F.col(point_ts)) / F.lit(bucket_us)).cast("bigint"),
+    )
+    rngs = ranges.select(
+        *[F.col(c).alias(f"r_{c}") for c in ranges.columns]
+    ).filter(
+        F.col(f"r_{start_ts}").isNotNull()
+        & F.col(f"r_{end_ts}").isNotNull()
+        & (F.col(f"r_{end_ts}") > F.col(f"r_{start_ts}"))
+    )
+    # half-open window: the end-instant bucket is only needed when the
+    # window extends INTO it (end not on the bucket boundary) — the
+    # last covered instant is end - 1 microsecond, so floor((end_us -
+    # 1) / bucket_us) keeps boundary ranges from exploding one bucket
+    # wide of their coverage while sub-second ends still probe the
+    # bucket they reach into
+    eus = _us(F.col(f"r_{end_ts}"))
+    rb = rngs.withColumn(
+        "__b__",
+        F.explode(
+            F.sequence(
+                F.floor(
+                    _us(F.col(f"r_{start_ts}")) / F.lit(bucket_us)
+                ).cast("bigint"),
+                F.floor((eus - 1) / F.lit(bucket_us)).cast("bigint"),
+            )
+        ),
+    )
+    cond = pb["__b__"] == rb["__b__"]
+    for k in keys:
+        cond = cond & (pb[k] == rb[f"r_{k}"])
+    residual = (pb[point_ts] >= rb[f"r_{start_ts}"]) & (
+        pb[point_ts] < rb[f"r_{end_ts}"]
+    )
+    out = pb.join(rb, cond & residual, "inner")
+    return out.select(
+        *[pb[c] for c in points.columns],
+        *[rb[f"r_{c}"] for c in ranges.columns],
     )

@@ -24,11 +24,317 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ilogtail_spark.dataops.dedup import tokens_col
+
 
 def _require(df: DataFrame, cols: list[str], op: str) -> None:
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"{op}: input is missing columns {missing}")
+
+
+def _ordered_turn_seq(
+    df: DataFrame,
+    conv_col: str,
+    idx_col: str,
+    role_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(conv_id, n_turns, __seq__) where __seq__ is the conversation's
+    turns as a SORTED array of (idx, role, text-md5) structs.
+
+    The text is digested scan-side — only 32-hex digests ride the
+    conv_id exchange. NULL turn_idx coalesces to -1 and NULL text
+    digests to '' BEFORE the sort, so element order (and everything
+    derived from it) is deterministic on every engine regardless of
+    NULL-ordering defaults. array_sort on structs compares fields
+    left-to-right: (idx, role, digest) — the same total order the
+    integrity/SFT windows use, with the digest tiebreak."""
+    slim = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.coalesce(F.col(idx_col).cast("bigint"), F.lit(-1)).alias("__idx__"),
+        F.coalesce(F.col(role_col), F.lit("")).alias("__role__"),
+        F.coalesce(F.md5(F.col(text_col).cast("string")), F.lit("")).alias(
+            "__d__"
+        ),
+    )
+    return slim.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.array_sort(
+            F.collect_list(F.struct("__idx__", "__role__", "__d__"))
+        ).alias("__seq__"),
+    )
+
+
+def conversation_digests(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """(conv_id, n_turns, conv_md5): one content digest per
+    conversation — the md5 of the ORDERED (role, text-digest) turn
+    sequence. Two conversations with the same turns in the same order
+    share a digest even when their absolute turn_idx values are offset
+    (idx orders the sequence but does not enter the digest): replayed
+    or re-ingested conversations whose indices were renumbered still
+    collapse.
+
+    Scale: text digests scan-side (~50 B/turn through the ONE conv_id
+    exchange); the digest itself is one codegen expression over the
+    collected struct array.
+    """
+    _require(df, [conv_col, idx_col, role_col, text_col],
+             "conversation_digests")
+    agg = _ordered_turn_seq(df, conv_col, idx_col, role_col, text_col)
+    sig = F.md5(
+        F.array_join(
+            F.transform(
+                F.col("__seq__"),
+                lambda x: F.concat_ws(":", x["__role__"], x["__d__"]),
+            ),
+            "|",
+        )
+    )
+    return agg.select("conv_id", "n_turns", sig.alias("conv_md5"))
+
+
+def conversation_dedup(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact CONVERSATION-level dedup: one row per conversation with
+    its content digest, the duplicate-group size, and ``keep`` (true
+    for the lowest conv_id of each group) — the transcripts twin of
+    ``dedup.exact_dedup``, where the unit of duplication is the whole
+    ordered conversation rather than one document. Re-ingested or
+    replayed sessions (same turns, new conv_id / renumbered indices)
+    are the duplicates this catches.
+
+    Scale: two narrow exchanges — conv_id (digests, ~50 B/turn) then
+    conv_md5 (ONE 32-hex row per conversation). row_number and the
+    group count share the conv_md5 partitioning, so the second
+    exchange happens once. Turn text never shuffles.
+    """
+    digs = conversation_digests(df, conv_col, idx_col, role_col, text_col)
+    wo = Window.partitionBy("conv_md5").orderBy("conv_id")
+    wa = Window.partitionBy("conv_md5")
+    return digs.select(
+        "conv_id",
+        "conv_md5",
+        "n_turns",
+        F.count(F.lit(1)).over(wa).cast("bigint").alias("dup_count"),
+        (F.row_number().over(wo) == 1).alias("keep"),
+    )
+
+
+def conversation_shingle_pairs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """NEAR-duplicate conversation pairs (a, b, jaccard): exact
+    Jaccard over each conversation's set of turn-window shingles — a
+    shingle is the digest of ``shingle_k`` CONSECUTIVE turns'
+    (role, text-md5) strings. Conversations that differ by an inserted
+    / edited turn still share most windows, so this catches the
+    "same session, one regenerated answer" near-dups that
+    whole-conversation digests miss. Conversations with fewer than
+    ``shingle_k`` turns emit no shingles and never pair.
+
+    Scale: the shingle universe is built from turn DIGESTS (text never
+    shuffles), the pair join is the same inverted-index shape as
+    ``dedup.ngram_jaccard_pairs`` — explode, equi-join on shingle,
+    count — and ``max_df`` caps hot shingles (a boilerplate system
+    prompt shared by every conversation would otherwise be a quadratic
+    key) with the same undercount-only semantics.
+    """
+    from ilogtail_spark.dataops.dedup import jaccard_from_exploded
+
+    agg = _ordered_turn_seq(df, conv_col, idx_col, role_col, text_col)
+    toks = F.transform(
+        F.col("__seq__"),
+        lambda x: F.concat_ws(":", x["__role__"], x["__d__"]),
+    )
+    agg = agg.select("conv_id", toks.alias("__t__"))
+    # guard: sequence(0, size-k) with size < k would generate a
+    # DESCENDING range (Spark defaults step to -1), not an empty one
+    win_idx = F.when(
+        F.size("__t__") >= shingle_k,
+        F.sequence(F.lit(0), F.size("__t__") - shingle_k),
+    ).otherwise(F.array().cast("array<int>"))
+    sh = agg.select(
+        "conv_id",
+        F.explode(
+            F.transform(
+                win_idx,
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("__t__"), i + 1, shingle_k), "|")
+                ),
+            )
+        ).alias("s"),
+    ).distinct()
+    return jaccard_from_exploded(
+        sh, "conv_id", threshold=threshold, max_df=max_df
+    )
+
+
+def trim_to_context(
+    df: DataFrame,
+    max_tokens: int,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window trim: keep each conversation's LAST turns whose
+    cumulative whitespace-token count fits ``max_tokens`` — the
+    "drop the oldest turns until the transcript fits the model's
+    context" step of chat-model training prep. A turn is kept iff the
+    token total of it plus every LATER turn is <= the budget; if even
+    the final turn alone exceeds the budget the conversation emits no
+    rows (an over-long single turn is a length-filter problem, not a
+    trimming problem — compose with corpus_length_outliers upstream).
+
+    Returns the kept-turn INDEX (conv_id, turn_idx, role, n_tokens) —
+    callers re-attach text by (conv_id, turn_idx) key join, the same
+    text-stays-out-of-the-shuffle contract as ``sft_pairs``.
+
+    Scale: ONE conv_id exchange; the reverse running sum is a
+    rows-frame window (O(1) state per task); token counting and the
+    keep filter are codegen expressions.
+    """
+    _require(df, [conv_col, idx_col, role_col, text_col], "trim_to_context")
+    if max_tokens <= 0:
+        raise ValueError(f"trim_to_context: max_tokens must be > 0, got {max_tokens}")
+    slim = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).cast("bigint").alias("__idx__"),
+        F.col(role_col).alias("__role__"),
+        F.coalesce(F.md5(F.col(text_col).cast("string")), F.lit("")).alias(
+            "__d__"
+        ),
+        F.size(tokens_col(F.coalesce(F.col(text_col).cast("string"), F.lit(""))))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(
+            F.col("__idx__").desc(), F.col("__role__").desc(),
+            F.col("__d__").desc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        slim.withColumn("__rev__", F.sum("n_tokens").over(w))
+        .filter(F.col("__rev__") <= max_tokens)
+        .select(
+            "conv_id",
+            F.col("__idx__").alias("turn_idx"),
+            F.col("__role__").alias("role"),
+            "n_tokens",
+        )
+    )
+
+
+def role_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-role corpus card over a transcripts table: one row per role
+    with turn count, distinct conversations, total whitespace tokens,
+    total chars, and the mean turn length in integer micro-chars
+    (exact on every engine — no float division). The "is the
+    assistant share of this corpus sane?" summary read before
+    training-mix decisions.
+
+    Scale: counts and sums are partial-aggregated map-side; the output
+    is one row per role — broadcastable anywhere downstream. NULL text
+    counts as an empty turn, NULL role groups under ''.
+    """
+    _require(df, [conv_col, role_col, text_col], "role_stats")
+    txt = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    out = df.select(
+        F.coalesce(F.col(role_col), F.lit("")).alias("role"),
+        F.col(conv_col).alias("__conv__"),
+        F.size(tokens_col(txt)).cast("bigint").alias("__tok__"),
+        F.length(txt).cast("bigint").alias("__ch__"),
+    ).groupBy("role").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct("__conv__").alias("n_convs"),
+        F.sum("__tok__").alias("tokens_total"),
+        F.sum("__ch__").alias("chars_total"),
+    )
+    return out.select(
+        "role",
+        "n_turns",
+        "n_convs",
+        "tokens_total",
+        "chars_total",
+        # exact integer `div` over a DECIMAL(38,0) product (the
+        # hotkey_stats share_micro pattern) — no float rounding drift
+        F.expr(
+            "CAST(CAST(chars_total AS DECIMAL(38,0)) * 1000000 div n_turns"
+            " AS BIGINT)"
+        ).alias("avg_turn_chars_micro"),
+    )
+
+
+def pack_conversations(
+    df: DataFrame,
+    budget: int,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Conversation-ATOMIC shard packing: assign whole conversations
+    (in conv_id order) to fixed-token-budget training shards — the
+    transcripts variant of ``corpus.pack_token_budget`` where the unit
+    that must never split across shards is the conversation, not the
+    document. A conversation lands in the shard where its first token
+    falls: shard_id = floor((cum_tokens - n_tokens) / budget).
+
+    Returns (conv_id, n_tokens, shard_id), n_tokens = the
+    conversation's total whitespace tokens. Scale: one conv_id
+    aggregate collapses turns to a (conv, count) row, then the
+    two-phase distributed prefix sum from ``corpus.global_prefix_sum``
+    — no single-partition global window at any size.
+    """
+    from ilogtail_spark.dataops.corpus import global_prefix_sum
+
+    _require(df, [conv_col, text_col], "pack_conversations")
+    if budget <= 0:
+        raise ValueError(f"pack_conversations: budget must be > 0, got {budget}")
+    counted = df.groupBy(F.col(conv_col).alias("conv_id")).agg(
+        F.sum(
+            F.size(
+                tokens_col(F.coalesce(F.col(text_col).cast("string"), F.lit("")))
+            ).cast("bigint")
+        ).alias("n_tokens")
+    )
+    cum = global_prefix_sum(
+        counted, "conv_id", "n_tokens", out_col="__cum__",
+        num_partitions=num_partitions,
+    )
+    return cum.select(
+        "conv_id",
+        "n_tokens",
+        F.floor((F.col("__cum__") - F.col("n_tokens")) / F.lit(budget))
+        .cast("bigint")
+        .alias("shard_id"),
+    )
 
 
 def conversation_integrity(

@@ -449,6 +449,25 @@ def ngram_jaccard_pairs(
         .withColumnRenamed("__s__", "s")
         .distinct()
     )
+    return jaccard_from_exploded(
+        sh, id_col, threshold=threshold, max_df=max_df,
+        restrict_ids=restrict_ids,
+    )
+
+
+def jaccard_from_exploded(
+    sh: DataFrame,
+    id_col: str,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+    restrict_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard pairs (a, b, jaccard) from an already-exploded
+    DISTINCT (id, s) element frame — the inverted-index core shared by
+    ``ngram_jaccard_pairs`` (text shingles) and
+    ``conversations.conversation_shingle_pairs`` (turn-window
+    digests). Semantics of ``max_df`` / ``restrict_ids`` are as
+    documented on ``ngram_jaccard_pairs``."""
     if max_df is not None:
         hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
         sh = sh.join(F.broadcast(hot.filter(F.col("df_") > max_df)), "s", "left_anti")

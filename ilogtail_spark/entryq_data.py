@@ -3296,3 +3296,245 @@ def q_conv_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_conv_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _as_transcript(spark, sf_dir, inject=False)
     return conversations.sft_pairs(t)
+
+
+# ---------------------------------------------------------------------------
+# conversation-LEVEL dedup + near-dup: the transcript is cloned
+# deterministically on BOTH engines (conversations of every 7th user
+# re-ingested under conv_id + 10^6; the near-dup variant additionally
+# regenerates the clone's first turn) so the duplicate detectors
+# provably fire
+# ---------------------------------------------------------------------------
+def _conv_clones(spark: SparkSession, sf_dir: str, edit: bool) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    c = t.filter(F.col("conv_id") % 7 == 0).withColumn(
+        "conv_id", F.col("conv_id") + F.lit(1_000_000)
+    )
+    if edit:
+        c = c.withColumn(
+            "text",
+            F.when(F.col("turn_idx") == 0, F.lit("REGENERATED")).otherwise(
+                F.col("text")
+            ),
+        )
+    return t.unionByName(c)
+
+
+def _conv_clone_sql(edit: bool) -> str:
+    text_expr = (
+        "CASE WHEN turn_idx = 0 THEN 'REGENERATED' ELSE text END"
+        if edit
+        else "text"
+    )
+    return f"""t0 AS (
+      SELECT user_id AS conv_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+               AS turn_idx,
+             {_ROLE_CASE} AS role,
+             props AS text
+      FROM events
+    ), t AS (
+      SELECT * FROM t0
+      UNION ALL
+      SELECT conv_id + 1000000, turn_idx, role, {text_expr}
+      FROM t0 WHERE conv_id % 7 = 0
+    )"""
+
+
+@query(
+    "conv_dedup",
+    f"""
+    WITH {_conv_clone_sql(edit=False)}, d AS (
+      SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+             md5(string_agg(role || ':' || coalesce(md5(text), ''), '|'
+                 ORDER BY turn_idx, role, coalesce(md5(text), '')))
+               AS conv_md5
+      FROM t GROUP BY conv_id
+    )
+    SELECT conv_id, conv_md5, n_turns,
+           CAST(count(*) OVER (PARTITION BY conv_md5) AS BIGINT)
+             AS dup_count,
+           (row_number() OVER (PARTITION BY conv_md5 ORDER BY conv_id) = 1)
+             AS keep
+    FROM d ORDER BY conv_id
+    """,
+)
+def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _conv_clones(spark, sf_dir, edit=False)
+    return conversations.conversation_dedup(t).orderBy("conv_id")
+
+
+@query(
+    "conv_near_pairs",
+    f"""
+    WITH {_conv_clone_sql(edit=True)}, seq AS (
+      SELECT conv_id,
+             list(role || ':' || coalesce(md5(text), '')
+                  ORDER BY turn_idx, role, coalesce(md5(text), '')) AS l
+      FROM t GROUP BY conv_id
+    ), sh AS (
+      SELECT DISTINCT conv_id,
+             unnest(CASE WHEN len(l) >= 3
+                    THEN list_transform(range(len(l) - 2),
+                         i -> md5(array_to_string(l[i+1:i+3], '|')))
+                    ELSE [] END) AS s
+      FROM seq
+    ), sizes AS (
+      SELECT conv_id, count(*) AS sz FROM sh GROUP BY conv_id
+    ), inter AS (
+      SELECT x.conv_id AS a, y.conv_id AS b, count(*) AS inter
+      FROM sh x JOIN sh y ON x.s = y.s AND x.conv_id < y.conv_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b,
+           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6)
+             AS jaccard
+    FROM inter JOIN sizes sa ON sa.conv_id = a
+               JOIN sizes sb ON sb.conv_id = b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+    ORDER BY a, b
+    """,
+)
+def q_conv_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _conv_clones(spark, sf_dir, edit=True)
+    return conversations.conversation_shingle_pairs(t, threshold=0.5).orderBy(
+        "a", "b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# context-window trim — keep each conversation's LAST turns fitting a
+# 20-whitespace-token budget (props are 2-token JSON fragments, so the
+# filter bites mid-conversation)
+# ---------------------------------------------------------------------------
+@query(
+    "conv_window_trim",
+    f"""
+    WITH t0 AS (
+      SELECT user_id AS conv_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+               AS turn_idx,
+             {_ROLE_CASE} AS role,
+             props AS text
+      FROM events
+    ), s AS (
+      SELECT conv_id, turn_idx, role,
+             CAST(len({SQL_TOKENS.format(col="coalesce(text, '')")})
+                  AS BIGINT) AS n_tokens,
+             coalesce(md5(text), '') AS d
+      FROM t0
+    ), r AS (
+      SELECT conv_id, turn_idx, role, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY conv_id
+                 ORDER BY turn_idx DESC, role DESC, d DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev
+      FROM s
+    )
+    SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, n_tokens
+    FROM r WHERE rev <= 20 ORDER BY conv_id, turn_idx
+    """,
+)
+def q_conv_window_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    return conversations.trim_to_context(t, max_tokens=20).orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-role corpus card over the transcript shape
+# ---------------------------------------------------------------------------
+@query(
+    "conv_role_stats",
+    f"""
+    WITH t0 AS (
+      SELECT user_id AS conv_id, {_ROLE_CASE} AS role, props AS text
+      FROM events
+    )
+    SELECT role,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           CAST(sum(len({SQL_TOKENS.format(col="coalesce(text, '')")}))
+                AS BIGINT) AS tokens_total,
+           CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS chars_total,
+           CAST(CAST(sum(length(coalesce(text, ''))) AS HUGEINT) * 1000000
+                // count(*) AS BIGINT) AS avg_turn_chars_micro
+    FROM t0 GROUP BY role ORDER BY role
+    """,
+)
+def q_conv_role_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    return conversations.role_stats(t).orderBy("role")
+
+
+# ---------------------------------------------------------------------------
+# conversation-atomic shard packing (1000-token shards)
+# ---------------------------------------------------------------------------
+@query(
+    "conv_pack_shards",
+    f"""
+    WITH t0 AS (
+      SELECT user_id AS conv_id, props AS text FROM events
+    ), c AS (
+      SELECT conv_id,
+             CAST(sum(len({SQL_TOKENS.format(col="coalesce(text, '')")}))
+                  AS BIGINT) AS n_tokens
+      FROM t0 GROUP BY conv_id
+    ), s AS (
+      SELECT conv_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY conv_id) AS cum
+      FROM c
+    )
+    SELECT conv_id, n_tokens,
+           CAST((cum - n_tokens) // 1000 AS BIGINT) AS shard_id
+    FROM s ORDER BY conv_id
+    """,
+)
+def q_conv_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    out = conversations.pack_conversations(t, budget=1000, num_partitions=8)
+    return out.orderBy("conv_id")
+
+
+# ---------------------------------------------------------------------------
+# interval join — events inside each error's 4-hour incident window
+# (same user), via the bucketed range-join decomposition
+# ---------------------------------------------------------------------------
+@query(
+    "events_error_context",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts FROM events WHERE ts IS NOT NULL
+    ), r AS (
+      SELECT event_id AS err_id, user_id, ts AS start_ts,
+             ts + INTERVAL 4 HOUR AS end_ts
+      FROM events WHERE event_type = 'error' AND ts IS NOT NULL
+    )
+    SELECT r.err_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM r JOIN e ON e.user_id = r.user_id
+                 AND e.ts >= r.start_ts AND e.ts < r.end_ts
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_events_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.filter(F.col("ts").isNotNull()).select(
+        "event_id", "user_id", "ts"
+    )
+    rng = ev.filter(
+        (F.col("event_type") == "error") & F.col("ts").isNotNull()
+    ).select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("end_ts"),
+    )
+    j = analytics.interval_join(
+        pts, rng, keys=("user_id",), bucket_seconds=14400
+    )
+    return (
+        j.groupBy("r_err_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(F.col("r_err_id").alias("err_id"), "n_events")
+        .orderBy("err_id")
+    )

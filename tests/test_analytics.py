@@ -298,3 +298,112 @@ class TestGapfillCounts:
             df, bucket_seconds=7 * 86400, max_buckets=None
         ).count()
         assert n > 2_000
+
+
+class TestIntervalJoin:
+    PTS = "pid bigint, k string, ts timestamp"
+    RNG = "rid bigint, k string, start_ts timestamp, end_ts timestamp"
+
+    def _ts(self, s):
+        import datetime as dt
+        return dt.datetime.fromisoformat(s)
+
+    def test_half_open_containment_with_keys(self, spark):
+        pts = spark.createDataFrame(
+            [(1, "u", self._ts("2024-01-01 10:00:00")),
+             (2, "u", self._ts("2024-01-01 11:59:59")),
+             (3, "u", self._ts("2024-01-01 12:00:00")),   # == end: excluded
+             (4, "v", self._ts("2024-01-01 10:30:00")),   # wrong key
+             (5, "u", self._ts("2024-01-01 10:00:00"))],  # == start: included
+            self.PTS)
+        rng = spark.createDataFrame(
+            [(100, "u", self._ts("2024-01-01 10:00:00"),
+              self._ts("2024-01-01 12:00:00"))], self.RNG)
+        out = analytics.interval_join(
+            pts, rng, keys=("k",), bucket_seconds=3600).collect()
+        assert sorted(r["pid"] for r in out) == [1, 2, 5]
+        assert all(r["r_rid"] == 100 for r in out)
+
+    def test_no_duplicate_matches_across_buckets(self, spark):
+        # range spans 5 buckets; each contained point matches exactly once
+        pts = spark.createDataFrame(
+            [(i, "u", self._ts("2024-01-01 0%d:30:00" % i))
+             for i in range(5)], self.PTS)
+        rng = spark.createDataFrame(
+            [(1, "u", self._ts("2024-01-01 00:00:00"),
+              self._ts("2024-01-01 05:00:00"))], self.RNG)
+        out = analytics.interval_join(
+            pts, rng, keys=("k",), bucket_seconds=3600).collect()
+        assert sorted(r["pid"] for r in out) == [0, 1, 2, 3, 4]
+
+    def test_boundary_range_does_not_overexplode(self, spark):
+        # end exactly on a bucket boundary: the end bucket itself must
+        # not be probed (a point at end_ts is excluded anyway, but the
+        # explode width is what the ceil-minus-one form bounds)
+        rng = spark.createDataFrame(
+            [(1, "u", self._ts("2024-01-01 00:00:00"),
+              self._ts("2024-01-01 01:00:00"))], self.RNG)
+        pts = spark.createDataFrame(
+            [(1, "u", self._ts("2024-01-01 01:00:00"))], self.PTS)
+        assert analytics.interval_join(
+            pts, rng, keys=("k",), bucket_seconds=3600).count() == 0
+
+    def test_null_and_inverted_ranges_dropped(self, spark):
+        pts = spark.createDataFrame(
+            [(1, "u", self._ts("2024-01-01 10:00:00")), (2, "u", None)],
+            self.PTS)
+        rng = spark.createDataFrame(
+            [(1, "u", None, self._ts("2024-01-01 12:00:00")),
+             (2, "u", self._ts("2024-01-01 12:00:00"),
+              self._ts("2024-01-01 10:00:00"))], self.RNG)
+        assert analytics.interval_join(
+            pts, rng, keys=("k",), bucket_seconds=3600).count() == 0
+
+    def test_matches_plain_theta_join(self, spark):
+        import random
+        rnd = random.Random(7)
+        base = self._ts("2024-01-01 00:00:00")
+        import datetime as dt
+        pts = spark.createDataFrame(
+            [(i, "k%d" % (i % 3),
+              base + dt.timedelta(seconds=rnd.randrange(90000)))
+             for i in range(300)], self.PTS)
+        rng = spark.createDataFrame(
+            [(i, "k%d" % (i % 3),
+              base + dt.timedelta(seconds=(s := rnd.randrange(80000))),
+              base + dt.timedelta(seconds=s + rnd.randrange(1, 20000)))
+             for i in range(40)], self.RNG)
+        got = sorted(
+            (r["pid"], r["r_rid"])
+            for r in analytics.interval_join(
+                pts, rng, keys=("k",), bucket_seconds=7200).collect())
+        want = sorted(
+            (r["pid"], r["rid"])
+            for r in pts.alias("p").join(
+                rng.alias("r"),
+                (F.col("p.k") == F.col("r.k"))
+                & (F.col("p.ts") >= F.col("r.start_ts"))
+                & (F.col("p.ts") < F.col("r.end_ts"))).collect())
+        assert got == want and len(got) > 0
+
+    def test_bad_bucket_raises(self, spark):
+        df = spark.createDataFrame([], self.PTS)
+        with pytest.raises(ValueError, match="bucket_seconds"):
+            analytics.interval_join(df, df, bucket_seconds=0)
+
+    def test_subsecond_end_probes_its_partial_bucket(self, spark):
+        # range [00:30:00, 01:00:00.5): the 500 ms reach into bucket 1
+        # must be probed — second-truncating epoch math would stop at
+        # bucket 0 and miss the 01:00:00.2 point
+        import datetime as dt
+        base = dt.datetime(2024, 1, 1, 0, 30, 0)
+        rng = spark.createDataFrame(
+            [(1, "u", base,
+              dt.datetime(2024, 1, 1, 1, 0, 0, 500_000))], self.RNG)
+        pts = spark.createDataFrame(
+            [(1, "u", dt.datetime(2024, 1, 1, 1, 0, 0, 200_000)),
+             (2, "u", dt.datetime(2024, 1, 1, 1, 0, 0, 500_000))],  # == end
+            self.PTS)
+        out = analytics.interval_join(
+            pts, rng, keys=("k",), bucket_seconds=3600).collect()
+        assert [r["pid"] for r in out] == [1]

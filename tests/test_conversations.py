@@ -135,3 +135,176 @@ class TestReviewRegressions:
         ra = [r.asDict() for r in conversations.sft_pairs(da).collect()]
         rb = [r.asDict() for r in conversations.sft_pairs(db).collect()]
         assert ra == rb
+
+
+class TestConversationDedup:
+    def test_exact_clone_collapses_offset_indices_do_not_matter(self, spark):
+        rows = [
+            ("a", 0, "user", "q"), ("a", 1, "assistant", "r"),
+            # b = exact clone of a with renumbered indices (idx offset)
+            ("b", 5, "user", "q"), ("b", 6, "assistant", "r"),
+            # c differs in one turn's text
+            ("c", 0, "user", "q"), ("c", 1, "assistant", "DIFFERENT"),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = {r["conv_id"]: r.asDict()
+               for r in conversations.conversation_dedup(df).collect()}
+        assert out["a"]["conv_md5"] == out["b"]["conv_md5"]
+        assert out["a"]["dup_count"] == 2 and out["b"]["dup_count"] == 2
+        assert out["a"]["keep"] is True and out["b"]["keep"] is False
+        assert out["c"]["dup_count"] == 1 and out["c"]["keep"] is True
+        assert out["c"]["conv_md5"] != out["a"]["conv_md5"]
+
+    def test_order_matters_and_null_text_is_stable(self, spark):
+        rows = [
+            ("a", 0, "user", "x"), ("a", 1, "assistant", "y"),
+            ("b", 0, "user", "y"), ("b", 1, "assistant", "x"),  # swapped
+            ("n1", 0, "user", None), ("n2", 0, "user", None),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = {r["conv_id"]: r.asDict()
+               for r in conversations.conversation_dedup(df).collect()}
+        assert out["a"]["conv_md5"] != out["b"]["conv_md5"]
+        # NULL-text conversations still get a digest and collapse
+        assert out["n1"]["conv_md5"] == out["n2"]["conv_md5"]
+        assert out["n1"]["keep"] is True and out["n2"]["keep"] is False
+
+    def test_parallelism_invariant(self, spark):
+        rows = [("c%d" % (i % 3), i // 3, "user", "t%d" % (i % 6))
+                for i in range(12)]
+        df = spark.createDataFrame(rows, SCHEMA)
+        one = sorted(map(tuple, conversations.conversation_dedup(
+            df.coalesce(1)).collect()))
+        par = sorted(map(tuple, conversations.conversation_dedup(
+            df.repartition(7)).collect()))
+        assert one == par
+
+
+class TestConversationShinglePairs:
+    def _mk(self, spark, edit_turn=None):
+        base = [("a", i, "user" if i % 2 == 0 else "assistant", "t%d" % i)
+                for i in range(8)]
+        clone = [("b", i, r, ("REGEN" if i == edit_turn else t))
+                 for (_, i, r, t) in base]
+        other = [("z", i, "user", "zzz%d" % i) for i in range(8)]
+        return spark.createDataFrame(base + clone + other, SCHEMA)
+
+    def test_edited_clone_pairs_unrelated_does_not(self, spark):
+        df = self._mk(spark, edit_turn=0)
+        out = conversations.conversation_shingle_pairs(
+            df, threshold=0.5).collect()
+        assert [(r["a"], r["b"]) for r in out] == [("a", "b")]
+        # 8 turns, k=3 -> 6 windows each; editing turn 0 kills 1 window
+        # on each side: inter=5, union=7 -> 5/7
+        assert abs(out[0]["jaccard"] - 5 / 7) < 1e-6   # round(…, 6) output
+
+    def test_exact_clone_jaccard_one(self, spark):
+        df = self._mk(spark, edit_turn=None)
+        out = conversations.conversation_shingle_pairs(
+            df, threshold=0.99).collect()
+        assert len(out) == 1 and out[0]["jaccard"] == 1.0
+
+    def test_short_conversations_never_pair(self, spark):
+        rows = [("a", 0, "user", "x"), ("a", 1, "assistant", "y"),
+                ("b", 0, "user", "x"), ("b", 1, "assistant", "y")]
+        df = spark.createDataFrame(rows, SCHEMA)
+        assert conversations.conversation_shingle_pairs(
+            df, shingle_k=3, threshold=0.0).count() == 0
+
+    def test_max_df_caps_boilerplate_shingle(self, spark):
+        # every conversation shares one identical 3-turn prefix: with
+        # max_df=2 that hot shingle is dropped, so the unrelated tails
+        # produce no pairs
+        rows = []
+        for c in ("a", "b", "c"):
+            rows += [(c, 0, "system", "S"), (c, 1, "user", "U"),
+                     (c, 2, "assistant", "A"),
+                     (c, 3, "user", "tail-" + c)]
+        df = spark.createDataFrame(rows, SCHEMA)
+        dense = conversations.conversation_shingle_pairs(
+            df, threshold=0.01).count()
+        capped = conversations.conversation_shingle_pairs(
+            df, threshold=0.01, max_df=2).count()
+        assert dense > 0 and capped == 0
+
+
+class TestTrimToContext:
+    def test_keeps_suffix_that_fits(self, spark):
+        # token counts per turn: 2, 2, 2, 2 -> budget 5 keeps last 2
+        rows = [("c", i, "user", "w w") for i in range(4)]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = conversations.trim_to_context(df, max_tokens=5).collect()
+        assert sorted(r["turn_idx"] for r in out) == [2, 3]
+        assert all(r["n_tokens"] == 2 for r in out)
+
+    def test_overlong_final_turn_emits_nothing(self, spark):
+        rows = [("c", 0, "user", "a b c d e f")]
+        df = spark.createDataFrame(rows, SCHEMA)
+        assert conversations.trim_to_context(df, max_tokens=3).count() == 0
+
+    def test_exact_budget_boundary_inclusive(self, spark):
+        rows = [("c", 0, "user", "a b"), ("c", 1, "assistant", "x y z")]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = conversations.trim_to_context(df, max_tokens=5).collect()
+        assert sorted(r["turn_idx"] for r in out) == [0, 1]
+
+    def test_bad_budget_raises(self, spark):
+        df = spark.createDataFrame([("c", 0, "user", "x")], SCHEMA)
+        with pytest.raises(ValueError, match="max_tokens"):
+            conversations.trim_to_context(df, max_tokens=0)
+
+    def test_null_text_counts_zero_tokens(self, spark):
+        rows = [("c", 0, "user", "a b c"), ("c", 1, "assistant", None)]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = conversations.trim_to_context(df, max_tokens=3).collect()
+        assert sorted(r["turn_idx"] for r in out) == [0, 1]
+        assert {r["turn_idx"]: r["n_tokens"] for r in out}[1] == 0
+
+
+class TestRoleStats:
+    def test_counts_and_exact_micro_mean(self, spark):
+        rows = [
+            ("c1", 0, "user", "a b"),          # 2 tokens, 3 chars
+            ("c1", 1, "assistant", "xyz"),     # 1 token, 3 chars
+            ("c2", 0, "user", "hello"),        # 1 token, 5 chars
+            ("c2", 1, None, None),             # NULL role -> '', 0 chars
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = {r["role"]: r.asDict()
+               for r in conversations.role_stats(df).collect()}
+        u = out["user"]
+        assert (u["n_turns"], u["n_convs"], u["tokens_total"],
+                u["chars_total"]) == (2, 2, 3, 8)
+        assert u["avg_turn_chars_micro"] == 8 * 1_000_000 // 2
+        assert out[""]["n_turns"] == 1 and out[""]["chars_total"] == 0
+        assert out["assistant"]["avg_turn_chars_micro"] == 3_000_000
+
+
+class TestPackConversations:
+    def test_conversation_atomic_assignment(self, spark):
+        # conv token totals in conv_id order: a=4, b=4, c=4; budget 6:
+        # cums 4, 8, 12 -> starts 0, 4, 8 -> shards 0, 0, 1
+        rows = []
+        for c in ("a", "b", "c"):
+            rows += [(c, 0, "user", "w w"), (c, 1, "assistant", "w w")]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = {r["conv_id"]: r.asDict()
+               for r in conversations.pack_conversations(df, budget=6).collect()}
+        assert all(out[c]["n_tokens"] == 4 for c in "abc")
+        assert (out["a"]["shard_id"], out["b"]["shard_id"],
+                out["c"]["shard_id"]) == (0, 0, 1)
+
+    def test_partitioning_invariant(self, spark):
+        rows = [("c%02d" % i, j, "user", "w " * (i % 5 + 1))
+                for i in range(20) for j in range(3)]
+        df = spark.createDataFrame(rows, SCHEMA)
+        one = sorted(map(tuple, conversations.pack_conversations(
+            df.coalesce(1), budget=25, num_partitions=1).collect()))
+        par = sorted(map(tuple, conversations.pack_conversations(
+            df.repartition(9), budget=25, num_partitions=7).collect()))
+        assert one == par
+
+    def test_bad_budget_raises(self, spark):
+        df = spark.createDataFrame([("c", 0, "user", "x")], SCHEMA)
+        with pytest.raises(ValueError, match="budget"):
+            conversations.pack_conversations(df, budget=0)

@@ -1340,6 +1340,132 @@ def main() -> int:
         "aggregate without re-partitioning.",
     )
 
+    # 46. conversation-level dedup + near-dup: digests-only shuffles
+    q46 = _conv.conversation_dedup(tr45)
+    p46 = formatted(q46)
+    ex46 = _hash_exchanges(p46)
+    q46b = _conv.conversation_shingle_pairs(tr45, threshold=0.5)
+    p46b = formatted(q46b)
+    audit(
+        "conversation-level dedup (whole-conversation digest + LSH-free near-dup pairs)",
+        q46,
+        [
+            ("exactly TWO hash exchanges end to end: conv_id (collect "
+             "the ordered turn sequence) then conv_md5 — row_number "
+             "and the dup-group count SHARE the second one",
+             len(ex46) == 2),
+            ("turn text never shuffles — both exchanges carry 32-hex "
+             "digests, not the text column",
+             all("text#" not in e for e in ex46)),
+            ("digest + array_sort + array_join are codegen "
+             "expressions — no Python stage",
+             not re.search(r"EvalPython|InPandas", p46)),
+            ("near-dup shingle pairs: the inverted-index self-join is "
+             "an EQUI-join on the shingle digest (hash/SMJ — broadcast "
+             "is fine at this size), never a nested-loop",
+             "NestedLoop" not in p46b
+             and re.search(r"SortMergeJoin|HashJoin", p46b) is not None),
+            ("shingle universe is built from turn digests — no text "
+             "column in any near-dup exchange",
+             all("text#" not in e for e in _hash_exchanges(p46b))),
+        ],
+        "conversation_dedup at 100 TB: the unit of work per "
+        "conversation is ~50 bytes/turn through the first exchange "
+        "and ONE 40-byte row through the second — duplicate-group "
+        "discovery over a petabyte transcript corpus moves digests "
+        "only. The near-dup operator inherits ngram_jaccard's "
+        "inverted-index shape (explode -> equi-join -> count) with "
+        "max_df capping boilerplate shingles (a shared system prompt "
+        "is a quadratic key otherwise).",
+    )
+
+    # 47. context trim + conversation-atomic packing + role card
+    q47 = _conv.trim_to_context(tr45, max_tokens=64)
+    p47 = formatted(q47)
+    q47b = _conv.pack_conversations(tr45, budget=100_000)
+    p47b = formatted(q47b)
+    q47c = _conv.role_stats(tr45)
+    p47c = formatted(q47c)
+    audit(
+        "context-window trim / conversation-atomic shard packing / role card",
+        q47,
+        [
+            ("trim: ONE conv_id hash exchange; the reverse running "
+             "sum is a rows-frame window over it (O(1) task state)",
+             len(_hash_exchanges(p47)) == 1
+             and "RunningWindowFunction" in p47 or "Window" in p47),
+            ("trim: token counting and the keep filter are codegen "
+             "expressions — no Python stage",
+             not re.search(r"EvalPython|InPandas", p47)),
+            ("packing: the cumulative window partitions by __pid__ "
+             "(the physical partition id) — per-partition running "
+             "sums, NOT one global single-task sort (the turns->conv "
+             "collapse happens in the eager localCheckpoint stage "
+             "global_prefix_sum materializes, so it is not visible "
+             "in this final plan)",
+             "hashpartitioning(__pid__" in p47b
+             and "SinglePartition" not in p47b),
+            ("role card: partial aggregation map-side; output is one "
+             "row per role (broadcastable downstream)",
+             "partial_count" in p47c or "partial_sum" in p47c),
+        ],
+        "trim_to_context emits a kept-turn INDEX — callers re-attach "
+        "text by key join, so the trim itself never moves text. "
+        "pack_conversations rides corpus.global_prefix_sum: per-"
+        "partition totals collect to the driver (num_partitions "
+        "rows), offsets rejoin as a broadcast — no global sort, no "
+        "single-task window at any corpus size.",
+    )
+
+    # 48. interval join: bucketed range-join decomposition
+    from ilogtail_spark.dataops import analytics as _ana
+
+    ev48 = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    pts48 = ev48.filter(F.col("ts").isNotNull()).select(
+        "event_id", "user_id", "ts"
+    )
+    rng48 = ev48.filter(
+        (F.col("event_type") == "error") & F.col("ts").isNotNull()
+    ).select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("end_ts"),
+    )
+    q48 = _ana.interval_join(
+        pts48, rng48, keys=("user_id",), bucket_seconds=14400
+    )
+    p48 = formatted(q48)
+    # the explode (bucket replication) must sit on the RANGE branch:
+    # exactly one Generate node, and its child reads the range columns
+    gen48 = re.findall(r"\(\d+\) Generate", p48)
+    audit(
+        "interval join (point-in-window): bucketed equi-join, not a nested loop",
+        q48,
+        [
+            ("the join is an EQUI-join on (keys, bucket) — Spark's "
+             "default plan for a bare range predicate is a cartesian "
+             "BroadcastNestedLoopJoin, which this decomposition "
+             "exists to avoid",
+             "NestedLoop" not in p48 and "CartesianProduct" not in p48),
+            ("exactly ONE Generate (explode) node, and it replicates "
+             "the RANGE side only — the point side (the big side at "
+             "100 TB) never replicates",
+             len(gen48) == 1),
+            ("the exact start <= ts < end residual rides INSIDE the "
+             "join, refining matches without a second pass",
+             re.search(r"Join.*\n?.*(>=|<)", p48) is not None),
+            ("both scans prune to the referenced columns only",
+             "props" not in p48),
+        ],
+        "Bucket width tunes replication: ranges explode over "
+        "ceil(len/bucket) buckets (here 4 h windows / 4 h buckets -> "
+        "1-2 rows each) while every point maps to exactly ONE bucket, "
+        "so a point meets a covering range exactly once — no distinct "
+        "needed. Hot keys dilute across the time axis because the "
+        "shuffle key is (user, bucket), not user alone.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
