@@ -227,10 +227,15 @@ def trim_to_context(
         .cast("bigint")
         .alias("n_tokens"),
     )
+    # NULL idx/role coalesce to the same -1/'' sentinels
+    # _ordered_turn_seq uses, so the running-sum order (and therefore
+    # which turns fit the budget) never depends on an engine's
+    # NULL-ordering default
     w = (
         Window.partitionBy("conv_id")
         .orderBy(
-            F.col("__idx__").desc(), F.col("__role__").desc(),
+            F.coalesce(F.col("__idx__"), F.lit(-1)).desc(),
+            F.coalesce(F.col("__role__"), F.lit("")).desc(),
             F.col("__d__").desc(),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -3194,6 +3194,16 @@ _ROLE_CASE = """CASE event_type WHEN 'click' THEN 'user'
         WHEN 'view' THEN 'assistant' WHEN 'purchase' THEN 'assistant'
         WHEN 'error' THEN 'tool' ELSE 'system' END"""
 
+# the oracle-side mirror of _as_transcript(inject=False): ONE shared
+# CTE body so the transcript reshaping (idx tiebreak, role mapping)
+# can never desynchronize between the conversation oracles
+_TRANSCRIPT_SQL = f"""SELECT user_id AS conv_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+               AS turn_idx,
+             {_ROLE_CASE} AS role,
+             props AS text
+      FROM events"""
+
 
 def _as_transcript(spark: SparkSession, sf_dir: str, inject: bool) -> DataFrame:
     from pyspark.sql import Window as _W
@@ -3269,12 +3279,7 @@ def q_conv_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conv_sft_pairs",
     f"""
     WITH t AS (
-      SELECT user_id AS conv_id,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1
-               AS turn_idx,
-             {_ROLE_CASE} AS role,
-             props AS text
-      FROM events
+      {_TRANSCRIPT_SQL}
     ), n AS (
       SELECT conv_id, turn_idx, role,
              md5(text) AS d, CAST(length(text) AS BIGINT) AS ch,
@@ -3327,12 +3332,7 @@ def _conv_clone_sql(edit: bool) -> str:
         else "text"
     )
     return f"""t0 AS (
-      SELECT user_id AS conv_id,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1
-               AS turn_idx,
-             {_ROLE_CASE} AS role,
-             props AS text
-      FROM events
+      {_TRANSCRIPT_SQL}
     ), t AS (
       SELECT * FROM t0
       UNION ALL
@@ -3411,12 +3411,7 @@ def q_conv_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conv_window_trim",
     f"""
     WITH t0 AS (
-      SELECT user_id AS conv_id,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1
-               AS turn_idx,
-             {_ROLE_CASE} AS role,
-             props AS text
-      FROM events
+      {_TRANSCRIPT_SQL}
     ), s AS (
       SELECT conv_id, turn_idx, role,
              CAST(len({SQL_TOKENS.format(col="coalesce(text, '')")})
@@ -3426,7 +3421,8 @@ def q_conv_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), r AS (
       SELECT conv_id, turn_idx, role, n_tokens,
              sum(n_tokens) OVER (PARTITION BY conv_id
-                 ORDER BY turn_idx DESC, role DESC, d DESC
+                 ORDER BY coalesce(turn_idx, -1) DESC,
+                          coalesce(role, '') DESC, d DESC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev
       FROM s
     )

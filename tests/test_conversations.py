@@ -308,3 +308,12 @@ class TestPackConversations:
         df = spark.createDataFrame([("c", 0, "user", "x")], SCHEMA)
         with pytest.raises(ValueError, match="budget"):
             conversations.pack_conversations(df, budget=0)
+
+    def test_null_idx_order_engine_stable(self, spark):
+        # NULL turn_idx coalesces to -1 in the running-sum order (the
+        # _ordered_turn_seq sentinel): the NULL turn is the OLDEST, so
+        # with budget 2 only the idx-1 turn survives
+        rows = [("c", None, "user", "a"), ("c", 1, "assistant", "b c")]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = conversations.trim_to_context(df, max_tokens=2).collect()
+        assert [(r["turn_idx"], r["n_tokens"]) for r in out] == [(1, 2)]

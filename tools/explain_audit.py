@@ -1392,8 +1392,7 @@ def main() -> int:
         [
             ("trim: ONE conv_id hash exchange; the reverse running "
              "sum is a rows-frame window over it (O(1) task state)",
-             len(_hash_exchanges(p47)) == 1
-             and "RunningWindowFunction" in p47 or "Window" in p47),
+             len(_hash_exchanges(p47)) == 1 and "Window" in p47),
             ("trim: token counting and the keep filter are codegen "
              "expressions — no Python stage",
              not re.search(r"EvalPython|InPandas", p47)),
