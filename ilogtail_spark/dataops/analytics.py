@@ -549,3 +549,56 @@ def interval_join(
         *[pb[c] for c in points.columns],
         *[rb[f"r_{c}"] for c in ranges.columns],
     )
+
+
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    window_seconds: int = 3600,
+    slide_seconds: int = 900,
+) -> DataFrame:
+    """Hopping-window (sliding) counts per key: one row per
+    (keys..., window) for every epoch-aligned window of
+    ``window_seconds`` that advances by ``slide_seconds`` — the
+    PromQL `rate()` / `increase()`-over-range-vector shape, and the
+    exact batch twin of a Structured Streaming
+    ``groupBy(window(...)).count()``. Each event lands in
+    window/slide consecutive windows; only windows with at least one
+    event appear (compose with gapfill_counts for a dense axis).
+
+    window_seconds must be a multiple of slide_seconds: under that
+    alignment every event belongs to EXACTLY window/slide windows
+    (no partial-edge windows), which keeps the semantics
+    engine-portable in exact integer microsecond math.
+
+    Scale: Spark's TimeWindow expansion replicates each row
+    window/slide times scan-side, but partial aggregation collapses
+    to (keys, window) counts BEFORE the exchange — the shuffle
+    carries one row per observed (key, window), never per event.
+    Replication factor is the explicit window/slide knob.
+    """
+    if window_seconds <= 0 or slide_seconds <= 0:
+        raise ValueError(
+            "sliding_counts: window_seconds and slide_seconds must be > 0, "
+            f"got {window_seconds}/{slide_seconds}"
+        )
+    if window_seconds % slide_seconds != 0:
+        raise ValueError(
+            "sliding_counts: window_seconds must be a multiple of "
+            f"slide_seconds, got {window_seconds} % {slide_seconds} != 0"
+        )
+    win = F.window(
+        F.col(ts_col), f"{window_seconds} seconds", f"{slide_seconds} seconds"
+    )
+    return (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(*[F.col(k) for k in key_cols], win.alias("__w__"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            *key_cols,
+            F.col("__w__.start").alias("window_start"),
+            F.col("__w__.end").alias("window_end"),
+            "n_events",
+        )
+    )

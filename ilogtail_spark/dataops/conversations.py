@@ -522,3 +522,69 @@ def sft_pairs(
         )
         .orderBy("conv_id", "prompt_idx")
     )
+
+
+def conversation_quality_gate(
+    df: DataFrame,
+    min_turns: int = 2,
+    min_avg_assistant_quality_micro: int = 300_000,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Conversation-level quality gate for chat-model training prep:
+    score every turn with the corpus quality heuristic
+    (``textstats.quality_score`` — length band / punctuation /
+    stopword / repetition, exact fixed-point micro units) and keep a
+    conversation iff it has at least ``min_turns`` turns, at least one
+    ``assistant_role`` turn, and the assistant turns' MEAN quality
+    clears the threshold — low-effort or degenerate assistant text is
+    what poisons SFT corpora, so the gate reads the assistant side
+    specifically.
+
+    Returns one row per conversation: (conv_id, n_turns, n_assistant,
+    avg_assistant_quality_micro, keep). The mean is exact integer
+    floor(sum/n) (`div`), so every engine raises the identical keep
+    set. NULL text scores as the empty string.
+
+    Scale: turn scoring is the same one-projection scan stage
+    quality_score compiles everywhere else (text never shuffles —
+    only (conv_id, role-flag, score) reaches the ONE conv_id
+    aggregate); the output is one row per conversation.
+    """
+    from ilogtail_spark.dataops.textstats import quality_score
+
+    _require(df, [conv_col, role_col, text_col], "conversation_quality_gate")
+    if min_turns < 1:
+        raise ValueError(
+            f"conversation_quality_gate: min_turns must be >= 1, got {min_turns}"
+        )
+    slim = df.select(
+        F.col(conv_col).alias("conv_id"),
+        (F.col(role_col) == assistant_role).alias("__a__"),
+        F.coalesce(F.col(text_col).cast("string"), F.lit("")).alias("__txt__"),
+    )
+    scored = quality_score(slim, text_col="__txt__", passthrough=True).select(
+        "conv_id", "__a__", "quality_score_micro"
+    )
+    agg = scored.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("__a__"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_assistant"),
+        F.sum(F.when(F.col("__a__"), F.col("quality_score_micro")))
+        .alias("__sq__"),
+    )
+    avg_q = F.expr("__sq__ div n_assistant")
+    return agg.select(
+        "conv_id",
+        "n_turns",
+        "n_assistant",
+        avg_q.alias("avg_assistant_quality_micro"),
+        (
+            (F.col("n_turns") >= min_turns)
+            & (F.col("n_assistant") >= 1)
+            & (avg_q >= min_avg_assistant_quality_micro)
+        ).alias("keep"),
+    )

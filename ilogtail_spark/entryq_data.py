@@ -3534,3 +3534,108 @@ def q_events_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("r_err_id").alias("err_id"), "n_events")
         .orderBy("err_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# hopping-window (sliding) counts — 2h windows advancing every 30min:
+# each event lands in exactly 4 windows; exact integer-microsecond
+# window starts on both engines
+# ---------------------------------------------------------------------------
+@query(
+    "events_sliding_counts",
+    """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS eu
+      FROM events WHERE ts IS NOT NULL
+    ), x AS (
+      SELECT event_type,
+             unnest([(eu // 1800000000) * 1800000000 - i * 1800000000
+                     for i in range(4)]) AS ws
+      FROM e
+    )
+    SELECT event_type,
+           make_timestamp(ws) AS window_start,
+           make_timestamp(ws + 7200000000) AS window_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM x GROUP BY 1, 2, 3
+    ORDER BY event_type, window_start
+    """,
+)
+def q_events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.sliding_counts(
+        ev, window_seconds=7200, slide_seconds=1800
+    ).orderBy("event_type", "window_start")
+
+
+# ---------------------------------------------------------------------------
+# conversation quality gate — the fixture's turn texts are uniform
+# short JSON (every conversation would score identically), so every
+# 3rd conversation's turns are deterministically repeated 8x on BOTH
+# engines: those cross the length band and change distinct ratios,
+# making the keep flag provably discriminate
+# ---------------------------------------------------------------------------
+@query(
+    "conv_quality_gate",
+    f"""
+    WITH t0 AS (
+      {{transcript}}
+    ), tv AS (
+      SELECT conv_id, role,
+             CASE WHEN conv_id % 3 = 0
+                  THEN repeat(coalesce(text, ''), 8)
+                  ELSE coalesce(text, '') END AS text
+      FROM t0
+    ), toks AS (
+      SELECT conv_id, role, text,
+             {SQL_TOKENS.format(col="text")} AS w
+      FROM tv
+    ), feat AS (
+      SELECT conv_id, role,
+             len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
+             len(list_filter(w, x -> list_contains([{{stop}}], lower(x))))
+               AS stop_hits,
+             len(list_distinct(w)) AS n_distinct,
+             len(w) AS n_tok,
+             len(text) AS n
+      FROM toks
+    ), scored AS (
+      SELECT conv_id, role,
+             (CASE WHEN n BETWEEN 50 AND 10000 THEN 250000 ELSE 0 END)
+             + (CASE WHEN CAST(floor(punct * 1000000 / greatest(n, 1))
+                           AS BIGINT) <= 200000 THEN 250000 ELSE 0 END)
+             + CAST(floor(least(CAST(floor(stop_hits * 1000000
+                    / greatest(n_tok, 1)) AS BIGINT) * 10, 1000000) / 4.0)
+                    AS BIGINT)
+             + CAST(floor(CAST(floor(n_distinct * 1000000
+                    / greatest(n_tok, 1)) AS BIGINT) / 4.0) AS BIGINT)
+               AS q
+      FROM feat
+    ), agg AS (
+      SELECT conv_id,
+             CAST(count(*) AS BIGINT) AS n_turns,
+             CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_assistant,
+             sum(CASE WHEN role = 'assistant' THEN q END) AS sq
+      FROM scored GROUP BY conv_id
+    )
+    SELECT conv_id, n_turns, n_assistant,
+           CAST(sq // n_assistant AS BIGINT)
+             AS avg_assistant_quality_micro,
+           (n_turns >= 2 AND n_assistant >= 1
+            AND sq // n_assistant >= 300000) AS keep
+    FROM agg ORDER BY conv_id
+    """.replace("{transcript}", "%TRANSCRIPT%").replace(
+        "{stop}", "%STOP%"
+    ).replace("%TRANSCRIPT%", _TRANSCRIPT_SQL).replace("%STOP%", _STOP_SQL),
+)
+def q_conv_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    tv = t.withColumn(
+        "text",
+        F.when(
+            F.col("conv_id") % 3 == 0,
+            F.expr("repeat(coalesce(text, ''), 8)"),
+        ).otherwise(F.coalesce(F.col("text"), F.lit(""))),
+    )
+    return conversations.conversation_quality_gate(tv).orderBy("conv_id")

@@ -407,3 +407,45 @@ class TestIntervalJoin:
         out = analytics.interval_join(
             pts, rng, keys=("k",), bucket_seconds=3600).collect()
         assert [r["pid"] for r in out] == [1]
+
+
+class TestSlidingCounts:
+    def test_each_event_in_window_over_slide_windows(self, spark):
+        import datetime as dt
+        df = spark.createDataFrame(
+            [(1, "a", dt.datetime(2024, 1, 1, 10, 20, 0))],
+            "event_id bigint, event_type string, ts timestamp")
+        out = analytics.sliding_counts(
+            df, key_cols=("event_type",),
+            window_seconds=3600, slide_seconds=900).collect()
+        # 4 windows cover 10:20: starts 09:30, 09:45, 10:00, 10:15
+        starts = sorted(r["window_start"] for r in out)
+        assert [s.strftime("%H:%M") for s in starts] == [
+            "09:30", "09:45", "10:00", "10:15"]
+        assert all(r["n_events"] == 1 for r in out)
+        assert all(
+            (r["window_end"] - r["window_start"]).total_seconds() == 3600
+            for r in out)
+
+    def test_counts_aggregate_within_window(self, spark):
+        import datetime as dt
+        rows = [(i, "a", dt.datetime(2024, 1, 1, 10, 0, i)) for i in range(5)]
+        rows += [(9, "b", dt.datetime(2024, 1, 1, 10, 0, 0)), (10, "a", None)]
+        df = spark.createDataFrame(
+            rows, "event_id bigint, event_type string, ts timestamp")
+        out = {(r["event_type"], r["window_start"].strftime("%H:%M")):
+               r["n_events"]
+               for r in analytics.sliding_counts(
+                   df, window_seconds=1800, slide_seconds=900).collect()}
+        assert out[("a", "09:45")] == 5 and out[("a", "10:00")] == 5
+        assert out[("b", "10:00")] == 1
+        # NULL ts dropped: 'a' appears in exactly 2 windows
+        assert sum(1 for k in out if k[0] == "a") == 2
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([], "ts timestamp")
+        with pytest.raises(ValueError, match="multiple"):
+            analytics.sliding_counts(df, window_seconds=3600,
+                                     slide_seconds=1000)
+        with pytest.raises(ValueError, match="> 0"):
+            analytics.sliding_counts(df, window_seconds=0)

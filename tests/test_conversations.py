@@ -317,3 +317,62 @@ class TestPackConversations:
         df = spark.createDataFrame(rows, SCHEMA)
         out = conversations.trim_to_context(df, max_tokens=2).collect()
         assert [(r["turn_idx"], r["n_tokens"]) for r in out] == [(1, 2)]
+
+
+class TestConversationQualityGate:
+    GOOD = ("the quick brown fox jumps over the lazy dog and it was very "
+            "good to see the result of this long sentence here")
+
+    def test_gate_semantics(self, spark):
+        rows = [
+            # k1: 2 turns, good assistant text -> keep
+            ("k1", 0, "user", "hi"),
+            ("k1", 1, "assistant", self.GOOD),
+            # d1: assistant text is degenerate symbols -> drop
+            ("d1", 0, "user", "hi"),
+            ("d1", 1, "assistant", "!!!! ???? ####"),
+            # d2: single turn -> drop (min_turns)
+            ("d2", 0, "assistant", self.GOOD),
+            # d3: no assistant turn -> drop, NULL average
+            ("d3", 0, "user", "hi"),
+            ("d3", 1, "tool", self.GOOD),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = {r["conv_id"]: r.asDict()
+               for r in conversations.conversation_quality_gate(
+                   df, min_avg_assistant_quality_micro=400_000).collect()}
+        assert out["k1"]["keep"] is True
+        assert out["d1"]["keep"] is False
+        assert out["d2"]["keep"] is False and out["d2"]["n_turns"] == 1
+        assert out["d3"]["keep"] is False
+        assert out["d3"]["avg_assistant_quality_micro"] is None
+        assert out["d3"]["n_assistant"] == 0
+
+    def test_exact_integer_mean(self, spark):
+        # two assistant turns with different scores: mean must be the
+        # exact floor(sum/2), not a float round
+        rows = [("c", 0, "assistant", self.GOOD),
+                ("c", 1, "assistant", "x")]
+        df = spark.createDataFrame(rows, SCHEMA)
+        r = conversations.conversation_quality_gate(df).collect()[0]
+        from ilogtail_spark.dataops.textstats import quality_score
+        scores = [
+            x["quality_score_micro"]
+            for x in quality_score(
+                df.selectExpr("text", "turn_idx as doc_id"), id_col="doc_id"
+            ).collect()
+        ]
+        assert r["avg_assistant_quality_micro"] == sum(scores) // 2
+
+    def test_null_text_scores_as_empty(self, spark):
+        rows = [("c", 0, "user", "q"), ("c", 1, "assistant", None)]
+        df = spark.createDataFrame(rows, SCHEMA)
+        r = conversations.conversation_quality_gate(df).collect()[0]
+        # empty string: len 0 (no len part), punct 0 <= 200k -> 250000
+        assert r["avg_assistant_quality_micro"] == 250_000
+        assert r["keep"] is False
+
+    def test_min_turns_validation(self, spark):
+        df = spark.createDataFrame([("c", 0, "user", "x")], SCHEMA)
+        with pytest.raises(ValueError, match="min_turns"):
+            conversations.conversation_quality_gate(df, min_turns=0)

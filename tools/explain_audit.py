@@ -1465,6 +1465,51 @@ def main() -> int:
         "shuffle key is (user, bucket), not user alone.",
     )
 
+    # 49. hopping-window counts + conversation quality gate
+    q49 = _ana.sliding_counts(
+        ev48, window_seconds=7200, slide_seconds=1800
+    )
+    p49 = formatted(q49)
+    from ilogtail_spark.dataops import conversations as _conv2
+
+    q49b = _conv2.conversation_quality_gate(tr45)
+    p49b = formatted(q49b)
+    ex49b = _hash_exchanges(p49b)
+    audit(
+        "hopping-window counts / conversation quality gate",
+        q49,
+        [
+            ("sliding windows: the window/slide replication (Expand) "
+             "happens scan-side and partial aggregation collapses to "
+             "(key, window) counts BEFORE the exchange — the shuffle "
+             "carries per-window counts, never per-event rows",
+             "Expand" in p49 and "partial_count" in p49
+             and n_shuffles(p49) == 1),
+            ("sliding windows: whole plan is codegen — no Python "
+             "stage",
+             not re.search(r"EvalPython|InPandas", p49)),
+            ("quality gate: turn scoring is ONE scan-stage projection "
+             "feeding ONE conv_id hash aggregate exchange",
+             len(ex49b) == 1),
+            ("quality gate: text never shuffles — the exchange "
+             "carries (conv_id, assistant-flag, partial sums), not "
+             "the text column",
+             len(ex49b) == 1 and "text#" not in ex49b[0]
+             and "__txt__" not in ex49b[0]),
+            ("quality gate: no Python stage — the quality heuristic "
+             "compiles to expressions here exactly as in "
+             "text_quality",
+             not re.search(r"EvalPython|InPandas", p49b)),
+        ],
+        "sliding_counts at 100 TB: replication factor is the explicit "
+        "window/slide knob, and because the partial aggregate runs "
+        "before the exchange, the expanded rows never leave their "
+        "scan task — the shuffle is bounded by observed (key, window) "
+        "pairs. The quality gate rides the same scan-side scoring "
+        "projection as text_quality, so gating a petabyte transcript "
+        "corpus shuffles three small columns per turn once.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
