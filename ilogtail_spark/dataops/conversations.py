@@ -160,6 +160,26 @@ def conversation_shingle_pairs(
     """
     from ilogtail_spark.dataops.dedup import jaccard_from_exploded
 
+    sh = conversation_shingles(
+        df, conv_col, idx_col, role_col, text_col, shingle_k
+    )
+    return jaccard_from_exploded(
+        sh, "conv_id", threshold=threshold, max_df=max_df
+    )
+
+
+def conversation_shingles(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """DISTINCT (conv_id, s) turn-window shingle digests — the element
+    universe ``conversation_shingle_pairs`` feeds to the inverted-index
+    join, exposed for scale audits (shingle document frequencies bound
+    the join's pair count: sum over shingles of df*(df-1)/2)."""
     agg = _ordered_turn_seq(df, conv_col, idx_col, role_col, text_col)
     toks = F.transform(
         F.col("__seq__"),
@@ -172,7 +192,7 @@ def conversation_shingle_pairs(
         F.size("__t__") >= shingle_k,
         F.sequence(F.lit(0), F.size("__t__") - shingle_k),
     ).otherwise(F.array().cast("array<int>"))
-    sh = agg.select(
+    return agg.select(
         "conv_id",
         F.explode(
             F.transform(
@@ -183,9 +203,6 @@ def conversation_shingle_pairs(
             )
         ).alias("s"),
     ).distinct()
-    return jaccard_from_exploded(
-        sh, "conv_id", threshold=threshold, max_df=max_df
-    )
 
 
 def trim_to_context(

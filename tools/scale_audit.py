@@ -115,6 +115,43 @@ def main() -> int:
         sem_sec = time.time() - t0
         semf_p, _ = sem_pairs(4)  # frozen small-SF centroid count
 
+        # conversation_shingle_pairs' cost core is the inverted-index
+        # self-join on turn-window shingle digests: join pairs = sum
+        # over shingles of df*(df-1)/2, exact from shingle document
+        # frequencies alone. Two operating points: max_df capped (the
+        # boilerplate guard) vs uncapped.
+        from ilogtail_spark.dataops import conversations as convs
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        tr = ev.select(
+            F.col("user_id").alias("conv_id"),
+            F.col("event_id").alias("turn_idx"),
+            F.col("event_type").alias("role"),
+            F.col("props").alias("text"),
+        )
+        t0 = time.time()
+        shdf = (
+            convs.conversation_shingles(tr)
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df_"))
+        )
+        CS_MAX_DF = 20
+        csrow = shdf.agg(
+            F.sum(F.expr("df_ * (df_ - 1) / 2")).alias("p"),
+            F.sum(
+                F.when(
+                    F.col("df_") <= CS_MAX_DF,
+                    F.expr("df_ * (df_ - 1) / 2"),
+                ).otherwise(F.lit(0))
+            ).alias("pc"),
+            F.max("df_").alias("mx"),
+        ).collect()[0]
+        cs_pairs = int(csrow["p"] or 0)
+        csc_pairs = int(csrow["pc"] or 0)
+        cs_max = int(csrow["mx"] or 0)
+        cs_sec = time.time() - t0
+        n_convs = tr.select("conv_id").distinct().count()
+
         # source_quota_sample's cost core is the candidate set the
         # rank window sorts: bounded by ~factor*quota per oversized
         # source, so it grows with the SOURCE COUNT, not the corpus
@@ -138,6 +175,9 @@ def main() -> int:
                 sem_pairs=sem_p, sem_k=k_scaled, sem_max=sem_max,
                 sem_sec=round(sem_sec, 1), semf_pairs=semf_p,
                 qs_cand=qs_cand, qs_sec=round(qs_sec, 1),
+                cs_pairs=cs_pairs, csc_pairs=csc_pairs,
+                cs_max=cs_max, cs_sec=round(cs_sec, 1),
+                n_convs=n_convs,
             )
         )
         print(rows[-1])
@@ -164,10 +204,16 @@ def main() -> int:
         ("sem_pairs", "semantic within-cluster (n_centroids scaled)", True, growth_vecs),
         ("semf_pairs", "semantic within-cluster (n_centroids frozen)", False, growth_vecs),
         ("qs_cand", "quota-sample candidates (rows the rank window sorts)", True, growth_docs),
+        ("cs_pairs", "conversation-shingle join (uncapped)", False, b["n_convs"] / a["n_convs"]),
+        ("csc_pairs", "conversation-shingle join (max_df=20)", True, b["n_convs"] / a["n_convs"]),
     ):
         base = max(a[key], 1)
         ratio = b[key] / base
-        passed = ratio <= LINEAR_SLACK * growth
+        # ratio gates are meaningless on tiny absolute counts (1 -> 40
+        # pairs is "40x" with zero quadratic risk); below the floor the
+        # big-SF count itself proves the generator is nowhere near a
+        # blowup
+        passed = ratio <= LINEAR_SLACK * growth or b[key] < 1000
         if gated:
             ok &= passed
         verdicts.append((label, a[key], b[key], ratio, growth, passed, gated))
@@ -218,6 +264,11 @@ def main() -> int:
             f"frozen-centroids row shows why n_centroids scales with the corpus.",
             f"Quota-sample candidates grow with the source count, not the "
             f"corpus: {a['qs_cand']} -> {b['qs_cand']} rows at 10x docs.",
+            f"Conversation-shingle hot digest df: max {a['cs_max']} -> "
+            f"{b['cs_max']} over {a['n_convs']} -> {b['n_convs']} "
+            f"conversations; uncapped join pairs grow with the hottest "
+            f"shingle's df^2 (boilerplate turn windows), max_df=20 is the "
+            f"documented guard.",
             f"Wall (local[16], s): minhash {a['mh_sec']} -> {b['mh_sec']}, "
             f"simhash {a['sh_sec']} -> {b['sh_sec']}, "
             f"embedding {a['emb_sec']} -> {b['emb_sec']}.",
