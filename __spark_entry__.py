@@ -41,6 +41,7 @@ _FRONT = [
     "conv_dedup", "conv_near_pairs", "conv_window_trim",
     "conv_role_stats", "conv_pack_shards", "events_error_context",
     "events_sliding_counts", "conv_quality_gate",
+    "conv_repeated_turns", "conv_pii_report",
     "conv_integrity_report", "conv_sft_pairs",
     "corpus_split_assign", "corpus_snapshot_diff",
     "sim_cosine_topk_quantized", "corpus_source_quota",

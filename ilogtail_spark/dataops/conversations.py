@@ -605,3 +605,127 @@ def conversation_quality_gate(
             & (avg_q >= min_avg_assistant_quality_micro)
         ).alias("keep"),
     )
+
+
+def repeated_turn_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Retry-artifact report: per conversation, how many ADJACENT turn
+    pairs are identical in (role, text) — the "client retried and the
+    same assistant message landed twice" defect exact conversation
+    dedup cannot see (the duplicate is INSIDE one conversation) — plus
+    the longest run of identical consecutive turns. Complements
+    ``conversation_integrity``: that counts same-ROLE adjacency
+    (speaker-alternation), this counts same-CONTENT adjacency.
+
+    Returns (conv_id, n_turns, n_repeat_pairs, max_run, has_repeats);
+    max_run is 1 for a conversation with no repeats. Adjacency uses
+    the canonical engine-stable order (coalesced idx, role, digest).
+
+    Scale: text is digested scan-side; the lag window, the
+    run-grouping running sum, and both aggregate levels all partition
+    by conv_id, so ONE exchange feeds the whole report (the
+    sessionize lag-flag-sum core over turns instead of events).
+    """
+    _require(df, [conv_col, idx_col, role_col, text_col],
+             "repeated_turn_stats")
+    slim = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.coalesce(F.col(idx_col).cast("bigint"), F.lit(-1)).alias("__idx__"),
+        F.coalesce(F.col(role_col), F.lit("")).alias("__role__"),
+        F.coalesce(F.md5(F.col(text_col).cast("string")), F.lit("")).alias(
+            "__d__"
+        ),
+    )
+    order = [F.col("__idx__"), F.col("__role__"), F.col("__d__")]
+    w = Window.partitionBy("conv_id").orderBy(*order)
+    wrun = (
+        Window.partitionBy("conv_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = slim.withColumn(
+        "__rep__",
+        F.coalesce(
+            (F.col("__role__") == F.lag("__role__").over(w))
+            & (F.col("__d__") == F.lag("__d__").over(w)),
+            F.lit(False),
+        ),
+    ).withColumn(
+        # a new run starts wherever __rep__ is false; the running count
+        # of starts is the run id
+        "__run__",
+        F.sum(F.when(F.col("__rep__"), 0).otherwise(1)).over(wrun),
+    )
+    per_run = flagged.groupBy("conv_id", "__run__").agg(
+        F.count(F.lit(1)).alias("__len__"),
+        F.sum(F.when(F.col("__rep__"), 1).otherwise(0)).alias("__reps__"),
+    )
+    return per_run.groupBy("conv_id").agg(
+        F.sum("__len__").cast("bigint").alias("n_turns"),
+        F.sum("__reps__").cast("bigint").alias("n_repeat_pairs"),
+        F.max("__len__").cast("bigint").alias("max_run"),
+        (F.sum("__reps__") > 0).alias("has_repeats"),
+    )
+
+
+def conversation_pii_report(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    user_role: str = "user",
+) -> DataFrame:
+    """Conversation-level PII exposure report: per conversation, total
+    email / phone / SSN / IP-shaped matches across all turns, how many
+    turns contain any PII, how many USER turns do (the side that
+    actually leaks personal data into a training corpus — assistant
+    echoes are downstream of those), and a ``has_pii`` flag. The
+    conversation-granularity companion of ``textstats.pii_flags``
+    (drop or re-route whole conversations, not single turns) —
+    compose with ``textstats.pii_redact`` on the kept set.
+
+    Scale: the four regexp counters are the same scan-side expressions
+    pii_flags compiles; only (conv_id, user-flag, four small ints)
+    reach the ONE conv_id aggregate. NULL text counts zero matches.
+    """
+    from ilogtail_spark.dataops.textstats import (
+        EMAIL_RE, IP_RE, PHONE_RE, SSN_RE,
+    )
+
+    _require(df, [conv_col, role_col, text_col], "conversation_pii_report")
+    t = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+
+    def n(pattern: str) -> Column:
+        return F.size(F.regexp_extract_all(t, F.lit(pattern), 0))
+
+    slim = df.select(
+        F.col(conv_col).alias("conv_id"),
+        (F.col(role_col) == user_role).alias("__u__"),
+        n(EMAIL_RE).alias("__em__"),
+        n(PHONE_RE).alias("__ph__"),
+        n(SSN_RE).alias("__ss__"),
+        n(IP_RE).alias("__ip__"),
+    ).withColumn(
+        "__any__",
+        (F.col("__em__") + F.col("__ph__") + F.col("__ss__") + F.col("__ip__"))
+        > 0,
+    )
+    return slim.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.sum("__em__").cast("bigint").alias("n_emails"),
+        F.sum("__ph__").cast("bigint").alias("n_phones"),
+        F.sum("__ss__").cast("bigint").alias("n_ssns"),
+        F.sum("__ip__").cast("bigint").alias("n_ips"),
+        F.sum(F.when(F.col("__any__"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pii_turns"),
+        F.sum(F.when(F.col("__any__") & F.col("__u__"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pii_user_turns"),
+        F.max(F.col("__any__")).alias("has_pii"),
+    )

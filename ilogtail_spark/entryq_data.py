@@ -3639,3 +3639,133 @@ def q_conv_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.coalesce(F.col("text"), F.lit(""))),
     )
     return conversations.conversation_quality_gate(tv).orderBy("conv_id")
+
+
+# ---------------------------------------------------------------------------
+# repeated-turn (retry-artifact) report: turn 1 of every 5th
+# conversation is cloned verbatim on BOTH engines, so the repeat
+# detector provably fires; everything else reports zero repeats
+# ---------------------------------------------------------------------------
+@query(
+    "conv_repeated_turns",
+    f"""
+    WITH t0 AS (
+      {_TRANSCRIPT_SQL}
+    ), t AS (
+      SELECT * FROM t0
+      UNION ALL
+      SELECT conv_id, turn_idx, role, text
+      FROM t0 WHERE conv_id % 5 = 0 AND turn_idx = 1
+    ), s AS (
+      SELECT conv_id,
+             coalesce(turn_idx, -1) AS i,
+             coalesce(role, '') AS r,
+             coalesce(md5(text), '') AS d
+      FROM t
+    ), f AS (
+      SELECT conv_id, i, r, d,
+             coalesce(r = lag(r) OVER w AND d = lag(d) OVER w, FALSE)
+               AS rep
+      FROM s WINDOW w AS (PARTITION BY conv_id ORDER BY i, r, d)
+    ), g AS (
+      SELECT conv_id, rep,
+             sum(CASE WHEN rep THEN 0 ELSE 1 END)
+               OVER (PARTITION BY conv_id ORDER BY i, r, d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run
+      FROM f
+    ), pr AS (
+      SELECT conv_id, run, count(*) AS len,
+             sum(CASE WHEN rep THEN 1 ELSE 0 END) AS reps
+      FROM g GROUP BY 1, 2
+    )
+    SELECT conv_id,
+           CAST(sum(len) AS BIGINT) AS n_turns,
+           CAST(sum(reps) AS BIGINT) AS n_repeat_pairs,
+           CAST(max(len) AS BIGINT) AS max_run,
+           sum(reps) > 0 AS has_repeats
+    FROM pr GROUP BY conv_id ORDER BY conv_id
+    """,
+)
+def q_conv_repeated_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    dup = t.filter((F.col("conv_id") % 5 == 0) & (F.col("turn_idx") == 1))
+    return conversations.repeated_turn_stats(t.unionByName(dup)).orderBy(
+        "conv_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# conversation PII exposure report: PII strings are appended to
+# deterministic turns on BOTH engines (an email on every 4th
+# conversation's early USER turns — exercising the user-turn counter —
+# a phone+SSN on every 6th conversation's turn 1, an IP on every 9th
+# conversation's turn 2)
+# ---------------------------------------------------------------------------
+_PII_INJECT_SQL = """coalesce(text, '')
+          || CASE WHEN conv_id % 4 = 0 AND role = 'user' AND turn_idx <= 10
+                  THEN ' reach me at u' || CAST(conv_id AS VARCHAR)
+                       || '@example.com' ELSE '' END
+          || CASE WHEN conv_id % 6 = 0 AND turn_idx = 1
+                  THEN ' call 555-123-4567 ssn 123-45-6789' ELSE '' END
+          || CASE WHEN conv_id % 9 = 0 AND turn_idx = 2
+                  THEN ' from 10.1.2.3' ELSE '' END"""
+
+
+@query(
+    "conv_pii_report",
+    f"""
+    WITH t0 AS (
+      {_TRANSCRIPT_SQL}
+    ), t AS (
+      SELECT conv_id, role, {_PII_INJECT_SQL} AS text FROM t0
+    ), c AS (
+      SELECT conv_id,
+             role = 'user' AS u,
+             len(regexp_extract_all(text, '{textstats.EMAIL_RE}')) AS em,
+             len(regexp_extract_all(text, '{textstats.PHONE_RE}')) AS ph,
+             len(regexp_extract_all(text, '{textstats.SSN_RE}')) AS ss,
+             len(regexp_extract_all(text, '{textstats.IP_RE}')) AS ip
+      FROM t
+    )
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(em) AS BIGINT) AS n_emails,
+           CAST(sum(ph) AS BIGINT) AS n_phones,
+           CAST(sum(ss) AS BIGINT) AS n_ssns,
+           CAST(sum(ip) AS BIGINT) AS n_ips,
+           CAST(sum(CASE WHEN em + ph + ss + ip > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pii_turns,
+           CAST(sum(CASE WHEN (em + ph + ss + ip > 0) AND u THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_pii_user_turns,
+           max(em + ph + ss + ip > 0) AS has_pii
+    FROM c GROUP BY conv_id ORDER BY conv_id
+    """,
+)
+def q_conv_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    injected = t.withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                (F.col("conv_id") % 4 == 0)
+                & (F.col("role") == "user")
+                & (F.col("turn_idx") <= 10),
+                F.concat(
+                    F.lit(" reach me at u"),
+                    F.col("conv_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                (F.col("conv_id") % 6 == 0) & (F.col("turn_idx") == 1),
+                F.lit(" call 555-123-4567 ssn 123-45-6789"),
+            ).otherwise(F.lit("")),
+            F.when(
+                (F.col("conv_id") % 9 == 0) & (F.col("turn_idx") == 2),
+                F.lit(" from 10.1.2.3"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return conversations.conversation_pii_report(injected).orderBy("conv_id")

@@ -376,3 +376,76 @@ class TestConversationQualityGate:
         df = spark.createDataFrame([("c", 0, "user", "x")], SCHEMA)
         with pytest.raises(ValueError, match="min_turns"):
             conversations.conversation_quality_gate(df, min_turns=0)
+
+
+class TestRepeatedTurnStats:
+    def test_counts_and_runs(self, spark):
+        rows = [
+            # c1: identical assistant turn repeated 3x -> 2 repeat
+            # pairs, max_run 3
+            ("c1", 0, "user", "q"),
+            ("c1", 1, "assistant", "same"),
+            ("c1", 2, "assistant", "same"),
+            ("c1", 3, "assistant", "same"),
+            ("c1", 4, "user", "q2"),
+            # c2: same role adjacent but DIFFERENT text -> no repeat
+            ("c2", 0, "user", "a"), ("c2", 1, "user", "b"),
+            # c3: same text adjacent but different role -> no repeat
+            ("c3", 0, "user", "x"), ("c3", 1, "assistant", "x"),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = {r["conv_id"]: r.asDict()
+               for r in conversations.repeated_turn_stats(df).collect()}
+        assert out["c1"]["n_repeat_pairs"] == 2
+        assert out["c1"]["max_run"] == 3
+        assert out["c1"]["has_repeats"] is True and out["c1"]["n_turns"] == 5
+        for c in ("c2", "c3"):
+            assert out[c]["n_repeat_pairs"] == 0
+            assert out[c]["max_run"] == 1
+            assert out[c]["has_repeats"] is False
+
+    def test_parallelism_invariant(self, spark):
+        rows = [("c", i, "user", "t%d" % (i % 2)) for i in range(10)]
+        rows += [("c", 5, "user", "t1")]  # duplicated (idx, role, text)
+        df = spark.createDataFrame(rows, SCHEMA)
+        one = sorted(map(tuple, conversations.repeated_turn_stats(
+            df.coalesce(1)).collect()))
+        par = sorted(map(tuple, conversations.repeated_turn_stats(
+            df.repartition(5)).collect()))
+        assert one == par
+
+    def test_null_text_repeats_detected(self, spark):
+        rows = [("c", 0, "user", None), ("c", 1, "user", None)]
+        df = spark.createDataFrame(rows, SCHEMA)
+        r = conversations.repeated_turn_stats(df).collect()[0]
+        assert r["n_repeat_pairs"] == 1 and r["max_run"] == 2
+
+
+class TestConversationPiiReport:
+    def test_type_counts_and_user_attribution(self, spark):
+        rows = [
+            ("c1", 0, "user", "mail me at a.b@example.com"),
+            ("c1", 1, "assistant", "sure, noted a.b@example.com"),
+            ("c1", 2, "user", "also call 555-123-4567"),
+            ("c2", 0, "user", "nothing here"),
+            ("c2", 1, "assistant", "host is 10.0.0.1 ssn 123-45-6789"),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = {r["conv_id"]: r.asDict()
+               for r in conversations.conversation_pii_report(df).collect()}
+        c1 = out["c1"]
+        assert (c1["n_emails"], c1["n_phones"]) == (2, 1)
+        assert c1["n_pii_turns"] == 3 and c1["n_pii_user_turns"] == 2
+        assert c1["has_pii"] is True
+        c2 = out["c2"]
+        assert (c2["n_ssns"], c2["n_ips"]) == (1, 1)
+        assert c2["n_pii_turns"] == 1 and c2["n_pii_user_turns"] == 0
+        assert c2["has_pii"] is True
+
+    def test_clean_conversation_and_null_text(self, spark):
+        rows = [("c", 0, "user", "hello"), ("c", 1, "assistant", None)]
+        df = spark.createDataFrame(rows, SCHEMA)
+        r = conversations.conversation_pii_report(df).collect()[0]
+        assert r["has_pii"] is False
+        assert (r["n_emails"], r["n_phones"], r["n_ssns"], r["n_ips"],
+                r["n_pii_turns"]) == (0, 0, 0, 0, 0)

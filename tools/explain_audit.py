@@ -1510,6 +1510,38 @@ def main() -> int:
         "corpus shuffles three small columns per turn once.",
     )
 
+    # 50. repeated-turn report + conversation PII report
+    q50 = _conv2.repeated_turn_stats(tr45)
+    p50 = formatted(q50)
+    ex50 = _hash_exchanges(p50)
+    q50b = _conv2.conversation_pii_report(tr45)
+    p50b = formatted(q50b)
+    ex50b = _hash_exchanges(p50b)
+    audit(
+        "repeated-turn (retry-artifact) report / conversation PII report",
+        q50,
+        [
+            ("repeat report: ONE conv_id hash exchange feeds the lag "
+             "window, the run-grouping running sum, and both "
+             "aggregate levels",
+             len(ex50) == 1),
+            ("repeat report: text never shuffles — the exchange "
+             "carries the scan-side digest, not the text column",
+             len(ex50) == 1 and "text#" not in ex50[0]),
+            ("PII report: the four regexp counters run scan-side and "
+             "ONE conv_id hash aggregate exchange carries only small "
+             "ints",
+             len(ex50b) == 1 and "text#" not in ex50b[0]),
+            ("both plans are pure codegen — no Python stage",
+             not re.search(r"EvalPython|InPandas", p50 + p50b)),
+        ],
+        "Both reports are the conversation-granularity companions of "
+        "existing scan-side operators (integrity's adjacency core, "
+        "pii_flags' counters): at 100 TB the whole cost is the text "
+        "scan itself plus one narrow digest/count exchange per "
+        "report.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
