@@ -661,15 +661,19 @@ def repeated_turn_stats(
         "__run__",
         F.sum(F.when(F.col("__rep__"), 0).otherwise(1)).over(wrun),
     )
+    # within a run every row but the first is a repeat pair, so
+    # repeat pairs = n_turns - run count and has_repeats = max_run > 1
+    # — run lengths carry all the information
     per_run = flagged.groupBy("conv_id", "__run__").agg(
         F.count(F.lit(1)).alias("__len__"),
-        F.sum(F.when(F.col("__rep__"), 1).otherwise(0)).alias("__reps__"),
     )
     return per_run.groupBy("conv_id").agg(
         F.sum("__len__").cast("bigint").alias("n_turns"),
-        F.sum("__reps__").cast("bigint").alias("n_repeat_pairs"),
+        (F.sum("__len__") - F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_repeat_pairs"),
         F.max("__len__").cast("bigint").alias("max_run"),
-        (F.sum("__reps__") > 0).alias("has_repeats"),
+        (F.max("__len__") > 1).alias("has_repeats"),
     )
 
 
@@ -693,23 +697,18 @@ def conversation_pii_report(
     pii_flags compiles; only (conv_id, user-flag, four small ints)
     reach the ONE conv_id aggregate. NULL text counts zero matches.
     """
-    from ilogtail_spark.dataops.textstats import (
-        EMAIL_RE, IP_RE, PHONE_RE, SSN_RE,
-    )
+    from ilogtail_spark.dataops.textstats import pii_count_cols
 
     _require(df, [conv_col, role_col, text_col], "conversation_pii_report")
     t = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
-
-    def n(pattern: str) -> Column:
-        return F.size(F.regexp_extract_all(t, F.lit(pattern), 0))
-
+    emails, phones, ssns, ips = pii_count_cols(t)
     slim = df.select(
         F.col(conv_col).alias("conv_id"),
         (F.col(role_col) == user_role).alias("__u__"),
-        n(EMAIL_RE).alias("__em__"),
-        n(PHONE_RE).alias("__ph__"),
-        n(SSN_RE).alias("__ss__"),
-        n(IP_RE).alias("__ip__"),
+        emails.alias("__em__"),
+        phones.alias("__ph__"),
+        ssns.alias("__ss__"),
+        ips.alias("__ip__"),
     ).withColumn(
         "__any__",
         (F.col("__em__") + F.col("__ph__") + F.col("__ss__") + F.col("__ip__"))

@@ -442,21 +442,26 @@ SSN_RE = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
 IP_RE = r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}"
 
 
+def pii_count_cols(t: Column) -> tuple[Column, Column, Column, Column]:
+    """(emails, phones, ssns, ips) match-count Columns over a text
+    Column — the ONE builder both the per-doc ``pii_flags`` and the
+    per-conversation ``conversations.conversation_pii_report`` compile,
+    so swapping the pattern pack (or the extraction expression) can
+    never desynchronize the two reports."""
+
+    def n(pattern: str) -> Column:
+        return F.size(F.regexp_extract_all(t, F.lit(pattern), 0))
+
+    return n(EMAIL_RE), n(PHONE_RE), n(SSN_RE), n(IP_RE)
+
+
 def pii_flags(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc PII indicators for training-data filtering: counts of
     email / phone / SSN-shaped / IP-shaped matches plus an aggregate
     ``has_pii`` flag. Pure scan-side expressions (one regexp pass per
     pattern); pairs with processor_desensitize for the redaction side
     of the same policy."""
-    t = F.col(text_col)
-
-    def n(pattern: str) -> Column:
-        return F.size(F.regexp_extract_all(t, F.lit(pattern), 0))
-
-    emails = n(EMAIL_RE)
-    phones = n(PHONE_RE)
-    ssns = n(SSN_RE)
-    ips = n(IP_RE)
+    emails, phones, ssns, ips = pii_count_cols(F.col(text_col))
     return df.select(
         F.col(id_col),
         emails.alias("n_emails"),

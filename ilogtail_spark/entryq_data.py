@@ -3675,15 +3675,14 @@ def q_conv_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS run
       FROM f
     ), pr AS (
-      SELECT conv_id, run, count(*) AS len,
-             sum(CASE WHEN rep THEN 1 ELSE 0 END) AS reps
+      SELECT conv_id, run, count(*) AS len
       FROM g GROUP BY 1, 2
     )
     SELECT conv_id,
            CAST(sum(len) AS BIGINT) AS n_turns,
-           CAST(sum(reps) AS BIGINT) AS n_repeat_pairs,
+           CAST(sum(len) - count(*) AS BIGINT) AS n_repeat_pairs,
            CAST(max(len) AS BIGINT) AS max_run,
-           sum(reps) > 0 AS has_repeats
+           max(len) > 1 AS has_repeats
     FROM pr GROUP BY conv_id ORDER BY conv_id
     """,
 )
