@@ -38,6 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _FRONT = [
     # round-5 new queries first (never driver-checked), then the
     # r04-unsampled rotation ordered oldest-driver-check first
+    "events_log_templates", "events_rare_templates",
+    "events_type_transitions", "conv_role_transitions",
+    "conv_response_latency", "conv_lang_mix", "streaming_new_templates",
     "conv_dedup", "conv_near_pairs", "conv_window_trim",
     "conv_role_stats", "conv_pack_shards", "events_error_context",
     "events_sliding_counts", "conv_quality_gate",

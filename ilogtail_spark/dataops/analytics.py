@@ -602,3 +602,208 @@ def sliding_counts(
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# log-template mining (Drain/Spell-style, by deterministic masking)
+# ---------------------------------------------------------------------------
+
+# ordered most-specific-first: a UUID contains hex runs and digits, an
+# IPv4 contains digits, a 0x-literal contains digits — each later mask
+# must not fire inside an earlier mask's placeholder (placeholders are
+# digit-free, so the chain is confluent). Patterns are restricted to
+# the syntax subset Java regex and RE2/DuckDB agree on (\b, \d,
+# classes, bounded repeats — no lookaround, no backrefs) so the DuckDB
+# oracle can run the IDENTICAL chain.
+TEMPLATE_MASKS: tuple[tuple[str, str], ...] = (
+    (
+        r"\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+        r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b",
+        "<UUID>",
+    ),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b0[xX][0-9a-fA-F]+\b", "<HEX>"),
+    (r"\d+", "<NUM>"),
+)
+
+
+def mask_template(col: Column) -> Column:
+    """The template of a log line: variable fields (uuids, IPv4s, hex
+    literals, numbers) masked to typed placeholders. A pure chain of
+    ``regexp_replace`` expressions — scan-side, codegen, zero Python.
+    """
+    out = col
+    for pat, rep in TEMPLATE_MASKS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def template_masks_sql(expr: str) -> str:
+    """The DuckDB-side mirror of :func:`mask_template` over ``expr``
+    — the same ordered mask chain, so template strings can never
+    desynchronize between the engines."""
+    out = expr
+    for pat, rep in TEMPLATE_MASKS:
+        pat_sql = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{pat_sql}', '{rep}', 'g')"
+    return out
+
+
+def log_templates(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Log-template mining — the "what KINDS of lines is this service
+    emitting?" report behind Drain/Spell/LogMine and every
+    log-clustering UI (SLS LogReduce, Datadog log patterns). Each
+    line's variable fields are masked to typed placeholders
+    (:data:`TEMPLATE_MASKS`) and identical templates aggregate to one
+    row: (template, n_events, share_micro[, first_ts, last_ts]).
+
+    Masking-based template extraction is deterministic (unlike
+    similarity-threshold clustering) so the report is bit-identical
+    on every engine and every partitioning — the property the DuckDB
+    oracle checks.
+
+    Reference analog: iLogtail ships raw lines and LogReduce
+    clusters server-side (closed); here the template report is a
+    first-class distributed operator.
+
+    Scale shape: masking is scan-side codegen; partial aggregation
+    collapses to one row per (template) BEFORE the single exchange,
+    so the shuffle carries the template dictionary (bounded by code
+    sites in the emitting software — thousands), never the lines.
+    The grand total for share_micro re-aggregates those rows and
+    broadcast-joins back as one row. NULL text masks to no template
+    and is dropped (SQL aggregate convention).
+    """
+    t = F.col(text_col)
+    masked = df.filter(t.isNotNull()).select(
+        mask_template(t).alias("template"),
+        *( [F.col(ts_col).alias("__ts__")] if ts_col else [] ),
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_events")]
+    if ts_col:
+        aggs += [
+            F.min("__ts__").alias("first_ts"),
+            F.max("__ts__").alias("last_ts"),
+        ]
+    counts = masked.groupBy("template").agg(*aggs)
+    total = counts.agg(F.sum("n_events").alias("__total__"))
+    share = (
+        F.expr("CAST(n_events AS DECIMAL(38,0)) * 1000000 div __total__")
+        .cast("bigint")
+        .alias("share_micro")
+    )
+    out_cols = ["template", "n_events", share] + (
+        ["first_ts", "last_ts"] if ts_col else []
+    )
+    return counts.join(F.broadcast(total)).select(*out_cols)
+
+
+def rare_templates(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    max_count: int | None = 10,
+    max_share_micro: int | None = None,
+) -> DataFrame:
+    """Rare-template report — the anomaly-surfacing half of template
+    mining: templates seen at most ``max_count`` times and/or (when
+    ``max_share_micro`` is set) holding at most that share of all
+    lines. A template that has appeared twice ever is a new failure
+    mode or a deploy regression; the high-frequency bulk is the
+    operator's noise floor. ``max_count`` is an absolute rarity bar
+    (alerting: "seen < 10 times"); ``max_share_micro`` is the
+    scale-independent form (the same report at sf0.01 and at 100 TB —
+    a fixed absolute count stops selecting anything once volume
+    grows). Either may be None; at least one must be set. Pure
+    composition over :func:`log_templates` — the filter runs on the
+    aggregated template dictionary, adding zero shuffles.
+    """
+    if max_count is None and max_share_micro is None:
+        raise ValueError(
+            "rare_templates: set max_count and/or max_share_micro"
+        )
+    if max_count is not None and max_count < 0:
+        raise ValueError(
+            f"rare_templates: max_count must be >= 0, got {max_count}"
+        )
+    out = log_templates(df, text_col=text_col, ts_col=ts_col)
+    keep = F.lit(True)
+    if max_count is not None:
+        keep = keep & (F.col("n_events") <= max_count)
+    if max_share_micro is not None:
+        keep = keep & (F.col("share_micro") <= max_share_micro)
+    return out.filter(keep)
+
+
+# ---------------------------------------------------------------------------
+# state-transition (Markov bigram) counts
+# ---------------------------------------------------------------------------
+
+START_STATE = "<START>"
+
+
+def transition_counts(
+    df: DataFrame,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    state_col: str,
+    include_start: bool = True,
+) -> DataFrame:
+    """First-order transition matrix of ``state_col`` within each
+    ``key_col`` sequence — "what follows what": role bigrams over a
+    conversation (user→assistant→user... and the protocol-violating
+    assistant→assistant), event-type flows per user, tool-call
+    chains per agent session. Returns one row per (prev_state,
+    state): n BIGINT transitions and out_share_micro, the exact
+    integer row-normalized share of transitions LEAVING prev_state
+    (the Markov transition probability in micro units).
+
+    Each sequence's first state transitions from :data:`START_STATE`
+    when ``include_start`` (so initial-state frequencies are part of
+    the matrix); with ``include_start=False`` first states emit no
+    row. NULL states participate as the empty string so a NULL never
+    silently drops a transition edge.
+
+    Scale shape: ONE exchange on key_col for the lag window (reused
+    if the input is already partitioned by key — the conversation
+    operators' shared exchange contract), then a partial-aggregated
+    groupBy on the (prev, state) pair; the wide state after the
+    second exchange is bounded by |states|^2, not rows. The
+    out_share_micro window runs over those aggregated pairs grouped
+    by prev_state — vocabulary-sized, never row-sized.
+    """
+    if not order_cols:
+        raise ValueError("transition_counts: order_cols must be non-empty")
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    s = F.coalesce(F.col(state_col).cast("string"), F.lit(""))
+    prev = F.lag(s).over(w)
+    prev = (
+        F.coalesce(prev, F.lit(START_STATE))
+        if include_start
+        else prev
+    )
+    pairs = df.select(prev.alias("prev_state"), s.alias("state"))
+    if not include_start:
+        pairs = pairs.filter(F.col("prev_state").isNotNull())
+    counts = pairs.groupBy("prev_state", "state").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wrow = Window.partitionBy("prev_state")
+    return counts.withColumn(
+        "__out_total__", F.sum("n").over(wrow)
+    ).select(
+        "prev_state",
+        "state",
+        "n",
+        # exact integer `div` over a DECIMAL(38,0) product (the
+        # hotkey_stats idiom): no float rounding, no BIGINT wrap past
+        # 9.2e12 transitions per prev_state; DuckDB's HUGEINT computes
+        # the identical 128-bit value
+        F.expr("CAST(n AS DECIMAL(38,0)) * 1000000 div __out_total__")
+        .cast("bigint")
+        .alias("out_share_micro"),
+    )

@@ -728,3 +728,134 @@ def conversation_pii_report(
         .alias("n_pii_user_turns"),
         F.max(F.col("__any__")).alias("has_pii"),
     )
+
+
+def response_latency(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    user_role: str = "user",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Per-conversation assistant response latency — "how long after
+    the user's message did the assistant reply?", the conversation
+    twin of a log pipeline's end-to-end lag metric (reference analog:
+    the flusher send-latency counters in
+    core/monitor/MetricConstants.h — here latency is measured INSIDE
+    the payload, between turns, not around the transport).
+
+    For each assistant turn, latency is measured against the MOST
+    RECENT strictly-prior user turn in the stable turn order
+    (``idx_col``, then ``ts_col``/``role_col`` as deterministic
+    tiebreaks); assistant turns before any user turn (system-prompt
+    openers) carry no latency. Returns one row per conversation:
+    n_turns, n_responses (latency-bearing assistant turns),
+    avg_latency_us (exact integer micro mean), max_latency_us.
+    Timestamps subtract as epoch microseconds — exact BIGINT on
+    every engine, no float seconds. A clock-skewed transcript can
+    yield negative latencies; they are reported, not clamped (hiding
+    them would mask the data defect this report exists to surface).
+
+    Scale shape: ONE exchange on conv_id; the prior-user-ts window
+    (running ``last`` over a rows frame) and the final aggregate
+    share that partitioning, and O(1) state per task — no
+    per-conversation sort buffer beyond the window's frame row.
+    Text never enters the plan.
+    """
+    _require(
+        df, [conv_col, idx_col, role_col, ts_col], "response_latency"
+    )
+    # TIMESTAMP_NTZ (the parquet default here) has no unix_micros;
+    # the cast maps it through the session timezone, which get_spark
+    # pins to UTC — the same naive-as-UTC reading DuckDB's epoch_us
+    # applies, so the micros (and their differences) are exact
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col(idx_col), F.col(ts_col), F.col(role_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior_user_us = F.last(
+        F.when(F.col(role_col) == user_role, us), ignorenulls=True
+    ).over(w)
+    lat = F.when(
+        (F.col(role_col) == assistant_role) & prior_user_us.isNotNull(),
+        us - prior_user_us,
+    )
+    return (
+        df.select(F.col(conv_col).alias("conv_id"), lat.alias("__lat__"))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+            F.count("__lat__").cast("bigint").alias("n_responses"),
+            # exact integer micro mean: BIGINT sum div BIGINT count
+            # (NULL when the conversation has no responses)
+            F.expr("sum(__lat__) div count(__lat__)")
+            .cast("bigint")
+            .alias("avg_latency_us"),
+            F.max("__lat__").cast("bigint").alias("max_latency_us"),
+        )
+    )
+
+
+def language_mix(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation language mixture — "which language is this
+    conversation in, and is it code-switching?": every turn gets the
+    expression-only ``textstats.lang_id`` label, then one row per
+    conversation reports n_turns, n_langs (distinct per-turn labels,
+    'unknown' included — short acks land there and that IS mixture
+    the curator must see), the majority language with its exact
+    integer micro share, and is_mixed (more than one label). The
+    conversation-granularity companion of ``lang_id`` for corpora
+    where the SELECTION unit is the conversation: a mixed or
+    majority-'unknown' conversation is a different curation decision
+    than a mixed document.
+
+    Tie-break: the majority language is the (count DESC, lang ASC)
+    winner — encoded as ``min(struct(-n, lang))`` so every engine
+    picks the identical label with no argmax nondeterminism.
+
+    Scale shape: per-turn labeling is scan-side expressions (zero
+    Python); the first aggregate collapses to (conv_id, lang) counts
+    map-side, the second to one row per conversation — both
+    exchanges carry label-sized rows, text never shuffles.
+    """
+    from ilogtail_spark.dataops.textstats import lang_id
+
+    _require(df, [conv_col, text_col], "language_mix")
+    labeled = lang_id(
+        df.select(F.col(conv_col), F.col(text_col)),
+        text_col=text_col,
+        id_col=conv_col,
+    )
+    counts = labeled.groupBy(
+        F.col(conv_col).alias("conv_id"), "lang_pred"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__n__"))
+    agg = counts.groupBy("conv_id").agg(
+        F.sum("__n__").cast("bigint").alias("n_turns"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.min(
+            F.struct(
+                (-F.col("__n__")).alias("neg_n"),
+                F.col("lang_pred").alias("lang"),
+            )
+        ).alias("__m__"),
+    )
+    return agg.select(
+        "conv_id",
+        "n_turns",
+        "n_langs",
+        F.col("__m__.lang").alias("majority_lang"),
+        F.expr(
+            "CAST(-__m__.neg_n AS DECIMAL(38,0)) * 1000000 div n_turns"
+        )
+        .cast("bigint")
+        .alias("majority_share_micro"),
+        (F.col("n_langs") > 1).alias("is_mixed"),
+    )

@@ -3768,3 +3768,311 @@ def q_conv_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return conversations.conversation_pii_report(injected).orderBy("conv_id")
+
+
+# ---------------------------------------------------------------------------
+# log-template mining: varied log lines are SYNTHESIZED from events
+# columns identically on both engines (request paths with ids, IPv4s,
+# a md5-derived uuid, a hex error code) plus a rare 'panic' family on
+# every 499th event_id — so the masking provably collapses variable
+# fields and the rare filter provably fires at every SF
+# ---------------------------------------------------------------------------
+_LOG_LINE_TMPL = """CASE WHEN event_id % 499 = 0 THEN
+        'panic in ' || CASE event_id % 3 WHEN 0 THEN 'alpha'
+                       WHEN 1 THEN 'beta' ELSE 'gamma' END
+        || ' worker crashed'
+      ELSE CASE event_type
+        WHEN 'view' THEN 'GET /api/item/' || CAST(event_id AS {S})
+          || ' status 200 bytes ' || CAST(event_id % 4096 AS {S})
+        WHEN 'click' THEN 'POST /api/cart from 10.'
+          || CAST(user_id % 200 AS {S}) || '.0.'
+          || CAST(event_id % 250 AS {S}) || ' latency '
+          || CAST(event_id % 900 AS {S}) || 'ms'
+        WHEN 'purchase' THEN 'order '
+          || substr(md5(CAST(event_id AS {S})), 1, 8) || '-'
+          || substr(md5(CAST(event_id AS {S})), 9, 4) || '-'
+          || substr(md5(CAST(event_id AS {S})), 13, 4) || '-'
+          || substr(md5(CAST(event_id AS {S})), 17, 4) || '-'
+          || substr(md5(CAST(event_id AS {S})), 21, 12)
+          || ' total ' || CAST(user_id % 500 AS {S})
+        WHEN 'error' THEN 'ERROR code=0x' || {HEX}(event_id % 65536)
+          || ' retrying'
+        ELSE 'heartbeat seq ' || CAST(event_id AS {S}) END
+      END"""
+# hex() (Spark) and to_hex() (DuckDB) agree: uppercase, no padding —
+# and the value is masked to <HEX> anyway, so only presence matters
+_LOG_LINE_SPARK = _LOG_LINE_TMPL.format(S="STRING", HEX="hex")
+_LOG_LINE_DUCK = _LOG_LINE_TMPL.format(S="VARCHAR", HEX="to_hex")
+
+
+def _log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select(
+        F.expr(_LOG_LINE_SPARK).alias("line"), "ts"
+    )
+
+
+_TEMPLATES_ORACLE_CORE = f"""
+    WITH lines AS (
+      SELECT {_LOG_LINE_DUCK} AS line, ts FROM events
+    ), m AS (
+      SELECT {analytics.template_masks_sql('line')} AS template, ts
+      FROM lines WHERE line IS NOT NULL
+    ), c AS (
+      SELECT template,
+             CAST(count(*) AS BIGINT) AS n_events,
+             min(ts) AS first_ts, max(ts) AS last_ts
+      FROM m GROUP BY template
+    ), tot AS (
+      SELECT sum(n_events) AS total FROM c
+    ), sh AS (
+      SELECT template, n_events,
+             CAST(CAST(n_events AS HUGEINT) * 1000000 // total AS BIGINT)
+               AS share_micro,
+             first_ts, last_ts
+      FROM c, tot
+    )"""
+
+
+@query(
+    "events_log_templates",
+    _TEMPLATES_ORACLE_CORE
+    + """
+    SELECT * FROM sh ORDER BY template
+    """,
+)
+def q_events_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _log_lines(spark, sf_dir)
+    return analytics.log_templates(lines, text_col="line", ts_col="ts").orderBy(
+        "template"
+    )
+
+
+@query(
+    "events_rare_templates",
+    _TEMPLATES_ORACLE_CORE
+    + """
+    SELECT * FROM sh WHERE share_micro <= 10000 ORDER BY template
+    """,
+)
+def q_events_rare_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _log_lines(spark, sf_dir)
+    # share-based rarity (1%) so the same query selects the panic
+    # family at sf0.001 and at sf0.1 — an absolute count bar would
+    # stop firing as volume grows
+    return analytics.rare_templates(
+        lines,
+        text_col="line",
+        ts_col="ts",
+        max_count=None,
+        max_share_micro=10_000,
+    ).orderBy("template")
+
+
+# ---------------------------------------------------------------------------
+# state-transition matrices: event-type flow per user and role bigrams
+# per conversation
+# ---------------------------------------------------------------------------
+_TRANSITIONS_ORACLE_TMPL = """
+    WITH s AS (
+      {SRC}
+    ), p AS (
+      SELECT coalesce(lag(st) OVER (PARTITION BY k ORDER BY {ORD}),
+                      '<START>') AS prev_state,
+             st AS state
+      FROM s
+    ), c AS (
+      SELECT prev_state, state, CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2
+    )
+    SELECT prev_state, state, n,
+           CAST(CAST(n AS HUGEINT) * 1000000
+                // (sum(n) OVER (PARTITION BY prev_state)) AS BIGINT)
+             AS out_share_micro
+    FROM c ORDER BY prev_state, state
+    """
+
+
+@query(
+    "events_type_transitions",
+    _TRANSITIONS_ORACLE_TMPL.format(
+        SRC="SELECT user_id AS k, event_id AS o,"
+        " coalesce(event_type, '') AS st FROM events",
+        ORD="o",
+    ),
+)
+def q_events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.transition_counts(
+        ev, "user_id", ("event_id",), "event_type"
+    ).orderBy("prev_state", "state")
+
+
+@query(
+    "conv_role_transitions",
+    _TRANSITIONS_ORACLE_TMPL.format(
+        SRC=f"SELECT conv_id AS k, turn_idx AS o, coalesce(role, '') AS st"
+        f" FROM ({_TRANSCRIPT_SQL})",
+        ORD="o",
+    ),
+)
+def q_conv_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    return analytics.transition_counts(
+        t, "conv_id", ("turn_idx",), "role"
+    ).orderBy("prev_state", "state")
+
+
+# ---------------------------------------------------------------------------
+# assistant response latency: the ts-bearing transcript reshape (same
+# role mapping as _TRANSCRIPT_SQL, plus the event ts); latencies are
+# exact epoch-microsecond differences on both engines
+# ---------------------------------------------------------------------------
+@query(
+    "conv_response_latency",
+    f"""
+    WITH t AS (
+      SELECT user_id AS conv_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+               AS turn_idx,
+             {_ROLE_CASE} AS role,
+             ts
+      FROM events
+    ), f AS (
+      SELECT conv_id, role, epoch_us(ts) AS us,
+             last_value(CASE WHEN role = 'user' THEN epoch_us(ts) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY conv_id ORDER BY turn_idx, ts, role
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pu
+      FROM t
+    ), l AS (
+      SELECT conv_id,
+             CASE WHEN role = 'assistant' AND pu IS NOT NULL
+                  THEN us - pu END AS lat
+      FROM f
+    )
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(count(lat) AS BIGINT) AS n_responses,
+           CAST(sum(lat) // count(lat) AS BIGINT) AS avg_latency_us,
+           CAST(max(lat) AS BIGINT) AS max_latency_us
+    FROM l GROUP BY conv_id ORDER BY conv_id
+    """,
+)
+def q_conv_response_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("conv_id"), "event_id", "event_type", "ts"
+    )
+    rn = (
+        F.row_number().over(_W.partitionBy("conv_id").orderBy("event_id")) - 1
+    ).cast("bigint")
+    role = (
+        F.when(F.col("event_type") == "click", "user")
+        .when(F.col("event_type").isin("view", "purchase"), "assistant")
+        .when(F.col("event_type") == "error", "tool")
+        .otherwise("system")
+    )
+    t = ev.select(
+        "conv_id", rn.alias("turn_idx"), role.alias("role"), "ts"
+    )
+    return conversations.response_latency(t).orderBy("conv_id")
+
+
+# ---------------------------------------------------------------------------
+# per-conversation language mixture: marker words are appended to
+# deterministic turns on BOTH engines (English on conv%3==0, German on
+# conv%3==1, raw props stay 'unknown'; a French burst on every 5th
+# conversation's turn_idx%4==1 turns makes those conversations mixed)
+# ---------------------------------------------------------------------------
+_LANG_INJECT_SQL = """coalesce(text, '')
+          || CASE WHEN conv_id % 3 = 0 THEN ' the and is of to this'
+                  WHEN conv_id % 3 = 1 THEN ' der und ist nicht von zu'
+                  ELSE '' END
+          || CASE WHEN conv_id % 5 = 0 AND turn_idx % 4 = 1
+                  THEN ' le les est dans pour que une des du pas'
+                  ELSE '' END"""
+
+
+@query(
+    "conv_lang_mix",
+    f"""
+    WITH tr AS (
+      SELECT conv_id, turn_idx, {_LANG_INJECT_SQL} AS text
+      FROM ({_TRANSCRIPT_SQL})
+    ), conv_turns AS (
+      SELECT conv_id AS doc_id, text FROM tr
+    ), lab AS (
+      SELECT * FROM ({textstats.lang_id_oracle_sql("conv_turns", "text")})
+    ), c AS (
+      SELECT doc_id AS conv_id, lang_pred, CAST(count(*) AS BIGINT) AS n
+      FROM lab GROUP BY 1, 2
+    ), r AS (
+      SELECT conv_id, lang_pred, n,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY n DESC, lang_pred ASC) AS rk,
+             sum(n) OVER (PARTITION BY conv_id) AS n_turns,
+             count(*) OVER (PARTITION BY conv_id) AS n_langs
+      FROM c
+    )
+    SELECT conv_id,
+           CAST(n_turns AS BIGINT) AS n_turns,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           lang_pred AS majority_lang,
+           CAST(CAST(n AS HUGEINT) * 1000000 // n_turns AS BIGINT)
+             AS majority_share_micro,
+           n_langs > 1 AS is_mixed
+    FROM r WHERE rk = 1 ORDER BY conv_id
+    """,
+)
+def q_conv_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    injected = t.withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("conv_id") % 3 == 0, F.lit(" the and is of to this")
+            )
+            .when(
+                F.col("conv_id") % 3 == 1,
+                F.lit(" der und ist nicht von zu"),
+            )
+            .otherwise(F.lit("")),
+            F.when(
+                (F.col("conv_id") % 5 == 0) & (F.col("turn_idx") % 4 == 1),
+                F.lit(" le les est dans pour que une des du pas"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return conversations.language_mix(injected).orderBy("conv_id")
+
+
+# ---------------------------------------------------------------------------
+# streaming NEW-template detector: the emitted template SET across
+# micro-batches must equal the batch distinct-template set (which
+# concrete line first exhibits a template is arrival-order-dependent;
+# the template set is not)
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_new_templates",
+    f"""
+    WITH lines AS (
+      SELECT {_LOG_LINE_DUCK} AS line FROM events
+    )
+    SELECT DISTINCT {analytics.template_masks_sql('line')} AS template
+    FROM lines WHERE line IS NOT NULL ORDER BY template
+    """,
+)
+def q_streaming_new_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ilogtail_spark.streaming.stream import streaming_new_templates
+
+    lines = _log_lines(spark, sf_dir)
+    out = _drain_two_batch_stream(
+        spark,
+        lines,
+        "line string, ts timestamp",
+        lambda s: streaming_new_templates(s, text_col="line"),
+    )
+    return out.select("template").orderBy("template")

@@ -612,3 +612,44 @@ def streaming_rate_spikes(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_new_templates(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming NEW-log-template detector — emit a row the FIRST
+    time a masked template (``analytics.mask_template``) is seen,
+    across micro-batches: the "a log line shape we have never seen
+    before just appeared" alert, which is the streaming half of
+    ``analytics.rare_templates`` (batch finds rare shapes after the
+    fact; this fires the moment a shape is born — a deploy
+    regression or a new failure mode announces itself as a novel
+    template).
+
+    Masking is the same scan-side expression chain as the batch
+    operator; novelty is the engine's dedup state keyed on the
+    template string — state holds one template per distinct shape
+    (the template dictionary: bounded by code sites in the emitting
+    software, thousands — NOT line volume), never the lines.
+
+    Determinism contract (the streaming_drop_exact_duplicates one):
+    WHICH concrete line first exhibits a template is
+    partition-order-dependent within a micro-batch, but the emitted
+    TEMPLATE SET is exactly the distinct template set of the input —
+    the invariant the oracle checks. ``watermark`` bounds state for
+    continuous ingest by letting a template re-alert after the
+    horizon passes (often desirable: "this shape is back").
+    """
+    from ilogtail_spark.dataops.analytics import mask_template
+
+    t = F.col(text_col)
+    out = stream_df.filter(t.isNotNull()).withColumn(
+        "template", mask_template(t)
+    )
+    if watermark is not None:
+        out = out.withWatermark(ts_col, watermark)
+        return out.dropDuplicatesWithinWatermark(["template"])
+    return out.dropDuplicates(["template"])

@@ -449,3 +449,115 @@ class TestSlidingCounts:
                                      slide_seconds=1000)
         with pytest.raises(ValueError, match="> 0"):
             analytics.sliding_counts(df, window_seconds=0)
+
+
+class TestLogTemplates:
+    def test_masking_and_counts(self, spark):
+        rows = [
+            ("GET /api/item/17 from 10.1.2.3 took 40ms",),
+            ("GET /api/item/999 from 192.168.0.250 took 7ms",),
+            ("order deadbeef-dead-beef-dead-beefdeadbeef total 12",),
+            ("ERROR code=0xFF retrying",),
+            ("ERROR code=0x1a2b retrying",),
+            (None,),
+        ]
+        df = spark.createDataFrame(rows, "text string")
+        out = {
+            r["template"]: (r["n_events"], r["share_micro"])
+            for r in analytics.log_templates(df).collect()
+        }
+        assert out == {
+            "GET /api/item/<NUM> from <IP> took <NUM>ms": (2, 400_000),
+            "order <UUID> total <NUM>": (1, 200_000),
+            "ERROR code=<HEX> retrying": (2, 400_000),
+        }
+
+    def test_mask_order_is_confluent(self, spark):
+        # a uuid contains hex runs and digits; an IP contains digits —
+        # each must collapse to ITS placeholder, not be eaten by a
+        # later, more general mask
+        df = spark.createDataFrame(
+            [("u=deadbeef-dead-beef-dead-beefdeadbeef ip=10.0.0.1 "
+              "h=0x0 n=007",)],
+            "text string",
+        )
+        [r] = analytics.log_templates(df).collect()
+        assert r["template"] == "u=<UUID> ip=<IP> h=<HEX> n=<NUM>"
+
+    def test_ts_bounds(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+        t1 = dt.datetime(2024, 1, 2, 0, 0, 0)
+        df = spark.createDataFrame(
+            [("req 1", t1), ("req 2", t0), ("other", t1)],
+            "text string, ts timestamp",
+        )
+        out = {
+            r["template"]: (r["first_ts"], r["last_ts"])
+            for r in analytics.log_templates(df, ts_col="ts").collect()
+        }
+        assert out["req <NUM>"] == (t0, t1)
+        assert out["other"] == (t1, t1)
+
+    def test_rare_templates_filters(self, spark):
+        rows = [("common 1",)] * 8 + [("rare event A",), ("rare event B",)]
+        df = spark.createDataFrame(rows, "text string")
+        rare = {
+            r["template"]
+            for r in analytics.rare_templates(df, max_count=1).collect()
+        }
+        assert rare == {"rare event A", "rare event B"}
+        # share-only mode: 10% bar excludes the 80% template
+        rare2 = {
+            r["template"]
+            for r in analytics.rare_templates(
+                df, max_count=None, max_share_micro=100_000
+            ).collect()
+        }
+        assert rare2 == {"rare event A", "rare event B"}
+        with pytest.raises(ValueError, match="max_count"):
+            analytics.rare_templates(df, max_count=None)
+
+    def test_parallelism_invariance(self, spark):
+        rows = [(f"req {i} from 10.0.0.{i % 5}",) for i in range(200)]
+        df = spark.createDataFrame(rows, "text string")
+        a = analytics.log_templates(df.repartition(1)).collect()
+        b = analytics.log_templates(df.repartition(13)).collect()
+        key = lambda r: r["template"]
+        assert sorted(a, key=key) == sorted(b, key=key)
+
+
+class TestTransitionCounts:
+    def test_bigrams_and_start(self, spark):
+        rows = [
+            (1, 1, "u"), (1, 2, "a"), (1, 3, "u"), (1, 4, "a"),
+            (2, 1, "u"), (2, 2, "a"), (2, 3, "a"),
+        ]
+        df = spark.createDataFrame(rows, "k bigint, o bigint, s string")
+        out = {
+            (r["prev_state"], r["state"]): (r["n"], r["out_share_micro"])
+            for r in analytics.transition_counts(
+                df, "k", ("o",), "s"
+            ).collect()
+        }
+        assert out == {
+            ("<START>", "u"): (2, 1_000_000),
+            ("u", "a"): (3, 1_000_000),
+            ("a", "u"): (1, 500_000),
+            ("a", "a"): (1, 500_000),
+        }
+
+    def test_no_start_and_null_state(self, spark):
+        rows = [(1, 1, None), (1, 2, "x")]
+        df = spark.createDataFrame(rows, "k bigint, o bigint, s string")
+        out = {
+            (r["prev_state"], r["state"]): r["n"]
+            for r in analytics.transition_counts(
+                df, "k", ("o",), "s", include_start=False
+            ).collect()
+        }
+        # NULL participates as '' so the edge is not dropped
+        assert out == {("", "x"): 1}
+        with pytest.raises(ValueError, match="order_cols"):
+            analytics.transition_counts(df, "k", (), "s")

@@ -449,3 +449,86 @@ class TestConversationPiiReport:
         assert r["has_pii"] is False
         assert (r["n_emails"], r["n_phones"], r["n_ssns"], r["n_ips"],
                 r["n_pii_turns"]) == (0, 0, 0, 0, 0)
+
+
+class TestResponseLatency:
+    def _t(self, spark, rows):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        data = [
+            (c, i, r, base + dt.timedelta(seconds=s))
+            for (c, i, r, s) in rows
+        ]
+        return spark.createDataFrame(
+            data, "conv_id bigint, turn_idx bigint, role string, ts timestamp"
+        )
+
+    def test_latency_against_most_recent_user_turn(self, spark):
+        df = self._t(spark, [
+            (1, 0, "system", 0),
+            (1, 1, "user", 10),
+            (1, 2, "assistant", 13),     # 3s after turn 1
+            (1, 3, "user", 20),
+            (1, 4, "tool", 24),
+            (1, 5, "assistant", 27),     # 7s after turn 3 (tool skipped)
+        ])
+        [r] = conversations.response_latency(df).collect()
+        assert (r["n_turns"], r["n_responses"]) == (6, 2)
+        assert r["avg_latency_us"] == 5_000_000
+        assert r["max_latency_us"] == 7_000_000
+
+    def test_opener_and_empty_conversations(self, spark):
+        df = self._t(spark, [
+            (1, 0, "assistant", 5),   # no prior user turn: no latency
+            (1, 1, "user", 10),
+            (2, 0, "user", 0),        # never answered
+        ])
+        out = {r["conv_id"]: r for r in
+               conversations.response_latency(df).collect()}
+        assert out[1]["n_responses"] == 0
+        assert out[1]["avg_latency_us"] is None
+        assert out[1]["max_latency_us"] is None
+        assert out[2]["n_turns"] == 1 and out[2]["n_responses"] == 0
+
+    def test_negative_latency_reported_not_clamped(self, spark):
+        # clock-skewed transcript: assistant ts precedes the user's
+        df = self._t(spark, [
+            (1, 0, "user", 100),
+            (1, 1, "assistant", 97),
+        ])
+        [r] = conversations.response_latency(df).collect()
+        assert r["avg_latency_us"] == -3_000_000
+
+    def test_missing_column_raises(self, spark):
+        df = spark.createDataFrame([(1,)], "conv_id bigint")
+        with pytest.raises(ValueError, match="response_latency"):
+            conversations.response_latency(df)
+
+
+class TestLanguageMix:
+    def test_majority_minority_and_tiebreak(self, spark):
+        en = "the and is of to this"
+        de = "der und ist nicht von zu"
+        rows = (
+            [(1, en), (1, en), (1, de)]      # en majority, mixed
+            + [(2, "{} 42")]                  # unknown only
+            + [(3, en), (3, de)]              # 1-1 tie -> 'de' (asc)
+        )
+        df = spark.createDataFrame(rows, "conv_id bigint, text string")
+        out = {r["conv_id"]: r for r in
+               conversations.language_mix(df).collect()}
+        assert out[1]["majority_lang"] == "en"
+        assert out[1]["majority_share_micro"] == 666_666
+        assert out[1]["is_mixed"] is True and out[1]["n_langs"] == 2
+        assert out[2]["majority_lang"] == "unknown"
+        assert out[2]["is_mixed"] is False
+        assert out[2]["majority_share_micro"] == 1_000_000
+        # count tie breaks by language ascending, deterministically
+        assert out[3]["majority_lang"] == "de"
+        assert out[3]["majority_share_micro"] == 500_000
+
+    def test_missing_column_raises(self, spark):
+        df = spark.createDataFrame([(1,)], "conv_id bigint")
+        with pytest.raises(ValueError, match="language_mix"):
+            conversations.language_mix(df)

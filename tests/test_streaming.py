@@ -480,3 +480,49 @@ class TestStreamingRateSpikes:
         assert bool(h4["is_spike"])
         # steady hours: not spikes (cold start or within factor)
         assert sum(1 for r in out.values() if r["is_spike"]) == 1
+
+
+class TestStreamingNewTemplates:
+    def test_emits_each_template_once_across_batches(self, spark, tmp_path):
+        import time
+
+        from ilogtail_spark.streaming.stream import streaming_new_templates
+
+        in_dir = str(tmp_path / "in")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        # batch 1: two shapes; batch 2: one repeat shape + one new one
+        b1 = [("req 1 from 10.0.0.1",), ("ERROR code=0xAB retrying",)]
+        b2 = [("req 99 from 10.9.9.9",), ("panic in alpha",)]
+        spark.createDataFrame(b1, "line string").coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        time.sleep(1.1)
+        spark.createDataFrame(b2, "line string").coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        stream = (
+            spark.readStream.schema("line string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        (
+            streaming_new_templates(stream, text_col="line")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        got = [
+            r["template"]
+            for r in spark.read.parquet(out_dir).collect()
+        ]
+        # the repeat shape in batch 2 must NOT re-emit: 3 templates
+        assert sorted(got) == [
+            "ERROR code=<HEX> retrying",
+            "panic in alpha",
+            "req <NUM> from <IP>",
+        ]

@@ -1542,6 +1542,103 @@ def main() -> int:
         "report.",
     )
 
+    # 51. log-template mining + rare templates
+    q51 = entryq.QUERIES["events_log_templates"](spark, SF_DIR)
+    p51 = formatted(q51)
+    ex51 = _hash_exchanges(p51)
+    q51b = entryq.QUERIES["events_rare_templates"](spark, SF_DIR)
+    p51b = formatted(q51b)
+    audit(
+        "log-template mining (Drain-style masking) + rare-template report",
+        q51,
+        [
+            ("masking is scan-side codegen (regexp_replace chain) — "
+             "no Python stage",
+             not re.search(r"EvalPython|InPandas", p51 + p51b)),
+            ("partial aggregation collapses to one row per template "
+             "BEFORE the exchange — the shuffle carries the template "
+             "dictionary, never the lines",
+             "partial_count" in p51
+             and all("line#" not in e for e in ex51)),
+            ("the grand total joins back as a BROADCAST single row, "
+             "not a shuffle",
+             "BroadcastExchange" in p51 or "BroadcastNestedLoopJoin" in p51),
+            ("rare filter runs on the aggregated dictionary — same "
+             "exchange count as the base report (zero added shuffles)",
+             len(_hash_exchanges(p51b)) == len(ex51)),
+        ],
+        "At 100 TB the shuffle after the template groupBy is bounded "
+        "by distinct templates (code sites in the emitting software — "
+        "thousands), not line volume; the share_micro total is one "
+        "broadcast row. The rare-template filter is free: it runs on "
+        "the dictionary rows the base report already aggregated.",
+    )
+
+    # 52. transition matrix + response latency: shared conv exchange
+    q52 = entryq.QUERIES["conv_role_transitions"](spark, SF_DIR)
+    p52 = formatted(q52)
+    q52b = entryq.QUERIES["conv_response_latency"](spark, SF_DIR)
+    p52b = formatted(q52b)
+    ex52b = _hash_exchanges(p52b)
+    audit(
+        "state-transition matrix / assistant response latency",
+        q52,
+        [
+            ("transitions: the lag window and everything upstream "
+             "share ONE key exchange; the (prev,state) aggregate's "
+             "wide state is |states|^2, not rows",
+             len([e for e in _hash_exchanges(p52)
+                  if "conv_id" in e or "user_id" in e]) == 1),
+            ("transitions: text never enters the plan (pruned at the "
+             "scan)",
+             "props" not in p52 and "text#" not in p52),
+            ("latency: ONE conv_id exchange feeds the prior-user-ts "
+             "window and the final aggregate",
+             len([e for e in ex52b
+                  if "conv_id" in e or "user_id" in e]) == 1),
+            ("latency: epoch-microsecond arithmetic is pure codegen — "
+             "no Python stage",
+             not re.search(r"EvalPython|InPandas", p52 + p52b)),
+        ],
+        "Both ride the conversation operators' shared-exchange "
+        "contract: one hash exchange on the sequence key, windows and "
+        "aggregates reuse it, and the post-aggregate state is "
+        "vocabulary-sized (role/state pairs) or conversation-sized "
+        "(one latency row per conv), never turn-sized.",
+    )
+
+    # 53. per-conversation language mixture — audited on the
+    # operator's contract shape (transcript with turn_idx already
+    # materialized, as after the parse stage): the registry query's
+    # fixture builds turn_idx with a row_number window whose exchange
+    # necessarily precedes the text injection, which would charge a
+    # fixture cost to the operator
+    q53 = _conv2.language_mix(tr45)
+    p53 = formatted(q53)
+    ex53 = _hash_exchanges(p53)
+    audit(
+        "per-conversation language mixture",
+        q53,
+        [
+            ("per-turn labeling is scan-side expressions (the lang_id "
+             "chain) — no Python stage",
+             not re.search(r"EvalPython|InPandas", p53)),
+            ("text never shuffles — every exchange carries "
+             "(conv, label)-sized rows",
+             len(ex53) >= 1
+             and all("text#" not in e and "props#" not in e
+                     for e in ex53)),
+            ("the (conv, lang) count collapses map-side (partial "
+             "aggregation before its exchange)",
+             "partial_count" in p53),
+        ],
+        "lang_id labels compile to expressions at the scan; the first "
+        "aggregate ships (conv_id, lang) pairs, the second one row "
+        "per conversation. At 100 TB the whole cost is the text scan "
+        "plus two label-sized exchanges; the majority pick is a "
+        "min-over-struct aggregate, not a per-group sort.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
