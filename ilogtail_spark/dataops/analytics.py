@@ -730,6 +730,11 @@ def rare_templates(
         raise ValueError(
             f"rare_templates: max_count must be >= 0, got {max_count}"
         )
+    if max_share_micro is not None and max_share_micro < 0:
+        raise ValueError(
+            "rare_templates: max_share_micro must be >= 0, got "
+            f"{max_share_micro}"
+        )
     out = log_templates(df, text_col=text_col, ts_col=ts_col)
     keep = F.lit(True)
     if max_count is not None:
@@ -752,6 +757,7 @@ def transition_counts(
     order_cols: tuple[str, ...],
     state_col: str,
     include_start: bool = True,
+    start_state: str = START_STATE,
 ) -> DataFrame:
     """First-order transition matrix of ``state_col`` within each
     ``key_col`` sequence — "what follows what": role bigrams over a
@@ -762,11 +768,15 @@ def transition_counts(
     integer row-normalized share of transitions LEAVING prev_state
     (the Markov transition probability in micro units).
 
-    Each sequence's first state transitions from :data:`START_STATE`
-    when ``include_start`` (so initial-state frequencies are part of
-    the matrix); with ``include_start=False`` first states emit no
-    row. NULL states participate as the empty string so a NULL never
-    silently drops a transition edge.
+    Each sequence's first state transitions from ``start_state``
+    (default :data:`START_STATE`) when ``include_start`` (so
+    initial-state frequencies are part of the matrix); with
+    ``include_start=False`` first states emit no row. NULL states
+    participate as the empty string so a NULL never silently drops a
+    transition edge. Caveat: a GENUINE state value equal to
+    ``start_state`` would merge its outgoing edges with the synthetic
+    sequence-start edges — if '<START>' can occur in your data, pass
+    a sentinel that cannot (or ``include_start=False``).
 
     Scale shape: ONE exchange on key_col for the lag window (reused
     if the input is already partitioned by key — the conversation
@@ -782,7 +792,7 @@ def transition_counts(
     s = F.coalesce(F.col(state_col).cast("string"), F.lit(""))
     prev = F.lag(s).over(w)
     prev = (
-        F.coalesce(prev, F.lit(START_STATE))
+        F.coalesce(prev, F.lit(start_state))
         if include_start
         else prev
     )

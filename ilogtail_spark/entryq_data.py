@@ -3205,7 +3205,9 @@ _TRANSCRIPT_SQL = f"""SELECT user_id AS conv_id,
       FROM events"""
 
 
-def _as_transcript(spark: SparkSession, sf_dir: str, inject: bool) -> DataFrame:
+def _as_transcript(
+    spark: SparkSession, sf_dir: str, inject: bool, with_ts: bool = False
+) -> DataFrame:
     from pyspark.sql import Window as _W
 
     # alias user_id -> conv_id BEFORE the rank window so the single
@@ -3213,7 +3215,11 @@ def _as_transcript(spark: SparkSession, sf_dir: str, inject: bool) -> DataFrame:
     # the conversation operators reuses it (aliasing above the window
     # would strand the partitioning on user_id)
     ev = _t(spark, sf_dir, "events").select(
-        F.col("user_id").alias("conv_id"), "event_id", "event_type", "props"
+        F.col("user_id").alias("conv_id"),
+        "event_id",
+        "event_type",
+        "props",
+        *(["ts"] if with_ts else []),
     )
     rn = (
         F.row_number().over(_W.partitionBy("conv_id").orderBy("event_id")) - 1
@@ -3230,6 +3236,7 @@ def _as_transcript(spark: SparkSession, sf_dir: str, inject: bool) -> DataFrame:
         idx.alias("turn_idx"),
         role.alias("role"),
         F.col("props").alias("text"),
+        *(["ts"] if with_ts else []),
     )
 
 
@@ -3960,23 +3967,7 @@ def q_conv_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_conv_response_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as _W
-
-    ev = _t(spark, sf_dir, "events").select(
-        F.col("user_id").alias("conv_id"), "event_id", "event_type", "ts"
-    )
-    rn = (
-        F.row_number().over(_W.partitionBy("conv_id").orderBy("event_id")) - 1
-    ).cast("bigint")
-    role = (
-        F.when(F.col("event_type") == "click", "user")
-        .when(F.col("event_type").isin("view", "purchase"), "assistant")
-        .when(F.col("event_type") == "error", "tool")
-        .otherwise("system")
-    )
-    t = ev.select(
-        "conv_id", rn.alias("turn_idx"), role.alias("role"), "ts"
-    )
+    t = _as_transcript(spark, sf_dir, inject=False, with_ts=True)
     return conversations.response_latency(t).orderBy("conv_id")
 
 

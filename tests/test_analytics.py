@@ -561,3 +561,22 @@ class TestTransitionCounts:
         assert out == {("", "x"): 1}
         with pytest.raises(ValueError, match="order_cols"):
             analytics.transition_counts(df, "k", (), "s")
+
+    def test_custom_start_sentinel_and_share_validation(self, spark):
+        # a genuine '<START>' state merges with the default sentinel;
+        # a custom sentinel keeps the two populations apart
+        rows = [(1, 1, "<START>"), (1, 2, "x")]
+        df = spark.createDataFrame(rows, "k bigint, o bigint, s string")
+        out = {
+            (r["prev_state"], r["state"]): r["n"]
+            for r in analytics.transition_counts(
+                df, "k", ("o",), "s", start_state="<SEQ0>"
+            ).collect()
+        }
+        assert out == {("<SEQ0>", "<START>"): 1, ("<START>", "x"): 1}
+        with pytest.raises(ValueError, match="max_share_micro"):
+            analytics.rare_templates(
+                df.selectExpr("s AS text"),
+                max_count=None,
+                max_share_micro=-1,
+            )
