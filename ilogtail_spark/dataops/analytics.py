@@ -817,3 +817,77 @@ def transition_counts(
         .cast("bigint")
         .alias("out_share_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch — deterministic
+# ---------------------------------------------------------------------------
+
+# 2^60: the hash domain size for the 15-hex-char md5 prefix
+_KMV_DOMAIN = 1 << 60
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Approximate distinct count per group via a K-minimum-values
+    sketch (Bar-Yossef et al. 2002) — the cardinality estimator for
+    when exact count-distinct's shuffle is the bottleneck, built
+    DETERMINISTIC: the "random" hash is the 15-hex-char md5 prefix
+    (60 bits, lexicographic hex order == numeric order), so the same
+    input yields the bit-identical estimate on every engine and every
+    partitioning — unlike approx_count_distinct(HLL++), whose merge
+    order varies, this sketch is oracle-checkable.
+
+    Estimator: with the k smallest distinct hash values, the k-th
+    smallest h_k estimates density — est = (k-1) * 2^60 div h_k,
+    computed in exact 128-bit integer math. Groups holding fewer than
+    k distinct values report their EXACT count (``is_exact`` = true);
+    expected relative error above that is ~1/sqrt(k-2) (6% at k=256).
+    NULL values are excluded (count-distinct convention).
+
+    Returns (group, n_sketch, est_distinct, is_exact).
+
+    Scale shape: values collapse to DISTINCT (group, 8-byte-hash)
+    rows map-side (the same partial aggregation any count-distinct
+    pays — but the shuffle then carries hashes, never values), and
+    the row_number <= k filter triggers Spark's WindowGroupLimit:
+    every map task forwards at most k hashes per group it saw, so
+    the per-group sort is bounded by k * num_partitions, not by the
+    group's distinct-value domain. The sketch rows (k per group) are
+    the ONLY wide state.
+    """
+    if k < 2:
+        raise ValueError(f"kmv_distinct: k must be >= 2, got {k}")
+    g, v = F.col(group_col), F.col(value_col)
+    d = (
+        df.filter(v.isNotNull())
+        .select(
+            g.alias("__g__"),
+            F.substring(F.md5(v.cast("string")), 1, 15).alias("__h__"),
+        )
+        .distinct()
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("__g__").orderBy("__h__")
+    )
+    kept = d.withColumn("__rn__", rn).filter(F.col("__rn__") <= k)
+    agg = kept.groupBy("__g__").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sketch"),
+        F.max("__h__").alias("__hk__"),
+    )
+    est = F.when(F.col("n_sketch") < k, F.col("n_sketch")).otherwise(
+        F.expr(
+            f"CAST({k - 1} AS DECIMAL(38,0)) * {_KMV_DOMAIN} div "
+            "greatest(CAST(conv(__hk__, 16, 10) AS BIGINT), 1)"
+        ).cast("bigint")
+    )
+    return agg.select(
+        F.col("__g__").alias(group_col),
+        "n_sketch",
+        est.alias("est_distinct"),
+        (F.col("n_sketch") < k).alias("is_exact"),
+    )

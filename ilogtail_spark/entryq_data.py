@@ -4067,3 +4067,39 @@ def q_streaming_new_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: streaming_new_templates(s, text_col="line"),
     )
     return out.select("template").orderBy("template")
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch: distinct user_id per event_type at k=64 — the
+# per-type user populations (hundreds at sf0.01) exceed k, so the
+# ESTIMATOR path is exercised, not just the exact-below-k fallback;
+# determinism makes the sketch itself oracle-checkable
+# ---------------------------------------------------------------------------
+@query(
+    "events_kmv_distinct",
+    """
+    WITH d AS (
+      SELECT DISTINCT event_type AS g,
+             substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS h
+      FROM events WHERE user_id IS NOT NULL
+    ), r AS (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+      FROM d
+    ), kk AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS hk
+      FROM r WHERE rn <= 64 GROUP BY g
+    )
+    SELECT g AS event_type, n_sketch,
+           CASE WHEN n_sketch < 64 THEN n_sketch
+                ELSE CAST(CAST(63 AS HUGEINT) * 1152921504606846976
+                          // greatest(CAST('0x' || hk AS BIGINT), 1)
+                          AS BIGINT) END AS est_distinct,
+           n_sketch < 64 AS is_exact
+    FROM kk ORDER BY event_type
+    """,
+)
+def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.kmv_distinct(
+        ev, "event_type", "user_id", k=64
+    ).orderBy("event_type")

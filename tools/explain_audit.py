@@ -1639,6 +1639,37 @@ def main() -> int:
         "min-over-struct aggregate, not a per-group sort.",
     )
 
+    # 54. KMV distinct sketch: WindowGroupLimit bounds per-task state
+    q54 = entryq.QUERIES["events_kmv_distinct"](spark, SF_DIR)
+    p54 = formatted(q54)
+    audit(
+        "KMV distinct-count sketch (deterministic approx-distinct)",
+        q54,
+        [
+            ("the row_number <= k filter compiles to WindowGroupLimit "
+             "on BOTH sides of the exchange — each map task forwards "
+             "at most k hashes per group, so per-group sort state is "
+             "k * tasks, not the distinct-value domain",
+             p54.count("WindowGroupLimit") >= 2),
+            ("values collapse to DISTINCT (group, hash) before any "
+             "wide step (partial aggregation at the scan)",
+             "partial" in p54 or "HashAggregate" in p54),
+            ("the IsNotNull filter is pushed to the parquet scan and "
+             "only the two referenced columns are read",
+             "PushedFilters: [IsNotNull(user_id)]" in p54
+             and "props" not in p54),
+            ("whole plan is codegen — the hash and the 128-bit "
+             "estimator arithmetic are expressions, no Python stage",
+             not re.search(r"EvalPython|InPandas", p54)),
+        ],
+        "The determinism bet: md5-prefix hashing makes the sketch "
+        "reproducible across engines and partitionings (asserted in "
+        "test), unlike HLL++ whose merges are order-sensitive — so "
+        "approx-distinct gets the same oracle treatment as every "
+        "exact operator. At 100 TB the shuffle carries distinct "
+        "(group, 8-byte hash) pairs capped at k per group per task.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
