@@ -891,3 +891,74 @@ def kmv_distinct(
         est.alias("est_distinct"),
         (F.col("n_sketch") < k).alias("is_exact"),
     )
+
+
+def active_users(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    key_cols: tuple[str, ...] = (),
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling active-user counts — one row per (keys..., day) with
+    dau (distinct users that day) and rolling_au (distinct users in
+    the trailing ``window_days`` ending that day): the DAU/WAU/MAU
+    report every product-analytics stack exposes. Only days with at
+    least one event appear (compose with gapfill_counts for a dense
+    axis).
+
+    Distinct counts do NOT merge across days (a user active twice is
+    one user), so the rolling count cannot reuse daily partials: each
+    event instead lands in the ``window_days`` window-ending days it
+    contributes to, and distinctness collapses per (keys, end-day,
+    user) BEFORE counting. Exact by construction on every engine —
+    the engine-portable twin of a sliding count-distinct. For
+    month-scale windows over 10^12 events, swap the exact core for
+    :func:`kmv_distinct` per (keys, end-day) bucket — same plan
+    shape, sketch-sized state.
+
+    Scale shape: events collapse to DISTINCT (keys, user, day) at the
+    first aggregate — the shuffle is bounded by users x active-days,
+    not events. The window replication (sequence/explode over
+    window_days end-days) runs on those collapsed rows, and the
+    second distinct collapses map-side again before the final count.
+    """
+    if window_days < 1:
+        raise ValueError(
+            f"active_users: window_days must be >= 1, got {window_days}"
+        )
+    keys = [F.col(k) for k in key_cols]
+    day = F.to_date(F.col(ts_col))
+    # distinct (keys, user, active-day): the only event-scale pass
+    daily = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .select(*keys, F.col(user_col).alias("__u__"), day.alias("__d__"))
+        .distinct()
+    )
+    dau = daily.groupBy(*key_cols, "__d__").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    # each active day contributes to window_days trailing windows
+    ends = daily.select(
+        *key_cols,
+        "__u__",
+        F.explode(
+            F.sequence(
+                F.col("__d__"),
+                F.date_add(F.col("__d__"), window_days - 1),
+            )
+        ).alias("__e__"),
+    ).distinct()
+    rolling = ends.groupBy(*key_cols, "__e__").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rolling_au")
+    )
+    cond = [dau[k] == rolling[k] for k in key_cols] + [
+        dau["__d__"] == rolling["__e__"]
+    ]
+    out = dau.join(rolling, cond, "inner")
+    return out.select(
+        *[dau[k] for k in key_cols],
+        dau["__d__"].alias("day"),
+        "dau",
+        "rolling_au",
+    )

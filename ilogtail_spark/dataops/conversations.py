@@ -859,3 +859,70 @@ def language_mix(
         .alias("majority_share_micro"),
         (F.col("n_langs") > 1).alias("is_mixed"),
     )
+
+
+# Heuristic refusal surface patterns — deliberately simple,
+# engine-portable regex (the (?i) flag and the quote class work
+# identically in Java regex and RE2). The operator contract is the
+# per-conversation counters; a production deployment swaps in a
+# trained refusal classifier exactly as lang_id swaps in fastText.
+REFUSAL_RE = (
+    r"(?i)\b(i cannot|i can['’]t|i am unable to|"
+    r"i['’]m unable to|i won['’]t be able to|"
+    r"i must decline)\b"
+)
+
+
+def refusal_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Per-conversation assistant refusal report — the SFT-curation
+    signal behind "is this conversation teaching the model to refuse
+    everything?": per conversation, assistant turns, assistant turns
+    containing a refusal surface form (:data:`REFUSAL_RE`), the exact
+    integer refusal rate over assistant turns, and has_refusal. A
+    high-refusal conversation is a different curation decision than a
+    refusal TURN — drop/reweight the whole unit, which is why this
+    aggregates at conversation granularity (the pii_report pattern).
+
+    Scale: the refusal flag is one scan-side regexp; the ONE conv_id
+    aggregate carries (conv_id, two small ints). NULL text never
+    matches. Conversations with zero assistant turns report NULL
+    refusal_rate_micro (0/0), not 0 — absence of evidence.
+    """
+    _require(df, [conv_col, role_col, text_col], "refusal_stats")
+    is_a = F.col(role_col) == assistant_role
+    hit = is_a & F.coalesce(F.col(text_col), F.lit("")).rlike(REFUSAL_RE)
+    slim = df.select(
+        F.col(conv_col).alias("conv_id"),
+        is_a.cast("int").alias("__a__"),
+        hit.cast("int").alias("__r__"),
+    )
+    return (
+        slim.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+            F.sum("__a__").cast("bigint").alias("n_assistant"),
+            F.sum("__r__").cast("bigint").alias("n_refusals"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            "n_assistant",
+            "n_refusals",
+            # exact micro rate; NULL when the conversation has no
+            # assistant turns — nullif because ANSI mode raises on a
+            # non-NULL 0 div 0 (DuckDB's // returns NULL either way)
+            F.expr(
+                "CAST(n_refusals AS DECIMAL(38,0)) * 1000000 "
+                "div nullif(n_assistant, 0)"
+            )
+            .cast("bigint")
+            .alias("refusal_rate_micro"),
+            (F.col("n_refusals") > 0).alias("has_refusal"),
+        )
+    )

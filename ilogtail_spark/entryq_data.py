@@ -4103,3 +4103,103 @@ def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.kmv_distinct(
         ev, "event_type", "user_id", k=64
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# rolling active users (DAU / trailing-7d) over events
+# ---------------------------------------------------------------------------
+@query(
+    "events_active_users",
+    """
+    WITH daily AS (
+      SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), dau AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS dau FROM daily GROUP BY d
+    ), ends AS (
+      SELECT DISTINCT u, d + CAST(x AS INTEGER) AS e
+      FROM daily CROSS JOIN range(7) AS t(x)
+    ), rolling AS (
+      SELECT e, CAST(count(*) AS BIGINT) AS rolling_au
+      FROM ends GROUP BY e
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau,
+           rolling.rolling_au
+    FROM dau JOIN rolling ON dau.d = rolling.e
+    ORDER BY day
+    """,
+)
+def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = analytics.active_users(ev, window_days=7)
+    # DATE renders differently across the compare harness's pandas
+    # paths (date vs midnight timestamp) — pin the ISO string form,
+    # as the cohort oracle does
+    return out.withColumn(
+        "day", F.date_format("day", "yyyy-MM-dd")
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# assistant refusal report: refusal surface forms are appended to
+# deterministic turns on BOTH engines — assistant turns on conv%4==1
+# (counted) and a turn_idx==3 turn of ANY role on conv%11==0 (counted
+# only when that turn happens to be an assistant turn — pinning the
+# role gate)
+# ---------------------------------------------------------------------------
+# the operator's regex, SQL-escaped for the DuckDB literal (the
+# quote class ['’] carries a single quote)
+REFUSAL_SQL_RE = conversations.REFUSAL_RE.replace("'", "''")
+
+_REFUSAL_INJECT_SQL = """coalesce(text, '')
+          || CASE WHEN conv_id % 4 = 1 AND role = 'assistant'
+                       AND turn_idx % 6 = 2
+                  THEN ' I cannot help with that request.' ELSE '' END
+          || CASE WHEN conv_id % 11 = 0 AND turn_idx = 3
+                  THEN ' i won''t be able to do that' ELSE '' END"""
+
+
+@query(
+    "conv_refusal_stats",
+    f"""
+    WITH t AS (
+      SELECT conv_id, role, {_REFUSAL_INJECT_SQL} AS text
+      FROM ({_TRANSCRIPT_SQL})
+    ), c AS (
+      SELECT conv_id,
+             CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS a,
+             CASE WHEN role = 'assistant'
+                       AND regexp_matches(text,
+                           '{REFUSAL_SQL_RE}')
+                  THEN 1 ELSE 0 END AS r
+      FROM t
+    )
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(a) AS BIGINT) AS n_assistant,
+           CAST(sum(r) AS BIGINT) AS n_refusals,
+           CAST(CAST(sum(r) AS HUGEINT) * 1000000 // sum(a) AS BIGINT)
+             AS refusal_rate_micro,
+           sum(r) > 0 AS has_refusal
+    FROM c GROUP BY conv_id ORDER BY conv_id
+    """,
+)
+def q_conv_refusal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    injected = t.withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                (F.col("conv_id") % 4 == 1)
+                & (F.col("role") == "assistant")
+                & (F.col("turn_idx") % 6 == 2),
+                F.lit(" I cannot help with that request."),
+            ).otherwise(F.lit("")),
+            F.when(
+                (F.col("conv_id") % 11 == 0) & (F.col("turn_idx") == 3),
+                F.lit(" i won't be able to do that"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return conversations.refusal_stats(injected).orderBy("conv_id")

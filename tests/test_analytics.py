@@ -615,3 +615,56 @@ class TestKmvDistinct:
         assert r["est_distinct"] == 1 and r["is_exact"] is True
         with pytest.raises(ValueError, match="k must be"):
             analytics.kmv_distinct(df, "g", "v", k=1)
+
+
+class TestActiveUsers:
+    def test_dau_and_rolling_window(self, spark):
+        rows = [
+            # day 1: users 1, 2; day 2: user 1 again (twice); day 9: user 3
+            (1, "2024-01-01 10:00:00"), (2, "2024-01-01 11:00:00"),
+            (1, "2024-01-02 10:00:00"), (1, "2024-01-02 12:00:00"),
+            (3, "2024-01-09 10:00:00"),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        out = {
+            str(r["day"]): (r["dau"], r["rolling_au"])
+            for r in analytics.active_users(df, window_days=7).collect()
+        }
+        # day 2's trailing 7d covers days 1-2: users {1,2}
+        assert out == {
+            "2024-01-01": (2, 2),
+            "2024-01-02": (1, 2),
+            # day 9's window covers days 3-9: only user 3 (day-1/2
+            # activity aged out)
+            "2024-01-09": (1, 1),
+        }
+
+    def test_null_exclusion_and_bad_window(self, spark):
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00"), (None, "2024-01-01 11:00:00"),
+             (2, None)],
+            "user_id long, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = analytics.active_users(df, window_days=2).collect()
+        assert len(out) == 1 and out[0]["dau"] == 1
+        with pytest.raises(ValueError, match="window_days"):
+            analytics.active_users(df, window_days=0)
+
+    def test_keyed_variant(self, spark):
+        rows = [("a", 1, "2024-01-01 10:00:00"),
+                ("b", 1, "2024-01-01 10:00:00"),
+                ("a", 2, "2024-01-02 10:00:00")]
+        df = spark.createDataFrame(
+            rows, "k string, user_id long, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            (r["k"], str(r["day"])): (r["dau"], r["rolling_au"])
+            for r in analytics.active_users(
+                df, key_cols=("k",), window_days=7
+            ).collect()
+        }
+        assert out[("a", "2024-01-01")] == (1, 1)
+        assert out[("a", "2024-01-02")] == (1, 2)
+        assert out[("b", "2024-01-01")] == (1, 1)

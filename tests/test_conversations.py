@@ -532,3 +532,37 @@ class TestLanguageMix:
         df = spark.createDataFrame([(1,)], "conv_id bigint")
         with pytest.raises(ValueError, match="language_mix"):
             conversations.language_mix(df)
+
+
+class TestRefusalStats:
+    def test_counts_rate_and_role_gate(self, spark):
+        rows = [
+            (1, "user", "please do X"),
+            (1, "assistant", "Sure, here is X"),
+            (1, "assistant", "I cannot help with that"),
+            (1, "assistant", "I'm unable to continue"),
+            # refusal phrasing on a USER turn must not count
+            (2, "user", "i cannot believe this"),
+            (2, "assistant", "ok"),
+            (3, "user", "no assistant here"),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id bigint, role string, text string"
+        )
+        out = {r["conv_id"]: r for r in
+               conversations.refusal_stats(df).collect()}
+        assert out[1]["n_assistant"] == 3 and out[1]["n_refusals"] == 2
+        assert out[1]["refusal_rate_micro"] == 666_666
+        assert out[1]["has_refusal"] is True
+        assert out[2]["n_refusals"] == 0 and out[2]["has_refusal"] is False
+        # zero assistant turns: rate is NULL (0/0), not 0
+        assert out[3]["n_assistant"] == 0
+        assert out[3]["refusal_rate_micro"] is None
+
+    def test_curly_apostrophe_matches(self, spark):
+        df = spark.createDataFrame(
+            [(1, "assistant", "I can’t do that")],
+            "conv_id bigint, role string, text string",
+        )
+        [r] = conversations.refusal_stats(df).collect()
+        assert r["n_refusals"] == 1

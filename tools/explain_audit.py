@@ -1670,6 +1670,42 @@ def main() -> int:
         "(group, 8-byte hash) pairs capped at k per group per task.",
     )
 
+    # 55. rolling active users + refusal report
+    q55 = entryq.QUERIES["events_active_users"](spark, SF_DIR)
+    p55 = formatted(q55)
+    ex55 = _hash_exchanges(p55)
+    q55b = _conv2.refusal_stats(tr45)
+    p55b = formatted(q55b)
+    ex55b = _hash_exchanges(p55b)
+    audit(
+        "rolling active users (DAU/7d) / assistant refusal report",
+        q55,
+        [
+            ("active users: events collapse to DISTINCT (user, day) "
+             "at the FIRST aggregate — every later step (window "
+             "explode, rolling distinct, join) runs on users x "
+             "active-days rows, never events",
+             "partial" in p55.lower() or "HashAggregate" in p55),
+            ("active users: the day axis join is user-count-sized on "
+             "both sides — no event-scale join",
+             "CartesianProduct" not in p55),
+            ("refusal report: the refusal regex is ONE scan-side "
+             "expression feeding ONE conv_id aggregate exchange "
+             "carrying (conv_id, two small ints) — text never "
+             "shuffles",
+             len(ex55b) == 1 and "text#" not in ex55b[0]),
+            ("both plans are pure codegen — no Python stage",
+             not re.search(r"EvalPython|InPandas", p55 + p55b)),
+        ],
+        "active_users' rolling distinct cannot reuse daily partials "
+        "(distinct is not additive), so each collapsed (user, day) "
+        "row explodes over the window_days end-days it feeds — "
+        "replication factor is the explicit window knob applied to "
+        "USER-DAY rows, not events. The refusal report rides the "
+        "pii_report shape: scan-side counters, one narrow conv "
+        "aggregate.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
