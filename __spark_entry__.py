@@ -24,17 +24,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Round-5 rotation (the driver samples the FIRST 50 in dict order).
-# Priority: (1) corpus_chunk_dedup — NEW this round, never
-# driver-checked; (2) queries whose code changed this round
-# (seed_centroids orderBy-limit seeding -> dedup_semantic +
-# sim_ann_ivf_topk; ann_lsh_topk recall-aware defaults ->
-# sim_ann_lsh_topk, output pinned at the oracle's probes=0 point;
-# run_pipelines storage-level knob -> multi_pipeline_counts);
-# (3) the 17 queries whose latest driver check is r02 — keeps every
-# query's external record <= 2 rounds old; (4) r04-unsampled
-# (r03-latest) queries in registration order until the cut is full.
-# The 14 r03-latest that miss the cut + the r04-checked remainder
-# stay covered by tools/correctness_mirror.py.
+# Priority: (1) the ten queries ADDED in round 5's final session
+# (log templates, rare templates, type/role transitions, response
+# latency, language mix, streaming new-template detector, KMV
+# distinct, active users, refusal report) — never driver-checked;
+# (2) earlier round-5 additions and code-touched queries;
+# (3) the r02-latest batch — keeps every query's external record
+# <= 2 rounds old; (4) r04-unsampled (r03-latest) queries until the
+# cut is full. Everything past the front-50 cut (including the ten
+# r03-latest fills the new queries displaced) stays covered by
+# tools/correctness_mirror.py.
 _FRONT = [
     # round-5 new queries first (never driver-checked), then the
     # r04-unsampled rotation ordered oldest-driver-check first

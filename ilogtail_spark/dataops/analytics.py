@@ -863,11 +863,17 @@ def kmv_distinct(
     if k < 2:
         raise ValueError(f"kmv_distinct: k must be >= 2, got {k}")
     g, v = F.col(group_col), F.col(value_col)
+    # the hex prefix becomes a BIGINT at the scan (fixed-width
+    # lowercase hex orders identically to its numeric value), so the
+    # shuffle carries an 8-byte hash, not a 15-char string
     d = (
         df.filter(v.isNotNull())
         .select(
             g.alias("__g__"),
-            F.substring(F.md5(v.cast("string")), 1, 15).alias("__h__"),
+            F.expr(
+                "CAST(conv(substring(md5(CAST("
+                f"{value_col} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("__h__"),
         )
         .distinct()
     )
@@ -882,7 +888,7 @@ def kmv_distinct(
     est = F.when(F.col("n_sketch") < k, F.col("n_sketch")).otherwise(
         F.expr(
             f"CAST({k - 1} AS DECIMAL(38,0)) * {_KMV_DOMAIN} div "
-            "greatest(CAST(conv(__hk__, 16, 10) AS BIGINT), 1)"
+            "greatest(__hk__, 1)"
         ).cast("bigint")
     )
     return agg.select(

@@ -895,7 +895,10 @@ def refusal_stats(
     refusal_rate_micro (0/0), not 0 — absence of evidence.
     """
     _require(df, [conv_col, role_col, text_col], "refusal_stats")
-    is_a = F.col(role_col) == assistant_role
+    # eqNullSafe: a NULL role is "not the assistant" (0), not SQL
+    # NULL — plain == would propagate NULL through the sums and make
+    # has_refusal NULL-poisoned for the whole conversation
+    is_a = F.col(role_col).eqNullSafe(F.lit(assistant_role))
     hit = is_a & F.coalesce(F.col(text_col), F.lit("")).rlike(REFUSAL_RE)
     slim = df.select(
         F.col(conv_col).alias("conv_id"),

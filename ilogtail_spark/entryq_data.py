@@ -4080,7 +4080,8 @@ def q_streaming_new_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (
       SELECT DISTINCT event_type AS g,
-             substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS h
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
       FROM events WHERE user_id IS NOT NULL
     ), r AS (
       SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
@@ -4092,7 +4093,7 @@ def q_streaming_new_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g AS event_type, n_sketch,
            CASE WHEN n_sketch < 64 THEN n_sketch
                 ELSE CAST(CAST(63 AS HUGEINT) * 1152921504606846976
-                          // greatest(CAST('0x' || hk AS BIGINT), 1)
+                          // greatest(hk, 1)
                           AS BIGINT) END AS est_distinct,
            n_sketch < 64 AS is_exact
     FROM kk ORDER BY event_type

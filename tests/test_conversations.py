@@ -566,3 +566,12 @@ class TestRefusalStats:
         )
         [r] = conversations.refusal_stats(df).collect()
         assert r["n_refusals"] == 1
+
+    def test_null_role_counts_zero_not_null(self, spark):
+        df = spark.createDataFrame(
+            [(1, None, "I cannot help with that")],
+            "conv_id bigint, role string, text string",
+        )
+        [r] = conversations.refusal_stats(df).collect()
+        assert r["n_assistant"] == 0 and r["n_refusals"] == 0
+        assert r["has_refusal"] is False

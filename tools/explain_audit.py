@@ -1673,7 +1673,6 @@ def main() -> int:
     # 55. rolling active users + refusal report
     q55 = entryq.QUERIES["events_active_users"](spark, SF_DIR)
     p55 = formatted(q55)
-    ex55 = _hash_exchanges(p55)
     q55b = _conv2.refusal_stats(tr45)
     p55b = formatted(q55b)
     ex55b = _hash_exchanges(p55b)
