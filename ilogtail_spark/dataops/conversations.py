@@ -929,3 +929,178 @@ def refusal_stats(
             (F.col("n_refusals") > 0).alias("has_refusal"),
         )
     )
+
+
+def tool_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Per-tool usage report over agent transcripts — "which tools do
+    conversations actually call, and how hard?": for each distinct
+    value of the transcript's ``tool`` column (the north-star schema
+    carries one per turn; NULL = no tool call), the total call count,
+    its exact micro share of all tool calls, how many conversations
+    used it, and the exact mean calls per using conversation. The
+    tool-dimension companion of role_stats; compose with
+    ``analytics.transition_counts(state_col=tool)`` for call chains.
+
+    Scale shape: one partial-aggregated groupBy on (tool, conv)
+    collapses turns map-side, the second on tool is
+    tool-vocabulary-sized; the grand total broadcasts back as a
+    single row (the hotkey_stats idiom). Text never enters the plan.
+    """
+    _require(df, [conv_col, tool_col], "tool_stats")
+    calls = df.filter(F.col(tool_col).isNotNull()).select(
+        F.col(tool_col).alias("tool"), F.col(conv_col).alias("__c__")
+    )
+    per_conv = calls.groupBy("tool", "__c__").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n__")
+    )
+    per_tool = per_conv.groupBy("tool").agg(
+        F.sum("__n__").cast("bigint").alias("n_calls"),
+        F.count(F.lit(1)).cast("bigint").alias("n_convs"),
+    )
+    total = per_tool.agg(F.sum("n_calls").alias("__total__"))
+    return (
+        per_tool.join(F.broadcast(total))
+        .select(
+            "tool",
+            "n_calls",
+            F.expr(
+                "CAST(n_calls AS DECIMAL(38,0)) * 1000000 div __total__"
+            )
+            .cast("bigint")
+            .alias("share_micro"),
+            "n_convs",
+            F.expr(
+                "CAST(n_calls AS DECIMAL(38,0)) * 1000000 div n_convs"
+            )
+            .cast("bigint")
+            .alias("calls_per_conv_micro"),
+        )
+    )
+
+
+def conversation_prep(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    min_turns: int = 2,
+    min_avg_assistant_quality_micro: int = 300_000,
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """The composed end-to-end conversation-prep pipeline — the
+    transcripts twin of ``corpus.prep_report``: one keep/drop decision
+    per conversation from four gates at once — exact conversation
+    dedup (lowest conv_id of each content-duplicate group survives),
+    the assistant-quality gate, the PII gate, and the refusal gate.
+    Returns one row per conversation: (conv_id, n_turns, n_assistant,
+    avg_assistant_quality_micro, keep_dedup, keep_quality, has_pii,
+    has_refusal, keep) with keep = all four gates passing; the
+    per-gate flags stay visible so a curation report can attribute
+    every drop.
+
+    Why composed rather than four separate runs: every per-turn
+    signal (quality score, PII counters, refusal flag, content
+    digest) is a scan-side expression over the SAME text column, so
+    one projection computes them all and the text is read ONCE.
+    Turn text never shuffles — the ONE conv_id exchange carries
+    (idx, role, digest, score, three flag ints) per turn, and the
+    dedup group resolution is a second, conversation-count-sized
+    exchange on conv_md5.
+
+    Gate semantics are exactly the standalone operators':
+    conversation_dedup's renumbering-invariant digest (idx orders,
+    never enters), conversation_quality_gate's exact integer
+    assistant mean, conversation_pii_report's has_pii,
+    refusal_stats' role-gated surface match. NULL text scores as
+    empty; a NULL role is not the assistant.
+    """
+    from ilogtail_spark.dataops.textstats import pii_count_cols, quality_score
+
+    _require(
+        df, [conv_col, idx_col, role_col, text_col], "conversation_prep"
+    )
+    if min_turns < 1:
+        raise ValueError(
+            f"conversation_prep: min_turns must be >= 1, got {min_turns}"
+        )
+    txt = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    slim = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.coalesce(F.col(idx_col).cast("bigint"), F.lit(-1)).alias("__idx__"),
+        F.coalesce(F.col(role_col), F.lit("")).alias("__role__"),
+        F.col(role_col).eqNullSafe(F.lit(assistant_role)).alias("__a__"),
+        txt.alias("__txt__"),
+        F.coalesce(F.md5(F.col(text_col).cast("string")), F.lit("")).alias(
+            "__d__"
+        ),
+    )
+    scored = quality_score(slim, text_col="__txt__", passthrough=True)
+    em, ph, ss, ip = pii_count_cols(F.col("__txt__"))
+    per_turn = scored.select(
+        "conv_id",
+        "__idx__",
+        "__role__",
+        "__a__",
+        "__d__",
+        "quality_score_micro",
+        ((em + ph + ss + ip) > 0).cast("int").alias("__pii__"),
+        (
+            F.col("__a__") & F.col("__txt__").rlike(REFUSAL_RE)
+        ).cast("int").alias("__ref__"),
+    )
+    agg = per_turn.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.sum(F.col("__a__").cast("int")).cast("bigint").alias("n_assistant"),
+        F.sum(F.when(F.col("__a__"), F.col("quality_score_micro"))).alias(
+            "__sq__"
+        ),
+        (F.max("__pii__") == 1).alias("has_pii"),
+        (F.max("__ref__") == 1).alias("has_refusal"),
+        F.array_sort(
+            F.collect_list(F.struct("__idx__", "__role__", "__d__"))
+        ).alias("__seq__"),
+    )
+    sig = F.md5(
+        F.array_join(
+            F.transform(
+                F.col("__seq__"),
+                lambda x: F.concat_ws(":", x["__role__"], x["__d__"]),
+            ),
+            "|",
+        )
+    )
+    with_sig = agg.withColumn("__md5__", sig).drop("__seq__")
+    keep_dedup = (
+        F.row_number().over(
+            Window.partitionBy("__md5__").orderBy("conv_id")
+        )
+        == 1
+    )
+    avg_q = F.expr("__sq__ div n_assistant")
+    keep_quality = (
+        (F.col("n_turns") >= min_turns)
+        & (F.col("n_assistant") >= 1)
+        & (avg_q >= min_avg_assistant_quality_micro)
+    )
+    out = with_sig.select(
+        "conv_id",
+        "n_turns",
+        "n_assistant",
+        avg_q.alias("avg_assistant_quality_micro"),
+        keep_dedup.alias("keep_dedup"),
+        keep_quality.alias("keep_quality"),
+        "has_pii",
+        "has_refusal",
+    )
+    return out.withColumn(
+        "keep",
+        F.col("keep_dedup")
+        & F.col("keep_quality")
+        & ~F.col("has_pii")
+        & ~F.col("has_refusal"),
+    )

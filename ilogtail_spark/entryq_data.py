@@ -4204,3 +4204,171 @@ def q_conv_refusal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return conversations.refusal_stats(injected).orderBy("conv_id")
+
+
+# ---------------------------------------------------------------------------
+# per-tool usage report: the transcript's tool column is synthesized
+# identically on both engines (tool turns get 'tool_<turn_idx%5>',
+# other roles NULL = no tool call)
+# ---------------------------------------------------------------------------
+@query(
+    "conv_tool_stats",
+    f"""
+    WITH t AS (
+      SELECT conv_id,
+             CASE WHEN role = 'tool'
+                  THEN 'tool_' || CAST(turn_idx % 5 AS VARCHAR) END
+               AS tool
+      FROM ({_TRANSCRIPT_SQL})
+    ), pc AS (
+      SELECT tool, conv_id, CAST(count(*) AS BIGINT) AS n
+      FROM t WHERE tool IS NOT NULL GROUP BY 1, 2
+    ), pt AS (
+      SELECT tool, CAST(sum(n) AS BIGINT) AS n_calls,
+             CAST(count(*) AS BIGINT) AS n_convs
+      FROM pc GROUP BY tool
+    ), tot AS (SELECT sum(n_calls) AS total FROM pt)
+    SELECT tool, n_calls,
+           CAST(CAST(n_calls AS HUGEINT) * 1000000 // total AS BIGINT)
+             AS share_micro,
+           n_convs,
+           CAST(CAST(n_calls AS HUGEINT) * 1000000 // n_convs AS BIGINT)
+             AS calls_per_conv_micro
+    FROM pt, tot ORDER BY tool
+    """,
+)
+def q_conv_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    with_tool = t.withColumn(
+        "tool",
+        F.when(
+            F.col("role") == "tool",
+            F.concat(F.lit("tool_"), (F.col("turn_idx") % 5).cast("string")),
+        ),
+    )
+    return conversations.tool_stats(with_tool).orderBy("tool")
+
+
+# ---------------------------------------------------------------------------
+# composed conversation-prep pipeline: all four gates provably fire —
+# quality boost (x8 repeat) on conv%3==0, PII on conv%6==0 turn 1,
+# refusal on conv%4==1 assistant turns, and whole-conversation clones
+# (conv_id + 10^6) of every 7th conversation AFTER injection so the
+# clone is an exact content duplicate and dedup drops it
+# ---------------------------------------------------------------------------
+_PREP_INJECT_SQL = """CASE WHEN conv_id % 3 = 0
+                  THEN repeat(coalesce(text, ''), 8)
+                  ELSE coalesce(text, '') END
+          || CASE WHEN conv_id % 6 = 0 AND turn_idx = 1
+                  THEN ' call 555-123-4567 ssn 123-45-6789' ELSE '' END
+          || CASE WHEN conv_id % 4 = 1 AND role = 'assistant'
+                       AND turn_idx % 6 = 2
+                  THEN ' I cannot help with that request.' ELSE '' END"""
+
+
+@query(
+    "conv_prep_report",
+    f"""
+    WITH t0 AS (
+      {_TRANSCRIPT_SQL}
+    ), inj AS (
+      SELECT conv_id, turn_idx, role, {_PREP_INJECT_SQL} AS text
+      FROM t0
+    ), t AS (
+      SELECT * FROM inj
+      UNION ALL
+      SELECT conv_id + 1000000, turn_idx, role, text
+      FROM inj WHERE conv_id % 7 = 0
+    ), toks AS (
+      SELECT conv_id, turn_idx, role, text,
+             {SQL_TOKENS.format(col="text")} AS w
+      FROM t
+    ), feat AS (
+      SELECT conv_id, turn_idx, role, text,
+             len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
+             len(list_filter(w, x -> list_contains([{_STOP_SQL}], lower(x))))
+               AS stop_hits,
+             len(list_distinct(w)) AS n_distinct,
+             len(w) AS n_tok,
+             len(text) AS n
+      FROM toks
+    ), scored AS (
+      SELECT conv_id,
+             coalesce(turn_idx, -1) AS i,
+             coalesce(role, '') AS r,
+             md5(text) AS d,
+             CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS a,
+             (CASE WHEN n BETWEEN 50 AND 10000 THEN 250000 ELSE 0 END)
+             + (CASE WHEN CAST(floor(punct * 1000000 / greatest(n, 1))
+                           AS BIGINT) <= 200000 THEN 250000 ELSE 0 END)
+             + CAST(floor(least(CAST(floor(stop_hits * 1000000
+                    / greatest(n_tok, 1)) AS BIGINT) * 10, 1000000) / 4.0)
+                    AS BIGINT)
+             + CAST(floor(CAST(floor(n_distinct * 1000000
+                    / greatest(n_tok, 1)) AS BIGINT) / 4.0) AS BIGINT)
+               AS q,
+             CASE WHEN len(regexp_extract_all(text, '{textstats.EMAIL_RE}'))
+                       + len(regexp_extract_all(text, '{textstats.PHONE_RE}'))
+                       + len(regexp_extract_all(text, '{textstats.SSN_RE}'))
+                       + len(regexp_extract_all(text, '{textstats.IP_RE}'))
+                       > 0 THEN 1 ELSE 0 END AS pii,
+             CASE WHEN role = 'assistant'
+                       AND regexp_matches(text, '{REFUSAL_SQL_RE}')
+                  THEN 1 ELSE 0 END AS ref
+      FROM feat
+    ), agg AS (
+      SELECT conv_id,
+             CAST(count(*) AS BIGINT) AS n_turns,
+             CAST(sum(a) AS BIGINT) AS n_assistant,
+             sum(CASE WHEN a = 1 THEN q END) AS sq,
+             max(pii) AS pii,
+             max(ref) AS ref,
+             md5(string_agg(r || ':' || d, '|' ORDER BY i, r, d))
+               AS conv_md5
+      FROM scored GROUP BY conv_id
+    ), ddp AS (
+      SELECT *, row_number() OVER (PARTITION BY conv_md5
+                                   ORDER BY conv_id) AS rn
+      FROM agg
+    )
+    SELECT conv_id, n_turns, n_assistant,
+           CAST(sq // n_assistant AS BIGINT)
+             AS avg_assistant_quality_micro,
+           rn = 1 AS keep_dedup,
+           (n_turns >= 2 AND n_assistant >= 1
+            AND sq // n_assistant >= 300000) AS keep_quality,
+           pii = 1 AS has_pii,
+           ref = 1 AS has_refusal,
+           (rn = 1 AND n_turns >= 2 AND n_assistant >= 1
+            AND sq // n_assistant >= 300000
+            AND pii = 0 AND ref = 0) AS keep
+    FROM ddp ORDER BY conv_id
+    """,
+)
+def q_conv_prep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    inj = t.withColumn(
+        "text",
+        F.concat(
+            F.when(
+                F.col("conv_id") % 3 == 0,
+                F.expr("repeat(coalesce(text, ''), 8)"),
+            ).otherwise(F.coalesce(F.col("text"), F.lit(""))),
+            F.when(
+                (F.col("conv_id") % 6 == 0) & (F.col("turn_idx") == 1),
+                F.lit(" call 555-123-4567 ssn 123-45-6789"),
+            ).otherwise(F.lit("")),
+            F.when(
+                (F.col("conv_id") % 4 == 1)
+                & (F.col("role") == "assistant")
+                & (F.col("turn_idx") % 6 == 2),
+                F.lit(" I cannot help with that request."),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    dup = inj.filter(F.col("conv_id") % 7 == 0).withColumn(
+        "conv_id", F.col("conv_id") + 1_000_000
+    )
+    return conversations.conversation_prep(inj.unionByName(dup)).orderBy(
+        "conv_id"
+    )

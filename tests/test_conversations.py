@@ -575,3 +575,80 @@ class TestRefusalStats:
         [r] = conversations.refusal_stats(df).collect()
         assert r["n_assistant"] == 0 and r["n_refusals"] == 0
         assert r["has_refusal"] is False
+
+
+class TestToolStats:
+    def test_counts_shares_and_means(self, spark):
+        rows = [
+            (1, "search"), (1, "search"), (1, "code"),
+            (2, "search"), (2, None), (3, None),
+        ]
+        df = spark.createDataFrame(rows, "conv_id bigint, tool string")
+        out = {r["tool"]: r for r in
+               conversations.tool_stats(df).collect()}
+        assert set(out) == {"search", "code"}
+        assert out["search"]["n_calls"] == 3
+        assert out["search"]["n_convs"] == 2
+        assert out["search"]["share_micro"] == 750_000
+        assert out["search"]["calls_per_conv_micro"] == 1_500_000
+        assert out["code"]["n_calls"] == 1 and out["code"]["n_convs"] == 1
+
+    def test_missing_column_raises(self, spark):
+        df = spark.createDataFrame([(1,)], "conv_id bigint")
+        with pytest.raises(ValueError, match="tool_stats"):
+            conversations.tool_stats(df)
+
+
+class TestConversationPrep:
+    GOOD = ("the quick brown fox jumps over the lazy dog and then some "
+            "more of this and that is for with was this good answer")
+
+    def test_each_gate_attributes_its_drop(self, spark):
+        rows = [
+            # conv 1: clean — passes everything
+            (1, 0, "user", "please help with the thing"),
+            (1, 1, "assistant", self.GOOD),
+            # conv 2: exact content clone of conv 1 -> dedup drop only
+            (2, 0, "user", "please help with the thing"),
+            (2, 1, "assistant", self.GOOD),
+            # conv 3: refusal on the assistant turn
+            (3, 0, "user", "please help with the thing"),
+            (3, 1, "assistant", self.GOOD + " but I cannot help with that"),
+            # conv 4: PII in a user turn
+            (4, 0, "user", "my ssn is 123-45-6789 please help"),
+            (4, 1, "assistant", self.GOOD),
+            # conv 5: single turn -> quality gate (min_turns)
+            (5, 0, "assistant", self.GOOD),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id bigint, turn_idx bigint, role string, text string"
+        )
+        out = {r["conv_id"]: r for r in
+               conversations.conversation_prep(df).collect()}
+        assert out[1]["keep"] is True
+        assert out[2]["keep_dedup"] is False and out[2]["keep"] is False
+        assert out[2]["keep_quality"] is True  # drop attributed to dedup
+        assert out[3]["has_refusal"] is True and out[3]["keep"] is False
+        assert out[4]["has_pii"] is True and out[4]["keep"] is False
+        assert out[5]["keep_quality"] is False and out[5]["keep"] is False
+
+    def test_renumbered_clone_still_dedups(self, spark):
+        rows = [
+            (1, 0, "user", "aaa"), (1, 1, "assistant", "bbb"),
+            # same content, shifted turn indices
+            (2, 10, "user", "aaa"), (2, 11, "assistant", "bbb"),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id bigint, turn_idx bigint, role string, text string"
+        )
+        out = {r["conv_id"]: r["keep_dedup"] for r in
+               conversations.conversation_prep(df).collect()}
+        assert out == {1: True, 2: False}
+
+    def test_bad_min_turns(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0, "user", "x")],
+            "conv_id bigint, turn_idx bigint, role string, text string",
+        )
+        with pytest.raises(ValueError, match="min_turns"):
+            conversations.conversation_prep(df, min_turns=0)

@@ -1705,6 +1705,48 @@ def main() -> int:
         "aggregate.",
     )
 
+    # 56. composed conversation-prep pipeline (+ tool usage report)
+    q56 = _conv2.conversation_prep(tr45)
+    p56 = formatted(q56)
+    ex56 = _hash_exchanges(p56)
+    q56b = entryq.QUERIES["conv_tool_stats"](spark, SF_DIR)
+    p56b = formatted(q56b)
+    audit(
+        "composed conversation-prep pipeline / tool usage report",
+        q56,
+        [
+            ("prep: ONE scan computes all four gates' per-turn "
+             "signals (quality, PII, refusal, digest) — the plan has "
+             "exactly one parquet scan node (formatted explain lists "
+             "each node in the tree AND the detail section, so count "
+             "numbered detail headers)",
+             len(re.findall(r"\(\d+\) Scan parquet", p56)) == 1),
+            ("prep: exactly TWO hash exchanges — conv_id for the "
+             "turn aggregate, conv_md5 for dedup-group resolution; "
+             "four separate operator runs would pay four scans and "
+             "five exchanges",
+             len(ex56) == 2),
+            ("prep: text never shuffles — both exchanges carry "
+             "digest/score/flag columns only",
+             all("text#" not in e and "__txt__" not in e
+                 for e in ex56)),
+            ("prep: the quality/PII/refusal expressions are pure "
+             "codegen — no Python stage",
+             not re.search(r"EvalPython|InPandas", p56)),
+            ("tool stats: two partial-aggregated exchanges "
+             "((tool, conv) then tool) and a broadcast grand total — "
+             "no text, no event-scale join",
+             "BroadcastNestedLoopJoin" in p56b
+             or "BroadcastExchange" in p56b),
+        ],
+        "The composed form is why the per-turn operators all compile "
+        "to expressions: gating a 10^12-turn corpus costs one text "
+        "scan plus a turn-digest exchange and a conversation-count "
+        "exchange, with every drop attributable to its gate. The "
+        "tool report rides the hotkey_stats shape on the tool "
+        "vocabulary.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
