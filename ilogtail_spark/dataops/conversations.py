@@ -66,6 +66,25 @@ def _ordered_turn_seq(
     )
 
 
+def _seq_signature(seq_col: Column) -> Column:
+    """The conversation content digest over a sorted ``__seq__`` array
+    of (idx, role, text-digest) structs: md5 of the '|'-joined
+    'role:digest' items — idx orders the sequence but never enters the
+    digest (renumbered clones still collapse). The ONE builder for
+    this recipe, shared by conversation_digests / conversation_dedup
+    and conversation_prep so their keep sets can never desynchronize.
+    """
+    return F.md5(
+        F.array_join(
+            F.transform(
+                seq_col,
+                lambda x: F.concat_ws(":", x["__role__"], x["__d__"]),
+            ),
+            "|",
+        )
+    )
+
+
 def conversation_digests(
     df: DataFrame,
     conv_col: str = "conv_id",
@@ -88,16 +107,11 @@ def conversation_digests(
     _require(df, [conv_col, idx_col, role_col, text_col],
              "conversation_digests")
     agg = _ordered_turn_seq(df, conv_col, idx_col, role_col, text_col)
-    sig = F.md5(
-        F.array_join(
-            F.transform(
-                F.col("__seq__"),
-                lambda x: F.concat_ws(":", x["__role__"], x["__d__"]),
-            ),
-            "|",
-        )
+    return agg.select(
+        "conv_id",
+        "n_turns",
+        _seq_signature(F.col("__seq__")).alias("conv_md5"),
     )
-    return agg.select("conv_id", "n_turns", sig.alias("conv_md5"))
 
 
 def conversation_dedup(
@@ -1065,16 +1079,9 @@ def conversation_prep(
             F.collect_list(F.struct("__idx__", "__role__", "__d__"))
         ).alias("__seq__"),
     )
-    sig = F.md5(
-        F.array_join(
-            F.transform(
-                F.col("__seq__"),
-                lambda x: F.concat_ws(":", x["__role__"], x["__d__"]),
-            ),
-            "|",
-        )
-    )
-    with_sig = agg.withColumn("__md5__", sig).drop("__seq__")
+    with_sig = agg.withColumn(
+        "__md5__", _seq_signature(F.col("__seq__"))
+    ).drop("__seq__")
     keep_dedup = (
         F.row_number().over(
             Window.partitionBy("__md5__").orderBy("conv_id")

@@ -3575,6 +3575,28 @@ def q_events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "window_start")
 
 
+# the ONE SQL builder for textstats.quality_score's per-turn feature
+# columns (expects CTE columns `text` and tokenized `w`) and scoring
+# arithmetic (expects the feature columns) — shared by the
+# conv_quality_gate and conv_prep_report oracles so the quality
+# formula can never desynchronize between them
+_QUALITY_FEAT_COLS_SQL = f"""len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
+             len(list_filter(w, x -> list_contains([{_STOP_SQL}], lower(x))))
+               AS stop_hits,
+             len(list_distinct(w)) AS n_distinct,
+             len(w) AS n_tok,
+             len(text) AS n"""
+
+_QUALITY_Q_SQL = """(CASE WHEN n BETWEEN 50 AND 10000 THEN 250000 ELSE 0 END)
+             + (CASE WHEN CAST(floor(punct * 1000000 / greatest(n, 1))
+                           AS BIGINT) <= 200000 THEN 250000 ELSE 0 END)
+             + CAST(floor(least(CAST(floor(stop_hits * 1000000
+                    / greatest(n_tok, 1)) AS BIGINT) * 10, 1000000) / 4.0)
+                    AS BIGINT)
+             + CAST(floor(CAST(floor(n_distinct * 1000000
+                    / greatest(n_tok, 1)) AS BIGINT) / 4.0) AS BIGINT)"""
+
+
 # ---------------------------------------------------------------------------
 # conversation quality gate — the fixture's turn texts are uniform
 # short JSON (every conversation would score identically), so every
@@ -3599,23 +3621,11 @@ def q_events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tv
     ), feat AS (
       SELECT conv_id, role,
-             len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
-             len(list_filter(w, x -> list_contains([{{stop}}], lower(x))))
-               AS stop_hits,
-             len(list_distinct(w)) AS n_distinct,
-             len(w) AS n_tok,
-             len(text) AS n
+             {_QUALITY_FEAT_COLS_SQL}
       FROM toks
     ), scored AS (
       SELECT conv_id, role,
-             (CASE WHEN n BETWEEN 50 AND 10000 THEN 250000 ELSE 0 END)
-             + (CASE WHEN CAST(floor(punct * 1000000 / greatest(n, 1))
-                           AS BIGINT) <= 200000 THEN 250000 ELSE 0 END)
-             + CAST(floor(least(CAST(floor(stop_hits * 1000000
-                    / greatest(n_tok, 1)) AS BIGINT) * 10, 1000000) / 4.0)
-                    AS BIGINT)
-             + CAST(floor(CAST(floor(n_distinct * 1000000
-                    / greatest(n_tok, 1)) AS BIGINT) / 4.0) AS BIGINT)
+             {_QUALITY_Q_SQL}
                AS q
       FROM feat
     ), agg AS (
@@ -4285,12 +4295,7 @@ _PREP_INJECT_SQL = """CASE WHEN conv_id % 3 = 0
       FROM t
     ), feat AS (
       SELECT conv_id, turn_idx, role, text,
-             len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
-             len(list_filter(w, x -> list_contains([{_STOP_SQL}], lower(x))))
-               AS stop_hits,
-             len(list_distinct(w)) AS n_distinct,
-             len(w) AS n_tok,
-             len(text) AS n
+             {_QUALITY_FEAT_COLS_SQL}
       FROM toks
     ), scored AS (
       SELECT conv_id,
@@ -4298,14 +4303,7 @@ _PREP_INJECT_SQL = """CASE WHEN conv_id % 3 = 0
              coalesce(role, '') AS r,
              md5(text) AS d,
              CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS a,
-             (CASE WHEN n BETWEEN 50 AND 10000 THEN 250000 ELSE 0 END)
-             + (CASE WHEN CAST(floor(punct * 1000000 / greatest(n, 1))
-                           AS BIGINT) <= 200000 THEN 250000 ELSE 0 END)
-             + CAST(floor(least(CAST(floor(stop_hits * 1000000
-                    / greatest(n_tok, 1)) AS BIGINT) * 10, 1000000) / 4.0)
-                    AS BIGINT)
-             + CAST(floor(CAST(floor(n_distinct * 1000000
-                    / greatest(n_tok, 1)) AS BIGINT) / 4.0) AS BIGINT)
+             {_QUALITY_Q_SQL}
                AS q,
              CASE WHEN len(regexp_extract_all(text, '{textstats.EMAIL_RE}'))
                        + len(regexp_extract_all(text, '{textstats.PHONE_RE}'))

@@ -1711,6 +1711,7 @@ def main() -> int:
     ex56 = _hash_exchanges(p56)
     q56b = entryq.QUERIES["conv_tool_stats"](spark, SF_DIR)
     p56b = formatted(q56b)
+    ex56b = _hash_exchanges(p56b)
     audit(
         "composed conversation-prep pipeline / tool usage report",
         q56,
@@ -1733,11 +1734,16 @@ def main() -> int:
             ("prep: the quality/PII/refusal expressions are pure "
              "codegen — no Python stage",
              not re.search(r"EvalPython|InPandas", p56)),
-            ("tool stats: two partial-aggregated exchanges "
-             "((tool, conv) then tool) and a broadcast grand total — "
-             "no text, no event-scale join",
-             "BroadcastNestedLoopJoin" in p56b
-             or "BroadcastExchange" in p56b),
+            ("tool stats: every hash exchange (fixture row_number "
+             "reshape, (tool, conv) aggregate, tool aggregate, grand "
+             "total) carries key/count columns only — text/props "
+             "never shuffle — and the total joins back as a "
+             "broadcast",
+             len(ex56b) <= 4
+             and all("text#" not in e and "props#" not in e
+                     for e in ex56b)
+             and ("BroadcastNestedLoopJoin" in p56b
+                  or "BroadcastExchange" in p56b)),
         ],
         "The composed form is why the per-turn operators all compile "
         "to expressions: gating a 10^12-turn corpus costs one text "
