@@ -42,6 +42,7 @@ _FRONT = [
     "conv_response_latency", "conv_lang_mix", "streaming_new_templates",
     "events_kmv_distinct", "events_active_users", "conv_refusal_stats",
     "conv_tool_stats", "conv_prep_report",
+    "events_sliding_distinct", "corpus_distinctive_terms",
     "conv_dedup", "conv_near_pairs", "conv_window_trim",
     "conv_role_stats", "conv_pack_shards", "events_error_context",
     "events_sliding_counts", "conv_quality_gate",

@@ -968,3 +968,67 @@ def active_users(
         "dau",
         "rolling_au",
     )
+
+
+def sliding_distinct(
+    df: DataFrame,
+    ts_col: str = "ts",
+    entity_col: str = "user_id",
+    key_cols: tuple[str, ...] = (),
+    window_seconds: int = 3600,
+    slide_seconds: int = 900,
+) -> DataFrame:
+    """Hopping-window DISTINCT-entity counts per key — "how many
+    distinct users hit this endpoint in each sliding hour?", the
+    sub-day sibling of :func:`active_users` and the distinct twin of
+    :func:`sliding_counts`. One row per (keys..., window) holding
+    n_distinct; only windows with at least one event appear.
+
+    Distinct does not merge across slides (the reason this cannot be
+    built from per-slide partials): each event lands in its
+    window/slide covering windows and distinctness collapses per
+    (keys, window, entity) BEFORE counting — exact on every engine.
+    NULL entities are excluded (count-distinct convention); the same
+    window/slide alignment rule as sliding_counts applies.
+
+    Scale shape: the TimeWindow Expand replicates rows scan-side
+    (factor = window/slide, the explicit knob), but the FIRST
+    aggregate collapses to distinct (keys, window, entity) map-side —
+    the shuffle carries one row per distinct entity per covering
+    window, and the second aggregate's wide state is (keys, window)
+    counts. For month-over-minute ratios where even the distinct set
+    is too wide, swap the exact core for :func:`kmv_distinct` per
+    (keys, window) — same plan shape, sketch-sized state.
+    """
+    if window_seconds <= 0 or slide_seconds <= 0:
+        raise ValueError(
+            "sliding_distinct: window_seconds and slide_seconds must be "
+            f"> 0, got {window_seconds}/{slide_seconds}"
+        )
+    if window_seconds % slide_seconds != 0:
+        raise ValueError(
+            "sliding_distinct: window_seconds must be a multiple of "
+            f"slide_seconds, got {window_seconds} % {slide_seconds} != 0"
+        )
+    win = F.window(
+        F.col(ts_col), f"{window_seconds} seconds", f"{slide_seconds} seconds"
+    )
+    distinct = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(entity_col).isNotNull())
+        .select(
+            *[F.col(k) for k in key_cols],
+            win.alias("__w__"),
+            F.col(entity_col).alias("__e__"),
+        )
+        .distinct()
+    )
+    return (
+        distinct.groupBy(*key_cols, "__w__")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct"))
+        .select(
+            *key_cols,
+            F.col("__w__.start").alias("window_start"),
+            F.col("__w__.end").alias("window_end"),
+            "n_distinct",
+        )
+    )

@@ -1362,3 +1362,87 @@ def drop_duplicate_lines(
         .otherwise(rebuilt)
         .alias("cleaned"),
     )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-``top_k`` distinctive terms per source by exact integer
+    tf-idf — the "what vocabulary characterizes this slice of the
+    corpus?" card behind mixture debugging and domain labeling.
+    Score = tf * idf_micro, where tf is the term's total occurrence
+    count within the source and idf_micro = (N_docs * 1e6) div df
+    (df = corpus-wide number of DISTINCT documents containing the
+    term). The idf weight is the LINEAR inverse-document-frequency
+    ratio in micro units — the monotone core of classic idf, chosen
+    over log() because integer `div` is bit-identical on every engine
+    while log drifts in the last ulp (the grouped_quantiles
+    reasoning). Returns (source, term, tf, doc_freq, idf_micro,
+    score) with per-source rank ties broken by term ascending.
+
+    Scale shape: tokens explode scan-side and collapse map-side into
+    BOTH aggregates — (term, doc) distinct rows for df and
+    (source, term) counts for tf — so the shuffles carry vocabulary-
+    sized rows, never token streams. The document-frequency table
+    (one row per distinct term) broadcast-joins onto the per-source
+    counts, and the top-k filter is a row_number <= k that compiles
+    to WindowGroupLimit: each task forwards at most k terms per
+    source. Overflow bound: tf * idf_micro is computed as a
+    DECIMAL(38,0) product (DuckDB HUGEINT) and emitted as BIGINT —
+    exact while tf * idf_micro < 2^63 (a term would need ~9.2e12
+    occurrences at the maximum idf to wrap; rescale idf or switch tf
+    to within-source document frequency far before that).
+    """
+    from ilogtail_spark.dataops.dedup import tokens_col
+
+    if top_k < 1:
+        raise ValueError(f"distinctive_terms: top_k must be >= 1, got {top_k}")
+    toks = df.select(
+        F.col(source_col).alias("__src__"),
+        F.col(id_col).alias("__id__"),
+        F.explode(
+            F.transform(
+                tokens_col(F.coalesce(F.col(text_col), F.lit(""))),
+                lambda x: F.lower(x),
+            )
+        ).alias("term"),
+    )
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("__n__"))
+    doc_freq = (
+        toks.select("term", "__id__")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+    )
+    idf = doc_freq.join(F.broadcast(n_docs)).select(
+        "term",
+        "doc_freq",
+        F.expr("CAST(__n__ AS DECIMAL(38,0)) * 1000000 div doc_freq")
+        .cast("bigint")
+        .alias("idf_micro"),
+    )
+    tf = toks.groupBy("__src__", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    scored = tf.join(idf, "term").select(
+        F.col("__src__").alias(source_col),
+        "term",
+        "tf",
+        "doc_freq",
+        "idf_micro",
+        F.expr("CAST(tf AS DECIMAL(38,0)) * idf_micro")
+        .cast("bigint")
+        .alias("score"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(source_col).orderBy(
+            F.col("score").desc(), F.col("term")
+        )
+    )
+    return scored.withColumn("__rn__", rn).filter(
+        F.col("__rn__") <= top_k
+    ).drop("__rn__")

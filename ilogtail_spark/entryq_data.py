@@ -4370,3 +4370,88 @@ def q_conv_prep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversations.conversation_prep(inj.unionByName(dup)).orderBy(
         "conv_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# hopping-window DISTINCT users per type (sliding uniques, 2h/30min —
+# same window alignment as events_sliding_counts, distinct core)
+# ---------------------------------------------------------------------------
+@query(
+    "events_sliding_distinct",
+    """
+    WITH e AS (
+      SELECT event_type, user_id, epoch_us(ts) AS eu
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), w AS (
+      SELECT DISTINCT event_type, user_id, ws
+      FROM (
+        SELECT event_type, user_id,
+               unnest([(eu // 1800000000) * 1800000000 - i * 1800000000
+                       for i in range(4)]) AS ws
+        FROM e
+      )
+    )
+    SELECT event_type,
+           make_timestamp(ws) AS window_start,
+           make_timestamp(ws + 7200000000) AS window_end,
+           CAST(count(*) AS BIGINT) AS n_distinct
+    FROM w GROUP BY 1, 2, 3
+    ORDER BY event_type, window_start
+    """,
+)
+def q_events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.sliding_distinct(
+        ev,
+        entity_col="user_id",
+        key_cols=("event_type",),
+        window_seconds=7200,
+        slide_seconds=1800,
+    ).orderBy("event_type", "window_start")
+
+
+# ---------------------------------------------------------------------------
+# per-source distinctive terms (exact integer tf-idf top-k)
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_distinctive_terms",
+    f"""
+    WITH toks0 AS (
+      SELECT source, doc_id,
+             {SQL_TOKENS.format(col="coalesce(text, '')")} AS w
+      FROM documents
+    ), toks AS (
+      SELECT source, doc_id, lower(t) AS term
+      FROM (SELECT source, doc_id, unnest(w) AS t FROM toks0)
+    ), nd AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents
+    ), dfq AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      FROM toks GROUP BY term
+    ), idf AS (
+      SELECT term, doc_freq,
+             CAST(CAST(n AS HUGEINT) * 1000000 // doc_freq AS BIGINT)
+               AS idf_micro
+      FROM dfq, nd
+    ), tf AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ), s AS (
+      SELECT tf.source, tf.term, tf.tf, idf.doc_freq, idf.idf_micro,
+             CAST(CAST(tf.tf AS HUGEINT) * idf.idf_micro AS BIGINT)
+               AS score
+      FROM tf JOIN idf USING (term)
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY score DESC, term) AS rn
+      FROM s
+    )
+    SELECT source, term, tf, doc_freq, idf_micro, score
+    FROM r WHERE rn <= 5 ORDER BY source, score DESC, term
+    """,
+)
+def q_corpus_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.distinctive_terms(docs, top_k=5).orderBy(
+        "source", F.col("score").desc(), "term"
+    )

@@ -668,3 +668,61 @@ class TestActiveUsers:
         assert out[("a", "2024-01-01")] == (1, 1)
         assert out[("a", "2024-01-02")] == (1, 2)
         assert out[("b", "2024-01-01")] == (1, 1)
+
+
+class TestSlidingDistinct:
+    def test_distinct_vs_count_and_windows(self, spark):
+        rows = [
+            # user 1 twice inside the same hour: counts 2, distinct 1
+            (1, "a", "2024-01-01 10:05:00"),
+            (1, "a", "2024-01-01 10:20:00"),
+            (2, "a", "2024-01-01 10:40:00"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            str(r["window_start"]): r["n_distinct"]
+            for r in analytics.sliding_distinct(
+                df, entity_col="user_id", key_cols=("event_type",),
+                window_seconds=3600, slide_seconds=1800,
+            ).collect()
+        }
+        # events at 10:05/10:20 land in windows starting 09:30 & 10:00;
+        # 10:40 in 10:00 & 10:30
+        assert out["2024-01-01 09:30:00"] == 1
+        assert out["2024-01-01 10:00:00"] == 2
+        assert out["2024-01-01 10:30:00"] == 1
+
+    def test_bad_alignment(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", None)], "user_id long, event_type string, ts timestamp"
+        )
+        with pytest.raises(ValueError, match="multiple"):
+            analytics.sliding_distinct(
+                df, window_seconds=3600, slide_seconds=1000
+            )
+
+
+class TestMaskTemplateProperties:
+    def test_masking_is_idempotent(self, spark):
+        # placeholders are digit-free, so a second pass is a no-op —
+        # the confluence property the ordered chain relies on
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        import re as _re
+        masks = analytics.TEMPLATE_MASKS
+
+        def py_mask(s: str) -> str:
+            for pat, rep in masks:
+                s = _re.sub(pat, rep, s)
+            return s
+
+        @given(st.text(alphabet=st.sampled_from(
+            list("abcdef0123456789.-x <>/:=")), max_size=60))
+        @settings(max_examples=300, deadline=None)
+        def check(s):
+            assert py_mask(py_mask(s)) == py_mask(s)
+
+        check()

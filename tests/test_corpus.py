@@ -4,6 +4,7 @@ token-budget shard packing (distributed prefix sum)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ilogtail_spark.dataops import corpus
@@ -844,3 +845,32 @@ class TestReviewRegressionsR5:
         assert out[1]["n_lines"] == 0 and out[1]["n_removed"] == 0
         assert out[1]["cleaned"] is None
         assert out[2]["cleaned"] == "keep me"
+
+
+class TestDistinctiveTerms:
+    def test_rare_term_outranks_common(self, spark):
+        rows = [
+            (1, "a", "zebra common common"),
+            (2, "a", "common word"),
+            (3, "b", "common word other"),
+            (4, "b", "common common common"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        out = corpus.distinctive_terms(df, top_k=1).collect()
+        top = {r["source"]: r for r in out}
+        # 'zebra': tf=1, df=1 -> idf 4e6, score 4e6 beats
+        # 'common' (tf=3, df=4 -> 3e6) and 'word' (tf=1, df=2 -> 2e6)
+        assert top["a"]["term"] == "zebra"
+        assert top["a"]["score"] == 4_000_000
+        assert top["a"]["doc_freq"] == 1 and top["a"]["idf_micro"] == 4_000_000
+
+    def test_tie_breaks_by_term_and_bad_k(self, spark):
+        df = spark.createDataFrame(
+            [(1, "s", "bb aa")], "doc_id long, source string, text string"
+        )
+        [r] = corpus.distinctive_terms(df, top_k=1).collect()
+        assert r["term"] == "aa"  # equal scores -> term ascending
+        with pytest.raises(ValueError, match="top_k"):
+            corpus.distinctive_terms(df, top_k=0)

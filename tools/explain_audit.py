@@ -1753,6 +1753,45 @@ def main() -> int:
         "vocabulary.",
     )
 
+    # 57. sliding distinct + per-source distinctive terms
+    q57 = entryq.QUERIES["events_sliding_distinct"](spark, SF_DIR)
+    p57 = formatted(q57)
+    q57b = entryq.QUERIES["corpus_distinctive_terms"](spark, SF_DIR)
+    p57b = formatted(q57b)
+    ex57b = _hash_exchanges(p57b)
+    audit(
+        "hopping-window distinct users / per-source distinctive terms",
+        q57,
+        [
+            ("sliding distinct: the window Expand runs scan-side and "
+             "the FIRST aggregate collapses to distinct (key, window, "
+             "entity) map-side — the shuffle never carries raw events",
+             "Expand" in p57 and "partial" in p57.lower()),
+            ("sliding distinct: whole plan is codegen — no Python "
+             "stage",
+             not re.search(r"EvalPython|InPandas", p57)),
+            ("distinctive terms: the top-k filter compiles to "
+             "WindowGroupLimit on both sides of its exchange — every "
+             "task forwards at most k terms per source",
+             p57b.count("WindowGroupLimit") >= 2),
+            ("distinctive terms: the document-frequency table joins "
+             "onto per-source counts as a BROADCAST (vocabulary-"
+             "sized), not a shuffle join of token streams",
+             "BroadcastHashJoin" in p57b
+             or "BroadcastNestedLoopJoin" in p57b),
+            ("distinctive terms: no exchange carries document text — "
+             "tokens collapse into vocabulary-sized aggregates before "
+             "every shuffle",
+             all("text#" not in e for e in ex57b)),
+        ],
+        "Both shapes keep the event/token stream inside the scan "
+        "stage: sliding_distinct pays the explicit window/slide "
+        "replication only until its map-side distinct, and "
+        "distinctive_terms' two aggregates (corpus-wide df, "
+        "per-source tf) are vocabulary-bounded with exact integer "
+        "idf (linear ratio, no log drift).",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
