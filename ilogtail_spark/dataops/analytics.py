@@ -551,6 +551,25 @@ def interval_join(
     )
 
 
+def _validate_window_alignment(
+    op: str, window_seconds: int, slide_seconds: int
+) -> None:
+    """Shared window/slide validation for the hopping-window
+    operators: positive durations and the exact-alignment rule
+    (window a multiple of slide => every event lands in exactly
+    window/slide windows, engine-portable integer math)."""
+    if window_seconds <= 0 or slide_seconds <= 0:
+        raise ValueError(
+            f"{op}: window_seconds and slide_seconds must be > 0, "
+            f"got {window_seconds}/{slide_seconds}"
+        )
+    if window_seconds % slide_seconds != 0:
+        raise ValueError(
+            f"{op}: window_seconds must be a multiple of "
+            f"slide_seconds, got {window_seconds} % {slide_seconds} != 0"
+        )
+
+
 def sliding_counts(
     df: DataFrame,
     ts_col: str = "ts",
@@ -578,16 +597,9 @@ def sliding_counts(
     carries one row per observed (key, window), never per event.
     Replication factor is the explicit window/slide knob.
     """
-    if window_seconds <= 0 or slide_seconds <= 0:
-        raise ValueError(
-            "sliding_counts: window_seconds and slide_seconds must be > 0, "
-            f"got {window_seconds}/{slide_seconds}"
-        )
-    if window_seconds % slide_seconds != 0:
-        raise ValueError(
-            "sliding_counts: window_seconds must be a multiple of "
-            f"slide_seconds, got {window_seconds} % {slide_seconds} != 0"
-        )
+    _validate_window_alignment(
+        "sliding_counts", window_seconds, slide_seconds
+    )
     win = F.window(
         F.col(ts_col), f"{window_seconds} seconds", f"{slide_seconds} seconds"
     )
@@ -1000,16 +1012,9 @@ def sliding_distinct(
     is too wide, swap the exact core for :func:`kmv_distinct` per
     (keys, window) — same plan shape, sketch-sized state.
     """
-    if window_seconds <= 0 or slide_seconds <= 0:
-        raise ValueError(
-            "sliding_distinct: window_seconds and slide_seconds must be "
-            f"> 0, got {window_seconds}/{slide_seconds}"
-        )
-    if window_seconds % slide_seconds != 0:
-        raise ValueError(
-            "sliding_distinct: window_seconds must be a multiple of "
-            f"slide_seconds, got {window_seconds} % {slide_seconds} != 0"
-        )
+    _validate_window_alignment(
+        "sliding_distinct", window_seconds, slide_seconds
+    )
     win = F.window(
         F.col(ts_col), f"{window_seconds} seconds", f"{slide_seconds} seconds"
     )

@@ -1397,21 +1397,20 @@ def distinctive_terms(
     occurrences at the maximum idf to wrap; rescale idf or switch tf
     to within-source document frequency far before that).
     """
-    from ilogtail_spark.dataops.dedup import tokens_col
-
     if top_k < 1:
         raise ValueError(f"distinctive_terms: top_k must be >= 1, got {top_k}")
-    toks = df.select(
+    # NULL-id docs are excluded outright: countDistinct drops NULLs
+    # from n_docs, so letting their terms into doc_freq would yield
+    # doc_freq > n_docs (idf below 1e6) and diverge from any oracle
+    docs = df.filter(F.col(id_col).isNotNull())
+    toks = docs.select(
         F.col(source_col).alias("__src__"),
         F.col(id_col).alias("__id__"),
         F.explode(
-            F.transform(
-                tokens_col(F.coalesce(F.col(text_col), F.lit(""))),
-                lambda x: F.lower(x),
-            )
+            tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
         ).alias("term"),
     )
-    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("__n__"))
+    n_docs = docs.select(F.countDistinct(F.col(id_col)).alias("__n__"))
     doc_freq = (
         toks.select("term", "__id__")
         .distinct()

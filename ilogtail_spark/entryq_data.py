@@ -4418,13 +4418,14 @@ def q_events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH toks0 AS (
       SELECT source, doc_id,
-             {SQL_TOKENS.format(col="coalesce(text, '')")} AS w
-      FROM documents
+             {SQL_TOKENS.format(col="lower(coalesce(text, ''))")} AS w
+      FROM documents WHERE doc_id IS NOT NULL
     ), toks AS (
-      SELECT source, doc_id, lower(t) AS term
+      SELECT source, doc_id, t AS term
       FROM (SELECT source, doc_id, unnest(w) AS t FROM toks0)
     ), nd AS (
-      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+      FROM documents WHERE doc_id IS NOT NULL
     ), dfq AS (
       SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
       FROM toks GROUP BY term

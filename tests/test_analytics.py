@@ -705,7 +705,7 @@ class TestSlidingDistinct:
 
 
 class TestMaskTemplateProperties:
-    def test_masking_is_idempotent(self, spark):
+    def test_masking_is_idempotent(self):
         # placeholders are digit-free, so a second pass is a no-op —
         # the confluence property the ordered chain relies on
         from hypothesis import given, settings

@@ -1775,10 +1775,11 @@ def main() -> int:
              "task forwards at most k terms per source",
              p57b.count("WindowGroupLimit") >= 2),
             ("distinctive terms: the document-frequency table joins "
-             "onto per-source counts as a BROADCAST (vocabulary-"
-             "sized), not a shuffle join of token streams",
-             "BroadcastHashJoin" in p57b
-             or "BroadcastNestedLoopJoin" in p57b),
+             "onto per-source counts as a BROADCAST hash join "
+             "(vocabulary-sized) and no join in the plan degrades to "
+             "a sort-merge shuffle",
+             p57b.count("BroadcastHashJoin") >= 1
+             and "SortMergeJoin" not in p57b),
             ("distinctive terms: no exchange carries document text — "
              "tokens collapse into vocabulary-sized aggregates before "
              "every shuffle",
