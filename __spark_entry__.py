@@ -37,6 +37,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _FRONT = [
     # round-5 new queries first (never driver-checked), then the
     # r04-unsampled rotation ordered oldest-driver-check first
+    "text_lexical_diversity", "text_winnow_fingerprints",
+    "corpus_collocations", "corpus_cross_source_dups",
+    "conv_latency_quantiles",
     "events_log_templates", "events_rare_templates",
     "events_type_transitions", "conv_role_transitions",
     "conv_response_latency", "conv_lang_mix", "streaming_new_templates",

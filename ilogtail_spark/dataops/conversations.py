@@ -744,6 +744,86 @@ def conversation_pii_report(
     )
 
 
+def _latency_col(
+    conv_col: str,
+    idx_col: str,
+    role_col: str,
+    ts_col: str,
+    user_role: str,
+    assistant_role: str,
+) -> Column:
+    """Per-turn assistant response latency in exact epoch micros —
+    the shared window core of response_latency /
+    response_latency_turns. NULL on every non-assistant turn and on
+    assistant turns with no strictly-prior user turn.
+
+    TIMESTAMP_NTZ (the parquet default here) has no unix_micros; the
+    cast maps it through the session timezone, which get_spark pins
+    to UTC — the same naive-as-UTC reading DuckDB's epoch_us applies,
+    so the micros (and their differences) are exact."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col(idx_col), F.col(ts_col), F.col(role_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior_user_us = F.last(
+        F.when(F.col(role_col) == user_role, us), ignorenulls=True
+    ).over(w)
+    return F.when(
+        (F.col(role_col) == assistant_role) & prior_user_us.isNotNull(),
+        us - prior_user_us,
+    )
+
+
+def response_latency_turns(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    user_role: str = "user",
+    assistant_role: str = "assistant",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The per-turn form of ``response_latency``: one row per
+    latency-bearing assistant turn — (conv_id, turn_idx, latency_us)
+    plus any ``keep_cols`` (e.g. the assistant turn's ``tool``
+    column) — for distributional analysis the per-conversation means
+    hide. The canonical composition is per-tool/per-model latency
+    percentiles via ``analytics.grouped_quantiles`` (a p99 regression
+    on one tool disappears inside a whole-corpus average; the
+    per-turn rows are what the SLO report needs).
+
+    Same semantics as response_latency (most recent strictly-prior
+    user turn under the stable turn order, exact BIGINT epoch-micro
+    subtraction, negative latencies reported not clamped); assistant
+    turns before any user turn emit no row.
+
+    Scale shape: ONE exchange on conv_col for the running-last
+    window, O(1) task state; the latency filter streams out of the
+    window — no aggregate, no second shuffle. Text never enters the
+    plan (select only the key/ts/role columns plus keep_cols).
+    """
+    _require(
+        df,
+        [conv_col, idx_col, role_col, ts_col, *keep_cols],
+        "response_latency_turns",
+    )
+    lat = _latency_col(
+        conv_col, idx_col, role_col, ts_col, user_role, assistant_role
+    )
+    return (
+        df.select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(idx_col).alias("turn_idx"),
+            *[F.col(c) for c in keep_cols],
+            lat.cast("bigint").alias("latency_us"),
+        )
+        .filter(F.col("latency_us").isNotNull())
+    )
+
+
 def response_latency(
     df: DataFrame,
     conv_col: str = "conv_id",
@@ -781,22 +861,8 @@ def response_latency(
     _require(
         df, [conv_col, idx_col, role_col, ts_col], "response_latency"
     )
-    # TIMESTAMP_NTZ (the parquet default here) has no unix_micros;
-    # the cast maps it through the session timezone, which get_spark
-    # pins to UTC — the same naive-as-UTC reading DuckDB's epoch_us
-    # applies, so the micros (and their differences) are exact
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    w = (
-        Window.partitionBy(conv_col)
-        .orderBy(F.col(idx_col), F.col(ts_col), F.col(role_col))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prior_user_us = F.last(
-        F.when(F.col(role_col) == user_role, us), ignorenulls=True
-    ).over(w)
-    lat = F.when(
-        (F.col(role_col) == assistant_role) & prior_user_us.isNotNull(),
-        us - prior_user_us,
+    lat = _latency_col(
+        conv_col, idx_col, role_col, ts_col, user_role, assistant_role
     )
     return (
         df.select(F.col(conv_col).alias("conv_id"), lat.alias("__lat__"))

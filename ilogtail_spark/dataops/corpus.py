@@ -1445,3 +1445,159 @@ def distinctive_terms(
     return scored.withColumn("__rn__", rn).filter(
         F.col("__rn__") <= top_k
     ).drop("__rn__")
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-``top_k`` bigram collocations across the corpus by exact
+    integer association lift — the PMI-style "which word pairs stick
+    together?" mining behind phrase detection (word2vec's phrase
+    pass), tokenizer-merge candidates, and template discovery.
+
+    Score: lift_micro = (N_bigrams * pair_count * 1e6)
+    div (c1 * c2) — the linear-scale core of PMI (PMI = log2 of
+    lift / 1e6). log() is dropped for the distinctive_terms reason:
+    it is monotone, so the RANKING is identical, and integer div is
+    bit-identical across engines while log drifts in the last ulp.
+    c1/c2 are corpus-wide unigram occurrence counts (lowercased
+    whitespace tokens), N_bigrams the corpus-wide bigram total.
+    ``min_count`` drops rare pairs BEFORE any join (the classic PMI
+    degenerate case: two hapaxes that co-occur once score the
+    maximum; the threshold is the standard fix AND the plan's
+    pruning step). Ties break (w1 asc, w2 asc).
+
+    Scale shape: tokens/bigrams explode scan-side and collapse
+    map-side into vocabulary-bounded count tables — the shuffles
+    carry (term) and (w1, w2) count rows, never token streams. The
+    min_count filter prunes the pair table before it joins the
+    unigram table twice (hash joins on the term key; the unigram
+    table is vocabulary-sized, so no broadcast is assumed). The
+    bigram total joins as a broadcast single row, and the final
+    top-k is an orderBy+limit that compiles to
+    TakeOrderedAndProject — only k rows ever reach the driver side
+    of the sort. Overflow: the numerator is DECIMAL(38,0)
+    (N_bigrams * pair_count * 1e6 <= ~1e32 at 10^13 tokens — within
+    38 digits), emitted as BIGINT after the div.
+    """
+    if min_count < 1:
+        raise ValueError(f"collocations: min_count must be >= 1, got {min_count}")
+    if top_k < 1:
+        raise ValueError(f"collocations: top_k must be >= 1, got {top_k}")
+    toks_df = df.select(
+        tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit("")))).alias("__toks__")
+    )
+    bi = toks_df.select(
+        F.explode(shingles_from_tokens(F.col("__toks__"), 2)).alias("__bi__")
+    ).select(
+        F.split_part(F.col("__bi__"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("__bi__"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    pair_counts = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    uni_counts = (
+        toks_df.select(F.explode("__toks__").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c__"))
+    )
+    n_bi = bi.select(F.count(F.lit(1)).cast("bigint").alias("__nbi__"))
+    scored = (
+        pair_counts.join(
+            uni_counts.select(F.col("term").alias("w1"), F.col("__c__").alias("c1")),
+            "w1",
+        )
+        .join(
+            uni_counts.select(F.col("term").alias("w2"), F.col("__c__").alias("c2")),
+            "w2",
+        )
+        .join(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            "c1",
+            "c2",
+            F.expr(
+                "CAST(CAST(__nbi__ AS DECIMAL(38,0)) * pair_count * 1000000"
+                " div (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_micro").desc(), "w1", "w2"
+    ).limit(top_k)
+
+
+def cross_source_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix — for every unordered source
+    pair, how many DISTINCT document contents appear in both: the
+    "is crawl B just a re-crawl of crawl A?" / "did the synthetic
+    set leak into the web dump?" data card that decides dedup ORDER
+    (dedup the copied-from source first so provenance survives) and
+    flags licensing contamination between slices.
+
+    Returns (source_a, source_b, n_shared) with source_a < source_b
+    lexicographically, one row per pair sharing >= 1 content digest.
+    NULL text hashes as the empty string (the mixture_report
+    convention: extraction failures are a countable content, not a
+    hole); NULL-source rows are excluded (no slice to attribute).
+
+    Scale shape: documents collapse to DISTINCT (md5, source) rows
+    AT THE SCAN's first aggregate — text never shuffles, and the
+    exchange carries 32-byte digests. Each digest then folds to its
+    sorted source SET (bounded by the source count, not the dup
+    count), pairs expand per digest (sources-squared AT MOST, per
+    digest — tiny), and the final count is a pair-keyed aggregate
+    bounded by sources^2 rows total. No self-join of the corpus ever
+    happens; the oracle states the same result AS a self-join
+    because SQL lacks the fold.
+    """
+    digests = (
+        df.filter(F.col(source_col).isNotNull())
+        .select(
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__d__"),
+            F.col(source_col).alias("__src__"),
+        )
+        .distinct()
+    )
+    per_digest = digests.groupBy("__d__").agg(
+        F.array_sort(F.collect_set("__src__")).alias("__srcs__")
+    )
+    srcs = F.col("__srcs__")
+    n = F.size(srcs)
+    # all i<j pairs of the per-digest source set; sequence guard:
+    # only build index ramps when the set has >= 2 sources
+    pairs = F.when(n >= 2, F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.try_element_at(srcs, i).alias("source_a"),
+                    F.try_element_at(srcs, j).alias("source_b"),
+                ),
+            ),
+        )
+    )).otherwise(
+        F.expr("array()").cast("array<struct<source_a:string,source_b:string>>")
+    )
+    exploded = per_digest.select(F.explode(pairs).alias("__p__"))
+    return (
+        exploded.groupBy(
+            F.col("__p__.source_a").alias("source_a"),
+            F.col("__p__.source_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )

@@ -4456,3 +4456,207 @@ def q_corpus_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.distinctive_terms(docs, top_k=5).orderBy(
         "source", F.col("score").desc(), "term"
     )
+
+
+# ---------------------------------------------------------------------------
+# lexical diversity (type/token ratio + hapax share, scan-side)
+# ---------------------------------------------------------------------------
+@query(
+    "text_lexical_diversity",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_sort(list_transform(
+               {SQL_TOKENS.format(col="coalesce(text, '')")},
+               x -> lower(x))) AS s
+      FROM documents
+    ), f AS (
+      SELECT doc_id, len(s) AS n_tokens, len(list_distinct(s)) AS n_types,
+             CASE WHEN len(s) = 0 THEN 0 ELSE
+               len([i for i in range(1, len(s)+1)
+                    if (i = 1 OR s[i] <> s[i-1])
+                       AND (i = len(s) OR s[i] <> s[i+1])])
+             END AS n_hapax
+      FROM toks
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                ELSE n_types * 1000000 // n_tokens END AS BIGINT) AS ttr_micro,
+           CAST(n_hapax AS BIGINT) AS n_hapax,
+           CAST(CASE WHEN n_types = 0 THEN 0
+                ELSE n_hapax * 1000000 // n_types END AS BIGINT)
+             AS hapax_ratio_micro
+    FROM f ORDER BY doc_id
+    """,
+)
+def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.lexical_diversity(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS local sampling; every 7th doc keeps the
+# fixture row count bounded at sf0.01 — the operator itself is scan-side)
+# ---------------------------------------------------------------------------
+_WINNOW_K, _WINNOW_W = 8, 10
+
+
+@query(
+    "text_winnow_fingerprints",
+    f"""
+    WITH g AS (
+      SELECT doc_id, coalesce(text, '') AS t,
+             greatest(length(coalesce(text, '')) - {_WINNOW_K} + 1, 0) AS ng
+      FROM documents WHERE doc_id % 7 = 0
+    ), hp AS (
+      SELECT doc_id, ng,
+             CASE WHEN ng = 0 THEN CAST([] AS STRUCT(fp VARCHAR, pos BIGINT)[])
+             ELSE [ {{'fp': md5(substr(t, i, {_WINNOW_K})),
+                      'pos': CAST(i AS BIGINT)}}
+                    for i in range(1, ng+1) ]
+             END AS hp
+      FROM g
+    ), sel AS (
+      SELECT doc_id,
+             CASE WHEN ng = 0 THEN CAST([] AS STRUCT(fp VARCHAR, pos BIGINT)[])
+             ELSE [ list_aggregate(hp[s : least(s + {_WINNOW_W} - 1, ng)], 'min')
+                    for s in range(1, greatest(ng - {_WINNOW_W} + 1,
+                                               least(ng, 1)) + 1) ]
+             END AS sels
+      FROM hp
+    )
+    SELECT DISTINCT doc_id, u.pos AS pos, u.fp AS fp
+    FROM (SELECT doc_id, unnest(sels) AS u FROM sel)
+    ORDER BY doc_id, pos
+    """,
+)
+def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    return textstats.winnow_fingerprints(
+        docs, k=_WINNOW_K, w=_WINNOW_W
+    ).orderBy("doc_id", "pos")
+
+
+# ---------------------------------------------------------------------------
+# bigram collocations by exact integer PMI-lift
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_collocations",
+    f"""
+    WITH toks AS (
+      SELECT {SQL_TOKENS.format(col="lower(coalesce(text, ''))")} AS w
+      FROM documents
+    ), bi AS (
+      SELECT w[i+1] AS w1, w[i+2] AS w2
+      FROM (SELECT w, unnest(range(len(w) - 1)) AS i
+            FROM toks WHERE len(w) >= 2)
+    ), pc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
+      FROM bi GROUP BY 1, 2 HAVING count(*) >= 5
+    ), uni AS (
+      SELECT t AS term, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(w) AS t FROM toks) GROUP BY 1
+    ), nbi AS (SELECT CAST(count(*) AS BIGINT) AS nbi FROM bi)
+    SELECT pc.w1, pc.w2, pc.pair_count, u1.c AS c1, u2.c AS c2,
+           CAST(CAST(nbi.nbi AS HUGEINT) * pc.pair_count * 1000000
+                // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS lift_micro
+    FROM pc JOIN uni u1 ON pc.w1 = u1.term
+            JOIN uni u2 ON pc.w2 = u2.term, nbi
+    ORDER BY lift_micro DESC, w1, w2 LIMIT 40
+    """,
+)
+def q_corpus_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.collocations(docs, min_count=5, top_k=40)
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplication matrix: overlap is INJECTED on both engines
+# (every 4th doc mirrored verbatim into a mirror_{id%3} source) — the
+# natural fixture has none, and the query must provably count
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_cross_source_dups",
+    """
+    WITH t AS (
+      SELECT text, source FROM documents
+      UNION ALL
+      SELECT text, 'mirror_' || CAST(doc_id % 3 AS VARCHAR)
+      FROM documents WHERE doc_id % 4 = 0
+    ), d AS (
+      SELECT DISTINCT md5(coalesce(text, '')) AS dg, source
+      FROM t WHERE source IS NOT NULL
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM d a JOIN d b ON a.dg = b.dg AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_corpus_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    inj = docs.unionByName(
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "text",
+            "lang",
+            F.concat(
+                F.lit("mirror_"), (F.col("doc_id") % 3).cast("string")
+            ).alias("source"),
+            "n_chars",
+        )
+    )
+    return corpus.cross_source_dups(inj).orderBy("source_a", "source_b")
+
+
+# ---------------------------------------------------------------------------
+# per-tool response-latency percentiles: response_latency_turns (the
+# per-turn form of conv_response_latency, same window core) composed
+# into grouped_quantiles; the assistant turn's tool is synthesized
+# deterministically on both engines (tool_{turn_idx%3})
+# ---------------------------------------------------------------------------
+@query(
+    "conv_latency_quantiles",
+    f"""
+    WITH f AS (
+      SELECT conv_id, turn_idx, role, epoch_us(ts) AS us,
+             last_value(CASE WHEN role = 'user' THEN epoch_us(ts) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY conv_id ORDER BY turn_idx, ts, role
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pu
+      FROM (SELECT user_id AS conv_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY event_id) - 1 AS turn_idx,
+                   {_ROLE_CASE} AS role, ts
+            FROM events)
+    ), l AS (
+      SELECT 'tool_' || CAST(turn_idx % 3 AS VARCHAR) AS tool,
+             CAST(us - pu AS BIGINT) AS latency_us
+      FROM f WHERE role = 'assistant' AND pu IS NOT NULL
+    ), r AS (
+      SELECT tool, latency_us,
+             row_number() OVER (PARTITION BY tool ORDER BY latency_us) AS rn,
+             count(*) OVER (PARTITION BY tool) AS n
+      FROM l
+    ), qs AS (SELECT unnest([500000, 950000, 990000]) AS q_micro)
+    SELECT r.tool, CAST(q.q_micro AS BIGINT) AS q_micro, r.n,
+           r.latency_us AS q_value
+    FROM r CROSS JOIN qs q
+    WHERE r.rn = greatest(1, (q.q_micro * r.n + 999999) // 1000000)
+    ORDER BY tool, q_micro
+    """,
+)
+def q_conv_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False, with_ts=True)
+    with_tool = t.withColumn(
+        "tool",
+        F.when(
+            F.col("role") == "assistant",
+            F.concat(F.lit("tool_"), (F.col("turn_idx") % 3).cast("string")),
+        ),
+    )
+    lat = conversations.response_latency_turns(with_tool, keep_cols=("tool",))
+    return analytics.grouped_quantiles(
+        lat, "tool", "latency_us", (500_000, 950_000, 990_000)
+    ).orderBy("tool", "q_micro")

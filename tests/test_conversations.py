@@ -652,3 +652,58 @@ class TestConversationPrep:
         )
         with pytest.raises(ValueError, match="min_turns"):
             conversations.conversation_prep(df, min_turns=0)
+
+
+class TestResponseLatencyTurns:
+    def _t(self, spark, rows):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        data = [
+            (c, i, r, base + dt.timedelta(seconds=s), tool)
+            for (c, i, r, s, tool) in rows
+        ]
+        return spark.createDataFrame(
+            data,
+            "conv_id bigint, turn_idx bigint, role string,"
+            " ts timestamp, tool string",
+        )
+
+    def test_per_turn_rows_match_aggregate_semantics(self, spark):
+        df = self._t(spark, [
+            (1, 0, "system", 0, None),
+            (1, 1, "user", 10, None),
+            (1, 2, "assistant", 13, "search"),   # 3s
+            (1, 3, "user", 20, None),
+            (1, 4, "tool", 24, None),
+            (1, 5, "assistant", 27, "code"),     # 7s, tool turn skipped
+            (2, 0, "assistant", 5, "search"),    # opener: no row
+        ])
+        rows = conversations.response_latency_turns(
+            df, keep_cols=("tool",)
+        ).collect()
+        got = {(r["conv_id"], r["turn_idx"]): (r["latency_us"], r["tool"])
+               for r in rows}
+        assert got == {
+            (1, 2): (3_000_000, "search"),
+            (1, 5): (7_000_000, "code"),
+        }
+        # consistency with the per-conversation aggregate
+        [agg] = conversations.response_latency(
+            df.filter("conv_id = 1")
+        ).collect()
+        lats = [v[0] for k, v in got.items() if k[0] == 1]
+        assert agg.avg_latency_us == sum(lats) // len(lats)
+
+    def test_negative_latency_and_missing_column(self, spark):
+        df = self._t(spark, [
+            (1, 0, "user", 100, None),
+            (1, 1, "assistant", 97, None),
+        ])
+        [r] = conversations.response_latency_turns(df).collect()
+        assert r["latency_us"] == -3_000_000
+        assert set(r.asDict()) == {"conv_id", "turn_idx", "latency_us"}
+        with pytest.raises(ValueError, match="response_latency_turns"):
+            conversations.response_latency_turns(
+                df, keep_cols=("no_such_col",)
+            )

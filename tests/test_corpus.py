@@ -874,3 +874,69 @@ class TestDistinctiveTerms:
         assert r["term"] == "aa"  # equal scores -> term ascending
         with pytest.raises(ValueError, match="top_k"):
             corpus.distinctive_terms(df, top_k=0)
+
+
+class TestCollocations:
+    def test_lift_math_and_order(self, spark):
+        # bigrams of "a b a b": (a,b) (b,a) (a,b) -> N=3
+        df = spark.createDataFrame(
+            [(1, "a b a b")], "doc_id long, text string"
+        )
+        rows = corpus.collocations(df, min_count=1, top_k=10).collect()
+        got = {(r["w1"], r["w2"]): r for r in rows}
+        ab = got[("a", "b")]
+        assert ab["pair_count"] == 2 and ab["c1"] == 2 and ab["c2"] == 2
+        assert ab["lift_micro"] == 3 * 2 * 1_000_000 // (2 * 2)
+        ba = got[("b", "a")]
+        assert ba["lift_micro"] == 3 * 1 * 1_000_000 // (2 * 2)
+        # descending lift order
+        lifts = [r["lift_micro"] for r in rows]
+        assert lifts == sorted(lifts, reverse=True)
+
+    def test_min_count_prunes_hapax_pairs(self, spark):
+        df = spark.createDataFrame(
+            [(1, "rare pair"), (2, "hot dog hot dog hot dog hot dog hot dog")],
+            "doc_id long, text string",
+        )
+        rows = corpus.collocations(df, min_count=5, top_k=10).collect()
+        keys = {(r["w1"], r["w2"]) for r in rows}
+        assert ("rare", "pair") not in keys
+        assert ("hot", "dog") in keys
+
+    def test_lowercased_and_validation(self, spark):
+        import pytest
+        df = spark.createDataFrame(
+            [(1, "Foo Bar foo bar")], "doc_id long, text string"
+        )
+        rows = corpus.collocations(df, min_count=2, top_k=5).collect()
+        assert {(r["w1"], r["w2"]) for r in rows} == {("foo", "bar")}
+        with pytest.raises(ValueError, match="min_count"):
+            corpus.collocations(df, min_count=0)
+        with pytest.raises(ValueError, match="top_k"):
+            corpus.collocations(df, top_k=0)
+
+
+class TestCrossSourceDups:
+    def test_pairwise_counts_and_null_handling(self, spark):
+        rows = [
+            (1, "x", "s1"), (2, "x", "s2"),      # shared across s1/s2
+            (3, "y", "s1"),                        # unique to s1
+            (4, None, "s2"), (5, None, "s3"),     # NULL text == '' both sides
+            (6, "z", None),                        # NULL source excluded
+            (7, "x", "s1"),                        # dup within s1: DISTINCT
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        got = {(r["source_a"], r["source_b"]): r["n_shared"]
+               for r in corpus.cross_source_dups(df).collect()}
+        assert got == {("s1", "s2"): 1, ("s2", "s3"): 1}
+
+    def test_three_way_overlap_counts_each_pair(self, spark):
+        df = spark.createDataFrame(
+            [(1, "t", "a"), (2, "t", "b"), (3, "t", "c")],
+            "doc_id long, text string, source string",
+        )
+        got = {(r["source_a"], r["source_b"]): r["n_shared"]
+               for r in corpus.cross_source_dups(df).collect()}
+        assert got == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}

@@ -27,3 +27,85 @@ class TestQualityPassthrough:
         got = {r["doc_id"]: r for r in thru.collect()}
         assert {k: v["quality_score_micro"] for k, v in got.items()} == plain
         assert got[1]["source"] == "web" and got[2]["text"] == "zz"
+
+
+class TestLexicalDiversity:
+    def test_ttr_and_hapax_math(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b A c"), (2, None), (3, "")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in
+               textstats.lexical_diversity(df).collect()}
+        # doc 1: tokens [a, b, a, c] -> 4 tokens, 3 types, hapax {b, c}
+        assert got[1]["n_tokens"] == 4 and got[1]["n_types"] == 3
+        assert got[1]["ttr_micro"] == 3 * 1_000_000 // 4
+        assert got[1]["n_hapax"] == 2
+        assert got[1]["hapax_ratio_micro"] == 2 * 1_000_000 // 3
+        # NULL and empty text: all-zero rows, never NULL
+        for d in (2, 3):
+            assert (got[d]["n_tokens"], got[d]["n_types"],
+                    got[d]["ttr_micro"], got[d]["n_hapax"],
+                    got[d]["hapax_ratio_micro"]) == (0, 0, 0, 0, 0)
+
+    def test_all_repeated_vs_all_unique(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x x x x"), (2, "p q r s")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in
+               textstats.lexical_diversity(df).collect()}
+        assert got[1]["n_types"] == 1 and got[1]["n_hapax"] == 0
+        assert got[1]["hapax_ratio_micro"] == 0
+        assert got[2]["ttr_micro"] == 1_000_000
+        assert got[2]["hapax_ratio_micro"] == 1_000_000
+
+
+class TestWinnowFingerprints:
+    def _expected(self, text, k, w):
+        import hashlib
+        g = len(text) - k + 1
+        if g < 1:
+            return set()
+        hp = [(hashlib.md5(text[i:i + k].encode()).hexdigest(), i + 1)
+              for i in range(g)]
+        n_windows = max(g - w + 1, min(g, 1))
+        sel = {min(hp[s:s + w]) for s in range(n_windows)}
+        return {(pos, fp) for fp, pos in sel}
+
+    def test_matches_reference_selection(self, spark):
+        text = "abracadabra zebra"
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        got = {(r["pos"], r["fp"]) for r in
+               textstats.winnow_fingerprints(df, k=3, w=4).collect()}
+        assert got == self._expected(text, 3, 4)
+
+    def test_shared_substring_guarantee(self, spark):
+        # any shared substring of length >= w + k - 1 must yield at
+        # least one shared fingerprint (SIGMOD 2003 theorem)
+        k, w = 3, 4
+        shared = "the-common-core!"  # len 16 >= 6
+        df = spark.createDataFrame(
+            [(1, "XXXX" + shared + "YYYYYY"), (2, "qq" + shared + "zz")],
+            "doc_id long, text string",
+        )
+        rows = textstats.winnow_fingerprints(df, k=k, w=w).collect()
+        fps = {1: set(), 2: set()}
+        for r in rows:
+            fps[r["doc_id"]].add(r["fp"])
+        assert fps[1] & fps[2]
+
+    def test_short_docs_and_validation(self, spark):
+        import pytest
+        df = spark.createDataFrame(
+            [(1, "ab"), (2, "abc"), (3, None)],
+            "doc_id long, text string",
+        )
+        rows = textstats.winnow_fingerprints(df, k=3, w=4).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert 1 not in by_doc and 3 not in by_doc  # shorter than k
+        assert len(by_doc[2]) == 1 and by_doc[2][0]["pos"] == 1
+        with pytest.raises(ValueError, match="winnow"):
+            textstats.winnow_fingerprints(df, k=0, w=4)

@@ -1793,6 +1793,74 @@ def main() -> int:
         "idf (linear ratio, no log drift).",
     )
 
+    # 58. lexical diversity + winnowing fingerprints (scan-side) /
+    #     collocations / cross-source dup matrix / latency quantiles
+    from ilogtail_spark.dataops import textstats as _ts58
+    docs58 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q58 = _ts58.lexical_diversity(docs58)
+    p58 = formatted(q58)
+    q58w = _ts58.winnow_fingerprints(docs58, k=8, w=10)
+    p58w = formatted(q58w)
+    q58c = entryq.QUERIES["corpus_collocations"](spark, SF_DIR)
+    p58c = formatted(q58c)
+    ex58c = _hash_exchanges(p58c)
+    q58x = entryq.QUERIES["corpus_cross_source_dups"](spark, SF_DIR)
+    p58x = formatted(q58x)
+    ex58x = _hash_exchanges(p58x)
+    q58l = entryq.QUERIES["conv_latency_quantiles"](spark, SF_DIR)
+    p58l = formatted(q58l)
+    ex58l = _hash_exchanges(p58l)
+    audit(
+        "lexical diversity + winnowing / collocations / cross-source "
+        "dups / latency quantiles",
+        q58,
+        [
+            ("lexical diversity: pure scan-side expressions — zero "
+             "exchanges of any kind, no Python stage (the sorted-"
+             "neighbor hapax count is an array expression, not a "
+             "groupBy)",
+             "Exchange" not in p58
+             and not re.search(r"EvalPython|InPandas", p58)),
+            ("winnowing: same — the per-doc gram/window minima are "
+             "array expressions; zero exchanges, no Python",
+             "Exchange" not in p58w
+             and not re.search(r"EvalPython|InPandas", p58w)),
+            ("collocations: the final top-k compiles to "
+             "TakeOrderedAndProject — only k rows cross the last "
+             "boundary, never the full pair table",
+             "TakeOrderedAndProject" in p58c),
+            ("collocations: no exchange carries document text — "
+             "tokens collapse to vocabulary-bounded (term)/(w1,w2) "
+             "count rows map-side before every shuffle, and the "
+             "bigram total joins as a broadcast",
+             all("text#" not in e for e in ex58c)
+             and "BroadcastNestedLoopJoin" in p58c),
+            ("cross-source dups: text collapses to md5 digests at "
+             "the scan — no exchange carries the text column, and "
+             "the plan contains NO join at all (the pair expansion "
+             "is a per-digest array expression over the folded "
+             "source set, not a corpus self-join)",
+             all("text#" not in e for e in ex58x)
+             and "Join" not in p58x),
+            ("latency quantiles: ONE exchange on conv_id feeds the "
+             "running-last window; the per-group rank/count windows "
+             "reuse the tool-key exchange — no exchange carries "
+             "turn text",
+             len(ex58l) <= 3
+             and all("text#" not in e for e in ex58l)),
+        ],
+        "The two per-document fingerprint/diversity cards ride the "
+        "repetition_stats idiom (sort + neighbor compare inside one "
+        "projection) so a 10^12-doc corpus pays scan cost only. "
+        "Collocations keeps the token stream inside the scan stage "
+        "and shuffles only count tables (min_count prunes BEFORE the "
+        "two unigram joins). The dup matrix never self-joins the "
+        "corpus: digests fold to per-digest source SETS (bounded by "
+        "the source vocabulary), and pairs expand per digest. The "
+        "latency percentiles compose response_latency_turns' single "
+        "conv_id exchange with grouped_quantiles' rank windows.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
