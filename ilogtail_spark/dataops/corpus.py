@@ -1450,7 +1450,6 @@ def distinctive_terms(
 def collocations(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     min_count: int = 5,
     top_k: int = 50,
 ) -> DataFrame:
@@ -1474,15 +1473,20 @@ def collocations(
     Scale shape: tokens/bigrams explode scan-side and collapse
     map-side into vocabulary-bounded count tables — the shuffles
     carry (term) and (w1, w2) count rows, never token streams. The
-    min_count filter prunes the pair table before it joins the
-    unigram table twice (hash joins on the term key; the unigram
-    table is vocabulary-sized, so no broadcast is assumed). The
-    bigram total joins as a broadcast single row, and the final
-    top-k is an orderBy+limit that compiles to
-    TakeOrderedAndProject — only k rows ever reach the driver side
-    of the sort. Overflow: the numerator is DECIMAL(38,0)
-    (N_bigrams * pair_count * 1e6 <= ~1e32 at 10^13 tokens — within
-    38 digits), emitted as BIGINT after the div.
+    bigram total is derived as sum(pair_count) over the UNFILTERED
+    pair table, not by a second pass over the corpus: both branches
+    hang off the identical (w1, w2) aggregate exchange, which
+    Spark's exchange-reuse rule dedupes (plan-audited
+    ReusedExchange) — the bigram explode runs ONCE. The min_count
+    filter prunes the pair table before it joins the unigram table
+    twice (hash joins on the term key; the unigram table is
+    vocabulary-sized, so no broadcast is assumed). The bigram total
+    joins as a broadcast single row, and the final top-k is an
+    orderBy+limit that compiles to TakeOrderedAndProject — only k
+    rows ever reach the driver side of the sort. Overflow: the
+    numerator is DECIMAL(38,0) (N_bigrams * pair_count * 1e6 <=
+    ~1e32 at 10^13 tokens — within 38 digits), emitted as BIGINT
+    after the div.
     """
     if min_count < 1:
         raise ValueError(f"collocations: min_count must be >= 1, got {min_count}")
@@ -1491,23 +1495,34 @@ def collocations(
     toks_df = df.select(
         tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit("")))).alias("__toks__")
     )
-    bi = toks_df.select(
-        F.explode(shingles_from_tokens(F.col("__toks__"), 2)).alias("__bi__")
-    ).select(
-        F.split_part(F.col("__bi__"), F.lit(" "), F.lit(1)).alias("w1"),
-        F.split_part(F.col("__bi__"), F.lit(" "), F.lit(2)).alias("w2"),
+    bi = (
+        toks_df.select(
+            F.explode(shingles_from_tokens(F.col("__toks__"), 2)).alias("__bi__")
+        )
+        .select(
+            F.split_part(F.col("__bi__"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("__bi__"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        # semantically a no-op (split_part of a non-null shingle is
+        # never NULL) — but stating it HERE means the unigram joins
+        # infer no extra null-filter below the (w1, w2) exchange, so
+        # the pair-table branch and the sum(pair_count) total branch
+        # stay canonically identical and the exchange is REUSED (one
+        # bigram explode, not two; plan-audited)
+        .filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
     )
-    pair_counts = (
-        bi.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
-        .filter(F.col("pair_count") >= min_count)
+    pair_all = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pair_count")
     )
+    pair_counts = pair_all.filter(F.col("pair_count") >= min_count)
     uni_counts = (
         toks_df.select(F.explode("__toks__").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("__c__"))
     )
-    n_bi = bi.select(F.count(F.lit(1)).cast("bigint").alias("__nbi__"))
+    n_bi = pair_all.select(
+        F.coalesce(F.sum("pair_count"), F.lit(0)).cast("bigint").alias("__nbi__")
+    )
     scored = (
         pair_counts.join(
             uni_counts.select(F.col("term").alias("w1"), F.col("__c__").alias("c1")),
@@ -1538,7 +1553,6 @@ def collocations(
 def cross_source_dups(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     source_col: str = "source",
 ) -> DataFrame:
     """Cross-source duplication matrix — for every unordered source
@@ -1554,23 +1568,22 @@ def cross_source_dups(
     convention: extraction failures are a countable content, not a
     hole); NULL-source rows are excluded (no slice to attribute).
 
-    Scale shape: documents collapse to DISTINCT (md5, source) rows
-    AT THE SCAN's first aggregate — text never shuffles, and the
-    exchange carries 32-byte digests. Each digest then folds to its
-    sorted source SET (bounded by the source count, not the dup
-    count), pairs expand per digest (sources-squared AT MOST, per
-    digest — tiny), and the final count is a pair-keyed aggregate
-    bounded by sources^2 rows total. No self-join of the corpus ever
-    happens; the oracle states the same result AS a self-join
-    because SQL lacks the fold.
+    Scale shape: documents collapse to (md5, source) at the scan —
+    text never shuffles, and the ONE exchange carries 32-byte
+    digests with per-task partial source SETS (collect_set's
+    map-side partial aggregation deduplicates repeated
+    (digest, source) pairs inside each task, so no separate
+    .distinct() shuffle is needed). Each digest folds to its sorted
+    source set (bounded by the source count, not the dup count),
+    pairs expand per digest (sources-squared AT MOST, per digest —
+    tiny), and the final count is a pair-keyed aggregate bounded by
+    sources^2 rows total. No self-join of the corpus ever happens;
+    the oracle states the same result AS a self-join because SQL
+    lacks the fold.
     """
-    digests = (
-        df.filter(F.col(source_col).isNotNull())
-        .select(
-            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__d__"),
-            F.col(source_col).alias("__src__"),
-        )
-        .distinct()
+    digests = df.filter(F.col(source_col).isNotNull()).select(
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__d__"),
+        F.col(source_col).alias("__src__"),
     )
     per_digest = digests.groupBy("__d__").agg(
         F.array_sort(F.collect_set("__src__")).alias("__srcs__")

@@ -4634,6 +4634,7 @@ def q_corpus_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'tool_' || CAST(turn_idx % 3 AS VARCHAR) AS tool,
              CAST(us - pu AS BIGINT) AS latency_us
       FROM f WHERE role = 'assistant' AND pu IS NOT NULL
+             AND us IS NOT NULL
     ), r AS (
       SELECT tool, latency_us,
              row_number() OVER (PARTITION BY tool ORDER BY latency_us) AS rn,

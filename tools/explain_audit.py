@@ -1804,6 +1804,11 @@ def main() -> int:
     q58c = entryq.QUERIES["corpus_collocations"](spark, SF_DIR)
     p58c = formatted(q58c)
     ex58c = _hash_exchanges(p58c)
+    # exchange reuse is an AQE runtime decision — the static plan
+    # shows two (w1, w2) exchanges; materialize and read the
+    # executed plan to assert the shuffle was actually shared
+    q58c.collect()
+    p58c_exec = q58c._jdf.queryExecution().executedPlan().toString()
     q58x = entryq.QUERIES["corpus_cross_source_dups"](spark, SF_DIR)
     p58x = formatted(q58x)
     ex58x = _hash_exchanges(p58x)
@@ -1835,6 +1840,14 @@ def main() -> int:
              "bigram total joins as a broadcast",
              all("text#" not in e for e in ex58c)
              and "BroadcastNestedLoopJoin" in p58c),
+            ("collocations: the bigram total derives from "
+             "sum(pair_count) over the SAME (w1, w2) aggregate "
+             "exchange the pair table uses — the EXECUTED (AQE) "
+             "plan shows a ReusedExchange over hashpartitioning"
+             "(w1, w2), so the bigram explode ran once, not twice",
+             bool(re.search(
+                 r"ReusedExchange \[w1#\d+, w2#\d+, count#\d+L?\], "
+                 r"Exchange hashpartitioning\(w1#", p58c_exec))),
             ("cross-source dups: text collapses to md5 digests at "
              "the scan — no exchange carries the text column, and "
              "the plan contains NO join at all (the pair expansion "
@@ -1842,6 +1855,12 @@ def main() -> int:
              "source set, not a corpus self-join)",
              all("text#" not in e for e in ex58x)
              and "Join" not in p58x),
+            ("cross-source dups: exactly TWO hash exchanges — "
+             "digest for the source-set fold (collect_set's partial "
+             "aggregate dedups (digest, source) map-side; no "
+             "separate .distinct() shuffle) and the sources^2-"
+             "bounded pair count",
+             len(ex58x) == 2),
             ("latency quantiles: ONE exchange on conv_id feeds the "
              "running-last window; the per-group rank/count windows "
              "reuse the tool-key exchange — no exchange carries "
