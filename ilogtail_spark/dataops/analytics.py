@@ -1037,3 +1037,69 @@ def sliding_distinct(
             "n_distinct",
         )
     )
+
+
+def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Data-card column profiler: one row per column with
+    (column, n_rows, n_null, n_distinct, min_value, max_value) —
+    the "what is actually in this table?" summary that fronts every
+    ingest: null-rate regressions, cardinality blowups, and
+    out-of-domain min/max land here before any operator runs.
+
+    Values are profiled THROUGH a cast to string (so one schema fits
+    every column type and min/max compare identically on every
+    engine — Spark and DuckDB both order strings by codepoint).
+    Callers profiling timestamp/float columns should note the
+    min/max are therefore lexicographic over the rendered form;
+    for bigint/string columns (the usual profile targets) rendering
+    is injective and the caveat is moot. NULLs never enter
+    n_distinct or min/max (both engines agree).
+
+    Scale shape: ONE pass — a single global aggregate computes every
+    column's counters; the per-column rows are a driver-free stack
+    (explode of a literal-sized struct array) over that one
+    aggregated row. The exact multi-column count(DISTINCT) compiles
+    to Spark's Expand strategy — the scan is replicated once per
+    profiled column INSIDE the map stage, so the shuffle carries
+    per-column partial states, not data rows. For very wide tables
+    (hundreds of columns) swap n_distinct to the KMV sketch
+    (kmv_distinct) column-by-column; the exact form is the oracle-
+    parity default.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("column_profile: cols must be non-empty")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"column_profile: missing columns {missing}")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n__")]
+    for i, c in enumerate(cols):
+        sc = F.col(c).cast("string")
+        aggs += [
+            F.count(sc).cast("bigint").alias(f"__nn_{i}"),
+            F.countDistinct(sc).cast("bigint").alias(f"__nd_{i}"),
+            F.min(sc).alias(f"__mn_{i}"),
+            F.max(sc).alias(f"__mx_{i}"),
+        ]
+    one = df.agg(*aggs)
+    stacked = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n__").alias("n_rows"),
+                (F.col("__n__") - F.col(f"__nn_{i}")).alias("n_null"),
+                F.col(f"__nd_{i}").alias("n_distinct"),
+                F.col(f"__mn_{i}").alias("min_value"),
+                F.col(f"__mx_{i}").alias("max_value"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return one.select(F.explode(stacked).alias("__r__")).select(
+        "__r__.column",
+        "__r__.n_rows",
+        "__r__.n_null",
+        "__r__.n_distinct",
+        "__r__.min_value",
+        "__r__.max_value",
+    )

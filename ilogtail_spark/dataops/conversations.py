@@ -1177,3 +1177,107 @@ def conversation_prep(
         & ~F.col("has_pii")
         & ~F.col("has_refusal"),
     )
+
+
+def prefix_report(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    max_depth: int = 64,
+) -> DataFrame:
+    """Shared-prefix report: for every conversation, the deepest turn
+    prefix it shares with at least one OTHER conversation — the
+    "how much of this corpus is the same system prompt + few-shot
+    header?" card. SFT corpora built from one agent harness share
+    long identical prefixes across millions of sessions; that mass
+    skews token-level dedup stats, wastes packing budget, and is
+    exactly what prefix-caching at train/serve time exploits. The
+    whole-conversation digest (conversation_dedup) only catches
+    FULL clones; this catches the shared head.
+
+    Returns (conv_id, n_turns, shared_depth, share_count):
+    shared_depth = the largest d such that the conversation's first
+    d turns (in the stable (idx, role, digest) order, digested by
+    the _seq_signature recipe over the prefix) are identical to
+    some other conversation's first d turns; 0 when no prefix is
+    shared. share_count = how many conversations (including this
+    one) share that depth-d prefix; 0 when shared_depth = 0.
+    Depths are probed only to ``max_depth`` (finite by default —
+    the hot-cap convention: prefix hashing is O(depth^2) bytes per
+    conversation, and a shared header deeper than 64 turns is
+    answered just as decisively by shared_depth = 64).
+
+    Scale shape: turns fold to per-conversation digest arrays on the
+    conv_id exchange (text digests scan-side — 32-hex digests only
+    ride the operator's exchanges). Prefix signatures explode
+    scan-side off the folded array (<= max_depth rows per
+    conversation, each a (depth, md5) pair). The (depth, sig) group
+    count — pruned to >= 2 sharers — LEFT-joins back onto the prefix
+    rows, and ONE conv_id aggregate takes the deepest matched
+    (depth, count) struct, so the fold subtree is evaluated exactly
+    twice (count build + probe), never a third time for a
+    join-back: the per-conversation answer falls out of the probe
+    side itself.
+    """
+    if max_depth < 1:
+        raise ValueError(
+            f"prefix_report: max_depth must be >= 1, got {max_depth}"
+        )
+    _require(df, [conv_col, idx_col, role_col, text_col], "prefix_report")
+    agg = _ordered_turn_seq(df, conv_col, idx_col, role_col, text_col)
+    items = F.transform(
+        F.col("__seq__"),
+        lambda x: F.concat_ws(":", x["__role__"], x["__d__"]),
+    )
+    depth_n = F.least(F.col("n_turns"), F.lit(max_depth)).cast("int")
+    prefixes = F.transform(
+        F.sequence(F.lit(1), depth_n),
+        lambda i: F.struct(
+            i.cast("bigint").alias("depth"),
+            F.md5(F.array_join(F.slice(items, 1, i), "|")).alias("sig"),
+        ),
+    )
+    convs = agg.select(
+        "conv_id",
+        F.col("n_turns").cast("bigint").alias("n_turns"),
+        prefixes.alias("__pref__"),
+    )
+    pref = convs.select(
+        "conv_id", "n_turns", F.explode("__pref__").alias("__p__")
+    ).select(
+        "conv_id",
+        "n_turns",
+        F.col("__p__.depth").alias("depth"),
+        F.col("__p__.sig").alias("sig"),
+    )
+    counts = (
+        pref.groupBy("depth", "sig")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt__"))
+        .filter(F.col("__cnt__") >= 2)
+    )
+    joined = pref.join(counts, ["depth", "sig"], "left")
+    # deepest matched prefix as a (depth, count) struct max — depth is
+    # unique per conversation so the struct order is total; unmatched
+    # rows are NULL and max ignores them
+    best = F.max(
+        F.when(
+            F.col("__cnt__").isNotNull(),
+            F.struct(F.col("depth"), F.col("__cnt__")),
+        )
+    ).alias("__best__")
+    return (
+        joined.groupBy("conv_id")
+        .agg(F.max("n_turns").alias("n_turns"), best)
+        .select(
+            "conv_id",
+            "n_turns",
+            F.coalesce(F.col("__best__.depth"), F.lit(0))
+            .cast("bigint")
+            .alias("shared_depth"),
+            F.coalesce(F.col("__best__.__cnt__"), F.lit(0))
+            .cast("bigint")
+            .alias("share_count"),
+        )
+    )

@@ -5,6 +5,8 @@ codegen'd, zero Python in the hot path.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -855,4 +857,117 @@ def winnow_fingerprints(
         F.col(id_col),
         F.col("__sel__.pos").alias("pos"),
         F.col("__sel__.fp").alias("fp"),
+    )
+
+
+# classic UTF-8-decoded-as-Latin-1 artifacts ("Ã©" for é, "â€™" for
+# ’, "Â°" for °, …) — all printable, none contains a control byte
+MOJIBAKE_SEQS = (
+    "Ã©", "Ã¨", "Ã¡", "Ã³", "Ãº", "Ã±", "Ã§", "Ã¼", "Ã¶", "Ã¤",
+    "â€™", "â€œ", "â€“", "â€”", "Â«", "Â»", "Â°",
+)
+# C0 controls except \t \n \r, plus DEL — the bytes that should never
+# appear in extracted text
+_CONTROL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def encoding_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document encoding-anomaly card — the CCNet-style "was this
+    text decoded correctly?" quality gate. Three independent signals:
+
+    - ``n_replacement``: U+FFFD replacement characters (a decoder
+      already gave up there);
+    - ``n_control``: C0 control characters other than tab/LF/CR, plus
+      DEL — bytes no extracted text should contain (binary spill,
+      terminal escapes);
+    - ``n_mojibake``: occurrences of the classic
+      UTF-8-read-as-Latin-1 double-decode artifacts (``MOJIBAKE_SEQS``:
+      'Ã©' for é, 'â€™' for the curly apostrophe, …) — text that
+      DECODED cleanly but through the wrong codec, which replacement
+      counting can never see.
+
+    ``keep`` is 1 iff all three are zero (flags-not-NULLs, all-zero
+    on empty/NULL text — the gopher_flags convention). Counts are
+    exact: the replacement count is the length-difference trick
+    (length(s) - length(replace(s, U+FFFD, ''))), the other two are
+    regex match counts over fixed literal/class patterns that RE2
+    and Java regex read identically.
+
+    Scale shape: pure scan-side expressions — zero shuffle, zero
+    Python; composes with quality_score/gopher_flags into one
+    projection. Real pipelines tune MOJIBAKE_SEQS per corpus; the
+    bank here is the stable documented default.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    moji_pat = "|".join(re.escape(s) for s in MOJIBAKE_SEQS)
+    n_repl = (F.length(t) - F.length(F.replace(t, F.lit("�"), F.lit("")))).cast(
+        "bigint"
+    )
+    n_ctrl = F.regexp_count(t, F.lit(_CONTROL_CLASS)).cast("bigint")
+    n_moji = F.regexp_count(t, F.lit(moji_pat)).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_control"),
+        n_moji.alias("n_mojibake"),
+        ((n_repl == 0) & (n_ctrl == 0) & (n_moji == 0))
+        .cast("long")
+        .alias("keep"),
+    )
+
+
+def readability(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Flesch reading-ease score in exact fixed-point
+    micros — the classic readability quality signal (very low =
+    legalese/spam walls, implausibly high on long docs = token soup).
+
+    Heuristics, stated so both engines compute bit-identically:
+    words = whitespace tokens; sentences = runs of [.!?] (floored at
+    1 so headline-only docs score); syllables = [aeiouy]+ vowel
+    groups in the lowercased text (whitespace/punctuation already
+    break groups at word boundaries). Score:
+
+      flesch_micro = 206_835_000
+                     - (1_015_000 * words)     div sentences
+                     - (84_600_000 * syllables) div words
+
+    i.e. Flesch's 206.835 - 1.015*(W/S) - 84.6*(Sy/W), scaled 1e6
+    with the numerators multiplied BEFORE the floor div so no
+    precision is lost to intermediate truncation (the quality_score
+    rationale). Can be negative on pathological text — reported, not
+    clamped. Empty/NULL text reports all-zero.
+
+    Scale shape: pure scan-side regex-count expressions — zero
+    shuffle, zero Python.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.size(tokens_col(t)).cast("bigint")
+    sentences = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")).cast("bigint"), F.lit(1).cast("bigint")
+    )
+    syllables = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")).cast("bigint")
+    feat = df.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+    )
+    return feat.select(
+        id_col,
+        "n_words",
+        F.when(F.col("n_words") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.col("n_sentences"))
+        .alias("n_sentences"),
+        "n_syllables",
+        F.when(F.col("n_words") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.lit(206_835_000).cast("bigint")
+            - F.expr("(1015000 * n_words) div n_sentences")
+            - F.expr("(84600000 * n_syllables) div n_words")
+        )
+        .alias("flesch_micro"),
     )

@@ -4661,3 +4661,179 @@ def q_conv_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.grouped_quantiles(
         lat, "tool", "latency_us", (500_000, 950_000, 990_000)
     ).orderBy("tool", "q_micro")
+
+
+# ---------------------------------------------------------------------------
+# shared-prefix report: partial clones are INJECTED on both engines
+# (every 5th conversation re-ingested under conv_id + 10^6 with every
+# turn from idx 2 on rewritten) so shared-prefix detection provably
+# fires at depth 2; natural first-turn sharing counts too
+# ---------------------------------------------------------------------------
+@query(
+    "conv_prefix_report",
+    f"""
+    WITH t0 AS (
+      {_TRANSCRIPT_SQL}
+    ), t AS (
+      SELECT * FROM t0
+      UNION ALL
+      SELECT conv_id + 1000000, turn_idx, role,
+             CASE WHEN turn_idx >= 2 THEN text || '::VARIANT' ELSE text END
+      FROM t0 WHERE conv_id % 5 = 0
+    ), seq AS (
+      SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+             list(role || ':' || coalesce(md5(text), '')
+                  ORDER BY turn_idx, role, coalesce(md5(text), '')) AS items
+      FROM t GROUP BY conv_id
+    ), pref AS (
+      SELECT conv_id, u.depth, u.sig
+      FROM (SELECT conv_id,
+                   unnest([{{'depth': CAST(i AS BIGINT),
+                            'sig': md5(array_to_string(items[1:i], '|'))}}
+                           for i in range(1, least(n_turns, 64) + 1)]) AS u
+            FROM seq)
+    ), cnt AS (
+      SELECT depth, sig, CAST(count(*) AS BIGINT) AS cnt
+      FROM pref GROUP BY 1, 2 HAVING count(*) >= 2
+    ), best AS (
+      SELECT p.conv_id, max(p.depth) AS shared_depth,
+             max_by(c.cnt, p.depth) AS share_count
+      FROM pref p JOIN cnt c USING (depth, sig) GROUP BY 1
+    )
+    SELECT s.conv_id, s.n_turns,
+           CAST(coalesce(b.shared_depth, 0) AS BIGINT) AS shared_depth,
+           CAST(coalesce(b.share_count, 0) AS BIGINT) AS share_count
+    FROM seq s LEFT JOIN best b USING (conv_id) ORDER BY conv_id
+    """,
+)
+def q_conv_prefix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    c = (
+        t.filter(F.col("conv_id") % 5 == 0)
+        .withColumn("conv_id", F.col("conv_id") + F.lit(1_000_000))
+        .withColumn(
+            "text",
+            F.when(
+                F.col("turn_idx") >= 2,
+                F.concat(F.col("text"), F.lit("::VARIANT")),
+            ).otherwise(F.col("text")),
+        )
+    )
+    return conversations.prefix_report(t.unionByName(c)).orderBy("conv_id")
+
+
+# ---------------------------------------------------------------------------
+# encoding-anomaly flags: the anomalies are INJECTED on both engines
+# (mojibake on doc_id%9, U+FFFD on %14, a C0 bell on %23 — the
+# natural fixture text is clean and the gate must provably fire)
+# ---------------------------------------------------------------------------
+@query(
+    "text_encoding_flags",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 9 = 0 THEN ' bad Ã© quoteâ€™'
+                ELSE '' END
+             || CASE WHEN doc_id % 14 = 0
+                THEN ' lost' || chr(65533) || 'char' ELSE '' END
+             || CASE WHEN doc_id % 23 = 0 THEN ' bell' || chr(7)
+                ELSE '' END AS text
+      FROM documents
+    ), f AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM t
+    ), c AS (
+      SELECT doc_id,
+             CAST(length(t) - length(replace(t, chr(65533), ''))
+                  AS BIGINT) AS n_replacement,
+             CAST(len(regexp_extract_all(
+               t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS BIGINT)
+               AS n_control,
+             CAST(len(regexp_extract_all(t,
+               'Ã©|Ã¨|Ã¡|Ã³|Ãº|Ã±|Ã§|Ã¼|Ã¶|Ã¤|â€™|â€œ|â€“|â€”|Â«|Â»|Â°'))
+               AS BIGINT) AS n_mojibake
+      FROM f
+    )
+    SELECT doc_id, n_replacement, n_control, n_mojibake,
+           CAST(CASE WHEN n_replacement = 0 AND n_control = 0
+                     AND n_mojibake = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS keep
+    FROM c ORDER BY doc_id
+    """,
+)
+def q_text_encoding_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    suffix = F.concat(
+        F.when(F.col("doc_id") % 9 == 0, F.lit(" bad Ã© quoteâ€™")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 14 == 0, F.lit(" lost�char")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 23 == 0, F.concat(F.lit(" bell"), F.lit("\x07"))
+        ).otherwise(F.lit("")),
+    )
+    inj = docs.withColumn("text", F.concat(F.col("text"), suffix))
+    return textstats.encoding_flags(inj).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading-ease readability (exact fixed-point micros)
+# ---------------------------------------------------------------------------
+@query(
+    "text_readability",
+    r"""
+    WITH f AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents
+    ), c AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(t, '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(t, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(t), '[aeiouy]+'))
+                  AS BIGINT) AS n_syllables
+      FROM f
+    )
+    SELECT doc_id, n_words,
+           CAST(CASE WHEN n_words = 0 THEN 0 ELSE n_sentences END
+                AS BIGINT) AS n_sentences,
+           n_syllables,
+           CAST(CASE WHEN n_words = 0 THEN 0 ELSE
+                206835000 - (1015000 * n_words) // n_sentences
+                          - (84600000 * n_syllables) // n_words END
+                AS BIGINT) AS flesch_micro
+    FROM c ORDER BY doc_id
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.readability(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# data-card column profiler over the events table
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = ("event_id", "event_type", "props", "user_id")
+
+
+@query(
+    "events_column_profile",
+    " UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS "column",
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(CAST({c} AS VARCHAR)) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT CAST({c} AS VARCHAR)) AS BIGINT)
+             AS n_distinct,
+           min(CAST({c} AS VARCHAR)) AS min_value,
+           max(CAST({c} AS VARCHAR)) AS max_value
+    FROM events"""
+        for c in _PROFILE_COLS
+    )
+    + ' ORDER BY "column"',
+)
+def q_events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.column_profile(ev, list(_PROFILE_COLS)).orderBy("column")

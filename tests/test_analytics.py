@@ -726,3 +726,33 @@ class TestMaskTemplateProperties:
             assert py_mask(py_mask(s)) == py_mask(s)
 
         check()
+
+
+class TestColumnProfile:
+    def test_counts_nulls_distinct_minmax(self, spark):
+        from ilogtail_spark.dataops import analytics
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (2, "b"), (3, "a")],
+            "id bigint, v string",
+        )
+        got = {r["column"]: r for r in
+               analytics.column_profile(df).collect()}
+        assert got["id"]["n_rows"] == 4 and got["id"]["n_null"] == 0
+        assert got["id"]["n_distinct"] == 3
+        assert (got["id"]["min_value"], got["id"]["max_value"]) == ("1", "3")
+        assert got["v"]["n_null"] == 1 and got["v"]["n_distinct"] == 2
+        assert (got["v"]["min_value"], got["v"]["max_value"]) == ("a", "b")
+
+    def test_column_subset_and_validation(self, spark):
+        import pytest
+
+        from ilogtail_spark.dataops import analytics
+
+        df = spark.createDataFrame([(1, "a")], "id bigint, v string")
+        out = analytics.column_profile(df, ["v"]).collect()
+        assert [r["column"] for r in out] == ["v"]
+        with pytest.raises(ValueError, match="non-empty"):
+            analytics.column_profile(df, [])
+        with pytest.raises(ValueError, match="missing"):
+            analytics.column_profile(df, ["nope"])

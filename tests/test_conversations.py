@@ -707,3 +707,47 @@ class TestResponseLatencyTurns:
             conversations.response_latency_turns(
                 df, keep_cols=("no_such_col",)
             )
+
+
+class TestPrefixReport:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "conv_id bigint, turn_idx bigint, role string, text string"
+        )
+
+    def test_shared_head_and_divergence(self, spark):
+        rows = [
+            (1, 0, "user", "sys"), (1, 1, "assistant", "hi"),
+            (1, 2, "user", "q1"),
+            (2, 0, "user", "sys"), (2, 1, "assistant", "hi"),
+            (2, 2, "user", "q2"),
+            (3, 0, "user", "other"),
+        ]
+        got = {r["conv_id"]: r for r in
+               conversations.prefix_report(self._df(spark, rows)).collect()}
+        assert (got[1]["shared_depth"], got[1]["share_count"]) == (2, 2)
+        assert (got[2]["shared_depth"], got[2]["share_count"]) == (2, 2)
+        assert (got[3]["shared_depth"], got[3]["share_count"]) == (0, 0)
+        assert got[3]["n_turns"] == 1
+
+    def test_full_clone_shares_full_depth(self, spark):
+        rows = [
+            (1, 0, "user", "a"), (1, 1, "assistant", "b"),
+            (2, 5, "user", "a"), (2, 6, "assistant", "b"),  # renumbered
+            (3, 0, "user", "a"),  # shares only depth 1
+        ]
+        got = {r["conv_id"]: r for r in
+               conversations.prefix_report(self._df(spark, rows)).collect()}
+        assert got[1]["shared_depth"] == 2 and got[1]["share_count"] == 2
+        assert got[2]["shared_depth"] == 2
+        # conv 3 shares the depth-1 prefix with BOTH others
+        assert got[3]["shared_depth"] == 1 and got[3]["share_count"] == 3
+
+    def test_max_depth_cap_and_validation(self, spark):
+        rows = [(c, i, "user", f"t{i}") for c in (1, 2) for i in range(5)]
+        got = {r["conv_id"]: r for r in
+               conversations.prefix_report(
+                   self._df(spark, rows), max_depth=3).collect()}
+        assert got[1]["shared_depth"] == 3  # capped below the true 5
+        with pytest.raises(ValueError, match="max_depth"):
+            conversations.prefix_report(self._df(spark, rows), max_depth=0)

@@ -109,3 +109,46 @@ class TestWinnowFingerprints:
         assert len(by_doc[2]) == 1 and by_doc[2][0]["pos"] == 1
         with pytest.raises(ValueError, match="winnow"):
             textstats.winnow_fingerprints(df, k=0, w=4)
+
+
+class TestEncodingFlags:
+    def test_counts_and_keep(self, spark):
+        rows = [
+            (1, "clean text."),
+            (2, None),
+            (3, "bad � twice �"),
+            (4, "bell \x07 and del \x7f but tab \t ok"),
+            (5, "mojibake Ã© and â€™"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in
+               textstats.encoding_flags(df).collect()}
+        assert got[1]["keep"] == 1 and got[2]["keep"] == 1
+        assert got[3]["n_replacement"] == 2 and got[3]["keep"] == 0
+        assert got[4]["n_control"] == 2 and got[4]["keep"] == 0
+        assert got[5]["n_mojibake"] == 2 and got[5]["keep"] == 0
+        # tab/LF/CR never count as control
+        df2 = spark.createDataFrame(
+            [(1, "a\tb\nc\rd")], "doc_id long, text string"
+        )
+        [r] = textstats.encoding_flags(df2).collect()
+        assert r["n_control"] == 0 and r["keep"] == 1
+
+
+class TestReadability:
+    def test_flesch_math(self, spark):
+        df = spark.createDataFrame(
+            [(1, "The cat sat. It was happy!"), (2, ""), (3, "no period")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in textstats.readability(df).collect()}
+        # doc 1: 6 words, 2 sentences, 7 vowel groups
+        assert (got[1]["n_words"], got[1]["n_sentences"],
+                got[1]["n_syllables"]) == (6, 2, 7)
+        assert got[1]["flesch_micro"] == (
+            206_835_000 - (1_015_000 * 6) // 2 - (84_600_000 * 7) // 6
+        )
+        assert got[2] == got[2]  # row exists
+        assert (got[2]["n_words"], got[2]["flesch_micro"]) == (0, 0)
+        # sentence floor: no terminal punctuation still scores
+        assert got[3]["n_sentences"] == 1

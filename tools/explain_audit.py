@@ -1880,6 +1880,77 @@ def main() -> int:
         "conv_id exchange with grouped_quantiles' rank windows.",
     )
 
+    # 59. shared-prefix report / encoding flags / readability /
+    #     column profile
+    from ilogtail_spark.dataops import analytics as _an59
+    from ilogtail_spark.dataops import conversations as _conv59
+    from ilogtail_spark.dataops import textstats as _ts59
+    tr59 = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+    )
+    q59 = _conv59.prefix_report(tr59)
+    p59 = formatted(q59)
+    ex59 = _hash_exchanges(p59)
+    docs59 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q59e = _ts59.encoding_flags(docs59)
+    p59e = formatted(q59e)
+    q59r = _ts59.readability(docs59)
+    p59r = formatted(q59r)
+    ev59 = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    q59p = _an59.column_profile(
+        ev59, ["event_id", "event_type", "props", "user_id"]
+    )
+    p59p = formatted(q59p)
+    ex59p = _hash_exchanges(p59p)
+    audit(
+        "shared-prefix report / encoding flags / readability / "
+        "column profile",
+        q59,
+        [
+            ("prefix report: no exchange carries conversation text — "
+             "turns digest scan-side and every shuffle moves 32-hex "
+             "digests / prefix signatures only",
+             all("text#" not in e for e in ex59)),
+            ("prefix report: the conv-fold subtree is evaluated "
+             "exactly twice (the (depth, sig) count build and the "
+             "probe it left-joins back onto) — never a third time "
+             "for a join-back, because the per-conversation answer "
+             "aggregates out of the probe side itself",
+             len([e for e in ex59 if "conv_id#" in e]) <= 2
+             and len(re.findall(r"\(\d+\) Scan parquet", p59)) <= 2),
+            ("prefix report: whole plan is codegen — no Python stage",
+             not re.search(r"EvalPython|InPandas", p59)),
+            ("encoding flags: pure scan-side expressions — zero "
+             "exchanges, no Python (length-diff replacement count, "
+             "regex-count control/mojibake)",
+             "Exchange" not in p59e
+             and not re.search(r"EvalPython|InPandas", p59e)),
+            ("readability: same — zero exchanges, no Python",
+             "Exchange" not in p59r
+             and not re.search(r"EvalPython|InPandas", p59r)),
+            ("column profile: ONE parquet scan feeds every column's "
+             "counters; the exact multi-column distinct compiles to "
+             "the Expand strategy (map-side replication, per-column "
+             "partial states in the shuffle) and the per-column "
+             "output rows explode from the single aggregated row — "
+             "no per-column scan fan-out",
+             len(re.findall(r"\(\d+\) Scan parquet", p59p)) == 1
+             and "Expand" in p59p
+             and "Generate" in p59p),
+        ],
+        "The prefix card turns a would-be self-join of transcripts "
+        "into digest algebra: prefixes are (depth, md5) pairs off "
+        "the per-conversation fold, sharing is a count over that "
+        "pair space, and the deepest-shared answer is a struct max "
+        "on the probe side. The two text-quality cards stay inside "
+        "the scan like their gopher/quality siblings. The profiler "
+        "is the one-pass Expand shape — the KMV sketch is the "
+        "documented swap-in for very wide tables.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
