@@ -1231,19 +1231,26 @@ def prefix_report(
         F.col("__seq__"),
         lambda x: F.concat_ws(":", x["__role__"], x["__d__"]),
     )
+    # materialize the items array ONCE per conversation — inlining the
+    # transform inside the per-depth lambda would rebuild it at every
+    # probed depth (the shingles_from_tokens lesson: computed
+    # expressions re-evaluate per reference)
+    folded = agg.select(
+        "conv_id",
+        F.col("n_turns").cast("bigint").alias("n_turns"),
+        items.alias("__items__"),
+    )
     depth_n = F.least(F.col("n_turns"), F.lit(max_depth)).cast("int")
     prefixes = F.transform(
         F.sequence(F.lit(1), depth_n),
         lambda i: F.struct(
             i.cast("bigint").alias("depth"),
-            F.md5(F.array_join(F.slice(items, 1, i), "|")).alias("sig"),
+            F.md5(
+                F.array_join(F.slice(F.col("__items__"), 1, i), "|")
+            ).alias("sig"),
         ),
     )
-    convs = agg.select(
-        "conv_id",
-        F.col("n_turns").cast("bigint").alias("n_turns"),
-        prefixes.alias("__pref__"),
-    )
+    convs = folded.select("conv_id", "n_turns", prefixes.alias("__pref__"))
     pref = convs.select(
         "conv_id", "n_turns", F.explode("__pref__").alias("__p__")
     ).select(

@@ -4729,7 +4729,10 @@ def q_conv_prefix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "text_encoding_flags",
-    r"""
+    # the control class and mojibake bank interpolate from the SAME
+    # textstats constants the operator compiles (the _TRANSCRIPT_SQL
+    # convention) — tuning the bank can never desync the oracle
+    f"""
     WITH t AS (
       SELECT doc_id,
              text
@@ -4747,10 +4750,10 @@ def q_conv_prefix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(length(t) - length(replace(t, chr(65533), ''))
                   AS BIGINT) AS n_replacement,
              CAST(len(regexp_extract_all(
-               t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS BIGINT)
+               t, '{textstats._CONTROL_CLASS}')) AS BIGINT)
                AS n_control,
              CAST(len(regexp_extract_all(t,
-               'Ã©|Ã¨|Ã¡|Ã³|Ãº|Ã±|Ã§|Ã¼|Ã¶|Ã¤|â€™|â€œ|â€“|â€”|Â«|Â»|Â°'))
+               '{"|".join(textstats.MOJIBAKE_SEQS)}'))
                AS BIGINT) AS n_mojibake
       FROM f
     )

@@ -1904,7 +1904,6 @@ def main() -> int:
         ev59, ["event_id", "event_type", "props", "user_id"]
     )
     p59p = formatted(q59p)
-    ex59p = _hash_exchanges(p59p)
     audit(
         "shared-prefix report / encoding flags / readability / "
         "column profile",
