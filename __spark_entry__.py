@@ -41,7 +41,8 @@ _FRONT = [
     "corpus_collocations", "corpus_cross_source_dups",
     "conv_latency_quantiles",
     "conv_prefix_report", "text_encoding_flags", "text_readability",
-    "events_column_profile",
+    "events_column_profile", "dedup_cluster_histogram",
+    "corpus_length_histogram",
     "events_log_templates", "events_rare_templates",
     "events_type_transitions", "conv_role_transitions",
     "conv_response_latency", "conv_lang_mix", "streaming_new_templates",

@@ -1614,3 +1614,53 @@ def cross_source_dups(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
     )
+
+
+def length_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source document-length histogram over power-of-2 buckets —
+    the length-distribution data card (truncation cliffs, empty-doc
+    spikes, and per-source length skew all show up here before any
+    tokenizer runs). Buckets are EXACT integer bit-lengths, not
+    float log2: bucket b > 0 covers lengths [2^(b-1), 2^b - 1]
+    (computed as length(bin(n)) — both engines render the same
+    binary string), bucket 0 is exactly the empty/NULL documents.
+
+    Returns (source, bucket, lo_chars, hi_chars, n_docs) — NULL
+    source reports as the '(none)' slice (a countable provenance
+    hole, the mixture_report convention).
+
+    Scale shape: one scan-side projection (length + binary-string
+    bucket) into one (source, bucket) aggregate with map-side
+    partials; output is bounded by sources x ~40 buckets. Text never
+    shuffles.
+    """
+    n = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    bucket = F.when(n == 0, F.lit(0)).otherwise(
+        F.length(F.bin(n.cast("bigint")))
+    ).cast("int")
+    out = (
+        df.select(
+            F.coalesce(F.col(source_col), F.lit("(none)")).alias("source"),
+            bucket.alias("bucket"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    # SQL shiftleft (the python wrapper only takes literal bit counts)
+    lo = F.when(F.col("bucket") == 0, F.lit(0)).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")
+    )
+    hi = F.when(F.col("bucket") == 0, F.lit(0)).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1")
+    )
+    return out.select(
+        "source",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        lo.cast("bigint").alias("lo_chars"),
+        hi.cast("bigint").alias("hi_chars"),
+        "n_docs",
+    )

@@ -774,3 +774,46 @@ def incremental_near_dedup(
         .distinct()
     )
     return batch_keep.join(hit, id_col, "left_anti")
+
+
+def cluster_size_histogram(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate-cluster size histogram — the "how duplicated is this
+    corpus?" data card (the dup-cluster distribution plot in the
+    C4 / RefinedWeb / Gopher dedup sections): for every exact-dup
+    group size d, how many distinct contents occur exactly d times
+    and how many documents that accounts for.
+
+    Returns (dup_count, n_groups, n_docs = dup_count * n_groups)
+    ordered by dup_count. ``sum(n_docs)`` = corpus size;
+    ``n_docs - n_groups`` summed over dup_count >= 2 = rows exact
+    dedup would remove — the headline numbers a mixture report
+    quotes before anyone runs the (much costlier) near-dup pass.
+    NULL text hashes as the empty string (the exact_dedup
+    convention).
+
+    Scale shape: two narrow aggregates — documents collapse to
+    (digest, count) rows with map-side partials (the exchange
+    carries 32-byte digests), then counts collapse to the histogram
+    (bounded by the number of DISTINCT cluster sizes — at most a few
+    hundred rows on any real corpus). Text never shuffles; no join.
+    """
+    counts = (
+        df.select(
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__d__")
+        )
+        .groupBy("__d__")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dup_count"))
+    )
+    return (
+        counts.groupBy("dup_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_groups"))
+        .select(
+            "dup_count",
+            "n_groups",
+            (F.col("dup_count") * F.col("n_groups"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+    )

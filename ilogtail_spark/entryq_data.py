@@ -4840,3 +4840,63 @@ _PROFILE_COLS = ("event_id", "event_type", "props", "user_id")
 def q_events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return analytics.column_profile(ev, list(_PROFILE_COLS)).orderBy("column")
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster size histogram: clones INJECTED on both engines
+# (every 6th doc re-ingested) so dup_count >= 2 rows provably appear
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_cluster_histogram",
+    """
+    WITH t AS (
+      SELECT text FROM documents
+      UNION ALL
+      SELECT text FROM documents WHERE doc_id % 6 = 0
+    ), c AS (
+      SELECT md5(coalesce(text, '')) AS d,
+             CAST(count(*) AS BIGINT) AS dup_count
+      FROM t GROUP BY 1
+    )
+    SELECT dup_count, CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(dup_count * count(*) AS BIGINT) AS n_docs
+    FROM c GROUP BY 1 ORDER BY dup_count
+    """,
+)
+def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    inj = docs.unionByName(
+        docs.filter(F.col("doc_id") % 6 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1_000_000)
+        )
+    )
+    return dedup.cluster_size_histogram(inj).orderBy("dup_count")
+
+
+# ---------------------------------------------------------------------------
+# per-source power-of-2 length histogram
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_length_histogram",
+    """
+    WITH f AS (
+      SELECT coalesce(source, '(none)') AS source,
+             length(coalesce(text, '')) AS n
+      FROM documents
+    ), b AS (
+      SELECT source,
+             CASE WHEN n = 0 THEN 0 ELSE length(bin(n)) END AS bucket
+      FROM f
+    )
+    SELECT source, CAST(bucket AS BIGINT) AS bucket,
+           CAST(CASE WHEN bucket = 0 THEN 0
+                ELSE 1 << (bucket - 1) END AS BIGINT) AS lo_chars,
+           CAST(CASE WHEN bucket = 0 THEN 0
+                ELSE (1 << bucket) - 1 END AS BIGINT) AS hi_chars,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM b GROUP BY source, bucket ORDER BY source, bucket
+    """,
+)
+def q_corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.length_histogram(docs).orderBy("source", "bucket")

@@ -940,3 +940,26 @@ class TestCrossSourceDups:
         got = {(r["source_a"], r["source_b"]): r["n_shared"]
                for r in corpus.cross_source_dups(df).collect()}
         assert got == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
+
+
+class TestLengthHistogram:
+    def test_power_of_two_buckets(self, spark):
+        rows = [
+            (1, "", "s1"),          # bucket 0
+            (2, "x", "s1"),         # len 1 -> bucket 1 [1, 1]
+            (3, "xx", "s1"),        # len 2 -> bucket 2 [2, 3]
+            (4, "xxx", "s1"),       # len 3 -> bucket 2
+            (5, "x" * 8, "s2"),     # len 8 -> bucket 4 [8, 15]
+            (6, None, None),        # NULL text/source
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        got = {(r["source"], r["bucket"]): r for r in
+               corpus.length_histogram(df).collect()}
+        assert got[("s1", 0)]["n_docs"] == 1
+        assert got[("s1", 1)]["lo_chars"] == 1
+        assert got[("s1", 2)]["n_docs"] == 2
+        assert (got[("s1", 2)]["lo_chars"], got[("s1", 2)]["hi_chars"]) == (2, 3)
+        assert (got[("s2", 4)]["lo_chars"], got[("s2", 4)]["hi_chars"]) == (8, 15)
+        assert got[("(none)", 0)]["n_docs"] == 1

@@ -1094,3 +1094,20 @@ class TestQuantizedCosine:
         by_rk = {r["rk"]: r for r in out}
         assert by_rk[1]["nbr_id"] == 1
         assert by_rk[2]["nbr_id"] == 2 and by_rk[2]["cos_q"] is None
+
+
+class TestClusterSizeHistogram:
+    def test_histogram_and_null_text(self, spark):
+        from ilogtail_spark.dataops import dedup
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, None), (6, None)],
+            "doc_id long, text string",
+        )
+        got = {r["dup_count"]: r for r in
+               dedup.cluster_size_histogram(df).collect()}
+        # 'a' x3; 'b' x1; NULL==NULL (hashes as '') x2
+        assert got[3]["n_groups"] == 1 and got[3]["n_docs"] == 3
+        assert got[1]["n_groups"] == 1
+        assert got[2]["n_groups"] == 1 and got[2]["n_docs"] == 2
+        assert sum(r["n_docs"] for r in got.values()) == 6

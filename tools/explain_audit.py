@@ -1950,6 +1950,44 @@ def main() -> int:
         "documented swap-in for very wide tables.",
     )
 
+    # 60. dup-cluster size histogram / per-source length histogram
+    from ilogtail_spark.dataops import corpus as _c60
+    from ilogtail_spark.dataops import dedup as _d60
+    docs60 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q60 = _d60.cluster_size_histogram(docs60)
+    p60 = formatted(q60)
+    ex60 = _hash_exchanges(p60)
+    q60l = _c60.length_histogram(docs60)
+    p60l = formatted(q60l)
+    ex60l = _hash_exchanges(p60l)
+    audit(
+        "dup-cluster size histogram / per-source length histogram",
+        q60,
+        [
+            ("cluster histogram: exactly two hash exchanges — digest "
+             "counts (32-byte digests, map-side partials) then the "
+             "size-bounded histogram — and neither carries text",
+             len(ex60) == 2
+             and all("text#" not in e for e in ex60)),
+            ("cluster histogram: no join, no Python stage",
+             "Join" not in p60
+             and not re.search(r"EvalPython|InPandas", p60)),
+            ("length histogram: ONE hash exchange — lengths bucket "
+             "scan-side (exact bit-length, no float log2) and the "
+             "aggregate output is bounded by sources x ~40 buckets; "
+             "text never shuffles",
+             len(ex60l) == 1
+             and all("text#" not in e for e in ex60l)),
+            ("length histogram: whole plan is codegen",
+             not re.search(r"EvalPython|InPandas", p60l)),
+        ],
+        "Both are data-card aggregates whose shuffles carry counters, "
+        "not content: the dup histogram is the 'how duplicated is "
+        "this corpus' headline a mixture report quotes before any "
+        "near-dup pass, and the length card uses exact integer "
+        "bit-length buckets so every engine bins identically.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
