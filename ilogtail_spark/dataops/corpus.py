@@ -1629,9 +1629,12 @@ def length_histogram(
     (computed as length(bin(n)) — both engines render the same
     binary string), bucket 0 is exactly the empty/NULL documents.
 
-    Returns (source, bucket, lo_chars, hi_chars, n_docs) — NULL
-    source reports as the '(none)' slice (a countable provenance
-    hole, the mixture_report convention).
+    Returns (source, bucket, lo_chars, hi_chars, n_docs) — a NULL
+    source stays a NULL slice row (the mixture_report convention:
+    both engines group NULL keys together, the provenance hole is
+    countable, and the card joins cleanly onto the mixture report
+    without inventing a sentinel a real source name could collide
+    with).
 
     Scale shape: one scan-side projection (length + binary-string
     bucket) into one (source, bucket) aggregate with map-side
@@ -1643,10 +1646,7 @@ def length_histogram(
         F.length(F.bin(n.cast("bigint")))
     ).cast("int")
     out = (
-        df.select(
-            F.coalesce(F.col(source_col), F.lit("(none)")).alias("source"),
-            bucket.alias("bucket"),
-        )
+        df.select(F.col(source_col).alias("source"), bucket.alias("bucket"))
         .groupBy("source", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )

@@ -777,7 +777,7 @@ def incremental_near_dedup(
 
 
 def cluster_size_histogram(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text"
 ) -> DataFrame:
     """Duplicate-cluster size histogram — the "how duplicated is this
     corpus?" data card (the dup-cluster distribution plot in the
@@ -785,13 +785,13 @@ def cluster_size_histogram(
     group size d, how many distinct contents occur exactly d times
     and how many documents that accounts for.
 
-    Returns (dup_count, n_groups, n_docs = dup_count * n_groups)
-    ordered by dup_count. ``sum(n_docs)`` = corpus size;
-    ``n_docs - n_groups`` summed over dup_count >= 2 = rows exact
-    dedup would remove — the headline numbers a mixture report
-    quotes before anyone runs the (much costlier) near-dup pass.
-    NULL text hashes as the empty string (the exact_dedup
-    convention).
+    Returns UNORDERED (dup_count, n_groups, n_docs = dup_count *
+    n_groups) rows — order downstream. ``sum(n_docs)`` = corpus
+    size; ``n_docs - n_groups`` summed over dup_count >= 2 = exactly
+    the rows ``exact_dedup`` would remove, because the grouping key
+    is the same raw-text md5 exact_dedup uses: NULL text digests to
+    NULL and forms its OWN cluster (both engines group NULL keys
+    together), distinct from the empty-string cluster.
 
     Scale shape: two narrow aggregates — documents collapse to
     (digest, count) rows with map-side partials (the exchange
@@ -800,9 +800,7 @@ def cluster_size_histogram(
     hundred rows on any real corpus). Text never shuffles; no join.
     """
     counts = (
-        df.select(
-            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__d__")
-        )
+        df.select(F.md5(F.col(text_col)).alias("__d__"))
         .groupBy("__d__")
         .agg(F.count(F.lit(1)).cast("bigint").alias("dup_count"))
     )

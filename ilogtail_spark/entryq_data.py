@@ -4854,7 +4854,7 @@ def q_events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT text FROM documents WHERE doc_id % 6 = 0
     ), c AS (
-      SELECT md5(coalesce(text, '')) AS d,
+      SELECT md5(text) AS d,
              CAST(count(*) AS BIGINT) AS dup_count
       FROM t GROUP BY 1
     )
@@ -4880,8 +4880,7 @@ def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_length_histogram",
     """
     WITH f AS (
-      SELECT coalesce(source, '(none)') AS source,
-             length(coalesce(text, '')) AS n
+      SELECT source, length(coalesce(text, '')) AS n
       FROM documents
     ), b AS (
       SELECT source,

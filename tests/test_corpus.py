@@ -962,4 +962,5 @@ class TestLengthHistogram:
         assert got[("s1", 2)]["n_docs"] == 2
         assert (got[("s1", 2)]["lo_chars"], got[("s1", 2)]["hi_chars"]) == (2, 3)
         assert (got[("s2", 4)]["lo_chars"], got[("s2", 4)]["hi_chars"]) == (8, 15)
-        assert got[("(none)", 0)]["n_docs"] == 1
+        # NULL source stays a NULL slice (joins onto mixture_report)
+        assert got[(None, 0)]["n_docs"] == 1

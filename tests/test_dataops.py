@@ -1101,13 +1101,15 @@ class TestClusterSizeHistogram:
         from ilogtail_spark.dataops import dedup
 
         df = spark.createDataFrame(
-            [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, None), (6, None)],
+            [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, None), (6, None),
+             (7, "")],
             "doc_id long, text string",
         )
         got = {r["dup_count"]: r for r in
                dedup.cluster_size_histogram(df).collect()}
-        # 'a' x3; 'b' x1; NULL==NULL (hashes as '') x2
+        # 'a' x3; NULL forms its OWN cluster x2 (exact_dedup's raw-md5
+        # grouping: NULL is NOT the empty string); 'b' and '' x1 each
         assert got[3]["n_groups"] == 1 and got[3]["n_docs"] == 3
-        assert got[1]["n_groups"] == 1
         assert got[2]["n_groups"] == 1 and got[2]["n_docs"] == 2
-        assert sum(r["n_docs"] for r in got.values()) == 6
+        assert got[1]["n_groups"] == 2
+        assert sum(r["n_docs"] for r in got.values()) == 7
