@@ -37,6 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _FRONT = [
     # round-5 new queries first (never driver-checked), then the
     # r04-unsampled rotation ordered oldest-driver-check first
+    "conv_tool_chains", "conv_repeated_responses", "corpus_split_leakage",
     "text_lexical_diversity", "text_winnow_fingerprints",
     "corpus_collocations", "corpus_cross_source_dups",
     "conv_latency_quantiles",

@@ -1062,6 +1062,135 @@ def tool_stats(
     )
 
 
+def tool_chains(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    tool_col: str = "tool",
+    order_col: str = "turn_idx",
+    min_convs: int = 1,
+) -> DataFrame:
+    """Tool-call CHAIN report over agent transcripts — "what sequences
+    of tools do agents actually run?": fold each conversation's
+    non-NULL ``tool`` values in turn order into one ``a>b>c`` chain
+    string, then count how many conversations execute each distinct
+    chain. Where :func:`tool_stats` counts calls per tool and
+    ``analytics.transition_counts`` gives first-order edges, this is
+    the full-path view — the report that surfaces degenerate agent
+    loops (``search>search>search>...``) and the dominant workflows
+    worth caching. ``min_convs`` prunes singleton chains from the
+    report.
+
+    Output: (chain, chain_len, n_convs, share_micro) where share is
+    the exact integer micro fraction of tool-using conversations.
+
+    Determinism: the per-conversation fold is array_sort over
+    (order, tool) structs, so ties on the order column resolve by
+    tool name identically on every engine and partitioning.
+
+    Scale shape: one conv-keyed aggregate collapses turns to a chain
+    per conversation (tool names are short enums; the chain string is
+    bounded by the conversation's tool-call count — the same
+    bounded-string shuffle as log-template mining); the chain
+    dictionary aggregate is partial-aggregated, and the grand total
+    broadcasts back as one row (the hotkey_stats idiom). Transcript
+    TEXT never enters the plan.
+    """
+    _require(df, [conv_col, tool_col, order_col], "tool_chains")
+    if min_convs < 1:
+        raise ValueError(f"min_convs must be >= 1 (got {min_convs})")
+    calls = df.filter(F.col(tool_col).isNotNull()).select(
+        F.col(conv_col).alias("__c__"),
+        F.struct(
+            F.col(order_col).alias("i"), F.col(tool_col).alias("t")
+        ).alias("__s__"),
+    )
+    per_conv = calls.groupBy("__c__").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("__s__")), lambda x: x["t"]
+            ),
+            ">",
+        ).alias("chain"),
+        F.count(F.lit(1)).cast("bigint").alias("chain_len"),
+    )
+    per_chain = per_conv.groupBy("chain").agg(
+        # every conversation with the same chain string has the same
+        # length by construction; min() is just the aggregate form
+        F.min("chain_len").alias("chain_len"),
+        F.count(F.lit(1)).cast("bigint").alias("n_convs"),
+    )
+    # the grand total (tool-using conversations) derives from the
+    # chain DICTIONARY, not a second pass over the turns — the
+    # broadcast side shares the per-conv subtree up to the chain
+    # exchange instead of re-deriving the full window pipeline
+    total = per_chain.agg(F.sum("n_convs").alias("__total__"))
+    return (
+        per_chain.filter(F.col("n_convs") >= min_convs)
+        .join(F.broadcast(total))
+        .select(
+            "chain",
+            "chain_len",
+            "n_convs",
+            F.expr("CAST(n_convs AS DECIMAL(38,0)) * 1000000 div __total__")
+            .cast("bigint")
+            .alias("share_micro"),
+        )
+    )
+
+
+def repeated_response_report(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    role: str = "assistant",
+    min_convs: int = 2,
+    snippet_len: int = 60,
+) -> DataFrame:
+    """Cross-conversation boilerplate-response report: assistant turns
+    whose EXACT text recurs in ``min_convs`` or more distinct
+    conversations. Whole-conversation dedup (conversation_dedup) and
+    adjacent-retry detection (repeated_turn_stats) can't see this —
+    the canned answer ("As an AI...", a templated apology, a cached
+    tool summary) hides inside otherwise-unique conversations, and in
+    SFT corpora it teaches the model to over-produce the template.
+    This is the report that sizes the problem before a turn-level
+    drop/downsample decision.
+
+    Output: one row per repeated response digest — (text_md5, snippet,
+    n_turns, n_convs, first_conv), where snippet is the first
+    ``snippet_len`` characters (all texts in a digest group are
+    identical, so min() of the prefix IS the prefix) and first_conv
+    the smallest conversation id carrying it.
+
+    Scale shape: turns collapse to (32-hex digest, conv id,
+    bounded-length snippet) at the scan; ONE partial-aggregated
+    groupBy on the digest (the distinct-conv count is the standard
+    two-phase expand); full turn text never shuffles. Output is
+    bounded by the number of genuinely repeated responses.
+    """
+    _require(df, [conv_col, role_col, text_col], "repeated_response_report")
+    if min_convs < 1:
+        raise ValueError(f"min_convs must be >= 1 (got {min_convs})")
+    turns = df.filter(
+        (F.col(role_col) == role) & F.col(text_col).isNotNull()
+    ).select(
+        F.md5(F.col(text_col)).alias("text_md5"),
+        F.substring(F.col(text_col), 1, snippet_len).alias("__snip__"),
+        F.col(conv_col).alias("__c__"),
+    )
+    return (
+        turns.groupBy("text_md5")
+        .agg(
+            F.min("__snip__").alias("snippet"),
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+            F.countDistinct("__c__").cast("bigint").alias("n_convs"),
+            F.min("__c__").alias("first_conv"),
+        )
+        .filter(F.col("n_convs") >= min_convs)
+    )
+
+
 def conversation_prep(
     df: DataFrame,
     conv_col: str = "conv_id",

@@ -947,6 +947,25 @@ def assign_splits(
     split column is a free rider on whatever pass already reads the
     table.
     """
+    key = (
+        F.coalesce(F.col(key_col).cast("string"), F.col(id_col).cast("string"))
+        if key_col is not None
+        else F.col(id_col).cast("string")
+    )
+    return df.withColumn(out_col, split_expr(key, splits, salt))
+
+
+def split_expr(key: Column, splits: dict[str, int], salt: str = "") -> Column:
+    """The pure split-assignment expression behind
+    :func:`assign_splits`: given a STRING key column, return the split
+    name its seedless md5 draw lands in. Exposed separately so
+    consumers that already hold the key as a column — e.g.
+    :func:`split_leakage`, which evaluates the split of BOTH sides of
+    a candidate pair without a join back to the corpus — compute the
+    identical assignment the corpus rows got. Pure scan-side
+    expression; same exact 16^8 integer threshold math as
+    assign_splits (one shared implementation, so they cannot drift).
+    """
     total = sum(splits.values())
     if total != 1_000_000:
         raise ValueError(
@@ -955,11 +974,6 @@ def assign_splits(
         )
     if any(w < 0 for w in splits.values()):
         raise ValueError("split shares must be non-negative")
-    key = (
-        F.coalesce(F.col(key_col).cast("string"), F.col(id_col).cast("string"))
-        if key_col is not None
-        else F.col(id_col).cast("string")
-    )
     draw = F.substring(F.md5(F.concat(F.lit(salt), key)), 1, 8)
     names = list(splits)
     cum = 0
@@ -978,7 +992,89 @@ def assign_splits(
         bounds.append((name, thr))
     for name, thr in reversed(bounds):
         expr = F.when(draw < F.lit(thr), F.lit(name)).otherwise(expr)
-    return df.withColumn(out_col, expr)
+    return expr
+
+
+def split_leakage(
+    df: DataFrame,
+    splits: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_band_bucket: int | None = None,
+) -> DataFrame:
+    """Train/test split-leakage audit: how many NEAR-DUPLICATE document
+    pairs does a per-document i.i.d. split assignment place in
+    DIFFERENT splits? This is the report that justifies
+    ``assign_splits(key_col=...)`` — splitting by row id puts
+    near-duplicates of training documents into the eval set, and eval
+    numbers silently measure memorization (the contamination failure
+    GPT-3's appendix C and Dodge et al. 2021 document for C4). Run it
+    before freezing a split; a nonzero count means the split must key
+    on the dedup-cluster id instead.
+
+    Near-dup candidates come from the same MinHash-LSH banding as
+    :func:`ilogtail_spark.dataops.dedup.minhash_candidate_pairs`
+    (exact duplicates always collide — the classic same-doc-in-both
+    case is a guaranteed catch). Each pair's two splits are computed
+    by re-evaluating :func:`split_expr` directly on the pair's id
+    columns — a pure expression, NO join back to the corpus, the same
+    math assign_splits applied — then cross-split pairs aggregate to
+    one row per unordered split pair: (split_a, split_b) with
+    split_a < split_b, n_pairs, and n_docs (distinct documents
+    involved on either side).
+
+    Scale shape: the candidate self-join shuffles (id, band digest)
+    rows only (document text never leaves the scan; ``max_band_bucket``
+    caps boilerplate buckets as usual); the split evaluation is
+    scan-side on the pair output; both report counters come out of ONE
+    aggregate over the pair rows exploded to their two sides (pairs
+    count via the d==a side marker, distinct docs via the standard
+    two-phase expand), so the candidate-join subtree is evaluated
+    once; output is bounded by |splits|^2 rows. Reference analog:
+    this is pipeline-level QA the reference leaves to the operator —
+    cited here as the data-prep twin of its self-monitor counters
+    (core/monitor/MetricConstants.h:1-40).
+    """
+    from ilogtail_spark.dataops import dedup as _dedup
+
+    pairs = _dedup.minhash_candidate_pairs(
+        df.select(id_col, text_col),
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        max_band_bucket=max_band_bucket,
+    )
+    sa = split_expr(F.col("a").cast("string"), splits, salt)
+    sb = split_expr(F.col("b").cast("string"), splits, salt)
+    leaks = (
+        pairs.withColumn("__sa__", sa)
+        .withColumn("__sb__", sb)
+        .filter(F.col("__sa__") != F.col("__sb__"))
+        .select(
+            F.least("__sa__", "__sb__").alias("split_a"),
+            F.greatest("__sa__", "__sb__").alias("split_b"),
+            "a",
+            "b",
+        )
+    )
+    sides = leaks.select(
+        "split_a",
+        "split_b",
+        "a",
+        F.explode(F.array("a", "b")).alias("__d__"),
+    )
+    return sides.groupBy("split_a", "split_b").agg(
+        # each pair contributes exactly one row with __d__ == a
+        # (a < b by construction), so this sums to the pair count
+        F.sum(F.when(F.col("__d__") == F.col("a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pairs"),
+        F.countDistinct("__d__").cast("bigint").alias("n_docs"),
+    )
 
 
 def snapshot_diff(

@@ -76,7 +76,12 @@ def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # minhash LSH candidate pairs (8 hashes, band size 2)
 # ---------------------------------------------------------------------------
-def _minhash_pairs_oracle() -> str:
+def _minhash_pairs_cte(docs_sql: str) -> str:
+    """CTE chain (no leading WITH) producing ``pairs`` — the DISTINCT
+    (a < b) candidate pairs of the 8-hash/band-2 MinHash construction
+    over ``docs_sql`` (must yield (doc_id, text)). ONE copy shared by
+    the pairs oracle and the split-leakage oracle so the hash
+    construction can never drift between them."""
     band_selects = "\n      UNION ALL\n".join(
         f"      SELECT doc_id, {j} AS band_idx, "
         f"md5(mh{2 * j} || '|' || mh{2 * j + 1}) AS band_hash FROM sig"
@@ -86,9 +91,8 @@ def _minhash_pairs_oracle() -> str:
         f"list_aggregate(list_transform(s, x -> md5('{i}:' || x)), 'min') AS mh{i}"
         for i in range(8)
     )
-    return f"""
-    WITH toks AS (
-      SELECT doc_id, {SQL_TOKENS.format(col="text")} AS w FROM documents
+    return f"""toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(col="text")} AS w FROM ({docs_sql})
     ), sh AS (
       SELECT doc_id,
              CASE WHEN len(w) >= 3
@@ -100,12 +104,18 @@ def _minhash_pairs_oracle() -> str:
       SELECT doc_id, {mins} FROM sh
     ), bands AS (
 {band_selects}
-    )
-    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-    FROM bands l JOIN bands r
-      ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
-     AND l.doc_id < r.doc_id
-    ORDER BY a, b
+    ), pairs AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r
+        ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+       AND l.doc_id < r.doc_id
+    )"""
+
+
+def _minhash_pairs_oracle() -> str:
+    return f"""
+    WITH {_minhash_pairs_cte("SELECT doc_id, text FROM documents")}
+    SELECT a, b FROM pairs ORDER BY a, b
     """
 
 
@@ -2472,6 +2482,70 @@ def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# split-leakage audit: near-dup pairs crossing an i.i.d. per-doc split.
+# Exact clones of every 9th doc are injected under doc_id + 10^6 on
+# BOTH engines — a clone shares every LSH band with its original, so
+# candidate pairs provably exist, and ~18.5% of (id, id+10^6) draws
+# land in different splits under the 90/5/5 shares
+# ---------------------------------------------------------------------------
+def _split_case_sql(key_sql: str) -> str:
+    # thresholds derive from the SAME _SPLITS_MICRO dict as
+    # _split_assign_oracle, with the draw inlined per key expression
+    names = list(_SPLITS_MICRO)
+    draw = f"substring(md5('' || CAST({key_sql} AS VARCHAR)), 1, 8)"
+    cum = 0
+    whens = []
+    for name in names[:-1]:
+        cum += _SPLITS_MICRO[name]
+        thr = format(cum * 16**8 // 1_000_000, "08x")
+        whens.append(f"WHEN {draw} < '{thr}' THEN '{name}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+
+
+def _split_leakage_oracle() -> str:
+    docs_sql = """SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 9 = 0"""
+    return f"""
+    WITH {_minhash_pairs_cte(docs_sql)}, sp AS (
+      SELECT {_split_case_sql("a")} AS sa,
+             {_split_case_sql("b")} AS sb,
+             a, b
+      FROM pairs
+    ), lk AS (
+      SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b, a, b
+      FROM sp WHERE sa <> sb
+    ), np AS (
+      SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM lk GROUP BY 1, 2
+    ), nd AS (
+      SELECT split_a, split_b, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+      FROM (
+        SELECT split_a, split_b, a AS d FROM lk
+        UNION ALL
+        SELECT split_a, split_b, b AS d FROM lk
+      ) GROUP BY 1, 2
+    )
+    SELECT np.split_a, np.split_b, n_pairs, n_docs
+    FROM np JOIN nd USING (split_a, split_b)
+    ORDER BY split_a, split_b
+    """
+
+
+@query("corpus_split_leakage", _split_leakage_oracle())
+def q_corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    aug = docs.union(clones)
+    return corpus.split_leakage(aug, _SPLITS_MICRO).orderBy(
+        "split_a", "split_b"
+    )
+
+
+# ---------------------------------------------------------------------------
 # snapshot diff (added/removed/changed between two corpus snapshots)
 # ---------------------------------------------------------------------------
 def _snapshot_diff_oracle() -> str:
@@ -4257,6 +4331,106 @@ def q_conv_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return conversations.tool_stats(with_tool).orderBy("tool")
+
+
+# ---------------------------------------------------------------------------
+# tool-call chain report: ordered per-conversation tool sequences
+# folded to 'a>b>c' chains, counted across conversations (same
+# synthesized tool column as conv_tool_stats)
+# ---------------------------------------------------------------------------
+@query(
+    "conv_tool_chains",
+    f"""
+    WITH t AS (
+      SELECT conv_id, turn_idx,
+             CASE WHEN role = 'tool'
+                  THEN 'tool_' || CAST(turn_idx % 5 AS VARCHAR) END
+               AS tool
+      FROM ({_TRANSCRIPT_SQL})
+    ), c AS (
+      SELECT conv_id,
+             string_agg(tool, '>' ORDER BY turn_idx, tool) AS chain,
+             CAST(count(*) AS BIGINT) AS chain_len
+      FROM t WHERE tool IS NOT NULL GROUP BY conv_id
+    ), pc AS (
+      SELECT chain, min(chain_len) AS chain_len,
+             CAST(count(*) AS BIGINT) AS n_convs
+      FROM c GROUP BY chain
+    ), tot AS (SELECT count(*) AS total FROM c)
+    SELECT chain, chain_len, n_convs,
+           CAST(CAST(n_convs AS HUGEINT) * 1000000 // total AS BIGINT)
+             AS share_micro
+    FROM pc, tot ORDER BY chain
+    """,
+)
+def q_conv_tool_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    with_tool = t.withColumn(
+        "tool",
+        F.when(
+            F.col("role") == "tool",
+            F.concat(F.lit("tool_"), (F.col("turn_idx") % 5).cast("string")),
+        ),
+    )
+    return conversations.tool_chains(with_tool).orderBy("chain")
+
+
+# ---------------------------------------------------------------------------
+# cross-conversation boilerplate-response report: two canned assistant
+# replies are INJECTED (text replaced, identical on both engines) on
+# deterministic (conv, turn) slots so exact cross-conv repeats provably
+# exist; natural props repeats (if any) are computed identically too
+# ---------------------------------------------------------------------------
+_BOILERPLATE_CASE = """CASE
+        WHEN role = 'assistant' AND conv_id % 3 = 2 AND turn_idx % 4 = 2
+        THEN 'I''m sorry, but I can''t help with that request.'
+        WHEN role = 'assistant' AND conv_id % 5 = 1 AND turn_idx % 6 = 3
+        THEN 'Here is a summary of the results you asked for.'
+        ELSE text END"""
+
+
+@query(
+    "conv_repeated_responses",
+    f"""
+    WITH t0 AS (
+      {_TRANSCRIPT_SQL}
+    ), t AS (
+      SELECT conv_id, role, {_BOILERPLATE_CASE} AS text FROM t0
+    ), a AS (
+      SELECT md5(text) AS text_md5,
+             substring(text, 1, 60) AS snip,
+             conv_id
+      FROM t WHERE role = 'assistant' AND text IS NOT NULL
+    )
+    SELECT text_md5,
+           min(snip) AS snippet,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           min(conv_id) AS first_conv
+    FROM a GROUP BY text_md5
+    HAVING count(DISTINCT conv_id) >= 2
+    ORDER BY text_md5
+    """,
+)
+def q_conv_repeated_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    injected = t.withColumn(
+        "text",
+        F.when(
+            (F.col("role") == "assistant")
+            & (F.col("conv_id") % 3 == 2)
+            & (F.col("turn_idx") % 4 == 2),
+            F.lit("I'm sorry, but I can't help with that request."),
+        )
+        .when(
+            (F.col("role") == "assistant")
+            & (F.col("conv_id") % 5 == 1)
+            & (F.col("turn_idx") % 6 == 3),
+            F.lit("Here is a summary of the results you asked for."),
+        )
+        .otherwise(F.col("text")),
+    )
+    return conversations.repeated_response_report(injected).orderBy("text_md5")
 
 
 # ---------------------------------------------------------------------------

@@ -751,3 +751,96 @@ class TestPrefixReport:
         assert got[1]["shared_depth"] == 3  # capped below the true 5
         with pytest.raises(ValueError, match="max_depth"):
             conversations.prefix_report(self._df(spark, rows), max_depth=0)
+
+
+class TestToolChains:
+    SCHEMA = "conv_id string, turn_idx int, role string, tool string"
+
+    def test_chain_fold_and_counts(self, spark):
+        rows = [
+            ("c1", 0, "user", None),
+            ("c1", 1, "tool", "search"),
+            ("c1", 2, "tool", "fetch"),
+            ("c1", 3, "assistant", None),
+            # c2 runs the same chain as c1
+            ("c2", 0, "tool", "search"),
+            ("c2", 5, "tool", "fetch"),
+            # c3: single-tool chain; out-of-order insertion exercises
+            # the array_sort (turn 4 listed before turn 2)
+            ("c3", 4, "tool", "calc"),
+            ("c3", 2, "tool", "search"),
+            # c4: no tool calls at all -> not a tool-using conversation
+            ("c4", 0, "user", None),
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        out = {
+            r["chain"]: r.asDict()
+            for r in conversations.tool_chains(df).collect()
+        }
+        assert set(out) == {"search>fetch", "search>calc"}
+        sf = out["search>fetch"]
+        assert (sf["chain_len"], sf["n_convs"]) == (2, 2)
+        # 2 of 3 tool-using conversations
+        assert sf["share_micro"] == 2 * 1_000_000 // 3
+        sc = out["search>calc"]
+        assert (sc["chain_len"], sc["n_convs"]) == (2, 1)
+        assert sc["share_micro"] == 1_000_000 // 3
+
+    def test_min_convs_prunes_singletons(self, spark):
+        rows = [
+            ("c1", 0, "tool", "a"),
+            ("c2", 0, "tool", "a"),
+            ("c3", 0, "tool", "b"),
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        out = conversations.tool_chains(df, min_convs=2).collect()
+        assert [r["chain"] for r in out] == ["a"]
+
+    def test_order_tie_resolves_by_tool_name(self, spark):
+        # duplicate turn_idx: struct sort falls back to the tool name,
+        # so the chain is deterministic on every partitioning
+        rows = [("c1", 1, "tool", "zeta"), ("c1", 1, "tool", "alpha")]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        out = conversations.tool_chains(df).collect()
+        assert out[0]["chain"] == "alpha>zeta"
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("c1", 0, "tool", "a")], self.SCHEMA)
+        with pytest.raises(ValueError, match="min_convs"):
+            conversations.tool_chains(df, min_convs=0)
+        with pytest.raises(ValueError, match="tool_chains"):
+            conversations.tool_chains(df.drop("tool"))
+
+
+class TestRepeatedResponses:
+    def test_cross_conv_boilerplate(self, spark):
+        canned = "I cannot help with that."
+        rows = [
+            ("c1", 0, "user", canned),  # user turn never counts
+            ("c1", 1, "assistant", canned),
+            ("c2", 1, "assistant", canned),
+            ("c2", 3, "assistant", canned),  # same conv twice
+            ("c3", 1, "assistant", "unique answer"),
+            ("c4", 1, "assistant", None),  # NULL text ignored
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = conversations.repeated_response_report(df).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["snippet"] == canned
+        assert (r["n_turns"], r["n_convs"], r["first_conv"]) == (3, 2, "c1")
+
+    def test_min_convs_and_snippet_len(self, spark):
+        rows = [
+            ("c1", 0, "assistant", "x" * 100),
+            ("c2", 0, "assistant", "x" * 100),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = conversations.repeated_response_report(
+            df, min_convs=3
+        ).collect()
+        assert out == []
+        out = conversations.repeated_response_report(
+            df, min_convs=2, snippet_len=10
+        ).collect()
+        assert out[0]["snippet"] == "x" * 10

@@ -964,3 +964,74 @@ class TestLengthHistogram:
         assert (got[("s2", 4)]["lo_chars"], got[("s2", 4)]["hi_chars"]) == (8, 15)
         # NULL source stays a NULL slice (joins onto mixture_report)
         assert got[(None, 0)]["n_docs"] == 1
+
+
+class TestSplitLeakage:
+    SPLITS = {"train": 900_000, "val": 50_000, "test": 50_000}
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_exact_clones_cross_splits(self, spark):
+        # clone each doc under id+1000 — identical text shares every
+        # LSH band, so each (i, i+1000) pair is a guaranteed candidate;
+        # brute-force the expected cross-split pair set via split_expr
+        base = "the quick brown fox jumps over the lazy dog number"
+        rows = []
+        for i in range(40):
+            rows.append((i, f"{base} {i} alpha beta gamma delta"))
+            rows.append((i + 1000, f"{base} {i} alpha beta gamma delta"))
+        df = self._docs(spark, rows)
+        out = {
+            (r["split_a"], r["split_b"]): (r["n_pairs"], r["n_docs"])
+            for r in corpus.split_leakage(df, self.SPLITS).collect()
+        }
+        # independent expectation: evaluate the same split draw per id
+        splits = {
+            r["doc_id"]: r["split"]
+            for r in corpus.assign_splits(df, self.SPLITS).collect()
+        }
+        expected: dict[tuple[str, str], list[tuple[int, int]]] = {}
+        for i in range(40):
+            sa, sb = splits[i], splits[i + 1000]
+            if sa != sb:
+                key = (min(sa, sb), max(sa, sb))
+                expected.setdefault(key, []).append((i, i + 1000))
+        # the shared base sentence makes some DISTINCT docs near-dups
+        # too, so out may carry extra cross-split keys beyond the
+        # guaranteed clone pairs — expected must be a subset
+        assert set(expected) <= set(out)
+        for key, pairs in expected.items():
+            n_pairs, n_docs = out[key]
+            # every expected clone pair must be counted (candidate
+            # generation may add near-dup pairs between distinct docs,
+            # but identical clones are guaranteed candidates)
+            assert n_pairs >= len(pairs)
+            assert n_docs >= len({d for p in pairs for d in p})
+
+    def test_no_leak_when_single_split_dominates(self, spark):
+        # all mass in one split -> no pair can cross
+        rows = [(i, "same text for everyone here") for i in range(10)]
+        df = self._docs(spark, rows)
+        out = corpus.split_leakage(df, {"train": 1_000_000}).collect()
+        assert out == []
+
+    def test_share_validation(self, spark):
+        df = self._docs(spark, [(1, "a b c d e")])
+        with pytest.raises(ValueError, match="1,000,000"):
+            corpus.split_leakage(df, {"train": 1})
+
+
+class TestSplitExpr:
+    def test_matches_assign_splits(self, spark):
+        # the factored expression and assign_splits must agree row-for-row
+        splits = {"train": 900_000, "val": 50_000, "test": 50_000}
+        df = spark.createDataFrame(
+            [(i,) for i in range(200)], "doc_id bigint"
+        )
+        a = corpus.assign_splits(df, splits)
+        b = df.withColumn(
+            "split2", corpus.split_expr(F.col("doc_id").cast("string"), splits)
+        )
+        joined = a.join(b, "doc_id")
+        assert joined.filter(F.col("split") != F.col("split2")).count() == 0

@@ -1988,6 +1988,81 @@ def main() -> int:
         "bit-length buckets so every engine bins identically.",
     )
 
+    # 61. tool-call chains / repeated-response report / split-leakage audit
+    from ilogtail_spark.dataops import conversations as _conv61
+    from ilogtail_spark.dataops import corpus as _c61
+
+    q61 = entryq.QUERIES["conv_tool_chains"](spark, SF_DIR)
+    p61 = formatted(q61)
+    ex61 = _hash_exchanges(p61)
+    ev61 = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    t61 = ev61.select(
+        F.col("user_id").alias("conv_id"),
+        F.when(F.col("event_type") == "click", "user")
+        .otherwise("assistant")
+        .alias("role"),
+        F.col("props").alias("text"),
+    )
+    q61r = _conv61.repeated_response_report(t61)
+    p61r = formatted(q61r)
+    ex61r = _hash_exchanges(p61r)
+    docs61 = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    q61l = _c61.split_leakage(
+        docs61, {"train": 900_000, "val": 50_000, "test": 50_000}
+    )
+    p61l = formatted(q61l)
+    ex61l = _hash_exchanges(p61l)
+    audit(
+        "tool-call chains / repeated-response report / split-leakage audit",
+        q61,
+        [
+            ("tool chains: no exchange carries transcript text — the "
+             "conv fold ships (conv, tool enum) rows and the chain "
+             "dictionary ships bounded chain strings (the "
+             "log-template convention)",
+             all("text#" not in e and "props#" not in e for e in ex61)),
+            ("tool chains: the grand total rides back as a broadcast "
+             "single row off the chain DICTIONARY (never a second "
+             "full-corpus aggregate shape)",
+             "Broadcast" in p61
+             and len(re.findall(r"\(\d+\) Scan parquet", p61)) <= 2),
+            ("tool chains: whole plan is codegen — no Python stage",
+             not re.search(r"EvalPython|InPandas", p61)),
+            ("repeated responses: ONE aggregate exchange pair and "
+             "raw text never shuffles — turns collapse to (32-hex "
+             "digest, bounded snippet, conv) AT THE SCAN",
+             len(ex61r) <= 2
+             and all("text#" not in e for e in ex61r)
+             and len(re.findall(r"\(\d+\) Scan parquet", p61r)) == 1),
+            ("repeated responses: no Python stage",
+             not re.search(r"EvalPython|InPandas", p61r)),
+            ("split leakage: document text never shuffles — every "
+             "exchange carries minhash digests, ids, or the "
+             "|splits|^2-bounded report rows",
+             all("text#" not in e for e in ex61l)),
+            ("split leakage: n_pairs and n_docs come out of ONE "
+             "aggregate over the exploded pair sides (exactly one "
+             "partial/final exchange pair mentions the split "
+             "columns) — the candidate-join subtree is not "
+             "re-evaluated per counter",
+             sum(1 for e in ex61l if "split_a" in e) == 2),
+            ("split leakage: split assignment is a scan-side "
+             "expression on the pair ids — no join back to the "
+             "corpus for splits (at most the band self-join itself)",
+             not re.search(r"EvalPython|InPandas", p61l)
+             and len(re.findall(r"\(\d+\) Scan parquet", p61l)) <= 4),
+        ],
+        "Three agent-corpus QA cards: the chain report folds tool "
+        "calls per conversation then counts a bounded chain "
+        "dictionary; the boilerplate-response report is digest "
+        "algebra over assistant turns; the leakage audit re-evaluates "
+        "the split draw directly on candidate-pair ids (split_expr is "
+        "the same expression assign_splits used, so no corpus join) "
+        "and aggregates both counters in one pass.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
