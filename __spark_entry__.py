@@ -38,6 +38,8 @@ _FRONT = [
     # round-5 new queries first (never driver-checked), then the
     # r04-unsampled rotation ordered oldest-driver-check first
     "conv_tool_chains", "conv_repeated_responses", "corpus_split_leakage",
+    "dedup_minhash_calibration", "corpus_snapshot_drift",
+    "conv_context_overflow",
     "text_lexical_diversity", "text_winnow_fingerprints",
     "corpus_collocations", "corpus_cross_source_dups",
     "conv_latency_quantiles",

@@ -283,6 +283,73 @@ def trim_to_context(
     )
 
 
+def context_overflow_report(
+    df: DataFrame,
+    max_tokens: int,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-budget planning card — the measurement companion of
+    :func:`trim_to_context`: running FORWARD through each
+    conversation, where does the cumulative whitespace-token count
+    first exceed ``max_tokens``, and how many turns lie past that
+    point? Trimming answers "make it fit"; this answers "how much
+    would trimming cost" — the report that picks the context length
+    (or the chunking strategy) before committing an SFT corpus build.
+
+    Output: one row per conversation — (conv_id, n_turns,
+    total_tokens, first_overflow_idx, n_turns_over, fits) where
+    first_overflow_idx is the turn index at which the running total
+    first crosses the budget (NULL when the whole conversation fits,
+    and then fits = true and n_turns_over = 0).
+
+    Determinism: the running sum orders by (idx, role, text digest)
+    with the same NULL sentinels as trim_to_context, so tied indices
+    accumulate identically on every engine and partitioning.
+
+    Scale shape: ONE conv_id exchange shared by the rows-frame running
+    sum and the per-conversation aggregate; token counting is a
+    scan-side expression; text never shuffles (the digest tiebreak
+    ships 32 hex chars).
+    """
+    _require(
+        df, [conv_col, idx_col, role_col, text_col], "context_overflow_report"
+    )
+    if max_tokens <= 0:
+        raise ValueError(
+            f"context_overflow_report: max_tokens must be > 0, got {max_tokens}"
+        )
+    slim = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.coalesce(F.col(idx_col).cast("bigint"), F.lit(-1)).alias("__idx__"),
+        F.coalesce(F.col(role_col), F.lit("")).alias("__role__"),
+        F.coalesce(F.md5(F.col(text_col).cast("string")), F.lit("")).alias(
+            "__d__"
+        ),
+        F.size(
+            tokens_col(F.coalesce(F.col(text_col).cast("string"), F.lit("")))
+        )
+        .cast("bigint")
+        .alias("__n__"),
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("__idx__", "__role__", "__d__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = slim.withColumn("__cum__", F.sum("__n__").over(w))
+    over = F.col("__cum__") > max_tokens
+    return cum.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.sum("__n__").cast("bigint").alias("total_tokens"),
+        F.min(F.when(over, F.col("__idx__"))).alias("first_overflow_idx"),
+        F.sum(F.when(over, 1).otherwise(0)).cast("bigint").alias("n_turns_over"),
+        (F.max(F.when(over, 1).otherwise(0)) == 0).alias("fits"),
+    )
+
+
 def role_stats(
     df: DataFrame,
     conv_col: str = "conv_id",

@@ -1133,6 +1133,69 @@ def snapshot_diff(
     return out
 
 
+def snapshot_drift(
+    old: DataFrame,
+    new: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source distribution drift between two corpus snapshots —
+    the aggregate companion of :func:`snapshot_diff` (which reports
+    membership churn per document): for each source present in either
+    snapshot, document counts, total whitespace-token counts, their
+    deltas, and the exact integer mean tokens/doc on both sides. This
+    is the data card an ingest pipeline checks between crawls before
+    re-deriving mixtures — a source whose mean document length halves
+    (extraction regression) or whose volume spikes 10x (crawl-loop
+    artifact) shows up here long before model metrics move.
+
+    Output: (source, n_docs_old, n_docs_new, doc_delta, tokens_old,
+    tokens_new, token_delta, mean_tokens_old_micro,
+    mean_tokens_new_micro) — counts coalesce to 0 for a side the
+    source is absent from; the means stay NULL there (0-token docs
+    and absent sources are different facts).
+
+    Scale shape: each snapshot collapses to a per-source (count,
+    token-sum) card AT THE SCAN (token counting is a scan-side
+    expression; NULL text counts 0 tokens); the full-outer join runs
+    over source-cardinality rows. Text never shuffles.
+    """
+
+    def card(df: DataFrame, suffix: str) -> DataFrame:
+        toks = F.coalesce(
+            F.size(tokens_col(F.col(text_col))).cast("bigint"), F.lit(0)
+        )
+        return df.groupBy(F.col(source_col).alias("source")).agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n_docs_{suffix}"),
+            F.sum(toks).cast("bigint").alias(f"tokens_{suffix}"),
+        )
+
+    j = card(old, "old").join(card(new, "new"), "source", "full_outer")
+    n_old = F.coalesce(F.col("n_docs_old"), F.lit(0)).cast("bigint")
+    n_new = F.coalesce(F.col("n_docs_new"), F.lit(0)).cast("bigint")
+    t_old = F.coalesce(F.col("tokens_old"), F.lit(0)).cast("bigint")
+    t_new = F.coalesce(F.col("tokens_new"), F.lit(0)).cast("bigint")
+    return j.select(
+        "source",
+        n_old.alias("n_docs_old"),
+        n_new.alias("n_docs_new"),
+        (n_new - n_old).alias("doc_delta"),
+        t_old.alias("tokens_old"),
+        t_new.alias("tokens_new"),
+        (t_new - t_old).alias("token_delta"),
+        F.expr(
+            "CASE WHEN coalesce(n_docs_old, 0) > 0 THEN "
+            "CAST(CAST(coalesce(tokens_old, 0) AS DECIMAL(38,0)) "
+            "* 1000000 div n_docs_old AS BIGINT) END"
+        ).alias("mean_tokens_old_micro"),
+        F.expr(
+            "CASE WHEN coalesce(n_docs_new, 0) > 0 THEN "
+            "CAST(CAST(coalesce(tokens_new, 0) AS DECIMAL(38,0)) "
+            "* 1000000 div n_docs_new AS BIGINT) END"
+        ).alias("mean_tokens_new_micro"),
+    )
+
+
 def quota_candidates(
     df: DataFrame,
     quota: int,

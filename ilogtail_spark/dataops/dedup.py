@@ -416,6 +416,88 @@ def _band_candidate_pairs(
     )
 
 
+def minhash_calibration(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    max_band_bucket: int | None = None,
+) -> DataFrame:
+    """Signature-calibration card for the MinHash near-dup stack: for
+    every LSH candidate pair, the Jaccard similarity the SIGNATURES
+    estimate (share of equal minhash components, exact integer micro)
+    next to the TRUE shingle-set Jaccard. This is the tuning report
+    behind the num_hashes / band_size / threshold knobs — a wide
+    estimate-vs-truth gap at the operating threshold means the
+    signature is too short (raise num_hashes), while many candidates
+    with near-zero true Jaccard mean the bands are too permissive
+    (raise band_size). Run it on a sample before committing a corpus
+    -scale near-dedup configuration.
+
+    Output: (a, b, est_jaccard_micro, jaccard) — one row per candidate
+    pair; jaccard is 0.0 for the (hash-collision) corner where a
+    candidate pair shares no shingle.
+
+    Scale shape: candidates come from the usual band construction
+    (digest-only shuffles, ``max_band_bucket`` hot-bucket cap); the
+    estimate joins the |docs| x k signature table onto the pair list
+    twice (ids + fixed-width digests, never text); the true Jaccard is
+    the candidate-restricted inverted-index join of
+    :func:`ngram_jaccard_pairs` — bounded by the candidate id set, the
+    same contract near_dedup_filter relies on. The signature subtree
+    feeds both the bands and the two estimate joins; Spark's exchange
+    reuse dedups the aggregation, and at corpus scale the caller can
+    persist the signature frame first.
+    """
+    base = df.select(id_col, text_col)
+    sig = minhash_signature(
+        base, text_col, num_hashes, shingle_n, id_col,
+        keep_signatureless=False,
+    )
+    bands = minhash_bands(sig, num_hashes, band_size, id_col)
+    pairs = _band_candidate_pairs(bands, id_col, max_band_bucket)
+    siga = sig.select(
+        F.col(id_col).alias("a"),
+        *[F.col(f"mh{i}").alias(f"__am{i}__") for i in range(num_hashes)],
+    )
+    sigb = sig.select(
+        F.col(id_col).alias("b"),
+        *[F.col(f"mh{i}").alias(f"__bm{i}__") for i in range(num_hashes)],
+    )
+    matches: Column = F.lit(0)
+    for i in range(num_hashes):
+        matches = matches + F.when(
+            F.col(f"__am{i}__") == F.col(f"__bm{i}__"), 1
+        ).otherwise(0)
+    est = (
+        pairs.join(siga, "a")
+        .join(sigb, "b")
+        .withColumn("__match__", matches)
+        .select(
+            "a",
+            "b",
+            F.expr(
+                f"CAST(__match__ AS DECIMAL(38,0)) * 1000000 div {num_hashes}"
+            )
+            .cast("bigint")
+            .alias("est_jaccard_micro"),
+        )
+    )
+    ids = (
+        pairs.select(F.col("a").alias(id_col))
+        .union(pairs.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(
+        base, text_col, id_col, shingle_n, threshold=0.0, restrict_ids=ids
+    )
+    return est.join(exact, ["a", "b"], "left").withColumn(
+        "jaccard", F.coalesce(F.col("jaccard"), F.lit(0.0))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -160,6 +160,48 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# minhash signature calibration: estimated (signature-agreement)
+# jaccard vs TRUE shingle jaccard per LSH candidate pair
+# ---------------------------------------------------------------------------
+def _minhash_calibration_oracle() -> str:
+    match_sum = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(8)
+    )
+    return f"""
+    WITH {_minhash_pairs_cte("SELECT doc_id, text FROM documents")}, est AS (
+      SELECT p.a, p.b,
+             CAST(CAST(({match_sum}) AS HUGEINT) * 1000000 // 8 AS BIGINT)
+               AS est_jaccard_micro
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.a
+      JOIN sig sb ON sb.doc_id = p.b
+    ), shd AS (
+      SELECT DISTINCT doc_id, unnest(s) AS s FROM sh
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      FROM shd x JOIN shd y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT e.a, e.b, e.est_jaccard_micro,
+           coalesce(round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6), 0.0)
+             AS jaccard
+    FROM est e
+    LEFT JOIN inter ON inter.a = e.a AND inter.b = e.b
+    JOIN sizes sa ON sa.doc_id = e.a
+    JOIN sizes sb ON sb.doc_id = e.b
+    ORDER BY e.a, e.b
+    """
+
+
+@query("dedup_minhash_calibration", _minhash_calibration_oracle())
+def q_dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.minhash_calibration(docs).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
 # exact-dedup filtering form — keep min id per content group
 # ---------------------------------------------------------------------------
 @query(
@@ -2602,6 +2644,78 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# per-source drift card between two snapshots (same synthesized new
+# snapshot as corpus_snapshot_diff: %5 edited, %7 dropped, %11 added)
+# ---------------------------------------------------------------------------
+_DRIFT_TOKENS = f"coalesce(len({SQL_TOKENS.format(col='text')}), 0)"
+
+
+@query(
+    "corpus_snapshot_drift",
+    f"""
+    WITH old AS (
+      SELECT source, text FROM documents
+    ), new_snap AS (
+      SELECT source,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END
+               AS text
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT source, 'added doc ' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents WHERE doc_id % 11 = 0
+    ), co AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs_old,
+             CAST(sum({_DRIFT_TOKENS}) AS BIGINT) AS tokens_old
+      FROM old GROUP BY source
+    ), cn AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs_new,
+             CAST(sum({_DRIFT_TOKENS}) AS BIGINT) AS tokens_new
+      FROM new_snap GROUP BY source
+    )
+    SELECT coalesce(co.source, cn.source) AS source,
+           coalesce(n_docs_old, 0) AS n_docs_old,
+           coalesce(n_docs_new, 0) AS n_docs_new,
+           coalesce(n_docs_new, 0) - coalesce(n_docs_old, 0) AS doc_delta,
+           coalesce(tokens_old, 0) AS tokens_old,
+           coalesce(tokens_new, 0) AS tokens_new,
+           coalesce(tokens_new, 0) - coalesce(tokens_old, 0) AS token_delta,
+           CASE WHEN coalesce(n_docs_old, 0) > 0
+                THEN CAST(CAST(coalesce(tokens_old, 0) AS HUGEINT)
+                          * 1000000 // n_docs_old AS BIGINT) END
+             AS mean_tokens_old_micro,
+           CASE WHEN coalesce(n_docs_new, 0) > 0
+                THEN CAST(CAST(coalesce(tokens_new, 0) AS HUGEINT)
+                          * 1000000 // n_docs_new AS BIGINT) END
+             AS mean_tokens_new_micro
+    FROM co FULL OUTER JOIN cn USING (source)
+    ORDER BY source
+    """,
+)
+def q_corpus_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    new_snap = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.col("text"), F.lit(" [rev2]")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                "source",
+                F.concat(
+                    F.lit("added doc "), F.col("doc_id").cast("string")
+                ).alias("text"),
+            )
+        )
+    )
+    return corpus.snapshot_drift(docs, new_snap).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
 # int8-quantized cosine top-k (exact-integer dot products)
 # ---------------------------------------------------------------------------
 def _cosine_topk_quantized_oracle(k: int = 5) -> str:
@@ -4431,6 +4545,58 @@ def q_conv_repeated_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text")),
     )
     return conversations.repeated_response_report(injected).orderBy("text_md5")
+
+
+# ---------------------------------------------------------------------------
+# context-budget overflow card: running token total per conversation
+# vs a 130-token budget (fixture conv totals span ~98-176, so both
+# fits=true and overflow rows exist at every SF)
+# ---------------------------------------------------------------------------
+_OVERFLOW_TOKENS = f"coalesce(len({SQL_TOKENS.format(col='text')}), 0)"
+
+
+@query(
+    "conv_context_overflow",
+    f"""
+    WITH t AS (
+      {_TRANSCRIPT_SQL}
+    ), c AS (
+      SELECT conv_id, turn_idx AS idx,
+             {_OVERFLOW_TOKENS} AS n,
+             sum({_OVERFLOW_TOKENS}) OVER (
+               PARTITION BY conv_id
+               ORDER BY turn_idx, coalesce(role, ''),
+                        coalesce(md5(text), '')
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           coalesce(min(CASE WHEN cum > 130 THEN idx END), -1)
+             AS first_overflow_idx,
+           CAST(sum(CASE WHEN cum > 130 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_turns_over,
+           max(CASE WHEN cum > 130 THEN 1 ELSE 0 END) = 0 AS fits
+    FROM c GROUP BY conv_id ORDER BY conv_id
+    """,
+)
+def q_conv_context_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    out = conversations.context_overflow_report(t, max_tokens=130)
+    # the operator reports NULL for fits-entirely conversations; the
+    # driver compare stringifies pandas nullable ints as floats, so
+    # the registry surface pins a -1 sentinel on both engines
+    return out.select(
+        "conv_id",
+        "n_turns",
+        "total_tokens",
+        F.coalesce("first_overflow_idx", F.lit(-1))
+        .cast("bigint")
+        .alias("first_overflow_idx"),
+        "n_turns_over",
+        "fits",
+    ).orderBy("conv_id")
 
 
 # ---------------------------------------------------------------------------

@@ -844,3 +844,45 @@ class TestRepeatedResponses:
             df, min_convs=2, snippet_len=10
         ).collect()
         assert out[0]["snippet"] == "x" * 10
+
+
+class TestContextOverflow:
+    def test_overflow_boundary_and_counts(self, spark):
+        rows = [
+            # c1: 3 turns of 2 tokens each; budget 6 -> exactly fits
+            ("c1", 0, "user", "a b"),
+            ("c1", 1, "assistant", "c d"),
+            ("c1", 2, "user", "e f"),
+            # c2: same but one extra turn -> overflows at idx 3
+            ("c2", 0, "user", "a b"),
+            ("c2", 1, "assistant", "c d"),
+            ("c2", 2, "user", "e f"),
+            ("c2", 3, "assistant", "g h"),
+            # c3: single huge turn overflows immediately; NULL-text
+            # turn counts 0 tokens
+            ("c3", 0, "user", "t " * 10),
+            ("c3", 1, "assistant", None),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = {
+            r["conv_id"]: r.asDict()
+            for r in conversations.context_overflow_report(
+                df, max_tokens=6
+            ).collect()
+        }
+        c1 = out["c1"]
+        assert (c1["n_turns"], c1["total_tokens"]) == (3, 6)
+        assert c1["fits"] is True
+        assert c1["first_overflow_idx"] is None
+        assert c1["n_turns_over"] == 0
+        c2 = out["c2"]
+        assert c2["fits"] is False
+        assert (c2["first_overflow_idx"], c2["n_turns_over"]) == (3, 1)
+        c3 = out["c3"]
+        assert (c3["first_overflow_idx"], c3["n_turns_over"]) == (0, 2)
+        assert c3["total_tokens"] == 10
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("c1", 0, "user", "x")], SCHEMA)
+        with pytest.raises(ValueError, match="max_tokens"):
+            conversations.context_overflow_report(df, max_tokens=0)

@@ -1035,3 +1035,42 @@ class TestSplitExpr:
         )
         joined = a.join(b, "doc_id")
         assert joined.filter(F.col("split") != F.col("split2")).count() == 0
+
+
+class TestSnapshotDrift:
+    def test_per_source_deltas(self, spark):
+        old = spark.createDataFrame(
+            [
+                (1, "web", "a b c"),
+                (2, "web", "d e"),
+                (3, "books", "x y z w"),
+                (4, "gone", "only here"),
+            ],
+            "doc_id bigint, source string, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                (1, "web", "a b c d"),       # +1 token
+                (3, "books", "x y"),          # -2 tokens
+                (5, "fresh", None),           # new source, NULL text
+            ],
+            "doc_id bigint, source string, text string",
+        )
+        out = {
+            r["source"]: r.asDict()
+            for r in corpus.snapshot_drift(old, new).collect()
+        }
+        assert set(out) == {"web", "books", "gone", "fresh"}
+        web = out["web"]
+        assert (web["n_docs_old"], web["n_docs_new"], web["doc_delta"]) == (2, 1, -1)
+        assert (web["tokens_old"], web["tokens_new"], web["token_delta"]) == (5, 4, -1)
+        assert web["mean_tokens_old_micro"] == 5 * 1_000_000 // 2
+        assert web["mean_tokens_new_micro"] == 4 * 1_000_000
+        gone = out["gone"]
+        assert (gone["n_docs_new"], gone["tokens_new"]) == (0, 0)
+        assert gone["mean_tokens_new_micro"] is None
+        fresh = out["fresh"]
+        assert (fresh["n_docs_old"], fresh["n_docs_new"]) == (0, 1)
+        assert fresh["tokens_new"] == 0  # NULL text counts 0 tokens
+        assert fresh["mean_tokens_old_micro"] is None
+        assert fresh["mean_tokens_new_micro"] == 0

@@ -1113,3 +1113,44 @@ class TestClusterSizeHistogram:
         assert got[2]["n_groups"] == 1 and got[2]["n_docs"] == 2
         assert got[1]["n_groups"] == 2
         assert sum(r["n_docs"] for r in got.values()) == 7
+
+
+class TestMinhashCalibration:
+    def test_clone_pair_is_perfectly_estimated(self, spark):
+        text = "alpha beta gamma delta epsilon zeta eta theta iota"
+        df = spark.createDataFrame(
+            [(1, text), (2, text), (3, "totally different words here now")],
+            "doc_id bigint, text string",
+        )
+        from ilogtail_spark.dataops import dedup
+
+        out = {
+            (r["a"], r["b"]): r.asDict()
+            for r in dedup.minhash_calibration(df).collect()
+        }
+        # the identical pair is a guaranteed candidate with full
+        # signature agreement and true jaccard 1.0
+        assert (1, 2) in out
+        r = out[(1, 2)]
+        assert r["est_jaccard_micro"] == 1_000_000
+        assert r["jaccard"] == 1.0
+        # every reported estimate/jaccard stays in range
+        for v in out.values():
+            assert 0 <= v["est_jaccard_micro"] <= 1_000_000
+            assert 0.0 <= v["jaccard"] <= 1.0
+
+    def test_near_pair_estimate_tracks_truth(self, spark):
+        base = "one two three four five six seven eight nine ten"
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " eleven")],
+            "doc_id bigint, text string",
+        )
+        from ilogtail_spark.dataops import dedup
+
+        rows = dedup.minhash_calibration(df).collect()
+        if rows:  # candidates depend on which shingle wins each min
+            r = rows[0]
+            # appending one token keeps most shingles: truth is high,
+            # and the 8-component estimate can only move in 125k steps
+            assert r["jaccard"] > 0.5
+            assert r["est_jaccard_micro"] % 125_000 == 0

@@ -2063,6 +2063,62 @@ def main() -> int:
         "and aggregates both counters in one pass.",
     )
 
+    # 62. snapshot drift / context overflow / minhash calibration
+    from ilogtail_spark.dataops import dedup as _d62
+
+    docs62 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    old62 = docs62.select("doc_id", "source", "text")
+    new62 = old62.filter(F.col("doc_id") % 7 != 0)
+    q62 = _c61.snapshot_drift(old62, new62)
+    p62 = formatted(q62)
+    ex62 = _hash_exchanges(p62)
+    t62 = ev61.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.when(F.col("event_type") == "click", "user")
+        .otherwise("assistant")
+        .alias("role"),
+        F.col("props").alias("text"),
+    )
+    q62o = _conv61.context_overflow_report(t62, max_tokens=130)
+    p62o = formatted(q62o)
+    ex62o = _hash_exchanges(p62o)
+    q62m = _d62.minhash_calibration(docs62.select("doc_id", "text"))
+    p62m = formatted(q62m)
+    ex62m = _hash_exchanges(p62m)
+    audit(
+        "snapshot drift / context-overflow card / minhash calibration",
+        q62,
+        [
+            ("snapshot drift: each snapshot collapses to a per-source "
+             "(count, token-sum) card at the scan — no exchange "
+             "carries text; the full-outer join runs over "
+             "source-cardinality rows",
+             all("text#" not in e for e in ex62)),
+            ("snapshot drift: token counting is codegen — no Python",
+             not re.search(r"EvalPython|InPandas", p62)),
+            ("context overflow: ONE conv exchange shared by the "
+             "running-sum window and the per-conversation aggregate",
+             len(ex62o) == 1 and "conv_id" in ex62o[0]),
+            ("context overflow: the digest tiebreak ships 32 hex "
+             "chars — raw turn text stays out of the exchange",
+             all("text#" not in e for e in ex62o)),
+            ("minhash calibration: every exchange carries ids, "
+             "minhash digests, shingle hashes, or bounded counters — "
+             "document text never shuffles",
+             all("text#" not in e for e in ex62m)),
+            ("minhash calibration: whole plan is codegen — no Python "
+             "stage",
+             not re.search(r"EvalPython|InPandas", p62m)),
+        ],
+        "The drift card is two scan-collapsed aggregates and a tiny "
+        "join; the overflow card reuses trim_to_context's one-exchange "
+        "window+aggregate shape forward; the calibration report joins "
+        "the signature table onto the candidate pairs (fixed-width "
+        "digests) and verifies true Jaccard candidate-restricted, the "
+        "same contract as near_dedup_filter.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
