@@ -39,7 +39,7 @@ _FRONT = [
     # r04-unsampled rotation ordered oldest-driver-check first
     "conv_tool_chains", "conv_repeated_responses", "corpus_split_leakage",
     "dedup_minhash_calibration", "corpus_snapshot_drift",
-    "conv_context_overflow",
+    "conv_context_overflow", "events_profile_diff", "retrieval_eval_at_k",
     "text_lexical_diversity", "text_winnow_fingerprints",
     "corpus_collocations", "corpus_cross_source_dups",
     "conv_latency_quantiles",

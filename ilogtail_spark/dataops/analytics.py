@@ -1103,3 +1103,71 @@ def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         "__r__.min_value",
         "__r__.max_value",
     )
+
+
+def profile_diff(
+    old: DataFrame, new: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """Schema/statistics drift card between two snapshots of a table —
+    :func:`column_profile` run on both sides and compared per column.
+    This is the check an ingest pipeline runs when a source format
+    changes under it: null-rate regressions (an extractor started
+    dropping a field), cardinality blowups (an id column started
+    carrying session tokens), and domain shifts (min/max moved) all
+    land here before any downstream operator misbehaves.
+
+    ``cols`` defaults to the columns the two frames SHARE (ordered as
+    in ``old``); pass an explicit list to force an error when a
+    profiled column is missing from either side.
+
+    Output: one row per column — (column, n_rows_old, n_rows_new,
+    n_null_old, n_null_new, null_delta, n_distinct_old,
+    n_distinct_new, distinct_delta, min_changed, max_changed), where
+    the changed flags are null-safe inequality over the rendered
+    min/max.
+
+    Scale shape: two one-pass profile aggregates (each is the single
+    global aggregate + literal-stack explode of column_profile) and a
+    column-cardinality join — nothing here scales with row count
+    beyond the two scans.
+    """
+    if cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        if not shared:
+            raise ValueError("profile_diff: the frames share no columns")
+        cols = shared
+    po = column_profile(old, cols).select(
+        "column",
+        F.col("n_rows").alias("n_rows_old"),
+        F.col("n_null").alias("n_null_old"),
+        F.col("n_distinct").alias("n_distinct_old"),
+        F.col("min_value").alias("__mn_old__"),
+        F.col("max_value").alias("__mx_old__"),
+    )
+    pn = column_profile(new, cols).select(
+        "column",
+        F.col("n_rows").alias("n_rows_new"),
+        F.col("n_null").alias("n_null_new"),
+        F.col("n_distinct").alias("n_distinct_new"),
+        F.col("min_value").alias("__mn_new__"),
+        F.col("max_value").alias("__mx_new__"),
+    )
+    return po.join(pn, "column").select(
+        "column",
+        "n_rows_old",
+        "n_rows_new",
+        "n_null_old",
+        "n_null_new",
+        (F.col("n_null_new") - F.col("n_null_old")).alias("null_delta"),
+        "n_distinct_old",
+        "n_distinct_new",
+        (F.col("n_distinct_new") - F.col("n_distinct_old")).alias(
+            "distinct_delta"
+        ),
+        (~F.col("__mn_old__").eqNullSafe(F.col("__mn_new__"))).alias(
+            "min_changed"
+        ),
+        (~F.col("__mx_old__").eqNullSafe(F.col("__mx_new__"))).alias(
+            "max_changed"
+        ),
+    )

@@ -204,3 +204,79 @@ def rrf_fuse(
     return fused.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def eval_at_k(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Offline retrieval-quality card: precision@k, recall@k, and
+    reciprocal rank per query, from a ranked result list and a
+    relevance-judgment table (``qrels``: one (query, doc) row per
+    relevant document). All metrics are EXACT integers (micro shares,
+    nano reciprocal rank — the rrf_fuse convention), so the eval is
+    reproducible across engines and partitionings; averaging into a
+    leaderboard number is one aggregate the caller controls.
+
+    Output: one row per query appearing in either input —
+    (query_id, n_rel, n_rel_at_k, p_at_k_micro, recall_at_k_micro,
+    first_rel_rank, mrr_nano). A query with judgments but no results
+    scores zero; a query with results but no judgments has n_rel = 0
+    and recall NULL (undefined, not zero). first_rel_rank is NULL
+    when no relevant document was retrieved within k (mrr_nano 0).
+
+    Scale shape: results are pre-filtered to rank <= k at the scan;
+    the relevance mark is an equi-join on (query, doc) — qrels are
+    judgment-sized, broadcastable; per-query reduction is one
+    partial-aggregated groupBy. Nothing shuffles document text.
+    """
+    if k <= 0:
+        raise ValueError(f"eval_at_k: k must be > 0, got {k}")
+    rel = (
+        qrels.select(F.col(query_col), F.col(id_col))
+        .distinct()
+        .withColumn("__rel__", F.lit(1))
+    )
+    marked = (
+        results.filter(F.col(rank_col) <= k)
+        .select(query_col, id_col, rank_col)
+        .join(rel, [query_col, id_col], "left")
+    )
+    per_q = marked.groupBy(query_col).agg(
+        F.sum(F.coalesce(F.col("__rel__"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_rel_at_k"),
+        F.min(F.when(F.col("__rel__") == 1, F.col(rank_col)))
+        .cast("bigint")
+        .alias("first_rel_rank"),
+    )
+    totals = rel.groupBy(query_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rel")
+    )
+    j = per_q.join(totals, query_col, "full_outer")
+    n_rel = F.coalesce(F.col("n_rel"), F.lit(0)).cast("bigint")
+    n_hit = F.coalesce(F.col("n_rel_at_k"), F.lit(0)).cast("bigint")
+    return j.select(
+        F.col(query_col),
+        n_rel.alias("n_rel"),
+        n_hit.alias("n_rel_at_k"),
+        F.expr(
+            f"CAST(CAST(coalesce(n_rel_at_k, 0) AS DECIMAL(38,0)) "
+            f"* 1000000 div {k} AS BIGINT)"
+        ).alias("p_at_k_micro"),
+        F.when(
+            n_rel > 0,
+            F.expr(
+                "CAST(CAST(coalesce(n_rel_at_k, 0) AS DECIMAL(38,0)) "
+                "* 1000000 div n_rel AS BIGINT)"
+            ),
+        ).alias("recall_at_k_micro"),
+        F.col("first_rel_rank"),
+        F.coalesce(
+            F.expr(f"CAST({10**9} DIV first_rel_rank AS BIGINT)"), F.lit(0)
+        ).alias("mrr_nano"),
+    )

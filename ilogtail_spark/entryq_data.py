@@ -1378,6 +1378,89 @@ def q_retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# retrieval eval@k over the same BM25 run: qrels = substring-
+# containment relevance (every doc whose lowercased text contains the
+# probe string — the probe's source doc always qualifies, so n_rel >= 1)
+# ---------------------------------------------------------------------------
+def _eval_at_k_oracle(k: int = 5, qmod: int = 97, qrem: int = 5) -> str:
+    toks = SQL_TOKENS.format(col="lower(text)")
+    return f"""
+    WITH results AS ({_bm25_oracle(k)}), probes AS (
+      SELECT doc_id AS query_id,
+             array_to_string(({toks})[1:8], ' ') AS qtext
+      FROM documents WHERE doc_id % {qmod} = {qrem}
+    ), qrels AS (
+      SELECT DISTINCT p.query_id, d.doc_id
+      FROM documents d CROSS JOIN probes p
+      WHERE position(p.qtext IN lower(d.text)) > 0
+    ), marked AS (
+      SELECT r.query_id, r.rank,
+             CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM results r LEFT JOIN qrels q
+        ON q.query_id = r.query_id AND q.doc_id = r.doc_id
+      WHERE r.rank <= {k}
+    ), per_q AS (
+      SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel_at_k,
+             min(CASE WHEN rel = 1 THEN rank END) AS first_rel_rank
+      FROM marked GROUP BY query_id
+    ), totals AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+      FROM qrels GROUP BY query_id
+    )
+    SELECT query_id,
+           coalesce(n_rel, 0) AS n_rel,
+           coalesce(n_rel_at_k, 0) AS n_rel_at_k,
+           CAST(CAST(coalesce(n_rel_at_k, 0) AS HUGEINT) * 1000000
+                // {k} AS BIGINT) AS p_at_k_micro,
+           CASE WHEN coalesce(n_rel, 0) > 0
+                THEN CAST(CAST(coalesce(n_rel_at_k, 0) AS HUGEINT)
+                          * 1000000 // n_rel AS BIGINT) END
+             AS recall_at_k_micro,
+           CAST(coalesce(first_rel_rank, -1) AS BIGINT)
+             AS first_rel_rank,
+           CAST(coalesce(1000000000 // first_rel_rank, 0) AS BIGINT)
+             AS mrr_nano
+    FROM per_q FULL OUTER JOIN totals USING (query_id)
+    ORDER BY query_id
+    """
+
+
+@query("retrieval_eval_at_k", _eval_at_k_oracle())
+def q_retrieval_eval_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    probes = (
+        docs.filter(F.col("doc_id") % 97 == 5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(dedup.tokens_col(F.lower(F.col("text"))), 1, 8), " "
+            ).alias("qtext"),
+        )
+    )
+    results = retrieval.bm25_topk(docs, probes, k=5)
+    qrels = (
+        docs.crossJoin(F.broadcast(probes))
+        .filter(F.instr(F.lower(F.col("text")), F.col("qtext")) > 0)
+        .select("query_id", "doc_id")
+    )
+    out = retrieval.eval_at_k(results, qrels, k=5)
+    # -1 sentinel for "no relevant doc retrieved within k" (the
+    # pandas nullable-int stringification caveat, as conv_context_
+    # overflow)
+    return out.select(
+        "query_id",
+        "n_rel",
+        "n_rel_at_k",
+        "p_at_k_micro",
+        "recall_at_k_micro",
+        F.coalesce("first_rel_rank", F.lit(-1))
+        .cast("bigint")
+        .alias("first_rel_rank"),
+        "mrr_nano",
+    ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
 # DSIR importance scores — hashed n-gram log-likelihood ratio
 # ---------------------------------------------------------------------------
 def _importance_oracle(nb: int = 10007, tmod: int = 29, trem: int = 3) -> str:
@@ -5180,6 +5263,70 @@ _PROFILE_COLS = ("event_id", "event_type", "props", "user_id")
 def q_events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return analytics.column_profile(ev, list(_PROFILE_COLS)).orderBy("column")
+
+
+# ---------------------------------------------------------------------------
+# profile drift between two event snapshots: drift INJECTED on both
+# engines (%3 rows dropped, event_type mutated on %11, user_id nulled
+# on %13) so every delta/flag column provably fires
+# ---------------------------------------------------------------------------
+def _profile_diff_oracle() -> str:
+    new_sql = """SELECT event_id,
+             CASE WHEN event_id % 11 = 0 THEN 'drifted'
+                  ELSE event_type END AS event_type,
+             props,
+             CASE WHEN event_id % 13 = 0 THEN NULL
+                  ELSE user_id END AS user_id
+      FROM events WHERE event_id % 3 <> 0"""
+
+    def side(tbl: str) -> str:
+        return " UNION ALL ".join(
+            f"""SELECT '{c}' AS col,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(CAST({c} AS VARCHAR)) AS BIGINT)
+               AS n_null,
+             CAST(count(DISTINCT CAST({c} AS VARCHAR)) AS BIGINT)
+               AS n_distinct,
+             min(CAST({c} AS VARCHAR)) AS mn,
+             max(CAST({c} AS VARCHAR)) AS mx
+      FROM {tbl}"""
+            for c in _PROFILE_COLS
+        )
+
+    return f"""
+    WITH new_snap AS ({new_sql}),
+    po AS ({side("events")}), pn AS ({side("new_snap")})
+    SELECT po.col AS "column",
+           po.n_rows AS n_rows_old, pn.n_rows AS n_rows_new,
+           po.n_null AS n_null_old, pn.n_null AS n_null_new,
+           pn.n_null - po.n_null AS null_delta,
+           po.n_distinct AS n_distinct_old,
+           pn.n_distinct AS n_distinct_new,
+           pn.n_distinct - po.n_distinct AS distinct_delta,
+           po.mn IS DISTINCT FROM pn.mn AS min_changed,
+           po.mx IS DISTINCT FROM pn.mx AS max_changed
+    FROM po JOIN pn ON po.col = pn.col
+    ORDER BY "column"
+    """
+
+
+@query("events_profile_diff", _profile_diff_oracle())
+def q_events_profile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    old = ev.select(*_PROFILE_COLS)
+    new = ev.filter(F.col("event_id") % 3 != 0).select(
+        "event_id",
+        F.when(F.col("event_id") % 11 == 0, F.lit("drifted"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        "props",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+    )
+    return analytics.profile_diff(old, new, list(_PROFILE_COLS)).orderBy(
+        "column"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -756,3 +756,43 @@ class TestColumnProfile:
             analytics.column_profile(df, [])
         with pytest.raises(ValueError, match="missing"):
             analytics.column_profile(df, ["nope"])
+
+
+class TestProfileDiff:
+    def test_drift_detection(self, spark):
+        old = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            "id bigint, kind string, v bigint",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 10), (2, "z", None), (4, "z", 99)],
+            "id bigint, kind string, v bigint",
+        )
+        out = {
+            r["column"]: r.asDict()
+            for r in analytics.profile_diff(old, new).collect()
+        }
+        assert set(out) == {"id", "kind", "v"}
+        v = out["v"]
+        assert (v["n_rows_old"], v["n_rows_new"]) == (3, 3)
+        assert (v["n_null_old"], v["n_null_new"], v["null_delta"]) == (0, 1, 1)
+        assert v["distinct_delta"] == -1  # {10,20,30} -> {10,99}
+        assert v["max_changed"] is True   # '30' -> '99'
+        assert v["min_changed"] is False  # '10' both sides
+        k = out["kind"]
+        assert k["distinct_delta"] == -1  # {a,b,c} -> {a,z}
+        assert k["max_changed"] is True   # 'c' -> 'z'
+
+    def test_explicit_cols_and_validation(self, spark):
+        old = spark.createDataFrame([(1, "a")], "id bigint, kind string")
+        new = spark.createDataFrame([(1,)], "id bigint")
+        # default: shared columns only
+        out = analytics.profile_diff(old, new).collect()
+        assert [r["column"] for r in out] == ["id"]
+        # explicit missing column errors loudly
+        with pytest.raises(ValueError, match="missing columns"):
+            analytics.profile_diff(old, new, ["kind"])
+        with pytest.raises(ValueError, match="share no columns"):
+            analytics.profile_diff(
+                old.select("kind"), new.select(F.col("id").alias("other"))
+            )

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from ilogtail_spark.dataops import retrieval
@@ -109,3 +110,65 @@ class TestBM25:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
         assert results[0] == results[1]
+
+
+class TestEvalAtK:
+    def _frames(self, spark):
+        # q1: rel doc 10 at rank 2 of 3; q2: nothing relevant
+        # retrieved; q3: judged but never retrieved
+        results = spark.createDataFrame(
+            [
+                (1, 11, 1), (1, 10, 2), (1, 12, 3),
+                (2, 20, 1), (2, 21, 2),
+            ],
+            "query_id bigint, doc_id bigint, rank int",
+        )
+        qrels = spark.createDataFrame(
+            [(1, 10), (1, 99), (2, 77), (3, 30)],
+            "query_id bigint, doc_id bigint",
+        )
+        return results, qrels
+
+    def test_metrics(self, spark):
+        from ilogtail_spark.dataops import retrieval
+
+        results, qrels = self._frames(spark)
+        out = {
+            r["query_id"]: r.asDict()
+            for r in retrieval.eval_at_k(results, qrels, k=3).collect()
+        }
+        assert set(out) == {1, 2, 3}
+        q1 = out[1]
+        assert (q1["n_rel"], q1["n_rel_at_k"]) == (2, 1)
+        assert q1["p_at_k_micro"] == 1_000_000 // 3
+        assert q1["recall_at_k_micro"] == 500_000
+        assert (q1["first_rel_rank"], q1["mrr_nano"]) == (2, 500_000_000)
+        q2 = out[2]
+        assert (q2["n_rel_at_k"], q2["mrr_nano"]) == (0, 0)
+        assert q2["first_rel_rank"] is None
+        q3 = out[3]  # judged, never retrieved -> all zero
+        assert (q3["n_rel"], q3["n_rel_at_k"], q3["p_at_k_micro"]) == (1, 0, 0)
+
+    def test_rank_cut_and_validation(self, spark):
+        from ilogtail_spark.dataops import retrieval
+
+        results, qrels = self._frames(spark)
+        # k=1 drops the rank-2 hit for q1
+        out = {
+            r["query_id"]: r.asDict()
+            for r in retrieval.eval_at_k(results, qrels, k=1).collect()
+        }
+        assert out[1]["n_rel_at_k"] == 0
+        with pytest.raises(ValueError, match="k must be"):
+            retrieval.eval_at_k(results, qrels, k=0)
+
+    def test_no_judgments_recall_undefined(self, spark):
+        from ilogtail_spark.dataops import retrieval
+
+        results = spark.createDataFrame(
+            [(9, 1, 1)], "query_id bigint, doc_id bigint, rank int"
+        )
+        qrels = results.filter(F.lit(False)).select("query_id", "doc_id")
+        out = retrieval.eval_at_k(results, qrels, k=3).collect()
+        assert out[0]["n_rel"] == 0
+        assert out[0]["recall_at_k_micro"] is None

@@ -2119,6 +2119,39 @@ def main() -> int:
         "same contract as near_dedup_filter.",
     )
 
+    # 63. profile drift / retrieval eval@k
+    q63 = entryq.QUERIES["events_profile_diff"](spark, SF_DIR)
+    p63 = formatted(q63)
+    q63e = entryq.QUERIES["retrieval_eval_at_k"](spark, SF_DIR)
+    p63e = formatted(q63e)
+    ex63e = _hash_exchanges(p63e)
+    audit(
+        "profile drift / retrieval eval@k",
+        q63,
+        [
+            ("profile diff: each snapshot is ONE global aggregate "
+             "(the column_profile Expand shape) — two scans total, "
+             "and the per-column join is literal-stack-sized",
+             len(re.findall(r"\(\d+\) Scan parquet", p63)) == 2
+             and "Expand" in p63),
+            ("profile diff: the column join broadcasts (single-digit "
+             "rows per side), no sort-merge join",
+             "SortMergeJoin" not in p63),
+            ("profile diff: no Python stage",
+             not re.search(r"EvalPython|InPandas", p63)),
+            ("eval@k: qrels mark is a broadcast join on (query, doc) "
+             "ids; document text never shuffles",
+             all("text#" not in e for e in ex63e)),
+            ("eval@k: no Python stage — exact integer metrics are "
+             "codegen expressions",
+             not re.search(r"EvalPython|InPandas", p63e)),
+        ],
+        "The drift card compares two one-pass profiles; the eval card "
+        "joins rank-cut results against judgment-sized qrels and "
+        "reduces per query — both are bounded-output QA reports whose "
+        "cost is the scans, not the comparisons.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
