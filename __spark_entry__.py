@@ -40,6 +40,7 @@ _FRONT = [
     "conv_tool_chains", "conv_repeated_responses", "corpus_split_leakage",
     "dedup_minhash_calibration", "corpus_snapshot_drift",
     "conv_context_overflow", "events_profile_diff", "retrieval_eval_at_k",
+    "conv_response_dedup", "conv_position_stats", "events_quantile_drift",
     "text_lexical_diversity", "text_winnow_fingerprints",
     "corpus_collocations", "corpus_cross_source_dups",
     "conv_latency_quantiles",

@@ -1105,6 +1105,54 @@ def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     )
 
 
+def grouped_quantile_diff(
+    old: DataFrame,
+    new: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    qs_micro: tuple[int, ...] = (500_000, 900_000, 990_000),
+) -> DataFrame:
+    """Quantile drift between two snapshots — :func:`grouped_quantiles`
+    run on both sides and compared per (group, quantile): the
+    latency-SLO / value-distribution companion of
+    :func:`profile_diff` (which sees nulls and cardinality but not
+    distribution shape). A p99 that doubled between deploys lands
+    here as one row. Pure composition — zero new quantile logic, so
+    the exact nearest-rank semantics (and engine reproducibility)
+    are inherited.
+
+    Output: (group, q_micro, n_old, n_new, q_value_old, q_value_new,
+    q_delta); counts coalesce to 0 for a side the group is absent
+    from, values/delta stay NULL there.
+
+    Scale shape: two count-aggregation quantile passes (each collapses
+    rows to (group, value, count) map-side) and a join over
+    groups x quantiles rows.
+    """
+    qo = grouped_quantiles(old, group_col, value_col, qs_micro).select(
+        group_col,
+        "q_micro",
+        F.col("n").alias("n_old"),
+        F.col("q_value").alias("q_value_old"),
+    )
+    qn = grouped_quantiles(new, group_col, value_col, qs_micro).select(
+        group_col,
+        "q_micro",
+        F.col("n").alias("n_new"),
+        F.col("q_value").alias("q_value_new"),
+    )
+    j = qo.join(qn, [group_col, "q_micro"], "full_outer")
+    return j.select(
+        group_col,
+        "q_micro",
+        F.coalesce(F.col("n_old"), F.lit(0)).cast("bigint").alias("n_old"),
+        F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint").alias("n_new"),
+        "q_value_old",
+        "q_value_new",
+        (F.col("q_value_new") - F.col("q_value_old")).alias("q_delta"),
+    )
+
+
 def profile_diff(
     old: DataFrame, new: DataFrame, cols: list[str] | None = None
 ) -> DataFrame:

@@ -1258,6 +1258,133 @@ def repeated_response_report(
     )
 
 
+def drop_repeated_responses(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    role: str = "assistant",
+) -> DataFrame:
+    """Rewrite twin of :func:`repeated_response_report`: keep the
+    FIRST occurrence (ordered by conversation id, turn index) of each
+    exact ``role``-turn text and drop every later repeat — within and
+    across conversations. This is the action the report sizes: canned
+    assistant answers surviving once instead of thousands of times
+    stops an SFT run from over-weighting the template. Turns of other
+    roles (and NULL-text turns) always keep.
+
+    Returns the kept-turn INDEX (conv_id, turn_idx, role) — callers
+    re-attach text by key join, the trim_to_context contract.
+
+    Scale shape: only target-role turns enter the digest window
+    (partitioned by the 32-hex text digest — repeats of one answer
+    co-locate, everything else is singleton partitions); other turns
+    pass through scan-side. Text never shuffles.
+    """
+    _require(
+        df, [conv_col, idx_col, role_col, text_col], "drop_repeated_responses"
+    )
+    slim = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).cast("bigint").alias("turn_idx"),
+        F.col(role_col).alias("role"),
+        F.when(
+            F.col(role_col).eqNullSafe(role) & F.col(text_col).isNotNull(),
+            F.md5(F.col(text_col)),
+        ).alias("__d__"),
+    )
+    target = slim.filter(F.col("__d__").isNotNull())
+    rest = slim.filter(F.col("__d__").isNull()).select(
+        "conv_id", "turn_idx", "role"
+    )
+    w = Window.partitionBy("__d__").orderBy(
+        F.col("conv_id"),
+        F.coalesce(F.col("turn_idx"), F.lit(-1)),
+        F.coalesce(F.col("role"), F.lit("")),
+    )
+    kept = (
+        target.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select("conv_id", "turn_idx", "role")
+    )
+    return kept.unionByName(rest)
+
+
+def turn_position_stats(
+    df: DataFrame,
+    n_buckets: int = 10,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Turn-position profile — "how do conversations evolve with
+    depth?": each turn lands in one of ``n_buckets`` equal-width
+    position buckets (bucket = rank * n_buckets div conv_length, so
+    bucket 0 is the opening and bucket n-1 the close), and the card
+    reports per (role, bucket) the turn count, total tokens, and
+    exact integer mean tokens per turn. This surfaces the
+    answers-get-shorter-with-depth drift, where refusals cluster, and
+    whether tool calls front-load — the depth dimension the flat
+    role_stats card integrates out.
+
+    Output: (role, bucket, n_turns, total_tokens, mean_tokens_micro);
+    NULL roles report under '' (the _ordered_turn_seq sentinel).
+
+    Determinism: rank orders by (idx, role, text digest) with the
+    usual sentinels, so ties bucket identically on every engine.
+
+    Scale shape: ONE conv_id exchange shared by the two windows (rank
+    and conversation length); the aggregate output is bounded by
+    roles x n_buckets. Text never shuffles.
+    """
+    _require(
+        df, [conv_col, idx_col, role_col, text_col], "turn_position_stats"
+    )
+    if n_buckets <= 0:
+        raise ValueError(
+            f"turn_position_stats: n_buckets must be > 0, got {n_buckets}"
+        )
+    slim = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.coalesce(F.col(idx_col).cast("bigint"), F.lit(-1)).alias("__idx__"),
+        F.coalesce(F.col(role_col), F.lit("")).alias("role"),
+        F.coalesce(F.md5(F.col(text_col).cast("string")), F.lit("")).alias(
+            "__d__"
+        ),
+        F.size(
+            tokens_col(F.coalesce(F.col(text_col).cast("string"), F.lit("")))
+        )
+        .cast("bigint")
+        .alias("__n__"),
+    )
+    order = Window.partitionBy("conv_id").orderBy("__idx__", "role", "__d__")
+    whole = Window.partitionBy("conv_id")
+    ranked = slim.select(
+        "role",
+        "__n__",
+        (F.row_number().over(order) - 1).cast("bigint").alias("__rn__"),
+        F.count(F.lit(1)).over(whole).cast("bigint").alias("__nt__"),
+    )
+    # rn in [0, nt-1] => rn * B div nt in [0, B-1] exactly
+    bucketed = ranked.select(
+        "role",
+        "__n__",
+        F.expr(f"__rn__ * {n_buckets} div __nt__")
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("role", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.sum("__n__").cast("bigint").alias("total_tokens"),
+        F.expr(
+            "CAST(CAST(sum(__n__) AS DECIMAL(38,0)) * 1000000 "
+            "div count(*) AS BIGINT)"
+        ).alias("mean_tokens_micro"),
+    )
+
+
 def conversation_prep(
     df: DataFrame,
     conv_col: str = "conv_id",

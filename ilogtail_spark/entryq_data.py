@@ -2911,6 +2911,60 @@ def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# quantile drift between two event snapshots (drift injected on both
+# engines: %3 rows dropped, value doubled on %5 — doubling a double
+# is exact, so deltas are deterministic)
+# ---------------------------------------------------------------------------
+def _quantile_drift_oracle() -> str:
+    qlist = ", ".join(str(q) for q in _QS_MICRO)
+
+    def side(tbl: str) -> str:
+        return f"""SELECT event_type, CAST(q.q_micro AS BIGINT) AS q_micro,
+           r.n, r.value AS q_value
+    FROM (SELECT event_type, value,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY value) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM {tbl} WHERE value IS NOT NULL) r
+    CROSS JOIN (SELECT unnest([{qlist}]) AS q_micro) q
+    WHERE r.rn = greatest(1, (q.q_micro * r.n + 999999) // 1000000)"""
+
+    return f"""
+    WITH new_snap AS (
+      SELECT event_type,
+             CASE WHEN event_id % 5 = 0 THEN value * 2 ELSE value END
+               AS value
+      FROM events WHERE event_id % 3 <> 0
+    ), qo AS ({side("events")}), qn AS ({side("new_snap")})
+    SELECT coalesce(qo.event_type, qn.event_type) AS event_type,
+           coalesce(qo.q_micro, qn.q_micro) AS q_micro,
+           CAST(coalesce(qo.n, 0) AS BIGINT) AS n_old,
+           CAST(coalesce(qn.n, 0) AS BIGINT) AS n_new,
+           qo.q_value AS q_value_old,
+           qn.q_value AS q_value_new,
+           qn.q_value - qo.q_value AS q_delta
+    FROM qo FULL OUTER JOIN qn
+      ON qo.event_type = qn.event_type AND qo.q_micro = qn.q_micro
+    ORDER BY event_type, q_micro
+    """
+
+
+@query("events_quantile_drift", _quantile_drift_oracle())
+def q_events_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    new = ev.filter(F.col("event_id") % 3 != 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 5 == 0, F.col("value") * 2).otherwise(
+            F.col("value")
+        ),
+    )
+    out = analytics.grouped_quantile_diff(
+        ev, new, "event_type", "value", _QS_MICRO
+    )
+    return out.orderBy("event_type", "q_micro")
+
+
+# ---------------------------------------------------------------------------
 # hybrid retrieval: BM25 + vector cosine fused with reciprocal-rank fusion
 # ---------------------------------------------------------------------------
 def _hybrid_rrf_oracle(
@@ -4628,6 +4682,89 @@ def q_conv_repeated_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text")),
     )
     return conversations.repeated_response_report(injected).orderBy("text_md5")
+
+
+# ---------------------------------------------------------------------------
+# rewrite twin of conv_repeated_responses: keep the FIRST occurrence
+# of each exact assistant text, drop later repeats (same boilerplate
+# injection so cross-conversation repeats provably exist)
+# ---------------------------------------------------------------------------
+@query(
+    "conv_response_dedup",
+    f"""
+    WITH t0 AS (
+      {_TRANSCRIPT_SQL}
+    ), t AS (
+      SELECT conv_id, turn_idx, role, {_BOILERPLATE_CASE} AS text FROM t0
+    ), a AS (
+      SELECT conv_id, turn_idx, role,
+             row_number() OVER (
+               PARTITION BY md5(text)
+               ORDER BY conv_id, coalesce(turn_idx, -1),
+                        coalesce(role, '')) AS rn
+      FROM t WHERE role = 'assistant' AND text IS NOT NULL
+    )
+    SELECT conv_id, turn_idx, role FROM a WHERE rn = 1
+    UNION ALL
+    SELECT conv_id, turn_idx, role FROM t
+    WHERE role IS DISTINCT FROM 'assistant' OR text IS NULL
+    ORDER BY conv_id, turn_idx, role
+    """,
+)
+def q_conv_response_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    injected = t.withColumn(
+        "text",
+        F.when(
+            (F.col("role") == "assistant")
+            & (F.col("conv_id") % 3 == 2)
+            & (F.col("turn_idx") % 4 == 2),
+            F.lit("I'm sorry, but I can't help with that request."),
+        )
+        .when(
+            (F.col("role") == "assistant")
+            & (F.col("conv_id") % 5 == 1)
+            & (F.col("turn_idx") % 6 == 3),
+            F.lit("Here is a summary of the results you asked for."),
+        )
+        .otherwise(F.col("text")),
+    )
+    return conversations.drop_repeated_responses(injected).orderBy(
+        "conv_id", "turn_idx", "role"
+    )
+
+
+# ---------------------------------------------------------------------------
+# turn-position profile: per (role, depth-decile) token stats
+# ---------------------------------------------------------------------------
+@query(
+    "conv_position_stats",
+    f"""
+    WITH t AS (
+      {_TRANSCRIPT_SQL}
+    ), c AS (
+      SELECT coalesce(role, '') AS role,
+             coalesce(len({SQL_TOKENS.format(col="text")}), 0) AS n,
+             row_number() OVER (
+               PARTITION BY conv_id
+               ORDER BY coalesce(turn_idx, -1), coalesce(role, ''),
+                        coalesce(md5(text), '')) - 1 AS rn,
+             count(*) OVER (PARTITION BY conv_id) AS nt
+      FROM t
+    )
+    SELECT role, CAST(rn * 10 // nt AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(CAST(sum(n) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+             AS mean_tokens_micro
+    FROM c GROUP BY role, bucket ORDER BY role, bucket
+    """,
+)
+def q_conv_position_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    return conversations.turn_position_stats(t, n_buckets=10).orderBy(
+        "role", "bucket"
+    )
 
 
 # ---------------------------------------------------------------------------

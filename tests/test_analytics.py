@@ -796,3 +796,30 @@ class TestProfileDiff:
             analytics.profile_diff(
                 old.select("kind"), new.select(F.col("id").alias("other"))
             )
+
+
+class TestGroupedQuantileDiff:
+    def test_drift(self, spark):
+        old = spark.createDataFrame(
+            [("a", float(v)) for v in range(1, 101)]
+            + [("b", float(v)) for v in range(1, 11)],
+            "g string, value double",
+        )
+        new = spark.createDataFrame(
+            [("a", float(v * 2)) for v in range(1, 101)],
+            "g string, value double",
+        )
+        out = {
+            (r["g"], r["q_micro"]): r.asDict()
+            for r in analytics.grouped_quantile_diff(
+                old, new, "g", "value", (500_000, 990_000)
+            ).collect()
+        }
+        a50 = out[("a", 500_000)]
+        assert (a50["q_value_old"], a50["q_value_new"]) == (50.0, 100.0)
+        assert a50["q_delta"] == 50.0
+        assert (a50["n_old"], a50["n_new"]) == (100, 100)
+        # group absent from the new side: counts 0, values/delta NULL
+        b99 = out[("b", 990_000)]
+        assert b99["n_new"] == 0
+        assert b99["q_value_new"] is None and b99["q_delta"] is None

@@ -886,3 +886,70 @@ class TestContextOverflow:
         df = spark.createDataFrame([("c1", 0, "user", "x")], SCHEMA)
         with pytest.raises(ValueError, match="max_tokens"):
             conversations.context_overflow_report(df, max_tokens=0)
+
+
+class TestDropRepeatedResponses:
+    def test_first_occurrence_kept(self, spark):
+        canned = "I cannot help with that."
+        rows = [
+            ("c1", 0, "user", canned),       # non-assistant: always kept
+            ("c1", 1, "assistant", canned),  # first occurrence -> kept
+            ("c1", 2, "assistant", canned),  # within-conv repeat -> dropped
+            ("c2", 0, "assistant", canned),  # cross-conv repeat -> dropped
+            ("c2", 1, "assistant", "unique"),
+            ("c2", 2, "assistant", None),    # NULL text: kept
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        kept = {
+            (r["conv_id"], r["turn_idx"])
+            for r in conversations.drop_repeated_responses(df).collect()
+        }
+        assert kept == {("c1", 0), ("c1", 1), ("c2", 1), ("c2", 2)}
+
+    def test_role_parameter(self, spark):
+        rows = [
+            ("c1", 0, "user", "hi"),
+            ("c2", 0, "user", "hi"),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        kept = {
+            (r["conv_id"], r["turn_idx"])
+            for r in conversations.drop_repeated_responses(
+                df, role="user"
+            ).collect()
+        }
+        assert kept == {("c1", 0)}
+
+
+class TestTurnPositionStats:
+    def test_buckets_and_means(self, spark):
+        # one conversation, 10 turns: turn i has i+1 tokens; with 10
+        # buckets each turn is its own bucket
+        rows = [
+            ("c1", i, "assistant" if i % 2 else "user", " ".join(["w"] * (i + 1)))
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = {
+            (r["role"], r["bucket"]): r.asDict()
+            for r in conversations.turn_position_stats(df).collect()
+        }
+        assert len(out) == 10
+        assert out[("user", 0)]["total_tokens"] == 1
+        assert out[("assistant", 9)]["total_tokens"] == 10
+        assert out[("assistant", 9)]["mean_tokens_micro"] == 10_000_000
+
+    def test_bucket_range_exact(self, spark):
+        # 3 turns into 10 buckets: rn*10 div 3 -> 0, 3, 6 (never 10)
+        rows = [("c1", i, "user", "x") for i in range(3)]
+        df = spark.createDataFrame(rows, SCHEMA)
+        buckets = sorted(
+            r["bucket"]
+            for r in conversations.turn_position_stats(df).collect()
+        )
+        assert buckets == [0, 3, 6]
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("c1", 0, "user", "x")], SCHEMA)
+        with pytest.raises(ValueError, match="n_buckets"):
+            conversations.turn_position_stats(df, n_buckets=0)

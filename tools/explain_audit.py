@@ -2152,6 +2152,57 @@ def main() -> int:
         "cost is the scans, not the comparisons.",
     )
 
+    # 64. response dedup rewrite / turn-position profile / quantile drift
+    # (operators audited over a plain scan-shaped frame — the registry
+    # fixture's turn_idx synthesis window adds its own text-bearing
+    # exchange that is fixture cost, not operator cost)
+    t64 = ev61.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.when(F.col("event_type") == "click", "user")
+        .otherwise("assistant")
+        .alias("role"),
+        F.col("props").alias("text"),
+    )
+    q64 = _conv61.drop_repeated_responses(t64)
+    p64 = formatted(q64)
+    ex64 = _hash_exchanges(p64)
+    q64p = _conv61.turn_position_stats(t64)
+    p64p = formatted(q64p)
+    ex64p = _hash_exchanges(p64p)
+    q64q = entryq.QUERIES["events_quantile_drift"](spark, SF_DIR)
+    p64q = formatted(q64q)
+    ex64q = _hash_exchanges(p64q)
+    audit(
+        "response-dedup rewrite / turn-position profile / quantile drift",
+        q64,
+        [
+            ("response dedup: the keep window partitions by the "
+             "32-hex text digest — repeats co-locate, raw text never "
+             "shuffles, non-target turns pass through scan-side",
+             all("text#" not in e for e in ex64)),
+            ("response dedup: no Python stage",
+             not re.search(r"EvalPython|InPandas", p64)),
+            ("turn-position profile: ONE conv exchange shared by the "
+             "rank and conv-length windows; the aggregate output is "
+             "roles x buckets",
+             len(ex64p) <= 2 and "conv_id" in ex64p[0]
+             and all("text#" not in e for e in ex64p)),
+            ("turn-position profile: no Python stage",
+             not re.search(r"EvalPython|InPandas", p64p)),
+            ("quantile drift: rows collapse to (group, value, count) "
+             "map-side on both sides (the grouped_quantiles shape); "
+             "the diff join is groups x quantiles sized",
+             all("props#" not in e for e in ex64q)
+             and not re.search(r"EvalPython|InPandas", p64q)),
+        ],
+        "The rewrite keeps the first occurrence per response digest "
+        "(the report's companion action); the position profile adds "
+        "the depth dimension role_stats integrates out; the quantile "
+        "diff composes two exact nearest-rank passes and inherits "
+        "their engine reproducibility.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
