@@ -324,6 +324,10 @@ def context_overflow_report(
     slim = df.select(
         F.col(conv_col).alias("conv_id"),
         F.coalesce(F.col(idx_col).cast("bigint"), F.lit(-1)).alias("__idx__"),
+        # the RAW index is what the report quotes — the -1 ordering
+        # sentinel must not leak into first_overflow_idx (NULL-idx
+        # turns order first and are excluded from the reported index)
+        F.col(idx_col).cast("bigint").alias("__ridx__"),
         F.coalesce(F.col(role_col), F.lit("")).alias("__role__"),
         F.coalesce(F.md5(F.col(text_col).cast("string")), F.lit("")).alias(
             "__d__"
@@ -344,7 +348,7 @@ def context_overflow_report(
     return cum.groupBy("conv_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_turns"),
         F.sum("__n__").cast("bigint").alias("total_tokens"),
-        F.min(F.when(over, F.col("__idx__"))).alias("first_overflow_idx"),
+        F.min(F.when(over, F.col("__ridx__"))).alias("first_overflow_idx"),
         F.sum(F.when(over, 1).otherwise(0)).cast("bigint").alias("n_turns_over"),
         (F.max(F.when(over, 1).otherwise(0)) == 0).alias("fits"),
     )
@@ -1149,6 +1153,9 @@ def tool_chains(
 
     Output: (chain, chain_len, n_convs, share_micro) where share is
     the exact integer micro fraction of tool-using conversations.
+    Rows group on (chain, chain_len) — if a tool NAME contains the
+    '>' delimiter, two different workflows can render to the same
+    chain string, and the length keeps them separate rows.
 
     Determinism: the per-conversation fold is array_sort over
     (order, tool) structs, so ties on the order column resolve by
@@ -1180,10 +1187,11 @@ def tool_chains(
         ).alias("chain"),
         F.count(F.lit(1)).cast("bigint").alias("chain_len"),
     )
-    per_chain = per_conv.groupBy("chain").agg(
-        # every conversation with the same chain string has the same
-        # length by construction; min() is just the aggregate form
-        F.min("chain_len").alias("chain_len"),
+    # group on (chain, chain_len), not chain alone: a tool NAME
+    # containing the '>' delimiter can render two different workflows
+    # to the same chain string, and the length keeps them distinct
+    # rows instead of silently merging them
+    per_chain = per_conv.groupBy("chain", "chain_len").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_convs"),
     )
     # the grand total (tool-using conversations) derives from the

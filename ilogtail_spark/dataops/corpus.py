@@ -1162,9 +1162,13 @@ def snapshot_drift(
     """
 
     def card(df: DataFrame, suffix: str) -> DataFrame:
-        toks = F.coalesce(
-            F.size(tokens_col(F.col(text_col))).cast("bigint"), F.lit(0)
-        )
+        # coalesce the INPUT, not the size() output: with legacy
+        # sizeOfNull (Spark 3.x default) size(NULL) is -1, not NULL,
+        # and an output-side coalesce would silently count -1 tokens
+        # per NULL-text doc
+        toks = F.size(
+            tokens_col(F.coalesce(F.col(text_col).cast("string"), F.lit("")))
+        ).cast("bigint")
         return df.groupBy(F.col(source_col).alias("source")).agg(
             F.count(F.lit(1)).cast("bigint").alias(f"n_docs_{suffix}"),
             F.sum(toks).cast("bigint").alias(f"tokens_{suffix}"),

@@ -225,14 +225,19 @@ def eval_at_k(
     Output: one row per query appearing in either input —
     (query_id, n_rel, n_rel_at_k, p_at_k_micro, recall_at_k_micro,
     first_rel_rank, mrr_nano). A query with judgments but no results
-    scores zero; a query with results but no judgments has n_rel = 0
-    and recall NULL (undefined, not zero). first_rel_rank is NULL
-    when no relevant document was retrieved within k (mrr_nano 0).
+    (or none within the rank cut) scores zero; a query with results
+    but no judgments has n_rel = 0 and recall NULL (undefined, not
+    zero). first_rel_rank is NULL when no relevant document was
+    retrieved within k (mrr_nano 0). Both inputs are deduplicated
+    defensively: repeated (query, doc) result rows collapse to their
+    best rank, so hits count DISTINCT documents and precision can
+    never exceed 1.
 
-    Scale shape: results are pre-filtered to rank <= k at the scan;
-    the relevance mark is an equi-join on (query, doc) — qrels are
-    judgment-sized, broadcastable; per-query reduction is one
-    partial-aggregated groupBy. Nothing shuffles document text.
+    Scale shape: results are pre-filtered to rank <= k at the scan
+    (the defensive dedup aggregates k-bounded rows); the relevance
+    mark is an equi-join on (query, doc) — qrels are judgment-sized,
+    broadcastable; per-query reduction is one partial-aggregated
+    groupBy. Nothing shuffles document text.
     """
     if k <= 0:
         raise ValueError(f"eval_at_k: k must be > 0, got {k}")
@@ -241,23 +246,35 @@ def eval_at_k(
         .distinct()
         .withColumn("__rel__", F.lit(1))
     )
-    marked = (
+    cut = (
         results.filter(F.col(rank_col) <= k)
-        .select(query_col, id_col, rank_col)
-        .join(rel, [query_col, id_col], "left")
+        .groupBy(query_col, id_col)
+        .agg(F.min(rank_col).cast("bigint").alias("__rank__"))
     )
+    marked = cut.join(rel, [query_col, id_col], "left")
     per_q = marked.groupBy(query_col).agg(
         F.sum(F.coalesce(F.col("__rel__"), F.lit(0)))
         .cast("bigint")
         .alias("n_rel_at_k"),
-        F.min(F.when(F.col("__rel__") == 1, F.col(rank_col)))
+        F.min(F.when(F.col("__rel__") == 1, F.col("__rank__")))
         .cast("bigint")
         .alias("first_rel_rank"),
     )
     totals = rel.groupBy(query_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rel")
     )
-    j = per_q.join(totals, query_col, "full_outer")
+    # the query universe comes from the UNFILTERED results plus the
+    # judgments: a query whose results all sit beyond the rank cut
+    # still reports a zero row instead of vanishing from the card
+    universe = (
+        results.select(query_col)
+        .unionByName(qrels.select(query_col))
+        .distinct()
+    )
+    j = (
+        universe.join(per_q, query_col, "left")
+        .join(totals, query_col, "left")
+    )
     n_rel = F.coalesce(F.col("n_rel"), F.lit(0)).cast("bigint")
     n_hit = F.coalesce(F.col("n_rel_at_k"), F.lit(0)).cast("bigint")
     return j.select(

@@ -1309,6 +1309,20 @@ def q_corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # BM25 retrieval top-k — inverted-index scoring
 # ---------------------------------------------------------------------------
+def _bm25_probes(docs: DataFrame) -> DataFrame:
+    """The shared BM25 probe frame (every 97th document's first 8
+    lowercased tokens): ONE construction for the bm25/hybrid/eval@k
+    queries, so the probe definition can never drift between the run
+    being scored and the judgments scoring it (the SQL twin lives in
+    _bm25_oracle's qterms CTE: doc_id % 97 = 5, w[1:8])."""
+    return docs.filter(F.col("doc_id") % 97 == 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(dedup.tokens_col(F.lower(F.col("text"))), 1, 8), " "
+        ).alias("qtext"),
+    )
+
+
 def _bm25_oracle(k: int = 5, qmod: int = 97, qrem: int = 5, qlen: int = 8) -> str:
     toks = SQL_TOKENS.format(col="lower(text)")
     return f"""
@@ -1362,15 +1376,7 @@ def q_retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # probes: the first 8 tokens of every 97th document — short
     # keyword queries, the realistic probe shape
-    probes = (
-        docs.filter(F.col("doc_id") % 97 == 5)
-        .select(
-            F.col("doc_id").alias("query_id"),
-            F.array_join(
-                F.slice(dedup.tokens_col(F.lower(F.col("text"))), 1, 8), " "
-            ).alias("qtext"),
-        )
-    )
+    probes = _bm25_probes(docs)
     out = retrieval.bm25_topk(docs, probes, k=5)
     return out.select(
         "query_id", "doc_id", "score_micro", F.col("rank").cast("int").alias("rank")
@@ -1428,15 +1434,7 @@ def _eval_at_k_oracle(k: int = 5, qmod: int = 97, qrem: int = 5) -> str:
 @query("retrieval_eval_at_k", _eval_at_k_oracle())
 def q_retrieval_eval_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    probes = (
-        docs.filter(F.col("doc_id") % 97 == 5)
-        .select(
-            F.col("doc_id").alias("query_id"),
-            F.array_join(
-                F.slice(dedup.tokens_col(F.lower(F.col("text"))), 1, 8), " "
-            ).alias("qtext"),
-        )
-    )
+    probes = _bm25_probes(docs)
     results = retrieval.bm25_topk(docs, probes, k=5)
     qrels = (
         docs.crossJoin(F.broadcast(probes))
@@ -3046,15 +3044,7 @@ def _hybrid_rrf_oracle(
 @query("retrieval_hybrid_rrf", _hybrid_rrf_oracle())
 def q_retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    probes = (
-        docs.filter(F.col("doc_id") % 97 == 5)
-        .select(
-            F.col("doc_id").alias("query_id"),
-            F.array_join(
-                F.slice(dedup.tokens_col(F.lower(F.col("text"))), 1, 8), " "
-            ).alias("qtext"),
-        )
-    )
+    probes = _bm25_probes(docs)
     lex = retrieval.bm25_topk(docs, probes, k=10)
     emb = _t(spark, sf_dir, "embeddings")
     vqueries = emb.filter(F.col("vec_id") % 97 == 5)
@@ -4604,14 +4594,14 @@ def q_conv_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(*) AS BIGINT) AS chain_len
       FROM t WHERE tool IS NOT NULL GROUP BY conv_id
     ), pc AS (
-      SELECT chain, min(chain_len) AS chain_len,
+      SELECT chain, chain_len,
              CAST(count(*) AS BIGINT) AS n_convs
-      FROM c GROUP BY chain
+      FROM c GROUP BY chain, chain_len
     ), tot AS (SELECT count(*) AS total FROM c)
     SELECT chain, chain_len, n_convs,
            CAST(CAST(n_convs AS HUGEINT) * 1000000 // total AS BIGINT)
              AS share_micro
-    FROM pc, tot ORDER BY chain
+    FROM pc, tot ORDER BY chain, chain_len
     """,
 )
 def q_conv_tool_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4623,7 +4613,7 @@ def q_conv_tool_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("tool_"), (F.col("turn_idx") % 5).cast("string")),
         ),
     )
-    return conversations.tool_chains(with_tool).orderBy("chain")
+    return conversations.tool_chains(with_tool).orderBy("chain", "chain_len")
 
 
 # ---------------------------------------------------------------------------
@@ -4638,6 +4628,28 @@ _BOILERPLATE_CASE = """CASE
         WHEN role = 'assistant' AND conv_id % 5 = 1 AND turn_idx % 6 = 3
         THEN 'Here is a summary of the results you asked for.'
         ELSE text END"""
+
+
+def _inject_boilerplate(t: DataFrame) -> DataFrame:
+    """DataFrame twin of _BOILERPLATE_CASE (one Spark-side copy shared
+    by the repeated-response report and its dedup rewrite, so the two
+    fixtures cannot desynchronize)."""
+    return t.withColumn(
+        "text",
+        F.when(
+            (F.col("role") == "assistant")
+            & (F.col("conv_id") % 3 == 2)
+            & (F.col("turn_idx") % 4 == 2),
+            F.lit("I'm sorry, but I can't help with that request."),
+        )
+        .when(
+            (F.col("role") == "assistant")
+            & (F.col("conv_id") % 5 == 1)
+            & (F.col("turn_idx") % 6 == 3),
+            F.lit("Here is a summary of the results you asked for."),
+        )
+        .otherwise(F.col("text")),
+    )
 
 
 @query(
@@ -4665,22 +4677,7 @@ _BOILERPLATE_CASE = """CASE
 )
 def q_conv_repeated_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _as_transcript(spark, sf_dir, inject=False)
-    injected = t.withColumn(
-        "text",
-        F.when(
-            (F.col("role") == "assistant")
-            & (F.col("conv_id") % 3 == 2)
-            & (F.col("turn_idx") % 4 == 2),
-            F.lit("I'm sorry, but I can't help with that request."),
-        )
-        .when(
-            (F.col("role") == "assistant")
-            & (F.col("conv_id") % 5 == 1)
-            & (F.col("turn_idx") % 6 == 3),
-            F.lit("Here is a summary of the results you asked for."),
-        )
-        .otherwise(F.col("text")),
-    )
+    injected = _inject_boilerplate(t)
     return conversations.repeated_response_report(injected).orderBy("text_md5")
 
 
@@ -4713,22 +4710,7 @@ def q_conv_repeated_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_conv_response_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _as_transcript(spark, sf_dir, inject=False)
-    injected = t.withColumn(
-        "text",
-        F.when(
-            (F.col("role") == "assistant")
-            & (F.col("conv_id") % 3 == 2)
-            & (F.col("turn_idx") % 4 == 2),
-            F.lit("I'm sorry, but I can't help with that request."),
-        )
-        .when(
-            (F.col("role") == "assistant")
-            & (F.col("conv_id") % 5 == 1)
-            & (F.col("turn_idx") % 6 == 3),
-            F.lit("Here is a summary of the results you asked for."),
-        )
-        .otherwise(F.col("text")),
-    )
+    injected = _inject_boilerplate(t)
     return conversations.drop_repeated_responses(injected).orderBy(
         "conv_id", "turn_idx", "role"
     )

@@ -953,3 +953,19 @@ class TestTurnPositionStats:
         df = spark.createDataFrame([("c1", 0, "user", "x")], SCHEMA)
         with pytest.raises(ValueError, match="n_buckets"):
             conversations.turn_position_stats(df, n_buckets=0)
+
+
+class TestContextOverflowNullIdx:
+    def test_null_idx_never_reports_sentinel(self, spark):
+        # the NULL-idx turn orders first (10 tokens, overflowing the
+        # budget immediately); the reported first_overflow_idx must be
+        # the smallest REAL overflowing index, never the internal -1
+        rows = [
+            ("c1", None, "user", " ".join(["w"] * 10)),
+            ("c1", 0, "assistant", "a b"),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = conversations.context_overflow_report(df, max_tokens=5).collect()[0]
+        assert out["fits"] is False
+        assert out["first_overflow_idx"] == 0
+        assert out["n_turns_over"] == 2

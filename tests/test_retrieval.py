@@ -172,3 +172,32 @@ class TestEvalAtK:
         out = retrieval.eval_at_k(results, qrels, k=3).collect()
         assert out[0]["n_rel"] == 0
         assert out[0]["recall_at_k_micro"] is None
+
+
+class TestEvalAtKReviewRegressions:
+    def test_duplicate_result_rows_collapse(self, spark):
+        from ilogtail_spark.dataops import retrieval
+
+        results = spark.createDataFrame(
+            [(1, 10, 2), (1, 10, 4), (1, 11, 1)],
+            "query_id bigint, doc_id bigint, rank int",
+        )
+        qrels = spark.createDataFrame(
+            [(1, 10)], "query_id bigint, doc_id bigint"
+        )
+        out = retrieval.eval_at_k(results, qrels, k=5).collect()[0]
+        # doc 10 counted once at its best rank, recall capped at 1.0
+        assert out["n_rel_at_k"] == 1
+        assert out["recall_at_k_micro"] == 1_000_000
+        assert (out["first_rel_rank"], out["mrr_nano"]) == (2, 500_000_000)
+
+    def test_query_beyond_cut_still_reported(self, spark):
+        from ilogtail_spark.dataops import retrieval
+
+        results = spark.createDataFrame(
+            [(5, 1, 11)], "query_id bigint, doc_id bigint, rank int"
+        )
+        qrels = results.filter(F.lit(False)).select("query_id", "doc_id")
+        out = retrieval.eval_at_k(results, qrels, k=10).collect()
+        assert len(out) == 1
+        assert (out[0]["query_id"], out[0]["p_at_k_micro"]) == (5, 0)
