@@ -41,6 +41,7 @@ _FRONT = [
     "dedup_minhash_calibration", "corpus_snapshot_drift",
     "conv_context_overflow", "events_profile_diff", "retrieval_eval_at_k",
     "conv_response_dedup", "conv_position_stats", "events_quantile_drift",
+    "corpus_dup_rate", "sim_hard_negatives", "conv_flow_shapes",
     "text_lexical_diversity", "text_winnow_fingerprints",
     "corpus_collocations", "corpus_cross_source_dups",
     "conv_latency_quantiles",

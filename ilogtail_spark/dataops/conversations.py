@@ -1266,6 +1266,87 @@ def repeated_response_report(
     )
 
 
+def flow_shapes(
+    df: DataFrame,
+    max_depth: int = 12,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    min_convs: int = 1,
+) -> DataFrame:
+    """Conversation flow-shape dictionary: fold each conversation's
+    first ``max_depth`` role INITIALS (in turn order, lowercased first
+    character; NULL role → '?') into a compact shape string like
+    ``uauat`` — with a trailing ``+`` when the conversation continues
+    past the probe depth — and count conversations per shape. This is
+    the structure census of a transcript corpus: what share follows
+    the canonical user/assistant alternation, where the tool-heavy
+    loops live, which shapes are scraper artifacts (``uuuu+``) worth
+    a filter. The opening shape is probed because SFT formatting
+    breaks there first; compose with transition_counts for the
+    order-1 view and tool_chains for full tool paths.
+
+    Output: (flow, n_convs, share_micro) — share over ALL
+    conversations, exact micro. ``min_convs`` prunes rare shapes.
+
+    Determinism: the fold sorts (idx, role) structs, so tied indices
+    order by role name identically everywhere.
+
+    Scale shape: one conv-keyed aggregate folds turns to a
+    <= max_depth+1-char string (role initials only — text never
+    enters the plan); the shape dictionary aggregate is bounded by
+    the distinct opening shapes; the grand total broadcasts back off
+    the dictionary (the tool_chains idiom).
+    """
+    _require(df, [conv_col, idx_col, role_col], "flow_shapes")
+    if max_depth <= 0:
+        raise ValueError(
+            f"flow_shapes: max_depth must be > 0, got {max_depth}"
+        )
+    if min_convs < 1:
+        raise ValueError(f"min_convs must be >= 1 (got {min_convs})")
+    initial = F.coalesce(
+        F.lower(F.substring(F.col(role_col), 1, 1)), F.lit("?")
+    )
+    turns = df.select(
+        F.col(conv_col).alias("__c__"),
+        F.struct(
+            F.coalesce(F.col(idx_col).cast("bigint"), F.lit(-1)).alias("i"),
+            F.coalesce(F.col(role_col), F.lit("")).alias("r"),
+            initial.alias("x"),
+        ).alias("__s__"),
+    )
+    per_conv = turns.groupBy("__c__").agg(
+        F.concat(
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list("__s__")), 1, max_depth),
+                    lambda s: s["x"],
+                ),
+                "",
+            ),
+            F.when(F.count(F.lit(1)) > max_depth, F.lit("+")).otherwise(
+                F.lit("")
+            ),
+        ).alias("flow"),
+    )
+    per_flow = per_conv.groupBy("flow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_convs")
+    )
+    total = per_flow.agg(F.sum("n_convs").alias("__total__"))
+    return (
+        per_flow.filter(F.col("n_convs") >= min_convs)
+        .join(F.broadcast(total))
+        .select(
+            "flow",
+            "n_convs",
+            F.expr("CAST(n_convs AS DECIMAL(38,0)) * 1000000 div __total__")
+            .cast("bigint")
+            .alias("share_micro"),
+        )
+    )
+
+
 def drop_repeated_responses(
     df: DataFrame,
     conv_col: str = "conv_id",

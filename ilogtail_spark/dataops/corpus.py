@@ -1133,6 +1133,47 @@ def snapshot_diff(
     return out
 
 
+def dup_rate_by_source(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source exact-duplication card: for each source, how many
+    documents are redundant copies WITHIN that source (n_docs minus
+    distinct content digests) and the exact micro duplication rate.
+    This is the per-origin attribution behind dedup sizing — a crawl
+    source at 40% self-duplication gets a different ingest fix
+    (canonicalize URLs, drop mirrors) than one at 2%, and the number
+    pairs with cross_source_dups (which sees BETWEEN-source overlap
+    this card deliberately does not count).
+
+    Output: (source, n_docs, n_distinct, n_dup_docs, dup_rate_micro);
+    NULL-text documents form ONE no-content group per source (the
+    digest coalesces to a sentinel — count(DISTINCT) would otherwise
+    drop NULL digests entirely and report every NULL-text doc as a
+    duplicate).
+
+    Scale shape: ONE partial-aggregated groupBy per source with a
+    two-phase exact distinct over (source, 32-hex digest) — text
+    never shuffles; output is source-cardinality rows.
+    """
+    slim = df.select(
+        F.col(source_col).alias("source"),
+        F.coalesce(F.md5(F.col(text_col)), F.lit("__null__")).alias("__d__"),
+    )
+    return slim.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("__d__").cast("bigint").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("__d__"))
+        .cast("bigint")
+        .alias("n_dup_docs"),
+        F.expr(
+            "CAST(CAST(count(1) - count(DISTINCT __d__) AS DECIMAL(38,0)) "
+            "* 1000000 div count(1) AS BIGINT)"
+        ).alias("dup_rate_micro"),
+    )
+
+
 def snapshot_drift(
     old: DataFrame,
     new: DataFrame,

@@ -77,6 +77,69 @@ def cosine_topk(
     return out
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for
+    each anchor (query vector with a label), the top-k most-similar
+    corpus vectors carrying a DIFFERENT label — the "looks like a
+    positive, isn't one" examples that make a contrastive batch
+    informative (random negatives are trivially separable; the
+    near-boundary ones carry the gradient). The label can be a class,
+    a source document id (negatives for retrieval training that are
+    NOT the query's own document), or a dedup-cluster id (so near-dups
+    of the anchor never become negatives — the false-negative guard).
+
+    Output: (query_id, nbr_id, nbr_label, rk, cos) — rk ranks within
+    the anchor's negatives. NULL-label corpus rows pair with any
+    labeled anchor (unknown label is not evidence of a positive), but
+    NULL-vs-NULL pairs are excluded (two unknowns may well be the
+    same class — the conservative default for the false-negative
+    risk).
+
+    Scale shape: identical to :func:`cosine_topk` — anchors broadcast,
+    the corpus never shuffles, the label filter rides the broadcast
+    join condition so non-negatives never reach the rank window; the
+    only exchange is the per-anchor window.
+    """
+    c = with_double_vec(corpus, vec_col).select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(label_col).alias("nbr_label"),
+        F.col("__vec__").alias("cv"),
+    )
+    q = with_double_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("__albl__"),
+        F.col("__vec__").alias("qv"),
+    )
+    joined = c.join(
+        F.broadcast(q),
+        (F.col("nbr_id") != F.col("query_id"))
+        & ~F.col("nbr_label").eqNullSafe(F.col("__albl__")),
+    )
+    cos = _dot(F.col("cv"), F.col("qv")) / (
+        _norm(F.col("cv")) * _norm(F.col("qv"))
+    )
+    scored = joined.withColumn("cos", cos)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("nbr_id").asc()
+    )
+    out = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "nbr_id", "nbr_label", F.col("rk"), "cos")
+    )
+    if round_to is not None:
+        out = out.withColumn("cos", F.round(F.col("cos"), round_to))
+    return out
+
+
 def hyperplane_component(plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane component in
     [-1000, 1000]: derived from md5(f'{plane},{dim}') — computed on

@@ -387,6 +387,46 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# hard-negative mining: top-k most-similar vectors with a DIFFERENT
+# label per anchor (contrastive-training batch construction)
+# ---------------------------------------------------------------------------
+@query(
+    "sim_hard_negatives",
+    f"""
+    WITH v AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), q AS (SELECT * FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+             c.label AS nbr_label,
+             {_cosine_sql("c.e", "q.e")} AS cos_raw
+      FROM v c JOIN q ON c.vec_id <> q.vec_id
+       AND c.label IS DISTINCT FROM q.label
+    )
+    SELECT query_id, nbr_id, nbr_label, rk, round(cos_raw, 6) AS cos
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_raw DESC, nbr_id
+      ) AS rk
+      FROM scored
+    )
+    WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "label", F.col("label").cast("bigint")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.hard_negatives(emb, queries, k=5).orderBy(
+        "query_id", "rk"
+    )
+
+
+# ---------------------------------------------------------------------------
 # LSH-bucketed ANN: bucket assignment (the scale path's partitioner)
 # ---------------------------------------------------------------------------
 def _lsh_bucket_sql(num_planes: int = 8, plane_offset: int = 0) -> str:
@@ -2725,6 +2765,42 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# per-source exact-duplication rate (clones of every 6th doc injected
+# under the SAME source on both engines, the cluster-histogram idiom)
+# ---------------------------------------------------------------------------
+_DUP_RATE_DIGEST = "coalesce(md5(text), '__null__')"
+
+
+@query(
+    "corpus_dup_rate",
+    f"""
+    WITH d AS (
+      SELECT source, text FROM documents
+      UNION ALL
+      SELECT source, text FROM documents WHERE doc_id % 6 = 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT {_DUP_RATE_DIGEST}) AS BIGINT) AS n_distinct,
+           CAST(count(*) - count(DISTINCT {_DUP_RATE_DIGEST}) AS BIGINT)
+             AS n_dup_docs,
+           CAST(CAST(count(*) - count(DISTINCT {_DUP_RATE_DIGEST})
+                     AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+             AS dup_rate_micro
+    FROM d GROUP BY source ORDER BY source
+    """,
+)
+def q_corpus_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    aug = docs.union(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 6 == 0)
+        .select("source", "text")
+    )
+    return corpus.dup_rate_by_source(aug).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
 # per-source drift card between two snapshots (same synthesized new
 # snapshot as corpus_snapshot_diff: %5 edited, %7 dropped, %11 added)
 # ---------------------------------------------------------------------------
@@ -4679,6 +4755,44 @@ def q_conv_repeated_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _as_transcript(spark, sf_dir, inject=False)
     injected = _inject_boilerplate(t)
     return conversations.repeated_response_report(injected).orderBy("text_md5")
+
+
+# ---------------------------------------------------------------------------
+# conversation flow-shape dictionary: first-12 role initials per
+# conversation (+ '+' when deeper), counted across conversations
+# ---------------------------------------------------------------------------
+@query(
+    "conv_flow_shapes",
+    f"""
+    WITH t AS (
+      {_TRANSCRIPT_SQL}
+    ), r AS (
+      SELECT conv_id,
+             coalesce(lower(substr(role, 1, 1)), '?') AS x,
+             row_number() OVER (
+               PARTITION BY conv_id
+               ORDER BY coalesce(turn_idx, -1), coalesce(role, '')) AS rn,
+             count(*) OVER (PARTITION BY conv_id) AS nt
+      FROM t
+    ), f AS (
+      SELECT conv_id,
+             coalesce(string_agg(CASE WHEN rn <= 12 THEN x END, ''
+                                 ORDER BY rn), '')
+               || CASE WHEN max(nt) > 12 THEN '+' ELSE '' END AS flow
+      FROM r GROUP BY conv_id
+    ), pf AS (
+      SELECT flow, CAST(count(*) AS BIGINT) AS n_convs
+      FROM f GROUP BY flow
+    ), tot AS (SELECT sum(n_convs) AS total FROM pf)
+    SELECT flow, n_convs,
+           CAST(CAST(n_convs AS HUGEINT) * 1000000 // total AS BIGINT)
+             AS share_micro
+    FROM pf, tot ORDER BY flow
+    """,
+)
+def q_conv_flow_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    return conversations.flow_shapes(t, max_depth=12).orderBy("flow")
 
 
 # ---------------------------------------------------------------------------

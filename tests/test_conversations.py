@@ -969,3 +969,27 @@ class TestContextOverflowNullIdx:
         assert out["fits"] is False
         assert out["first_overflow_idx"] == 0
         assert out["n_turns_over"] == 2
+
+
+class TestFlowShapes:
+    def test_shapes_and_truncation(self, spark):
+        rows = (
+            [("c1", i, ["user", "assistant"][i % 2], "x") for i in range(4)]
+            + [("c2", i, ["user", "assistant"][i % 2], "x") for i in range(4)]
+            + [("c3", i, "user", "x") for i in range(14)]  # deep, truncated
+            + [("c4", 0, None, "x")]  # NULL role -> '?'
+        )
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = {
+            r["flow"]: r.asDict()
+            for r in conversations.flow_shapes(df).collect()
+        }
+        assert set(out) == {"uaua", "uuuuuuuuuuuu+", "?"}
+        assert out["uaua"]["n_convs"] == 2
+        assert out["uaua"]["share_micro"] == 2_000_000 // 4
+        assert out["uuuuuuuuuuuu+"]["n_convs"] == 1
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("c1", 0, "user", "x")], SCHEMA)
+        with pytest.raises(ValueError, match="max_depth"):
+            conversations.flow_shapes(df, max_depth=0)

@@ -1074,3 +1074,24 @@ class TestSnapshotDrift:
         assert fresh["tokens_new"] == 0  # NULL text counts 0 tokens
         assert fresh["mean_tokens_old_micro"] is None
         assert fresh["mean_tokens_new_micro"] == 0
+
+
+class TestDupRateBySource:
+    def test_rates(self, spark):
+        rows = [
+            (1, "web", "a"), (2, "web", "a"), (3, "web", "b"),
+            (4, "books", "x"),
+            (5, "nulls", None), (6, "nulls", None), (7, "nulls", "y"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+        out = {
+            r["source"]: r.asDict()
+            for r in corpus.dup_rate_by_source(df).collect()
+        }
+        web = out["web"]
+        assert (web["n_docs"], web["n_distinct"], web["n_dup_docs"]) == (3, 2, 1)
+        assert web["dup_rate_micro"] == 1_000_000 // 3
+        assert out["books"]["dup_rate_micro"] == 0
+        # NULL texts form ONE group: 2 NULLs + 'y' -> 2 distinct, 1 dup
+        nl = out["nulls"]
+        assert (nl["n_distinct"], nl["n_dup_docs"]) == (2, 1)

@@ -1154,3 +1154,46 @@ class TestMinhashCalibration:
             # and the 8-component estimate can only move in 125k steps
             assert r["jaccard"] > 0.5
             assert r["est_jaccard_micro"] % 125_000 == 0
+
+
+class TestHardNegatives:
+    def test_label_filter_and_ranking(self, spark):
+        from ilogtail_spark.dataops import similarity
+
+        # 4 vectors in 2D-ish space (padded): anchor 0 label 1;
+        # vec 1 same label (excluded), vecs 2/3 different labels
+        rows = [
+            (0, [1.0, 0.0, 0.0], 1),
+            (1, [0.99, 0.1, 0.0], 1),    # most similar but same label
+            (2, [0.9, 0.4, 0.0], 2),     # hard negative
+            (3, [0.0, 1.0, 0.0], 3),     # easy negative
+            (4, [1.0, 0.05, 0.0], None), # NULL label: pairs with anchor
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        )
+        anchors = df.filter(F.col("vec_id") == 0)
+        out = sorted(
+            similarity.hard_negatives(df, anchors, k=3).collect(),
+            key=lambda r: r["rk"],
+        )
+        ids = [r["nbr_id"] for r in out]
+        assert 1 not in ids          # same-label excluded
+        assert ids[0] == 4           # NULL label is a candidate, most similar
+        assert ids[1] == 2           # hard negative before easy one
+        assert ids[2] == 3
+
+    def test_null_vs_null_excluded(self, spark):
+        from ilogtail_spark.dataops import similarity
+
+        rows = [
+            (0, [1.0, 0.0], None),
+            (1, [0.9, 0.1], None),
+            (2, [0.5, 0.5], 7),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        )
+        anchors = df.filter(F.col("vec_id") == 0)
+        ids = {r["nbr_id"] for r in similarity.hard_negatives(df, anchors).collect()}
+        assert ids == {2}  # the other NULL never pairs with a NULL anchor

@@ -2203,6 +2203,53 @@ def main() -> int:
         "their engine reproducibility.",
     )
 
+    # 65. per-source dup rate / hard negatives / flow shapes
+    from ilogtail_spark.dataops import similarity as _s65
+
+    q65 = _c61.dup_rate_by_source(docs62)
+    p65 = formatted(q65)
+    ex65 = _hash_exchanges(p65)
+    emb65 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q65h = _s65.hard_negatives(emb65, emb65.filter(F.col("vec_id") < 5))
+    p65h = formatted(q65h)
+    ex65h = _hash_exchanges(p65h)
+    q65f = _conv61.flow_shapes(t64)
+    p65f = formatted(q65f)
+    ex65f = _hash_exchanges(p65f)
+    audit(
+        "per-source dup rate / hard negatives / flow shapes",
+        q65,
+        [
+            ("dup rate: text digests at the scan, ONE source-keyed "
+             "aggregate with a two-phase exact distinct — no exchange "
+             "carries text",
+             all("text#" not in e for e in ex65)),
+            ("dup rate: no join, no Python stage",
+             "Join" not in p65
+             and not re.search(r"EvalPython|InPandas", p65)),
+            ("hard negatives: anchors broadcast with the label filter "
+             "IN the join condition — the corpus never shuffles, "
+             "non-negatives never reach the rank window",
+             "BroadcastNestedLoopJoin" in p65h or "BroadcastHashJoin" in p65h),
+            ("hard negatives: the only hash exchange is the per-anchor "
+             "rank window",
+             len(ex65h) == 1
+             and not re.search(r"EvalPython|InPandas", p65h)),
+            ("flow shapes: one conv fold (role initials only — text "
+             "never enters the plan) + a dictionary aggregate; the "
+             "total broadcasts off the dictionary",
+             all("text#" not in e and "props#" not in e for e in ex65f)
+             and "Broadcast" in p65f),
+            ("flow shapes: no Python stage",
+             not re.search(r"EvalPython|InPandas", p65f)),
+        ],
+        "Three census cards: per-origin duplication attribution (the "
+        "ingest-fix decider), contrastive hard-negative mining (the "
+        "cosine_topk shape with the label filter riding the broadcast "
+        "join), and the opening-shape dictionary of a transcript "
+        "corpus.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
