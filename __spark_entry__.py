@@ -42,6 +42,7 @@ _FRONT = [
     "conv_context_overflow", "events_profile_diff", "retrieval_eval_at_k",
     "conv_response_dedup", "conv_position_stats", "events_quantile_drift",
     "corpus_dup_rate", "sim_hard_negatives", "conv_flow_shapes",
+    "dedup_normalized", "corpus_lang_mix", "conv_identity_leaks",
     "text_lexical_diversity", "text_winnow_fingerprints",
     "corpus_collocations", "corpus_cross_source_dups",
     "conv_latency_quantiles",

@@ -1082,6 +1082,69 @@ def refusal_stats(
     )
 
 
+IDENTITY_RE = (
+    r"(?i)(\bas an ai\b|as a language model|\bi am an ai\b|"
+    r"i['’]m an ai\b|i was trained by|my training data|"
+    r"i do(?: not|n['’]t) have personal)"
+)
+
+
+def identity_leak_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Per-conversation assistant identity-statement report — the SFT
+    hygiene signal behind "is this transcript teaching the model to
+    announce itself?": assistant turns matching the generic
+    self-reference surface bank (:data:`IDENTITY_RE` — "as an AI",
+    "as a language model", "I was trained by", ...). Distillation and
+    SFT pipelines scrub or downsample these turns so the student
+    model doesn't parrot the teacher's boilerplate persona; this card
+    sizes the problem per conversation, the refusal_stats shape
+    applied to identity leakage. The bank is deliberately simple and
+    engine-portable; a production deployment swaps in its own pattern
+    pack (or a trained classifier) behind the same contract.
+
+    Output: (conv_id, n_turns, n_assistant, n_identity,
+    identity_rate_micro, has_identity) — the rate is exact micro over
+    assistant turns, NULL when the conversation has none.
+
+    Scale: one scan-side regexp flag; ONE conv_id aggregate carrying
+    two small ints. NULL text never matches; a NULL role is "not the
+    assistant".
+    """
+    _require(df, [conv_col, role_col, text_col], "identity_leak_stats")
+    is_a = F.col(role_col).eqNullSafe(F.lit(assistant_role))
+    hit = is_a & F.coalesce(F.col(text_col), F.lit("")).rlike(IDENTITY_RE)
+    slim = df.select(
+        F.col(conv_col).alias("conv_id"),
+        is_a.cast("int").alias("__a__"),
+        hit.cast("int").alias("__i__"),
+    )
+    return (
+        slim.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+            F.sum("__a__").cast("bigint").alias("n_assistant"),
+            F.sum("__i__").cast("bigint").alias("n_identity"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            "n_assistant",
+            "n_identity",
+            F.expr(
+                "CAST(CAST(n_identity AS DECIMAL(38,0)) * 1000000 "
+                "div nullif(n_assistant, 0) AS BIGINT)"
+            ).alias("identity_rate_micro"),
+            (F.col("n_identity") > 0).alias("has_identity"),
+        )
+    )
+
+
 def tool_stats(
     df: DataFrame,
     conv_col: str = "conv_id",

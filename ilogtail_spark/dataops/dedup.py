@@ -86,6 +86,37 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+NORMALIZE_PUNCT_RE = r"[^\p{L}\p{N}]+"
+
+
+def normalize_expr(text: Column) -> Column:
+    """Canonical text form for fuzzy-exact dedup (the C4/Gopher
+    normalize-then-hash preprocessing): lowercase, every run of
+    non-letter/non-digit characters (punctuation, whitespace, symbols
+    — unicode-aware) collapses to one space, leading/trailing space
+    trimmed. Catches the near-universal trivial variants exact dedup
+    misses — trailing whitespace, smart quotes, case, punctuation
+    spacing — without any near-dup machinery. Pure scan-side
+    expression; the regex is the Java/RE2-shared subset so a DuckDB
+    oracle runs the identical chain."""
+    return F.trim(F.regexp_replace(F.lower(text), NORMALIZE_PUNCT_RE, " "))
+
+
+def exact_dedup_normalized(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """:func:`exact_dedup` over the normalized form: duplicate groups
+    keyed by md5 of :func:`normalize_expr` output, keeper = min(id).
+    Same one-digest-shuffle plan; the normalization rides the scan.
+    NULL text normalizes to NULL and forms one group (the exact-dedup
+    convention)."""
+    normed = df.select(
+        F.col(id_col),
+        normalize_expr(F.col(text_col).cast("string")).alias("__norm__"),
+    )
+    return exact_dedup(normed, "__norm__", id_col)
+
+
 def drop_exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

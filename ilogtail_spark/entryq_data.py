@@ -126,6 +126,43 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# normalize-then-hash dedup: trivial variants (case / punctuation /
+# whitespace) of every 6th doc injected under doc_id + 10^6 on both
+# engines — they collapse into their original's group
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_normalized",
+    r"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, upper(text) || '!!  ' AS text
+      FROM documents WHERE doc_id % 6 = 0
+    ), n AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'))
+               AS nm
+      FROM d
+    )
+    SELECT md5(nm) AS text_md5, min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS dup_count
+    FROM n GROUP BY 1 ORDER BY keep_id
+    """,
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("!!  ")).alias("text"),
+    )
+    aug = docs.union(variants)
+    out = dedup.exact_dedup_normalized(aug)
+    return out.select(
+        "text_md5", "keep_id", F.col("dup_count").cast("bigint").alias("dup_count")
+    ).orderBy("keep_id")
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram Jaccard near-dup pairs
 # ---------------------------------------------------------------------------
 @query(
@@ -959,6 +996,44 @@ def _lang_id_oracle() -> str:
     SELECT lang_pred, count(*) AS n
     FROM ({per_doc}) GROUP BY 1 ORDER BY lang_pred
     """
+
+
+# ---------------------------------------------------------------------------
+# per-source language mixture (same language-swapped fixture as
+# text_lang_id, composed with a per-source share aggregate)
+# ---------------------------------------------------------------------------
+def _lang_mix_oracle() -> str:
+    cases = " ".join(
+        f"WHEN doc_id % 8 = {k} THEN '{s}'" for k, s in _LANG_FIXTURES
+    )
+    per_doc = textstats.lang_id_oracle_sql(
+        table="documents", text_expr=f"CASE {cases} ELSE text END"
+    )
+    return f"""
+    WITH lp AS ({per_doc}), j AS (
+      SELECT d.source, lp.lang_pred AS lang
+      FROM lp JOIN documents d USING (doc_id)
+    ), per AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM j GROUP BY 1, 2
+    ), tot AS (
+      SELECT source, sum(n_docs) AS t FROM per GROUP BY source
+    )
+    SELECT per.source, lang, n_docs,
+           CAST(CAST(n_docs AS HUGEINT) * 1000000 // t AS BIGINT)
+             AS share_micro
+    FROM per JOIN tot USING (source) ORDER BY source, lang
+    """
+
+
+@query("corpus_lang_mix", _lang_mix_oracle())
+def q_corpus_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    swapped = F.col("text")
+    for k, s in reversed(_LANG_FIXTURES):
+        swapped = F.when(F.col("doc_id") % 8 == k, F.lit(s)).otherwise(swapped)
+    out = corpus.language_mix_by_source(docs.withColumn("text", swapped))
+    return out.orderBy("source", "lang")
 
 
 @query("text_lang_id", _lang_id_oracle())
@@ -4552,6 +4627,67 @@ def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the operator's regex, SQL-escaped for the DuckDB literal (the
 # quote class ['’] carries a single quote)
 REFUSAL_SQL_RE = conversations.REFUSAL_RE.replace("'", "''")
+IDENTITY_SQL_RE = conversations.IDENTITY_RE.replace("'", "''")
+
+
+# ---------------------------------------------------------------------------
+# per-conversation identity-statement report: "As an AI ..." phrases
+# injected on deterministic assistant turns (and one USER turn, which
+# must NOT count — the role gate pin) on both engines
+# ---------------------------------------------------------------------------
+@query(
+    "conv_identity_leaks",
+    f"""
+    WITH t0 AS (
+      {{transcript}}
+    ), t AS (
+      SELECT conv_id, role,
+             coalesce(text, '')
+             || CASE WHEN conv_id % 4 = 3 AND role = 'assistant'
+                          AND turn_idx % 5 = 1
+                THEN ' As an AI language model, I cannot browse.'
+                ELSE '' END
+             || CASE WHEN conv_id % 9 = 0 AND turn_idx = 2
+                THEN ' i was trained by someone' ELSE '' END AS text
+      FROM t0
+    ), c AS (
+      SELECT conv_id,
+             CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS a,
+             CASE WHEN role = 'assistant'
+                       AND regexp_matches(text, '{IDENTITY_SQL_RE}')
+                  THEN 1 ELSE 0 END AS i
+      FROM t
+    )
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(a) AS BIGINT) AS n_assistant,
+           CAST(sum(i) AS BIGINT) AS n_identity,
+           CAST(CAST(sum(i) AS HUGEINT) * 1000000 // nullif(sum(a), 0)
+                AS BIGINT) AS identity_rate_micro,
+           sum(i) > 0 AS has_identity
+    FROM c GROUP BY conv_id ORDER BY conv_id
+    """.replace("{transcript}", _TRANSCRIPT_SQL),
+)
+def q_conv_identity_leaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    injected = t.withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                (F.col("conv_id") % 4 == 3)
+                & (F.col("role") == "assistant")
+                & (F.col("turn_idx") % 5 == 1),
+                F.lit(" As an AI language model, I cannot browse."),
+            ).otherwise(F.lit("")),
+            F.when(
+                (F.col("conv_id") % 9 == 0) & (F.col("turn_idx") == 2),
+                F.lit(" i was trained by someone"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return conversations.identity_leak_stats(injected).orderBy("conv_id")
+
 
 _REFUSAL_INJECT_SQL = """coalesce(text, '')
           || CASE WHEN conv_id % 4 = 1 AND role = 'assistant'

@@ -993,3 +993,28 @@ class TestFlowShapes:
         df = spark.createDataFrame([("c1", 0, "user", "x")], SCHEMA)
         with pytest.raises(ValueError, match="max_depth"):
             conversations.flow_shapes(df, max_depth=0)
+
+
+class TestIdentityLeaks:
+    def test_role_gate_and_rate(self, spark):
+        rows = [
+            ("c1", 0, "user", "As an AI I wonder"),      # user never counts
+            ("c1", 1, "assistant", "As an AI language model, I cannot."),
+            ("c1", 2, "assistant", "here is the answer"),
+            ("c2", 0, "assistant", "i was trained by a team"),
+            ("c3", 0, "user", "no assistant turns here"),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = {
+            r["conv_id"]: r.asDict()
+            for r in conversations.identity_leak_stats(df).collect()
+        }
+        c1 = out["c1"]
+        assert (c1["n_assistant"], c1["n_identity"]) == (2, 1)
+        assert c1["identity_rate_micro"] == 500_000
+        assert c1["has_identity"] is True
+        assert out["c2"]["identity_rate_micro"] == 1_000_000
+        c3 = out["c3"]
+        assert c3["n_assistant"] == 0
+        assert c3["identity_rate_micro"] is None  # 0/0 undefined
+        assert c3["has_identity"] is False

@@ -1095,3 +1095,22 @@ class TestDupRateBySource:
         # NULL texts form ONE group: 2 NULLs + 'y' -> 2 distinct, 1 dup
         nl = out["nulls"]
         assert (nl["n_distinct"], nl["n_dup_docs"]) == (2, 1)
+
+
+class TestLanguageMixBySource:
+    def test_shares_within_source(self, spark):
+        de = "der Hund und die Katze sind nicht mit einem Ball von den Kindern"
+        en = "the cat and the dog are not with a ball from the children today"
+        rows = [
+            (1, "web", en), (2, "web", en), (3, "web", de),
+            (4, "books", de),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+        out = {
+            (r["source"], r["lang"]): r.asDict()
+            for r in corpus.language_mix_by_source(df).collect()
+        }
+        assert out[("web", "en")]["n_docs"] == 2
+        assert out[("web", "en")]["share_micro"] == 2_000_000 // 3
+        assert out[("web", "de")]["share_micro"] == 1_000_000 // 3
+        assert out[("books", "de")]["share_micro"] == 1_000_000

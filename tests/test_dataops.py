@@ -1197,3 +1197,30 @@ class TestHardNegatives:
         anchors = df.filter(F.col("vec_id") == 0)
         ids = {r["nbr_id"] for r in similarity.hard_negatives(df, anchors).collect()}
         assert ids == {2}  # the other NULL never pairs with a NULL anchor
+
+
+class TestNormalizedDedup:
+    def test_trivial_variants_collapse(self, spark):
+        rows = [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "  HELLO world.  "),
+            (4, "hello worlds"),  # NOT a variant
+            (5, None),
+            (6, None),  # NULLs form one group
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {
+            r["keep_id"]: r["dup_count"]
+            for r in dedup.exact_dedup_normalized(df).collect()
+        }
+        assert out[1] == 3   # docs 1-3 collapse
+        assert out[4] == 1
+        assert out[5] == 2   # both NULLs
+
+    def test_unicode_letters_survive(self, spark):
+        # \p{L} keeps non-Latin letters; punctuation collapses
+        rows = [(1, "Собака — и кошка"), (2, "собака и кошка")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = dedup.exact_dedup_normalized(df).collect()
+        assert len(out) == 1 and out[0]["dup_count"] == 2

@@ -2250,6 +2250,46 @@ def main() -> int:
         "corpus.",
     )
 
+    # 66. normalize-then-hash dedup / per-source lang mix / identity leaks
+    q66 = _d62.exact_dedup_normalized(docs62.select("doc_id", "text"))
+    p66 = formatted(q66)
+    ex66 = _hash_exchanges(p66)
+    q66l = _c61.language_mix_by_source(docs62)
+    p66l = formatted(q66l)
+    ex66l = _hash_exchanges(p66l)
+    q66i = _conv61.identity_leak_stats(t64)
+    p66i = formatted(q66i)
+    ex66i = _hash_exchanges(p66i)
+    audit(
+        "normalize-then-hash dedup / per-source lang mix / identity leaks",
+        q66,
+        [
+            ("normalized dedup: the canonical form and its md5 are "
+             "scan-side; the one aggregate exchange carries 32-byte "
+             "digests, never text",
+             all("text#" not in e for e in ex66)
+             and not re.search(r"EvalPython|InPandas", p66)),
+            ("lang mix: the language label is expression-only at the "
+             "scan; the label rejoin moves (id, label)/(id, source) "
+             "rows and no exchange carries document text",
+             all("text#" not in e for e in ex66l)
+             and not re.search(r"EvalPython|InPandas", p66l)),
+            ("lang mix: per-source totals broadcast back off the "
+             "sources x languages dictionary",
+             "Broadcast" in p66l),
+            ("identity leaks: one scan-side regexp flag + ONE conv "
+             "aggregate carrying two small ints",
+             len(ex66i) == 1
+             and all("text#" not in e for e in ex66i)
+             and not re.search(r"EvalPython|InPandas", p66i)),
+        ],
+        "The normalize chain catches the trivial-variant duplicates "
+        "exact dedup misses at zero near-dup cost; the language census "
+        "composes the expression-only lang_id with a bounded share "
+        "aggregate; the identity card is refusal_stats' shape applied "
+        "to SFT persona hygiene.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
