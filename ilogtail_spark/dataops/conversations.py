@@ -1082,10 +1082,14 @@ def refusal_stats(
     )
 
 
+# the whole alternation is boundary-wrapped (the REFUSAL_RE
+# convention): without it, 'dummy training data' would match
+# 'my training data' and 'BERT was a language model' would match
+# 'as a language model'
 IDENTITY_RE = (
-    r"(?i)(\bas an ai\b|as a language model|\bi am an ai\b|"
-    r"i['’]m an ai\b|i was trained by|my training data|"
-    r"i do(?: not|n['’]t) have personal)"
+    r"(?i)\b(as an ai|as a language model|i am an ai|"
+    r"i['’]m an ai|i was trained by|my training data|"
+    r"i do(?: not|n['’]t) have personal)\b"
 )
 
 

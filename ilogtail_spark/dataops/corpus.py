@@ -1151,19 +1151,25 @@ def language_mix_by_source(
     Output: (source, lang, n_docs, share_micro) — exact micro share
     WITHIN the source.
 
-    Scale shape: the language label is scan-side; the label frame
-    rejoins the (id, source) projection on the id key (40-byte rows,
-    text never shuffles); the share aggregate is bounded by
+    Scale shape: the language label is scan-side, and the source
+    column rides THROUGH lang_id as its carried id column — no join
+    back to the corpus at all (an id-keyed rejoin would both add two
+    full-corpus exchanges and silently drop NULL-id / double-count
+    duplicate-id rows; this counts every row, like
+    dup_rate_by_source). The share aggregate is bounded by
     sources x languages, and per-source totals broadcast back off the
-    aggregated dictionary (the tool_chains idiom).
+    aggregated dictionary (the tool_chains idiom). ``id_col`` is
+    unused and kept for signature compatibility.
     """
     from ilogtail_spark.dataops import textstats as _ts
 
-    labels = _ts.lang_id(df, text_col, id_col)
-    src = df.select(F.col(id_col), F.col(source_col).alias("source"))
+    labels = _ts.lang_id(
+        df.select(F.col(source_col).alias("source"), F.col(text_col)),
+        text_col,
+        "source",
+    )
     per = (
-        labels.join(src, id_col)
-        .groupBy("source", F.col("lang_pred").alias("lang"))
+        labels.groupBy("source", F.col("lang_pred").alias("lang"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
     totals = per.groupBy("source").agg(F.sum("n_docs").alias("__tot__"))

@@ -97,8 +97,13 @@ def normalize_expr(text: Column) -> Column:
     trimmed. Catches the near-universal trivial variants exact dedup
     misses — trailing whitespace, smart quotes, case, punctuation
     spacing — without any near-dup machinery. Pure scan-side
-    expression; the regex is the Java/RE2-shared subset so a DuckDB
-    oracle runs the identical chain."""
+    expression. Engine-parity note: the REGEX is the Java/RE2-shared
+    subset, but lower() uses each engine's own case mapping, and full
+    case mappings diverge on a few exotic code points (U+0130 'İ'
+    gains a combining dot under Java, ß handling differs) — the
+    operator's contract is per-engine determinism and partitioning
+    invariance; cross-engine digest equality holds for
+    simple-case-mapping text (all of the fixture corpus)."""
     return F.trim(F.regexp_replace(F.lower(text), NORMALIZE_PUNCT_RE, " "))
 
 

@@ -60,17 +60,27 @@ def cosine_topk(
         F.col(id_col).alias("query_id"), F.col("__vec__").alias("qv")
     )
     joined = c.join(F.broadcast(q), F.col("nbr_id") != F.col("query_id"))
+    return _rank_cosine(joined, k, round_to, ["query_id", "nbr_id", "rk", "cos"])
+
+
+def _rank_cosine(
+    joined: DataFrame, k: int, round_to: int | None, cols: list[str]
+) -> DataFrame:
+    """The scoring/ranking core shared by cosine_topk and
+    hard_negatives (ONE copy, so cosine semantics and the
+    (cos desc, nbr_id asc) oracle-aligned tie-break can never drift):
+    ``joined`` must carry cv/qv double vectors plus query_id/nbr_id."""
     cos = _dot(F.col("cv"), F.col("qv")) / (
         _norm(F.col("cv")) * _norm(F.col("qv"))
     )
-    scored = joined.withColumn("cos", cos)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("nbr_id").asc()
     )
     out = (
-        scored.withColumn("rk", F.row_number().over(w))
+        joined.withColumn("cos", cos)
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("query_id", "nbr_id", F.col("rk").alias("rk"), "cos")
+        .select(*cols)
     )
     if round_to is not None:
         out = out.withColumn("cos", F.round(F.col("cos"), round_to))
@@ -123,21 +133,9 @@ def hard_negatives(
         (F.col("nbr_id") != F.col("query_id"))
         & ~F.col("nbr_label").eqNullSafe(F.col("__albl__")),
     )
-    cos = _dot(F.col("cv"), F.col("qv")) / (
-        _norm(F.col("cv")) * _norm(F.col("qv"))
+    return _rank_cosine(
+        joined, k, round_to, ["query_id", "nbr_id", "nbr_label", "rk", "cos"]
     )
-    scored = joined.withColumn("cos", cos)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("nbr_id").asc()
-    )
-    out = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "nbr_id", "nbr_label", F.col("rk"), "cos")
-    )
-    if round_to is not None:
-        out = out.withColumn("cos", F.round(F.col("cos"), round_to))
-    return out
 
 
 def hyperplane_component(plane: int, dim: int) -> float:

@@ -1018,3 +1018,15 @@ class TestIdentityLeaks:
         assert c3["n_assistant"] == 0
         assert c3["identity_rate_micro"] is None  # 0/0 undefined
         assert c3["has_identity"] is False
+
+    def test_boundary_no_false_positives(self, spark):
+        # substrings inside larger words must not match (review fix)
+        rows = [
+            ("c1", 0, "assistant", "dummy training data is fine"),
+            ("c1", 1, "assistant", "BERT was a language model"),
+            ("c1", 2, "assistant", "Mimi was trained by her coach"),
+            ("c1", 3, "assistant", "we hired an aide yesterday"),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = conversations.identity_leak_stats(df).collect()[0]
+        assert out["n_identity"] == 0 and out["has_identity"] is False
