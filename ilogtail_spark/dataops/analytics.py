@@ -714,6 +714,63 @@ def log_templates(
     return counts.join(F.broadcast(total)).select(*out_cols)
 
 
+def template_drift(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Log-template drift between two snapshots — "what changed in
+    our logs after the deploy": every masked template's count on both
+    sides, with NEW templates (first failure modes), VANISHED ones
+    (removed code paths — or silenced errors), and exact integer
+    growth for the survivors. This is the diff view of
+    :func:`log_templates`, the same way profile_diff is column_profile
+    diffed; the pair (new templates ∪ vanished templates) is the
+    standard post-deploy triage list.
+
+    Output: (template, n_old, n_new, delta, status, growth_micro)
+    where status ∈ (new, vanished, changed, stable) and growth_micro
+    = n_new * 1e6 div n_old (NULL for new/vanished).
+
+    Scale shape: each side is mask-at-scan + one partial-aggregated
+    count per template (the shared :func:`mask_template` core — no
+    share/total machinery, so no extra joins); the diff join runs
+    over the two template dictionaries (code-site bounded), never the
+    lines.
+    """
+
+    def counts(df: DataFrame, alias: str) -> DataFrame:
+        t = F.col(text_col)
+        return (
+            df.filter(t.isNotNull())
+            .select(mask_template(t).alias("template"))
+            .groupBy("template")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+        )
+
+    j = counts(old, "n_old").join(
+        counts(new, "n_new"), "template", "full_outer"
+    )
+    n_old = F.coalesce(F.col("n_old"), F.lit(0)).cast("bigint")
+    n_new = F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint")
+    return j.select(
+        "template",
+        n_old.alias("n_old"),
+        n_new.alias("n_new"),
+        (n_new - n_old).alias("delta"),
+        F.when(n_old == 0, "new")
+        .when(n_new == 0, "vanished")
+        .when(n_new != n_old, "changed")
+        .otherwise("stable")
+        .alias("status"),
+        F.expr(
+            "CASE WHEN coalesce(n_old, 0) > 0 AND coalesce(n_new, 0) > 0 "
+            "THEN CAST(CAST(n_new AS DECIMAL(38,0)) * 1000000 "
+            "div n_old AS BIGINT) END"
+        ).alias("growth_micro"),
+    )
+
+
 def rare_templates(
     df: DataFrame,
     text_col: str = "text",

@@ -4352,6 +4352,82 @@ def q_events_rare_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# log-template drift between two snapshots: the 'new' snapshot drops
+# every 3rd event AND the panic family (vanished), and rewrites every
+# 7th surviving line into a circuit-breaker family (new) — so all
+# four statuses provably appear
+# ---------------------------------------------------------------------------
+_DRIFT_NEW_LINE_DUCK = f"""CASE WHEN event_id % 7 = 0
+      THEN 'circuit breaker open for service '
+           || CAST(user_id % 50 AS VARCHAR)
+      ELSE {_LOG_LINE_DUCK} END"""
+
+
+@query(
+    "events_template_drift",
+    f"""
+    WITH old_lines AS (
+      SELECT {_LOG_LINE_DUCK} AS line FROM events
+    ), new_lines AS (
+      SELECT {_DRIFT_NEW_LINE_DUCK} AS line
+      FROM events WHERE event_id % 3 <> 0 AND event_id % 499 <> 0
+    ), co AS (
+      SELECT {analytics.template_masks_sql('line')} AS template,
+             CAST(count(*) AS BIGINT) AS n_old
+      FROM old_lines WHERE line IS NOT NULL GROUP BY 1
+    ), cn AS (
+      SELECT {analytics.template_masks_sql('line')} AS template,
+             CAST(count(*) AS BIGINT) AS n_new
+      FROM new_lines WHERE line IS NOT NULL GROUP BY 1
+    )
+    SELECT coalesce(co.template, cn.template) AS template,
+           coalesce(n_old, 0) AS n_old,
+           coalesce(n_new, 0) AS n_new,
+           coalesce(n_new, 0) - coalesce(n_old, 0) AS delta,
+           CASE WHEN coalesce(n_old, 0) = 0 THEN 'new'
+                WHEN coalesce(n_new, 0) = 0 THEN 'vanished'
+                WHEN n_new <> n_old THEN 'changed'
+                ELSE 'stable' END AS status,
+           CASE WHEN coalesce(n_old, 0) > 0 AND coalesce(n_new, 0) > 0
+                THEN CAST(CAST(n_new AS HUGEINT) * 1000000 // n_old
+                          AS BIGINT)
+                ELSE -1 END AS growth_micro
+    FROM co FULL OUTER JOIN cn ON co.template = cn.template
+    ORDER BY template
+    """,
+)
+def q_events_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old = _log_lines(spark, sf_dir).select("line")
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_id") % 3 != 0) & (F.col("event_id") % 499 != 0)
+    )
+    new = ev.select(
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.concat(
+                F.lit("circuit breaker open for service "),
+                (F.col("user_id") % 50).cast("string"),
+            ),
+        )
+        .otherwise(F.expr(_LOG_LINE_SPARK))
+        .alias("line")
+    )
+    out = analytics.template_drift(old, new, text_col="line")
+    # -1 sentinel for undefined growth (new/vanished): the pandas
+    # nullable-int stringification caveat, as conv_context_overflow
+    return out.select(
+        "template",
+        "n_old",
+        "n_new",
+        "delta",
+        "status",
+        F.coalesce("growth_micro", F.lit(-1))
+        .cast("bigint")
+        .alias("growth_micro"),
+    ).orderBy("template")
+
+
+# ---------------------------------------------------------------------------
 # state-transition matrices: event-type flow per user and role bigrams
 # per conversation
 # ---------------------------------------------------------------------------

@@ -823,3 +823,36 @@ class TestGroupedQuantileDiff:
         b99 = out[("b", 990_000)]
         assert b99["n_new"] == 0
         assert b99["q_value_new"] is None and b99["q_delta"] is None
+
+
+class TestTemplateDrift:
+    def test_statuses_and_growth(self, spark):
+        old = spark.createDataFrame(
+            [("GET /api/item/1",), ("GET /api/item/2",),
+             ("panic in alpha",), (None,)],
+            "line string",
+        )
+        new = spark.createDataFrame(
+            [("GET /api/item/7",), ("GET /api/item/8",),
+             ("GET /api/item/9",), ("oom killed worker 3",)],
+            "line string",
+        )
+        out = {
+            r["template"]: r.asDict()
+            for r in analytics.template_drift(old, new, "line").collect()
+        }
+        get = out["GET /api/item/<NUM>"]
+        assert (get["n_old"], get["n_new"], get["delta"]) == (2, 3, 1)
+        assert get["status"] == "changed"
+        assert get["growth_micro"] == 1_500_000
+        assert out["panic in alpha"]["status"] == "vanished"
+        assert out["panic in alpha"]["growth_micro"] is None
+        oom = out["oom killed worker <NUM>"]
+        assert oom["status"] == "new"
+        assert (oom["n_old"], oom["n_new"]) == (0, 1)
+
+    def test_stable(self, spark):
+        df = spark.createDataFrame([("heartbeat seq 1",)], "line string")
+        out = analytics.template_drift(df, df, "line").collect()[0]
+        assert out["status"] == "stable"
+        assert out["growth_micro"] == 1_000_000

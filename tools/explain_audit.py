@@ -2270,10 +2270,11 @@ def main() -> int:
              all("text#" not in e for e in ex66)
              and not re.search(r"EvalPython|InPandas", p66)),
             ("lang mix: the language label is expression-only at the "
-             "scan; the label rejoin moves (id, label)/(id, source) "
-             "rows and no exchange carries document text",
+             "scan with source carried THROUGH lang_id — no join back "
+             "to the corpus, no exchange carries document text",
              all("text#" not in e for e in ex66l)
-             and not re.search(r"EvalPython|InPandas", p66l)),
+             and not re.search(r"EvalPython|InPandas", p66l)
+             and "SortMergeJoin" not in p66l),
             ("lang mix: per-source totals broadcast back off the "
              "sources x languages dictionary",
              "Broadcast" in p66l),
@@ -2288,6 +2289,27 @@ def main() -> int:
         "composes the expression-only lang_id with a bounded share "
         "aggregate; the identity card is refusal_stats' shape applied "
         "to SFT persona hygiene.",
+    )
+
+    # 67. log-template drift
+    q67 = entryq.QUERIES["events_template_drift"](spark, SF_DIR)
+    p67 = formatted(q67)
+    ex67 = _hash_exchanges(p67)
+    audit(
+        "log-template drift",
+        q67,
+        [
+            ("each side masks at the scan and collapses to its "
+             "template dictionary before the exchange — no exchange "
+             "carries raw lines",
+             all("line#" not in e for e in ex67)),
+            ("the diff join runs over the two dictionaries "
+             "(code-site-bounded), not the lines; whole plan codegen",
+             not re.search(r"EvalPython|InPandas", p67)),
+        ],
+        "The post-deploy triage card: new/vanished templates and "
+        "exact integer growth for survivors, composed from the shared "
+        "mask_template core with no share/total machinery.",
     )
 
     out = (
