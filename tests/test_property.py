@@ -507,3 +507,86 @@ class TestChunkWindowsDifferential:
                     for _, s, k, _h in exp:
                         covered.update(range(s, s + k))
                     assert covered == set(range(len(toks)))
+
+
+class TestNormalizeProperties:
+    def test_idempotent_and_python_differential(self, spark):
+        # normalize(normalize(x)) == normalize(x) — the confluence
+        # property that makes normalized digests stable across
+        # re-ingestion; differential vs an independent python oracle
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        from ilogtail_spark.dataops.dedup import normalize_expr
+
+        rows = [(i, s) for i, s in enumerate(corpus())] + [
+            (1000, "Hello,  WORLD!!"),
+            (1001, "«Собака» — и кошка…"),
+            (1002, "tabs\tand\nnewlines  here"),
+        ]
+        df = spark.createDataFrame(rows, "i long, t string")
+        once = df.select("i", normalize_expr(F.col("t")).alias("n1"))
+        twice = once.select(
+            "i", "n1", normalize_expr(F.col("n1")).alias("n2")
+        )
+        got = {r["i"]: (r["n1"], r["n2"]) for r in twice.collect()}
+        pat = _re.compile(r"[^\w]+|_+", _re.UNICODE)  # \w minus _ ~ \p{L}\p{N}
+        for i, s in rows:
+            n1, n2 = got[i]
+            assert n1 == n2, f"not idempotent on {s!r}"
+            expected = pat.sub(" ", s.lower()).strip()
+            # collapse runs the python side may have left (sub of
+            # adjacent matches already yields single spaces, but
+            # boundary-adjacent matches can stack)
+            expected = _re.sub(r" +", " ", expected)
+            assert n1 == expected, f"mismatch on {s!r}: {n1!r} vs {expected!r}"
+
+
+class TestSplitExprProperties:
+    def test_total_coverage_and_rates(self, spark):
+        # every row gets exactly one split, and realized rates track
+        # the micro shares (law of large numbers at 20k draws)
+        from pyspark.sql import functions as F
+
+        from ilogtail_spark.dataops import corpus as corpus_ops
+
+        splits = {"train": 800_000, "val": 150_000, "test": 50_000}
+        ids = spark.range(0, 20_000).withColumnRenamed("id", "doc_id")
+        out = corpus_ops.assign_splits(ids, splits)
+        counts = {
+            r["split"]: r["n"]
+            for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        assert sum(counts.values()) == 20_000
+        assert set(counts) == {"train", "val", "test"}
+        for name, share in splits.items():
+            rate = counts[name] / 20_000
+            assert abs(rate - share / 1e6) < 0.02, (name, rate)
+
+
+class TestChainPartitioningInvariance:
+    def test_tool_chains_partition_independent(self, spark):
+        from pyspark.sql import functions as F
+
+        from ilogtail_spark.dataops import conversations
+
+        rng = random.Random(SEED)
+        rows = []
+        for c in range(60):
+            for i in range(rng.randint(0, 8)):
+                rows.append(
+                    (f"c{c}", i, "tool", f"t{rng.randint(0, 4)}")
+                )
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, tool string"
+        )
+        a = sorted(
+            tuple(r)
+            for r in conversations.tool_chains(df.repartition(2)).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in conversations.tool_chains(df.repartition(17)).collect()
+        )
+        assert a == b
