@@ -763,10 +763,12 @@ def template_drift(
         .when(n_new != n_old, "changed")
         .otherwise("stable")
         .alias("status"),
-        F.expr(
-            "CASE WHEN coalesce(n_old, 0) > 0 AND coalesce(n_new, 0) > 0 "
-            "THEN CAST(CAST(n_new AS DECIMAL(38,0)) * 1000000 "
-            "div n_old AS BIGINT) END"
+        F.when(
+            (n_old > 0) & (n_new > 0),
+            F.expr(
+                "CAST(CAST(n_new AS DECIMAL(38,0)) * 1000000 "
+                "div n_old AS BIGINT)"
+            ),
         ).alias("growth_micro"),
     )
 

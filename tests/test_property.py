@@ -567,8 +567,6 @@ class TestSplitExprProperties:
 
 class TestChainPartitioningInvariance:
     def test_tool_chains_partition_independent(self, spark):
-        from pyspark.sql import functions as F
-
         from ilogtail_spark.dataops import conversations
 
         rng = random.Random(SEED)
