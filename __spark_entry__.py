@@ -43,7 +43,7 @@ _FRONT = [
     "conv_response_dedup", "conv_position_stats", "events_quantile_drift",
     "corpus_dup_rate", "sim_hard_negatives", "conv_flow_shapes",
     "dedup_normalized", "corpus_lang_mix", "conv_identity_leaks",
-    "events_template_drift",
+    "events_template_drift", "conv_preference_pairs",
     "text_lexical_diversity", "text_winnow_fingerprints",
     "corpus_collocations", "corpus_cross_source_dups",
     "conv_latency_quantiles",

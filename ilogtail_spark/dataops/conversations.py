@@ -1200,6 +1200,151 @@ def tool_stats(
     )
 
 
+def preference_pairs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    max_depth: int = 64,
+    max_prefix_group: int = 50,
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Preference-pair mining for DPO/RLHF data prep: find pairs of
+    conversations that share an identical turn prefix and then
+    DIVERGE at an assistant turn — the "same context, two different
+    responses" structure that regenerated answers, A/B-served
+    replies, and edited sessions leave in a transcript corpus. Each
+    mined pair is a raw preference candidate: the shared prefix is
+    the prompt context, the two divergent assistant turns are the
+    response pair (labeling which is preferred is the caller's
+    problem — this operator finds the structure).
+
+    For each conversation pair the DEEPEST shared prefix is used, and
+    the pair is emitted only when the next turn after it exists on
+    both sides, differs, and is an assistant turn in both. Returns
+    (conv_a, conv_b, prefix_depth, a_turn_idx, b_turn_idx) with
+    conv_a < conv_b; response text re-attaches by (conv, turn_idx)
+    key join, the trim_to_context contract.
+
+    ``max_prefix_group`` drops prefix-sharing groups larger than that
+    before the pair join (the max_band_bucket convention): a shared
+    system prompt is a quadratic key shared by millions of sessions,
+    and pairs glued ONLY by boilerplate are not preference signal.
+    Prefixes are probed to ``max_depth`` as in prefix_report.
+
+    Scale shape: the same digest algebra as prefix_report — turns
+    fold once per conversation on the conv exchange (text digests
+    scan-side), prefix signatures and each depth's NEXT-turn triple
+    explode scan-side, the group cap is one digest-only aggregate,
+    and the self-join runs within capped (depth, sig) buckets only.
+    Pair reduction is one (conv_a, conv_b) aggregate taking the
+    max-depth struct. Transcript text never shuffles.
+    """
+    if max_depth < 1:
+        raise ValueError(
+            f"preference_pairs: max_depth must be >= 1, got {max_depth}"
+        )
+    if max_prefix_group < 2:
+        raise ValueError(
+            "preference_pairs: max_prefix_group must be >= 2, got "
+            f"{max_prefix_group}"
+        )
+    _require(
+        df, [conv_col, idx_col, role_col, text_col], "preference_pairs"
+    )
+    agg = _ordered_turn_seq(df, conv_col, idx_col, role_col, text_col)
+    items = F.transform(
+        F.col("__seq__"),
+        lambda x: F.concat_ws(":", x["__role__"], x["__d__"]),
+    )
+    folded = agg.select(
+        "conv_id",
+        F.col("n_turns").cast("bigint").alias("n_turns"),
+        items.alias("__items__"),
+        F.col("__seq__").alias("__sq__"),
+    )
+    # probe depths 1..min(n_turns - 1, max_depth): a usable prefix
+    # must leave at least one following turn to diverge on
+    depth_n = F.least(F.col("n_turns") - 1, F.lit(max_depth)).cast("int")
+    prefixes = F.when(
+        depth_n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), depth_n),
+            lambda i: F.struct(
+                i.cast("bigint").alias("depth"),
+                F.md5(
+                    F.array_join(F.slice(F.col("__items__"), 1, i), "|")
+                ).alias("sig"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<depth:bigint,sig:string>>"))
+    pref = (
+        folded.select(
+            "conv_id", "__sq__", F.explode(prefixes).alias("__p__")
+        )
+        .select(
+            "conv_id",
+            F.col("__p__.depth").alias("depth"),
+            F.col("__p__.sig").alias("sig"),
+            F.element_at(
+                F.col("__sq__"), (F.col("__p__.depth") + 1).cast("int")
+            ).alias("__next__"),
+        )
+        .select(
+            "conv_id",
+            "depth",
+            "sig",
+            F.col("__next__.__idx__").alias("nidx"),
+            F.col("__next__.__role__").alias("nrole"),
+            F.col("__next__.__d__").alias("nd"),
+        )
+    )
+    ok = (
+        pref.groupBy("depth", "sig")
+        .agg(F.count(F.lit(1)).alias("__cnt__"))
+        .filter(
+            (F.col("__cnt__") >= 2) & (F.col("__cnt__") <= max_prefix_group)
+        )
+        .select("depth", "sig")
+    )
+    capped = pref.join(ok, ["depth", "sig"])
+    left = capped.alias("l")
+    right = capped.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.depth") == F.col("r.depth"))
+        & (F.col("l.sig") == F.col("r.sig"))
+        & (F.col("l.conv_id") < F.col("r.conv_id")),
+    ).select(
+        F.col("l.conv_id").alias("conv_a"),
+        F.col("r.conv_id").alias("conv_b"),
+        F.struct(
+            F.col("l.depth").alias("depth"),
+            F.col("l.nidx").alias("a_idx"),
+            F.col("l.nrole").alias("a_role"),
+            F.col("l.nd").alias("a_d"),
+            F.col("r.nidx").alias("b_idx"),
+            F.col("r.nrole").alias("b_role"),
+            F.col("r.nd").alias("b_d"),
+        ).alias("__s__"),
+    )
+    # one row per (pair, depth), so the struct max picks the deepest
+    # shared prefix with its divergence triple attached
+    best = pairs.groupBy("conv_a", "conv_b").agg(F.max("__s__").alias("__s__"))
+    return best.filter(
+        (F.col("__s__.a_role") == assistant_role)
+        & (F.col("__s__.b_role") == assistant_role)
+        & (F.col("__s__.a_d") != F.col("__s__.b_d"))
+    ).select(
+        "conv_a",
+        "conv_b",
+        F.col("__s__.depth").alias("prefix_depth"),
+        F.col("__s__.a_idx").alias("a_turn_idx"),
+        F.col("__s__.b_idx").alias("b_turn_idx"),
+    )
+
+
 def tool_chains(
     df: DataFrame,
     conv_col: str = "conv_id",

@@ -5591,6 +5591,94 @@ def q_conv_prefix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DPO preference-pair mining: every 4th conversation is cloned under
+# conv_id + 10^6 with turns >= 3 rewritten — the clone shares the
+# depth-3 prefix with its original and diverges at position 4; the
+# pair is emitted only where that divergent turn is an assistant turn
+# on both sides (same role layout by construction)
+# ---------------------------------------------------------------------------
+@query(
+    "conv_preference_pairs",
+    f"""
+    WITH t0 AS (
+      {_TRANSCRIPT_SQL}
+    ), t AS (
+      SELECT * FROM t0
+      UNION ALL
+      SELECT conv_id + 1000000, turn_idx, role,
+             CASE WHEN turn_idx >= 3 THEN text || '::ALT' ELSE text END
+      FROM t0 WHERE conv_id % 4 = 0
+    ), s0 AS (
+      SELECT conv_id, coalesce(turn_idx, -1) AS i,
+             coalesce(role, '') AS r,
+             coalesce(md5(text), '') AS d
+      FROM t
+    ), seq AS (
+      SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+             list(r || ':' || d ORDER BY i, r, d) AS items,
+             list({{'i': i, 'r': r, 'd': d}} ORDER BY i, r, d) AS sq
+      FROM s0 GROUP BY conv_id
+    ), pref AS (
+      SELECT conv_id,
+             u.depth AS depth, u.sig AS sig,
+             sq[u.depth + 1].i AS nidx,
+             sq[u.depth + 1].r AS nrole,
+             sq[u.depth + 1].d AS nd
+      FROM (SELECT conv_id, sq,
+                   unnest([{{'depth': CAST(i AS BIGINT),
+                            'sig': md5(array_to_string(items[1:i], '|'))}}
+                           for i in range(1, least(n_turns - 1, 64) + 1)])
+                     AS u
+            FROM seq)
+    ), ok AS (
+      SELECT depth, sig FROM pref GROUP BY 1, 2
+      HAVING count(*) >= 2 AND count(*) <= 50
+    ), capped AS (
+      SELECT p.* FROM pref p JOIN ok USING (depth, sig)
+    ), pairs AS (
+      SELECT l.conv_id AS conv_a, r.conv_id AS conv_b,
+             l.depth AS depth,
+             l.nidx AS a_idx, l.nrole AS a_role, l.nd AS a_d,
+             r.nidx AS b_idx, r.nrole AS b_role, r.nd AS b_d
+      FROM capped l JOIN capped r
+        ON l.depth = r.depth AND l.sig = r.sig
+       AND l.conv_id < r.conv_id
+    ), best AS (
+      SELECT conv_a, conv_b,
+             max(depth) AS prefix_depth,
+             max_by(a_idx, depth) AS a_turn_idx,
+             max_by(b_idx, depth) AS b_turn_idx,
+             max_by(a_role, depth) AS a_role,
+             max_by(b_role, depth) AS b_role,
+             max_by(a_d, depth) AS a_d,
+             max_by(b_d, depth) AS b_d
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT conv_a, conv_b, prefix_depth, a_turn_idx, b_turn_idx
+    FROM best
+    WHERE a_role = 'assistant' AND b_role = 'assistant' AND a_d <> b_d
+    ORDER BY conv_a, conv_b
+    """,
+)
+def q_conv_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    c = (
+        t.filter(F.col("conv_id") % 4 == 0)
+        .withColumn("conv_id", F.col("conv_id") + F.lit(1_000_000))
+        .withColumn(
+            "text",
+            F.when(
+                F.col("turn_idx") >= 3,
+                F.concat(F.col("text"), F.lit("::ALT")),
+            ).otherwise(F.col("text")),
+        )
+    )
+    return conversations.preference_pairs(t.unionByName(c)).orderBy(
+        "conv_a", "conv_b"
+    )
+
+
+# ---------------------------------------------------------------------------
 # encoding-anomaly flags: the anomalies are INJECTED on both engines
 # (mojibake on doc_id%9, U+FFFD on %14, a C0 bell on %23 — the
 # natural fixture text is clean and the gate must provably fire)

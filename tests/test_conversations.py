@@ -1030,3 +1030,68 @@ class TestIdentityLeaks:
         df = spark.createDataFrame(rows, SCHEMA)
         out = conversations.identity_leak_stats(df).collect()[0]
         assert out["n_identity"] == 0 and out["has_identity"] is False
+
+
+class TestPreferencePairs:
+    def test_divergent_assistant_pair_found(self, spark):
+        rows = [
+            # a/b: same 2-turn prefix, divergent assistant turn 2
+            ("a", 0, "user", "hi"),
+            ("a", 1, "assistant", "hello"),
+            ("a", 2, "user", "explain x"),
+            ("a", 3, "assistant", "answer ONE"),
+            ("b", 0, "user", "hi"),
+            ("b", 1, "assistant", "hello"),
+            ("b", 2, "user", "explain x"),
+            ("b", 3, "assistant", "answer TWO"),
+            # c: shares only the depth-1 prefix with a/b, diverges at a
+            # USER turn -> never a preference pair
+            ("c", 0, "user", "hi"),
+            ("c", 1, "user", "different question"),
+            # d: exact clone of a -> no divergence anywhere
+            ("d", 0, "user", "hi"),
+            ("d", 1, "assistant", "hello"),
+            ("d", 2, "user", "explain x"),
+            ("d", 3, "assistant", "answer ONE"),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = {
+            (r["conv_a"], r["conv_b"]): r.asDict()
+            for r in conversations.preference_pairs(df).collect()
+        }
+        # a-b and b-d diverge at the depth-3 assistant turn; a-d are
+        # identical (deepest shared prefix's next turns are EQUAL) so
+        # no pair; c never pairs (user divergence)
+        assert ("a", "b") in out and ("b", "d") in out
+        assert ("a", "d") not in out
+        assert all("c" not in k for k in out)
+        p = out[("a", "b")]
+        assert p["prefix_depth"] == 3
+        assert (p["a_turn_idx"], p["b_turn_idx"]) == (3, 3)
+
+    def test_hot_prefix_cap(self, spark):
+        # 5 conversations sharing a prefix, divergent assistant turns:
+        # with max_prefix_group=3 the group is dropped entirely
+        rows = []
+        for c in range(5):
+            rows += [
+                (f"c{c}", 0, "user", "same prompt"),
+                (f"c{c}", 1, "assistant", f"answer {c}"),
+            ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        assert (
+            conversations.preference_pairs(df, max_prefix_group=3).count()
+            == 0
+        )
+        # uncapped-enough: all 10 pairs appear
+        assert (
+            conversations.preference_pairs(df, max_prefix_group=10).count()
+            == 10
+        )
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("a", 0, "user", "x")], SCHEMA)
+        with pytest.raises(ValueError, match="max_depth"):
+            conversations.preference_pairs(df, max_depth=0)
+        with pytest.raises(ValueError, match="max_prefix_group"):
+            conversations.preference_pairs(df, max_prefix_group=1)

@@ -2312,6 +2312,33 @@ def main() -> int:
         "mask_template core with no share/total machinery.",
     )
 
+    # 68. DPO preference-pair mining (operator over the plain frame —
+    # the registry fixture's turn_idx synthesis window adds its own
+    # text-bearing exchange, which is fixture cost, not operator cost)
+    q68 = _conv61.preference_pairs(t64)
+    p68 = formatted(q68)
+    ex68 = _hash_exchanges(p68)
+    audit(
+        "DPO preference-pair mining",
+        q68,
+        [
+            ("no exchange carries transcript text — turns digest at "
+             "the scan and every shuffle moves 32-hex digests / "
+             "prefix signatures / id pairs",
+             all("text#" not in e and "props#" not in e for e in ex68)),
+            ("the pair self-join runs within capped (depth, sig) "
+             "buckets only (the max_band_bucket convention applied "
+             "to shared system prompts); whole plan codegen",
+             not re.search(r"EvalPython|InPandas", p68)),
+        ],
+        "The preference-pair miner is prefix_report's digest algebra "
+        "extended to pairs: each depth row carries its NEXT-turn "
+        "triple, the group cap bounds the quadratic key, and one "
+        "(conv_a, conv_b) struct-max picks the deepest divergence — "
+        "same-context/different-response structure without a "
+        "transcript self-join.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
