@@ -37,6 +37,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _FRONT = [
     # round-5 new queries first (never driver-checked), then the
     # r04-unsampled rotation ordered oldest-driver-check first
+    "conv_tool_loops", "conv_abandoned", "events_outage_windows",
+    "corpus_canary_scan",
     "conv_tool_chains", "conv_repeated_responses", "corpus_split_leakage",
     "dedup_minhash_calibration", "corpus_snapshot_drift",
     "conv_context_overflow", "events_profile_diff", "retrieval_eval_at_k",

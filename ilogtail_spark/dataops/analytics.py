@@ -1278,3 +1278,52 @@ def profile_diff(
             "max_changed"
         ),
     )
+
+
+def outage_windows(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    min_gap_seconds: int = 3600,
+) -> DataFrame:
+    """Silence-gap (outage) detection: per key, every interval between
+    consecutive events that exceeds ``min_gap_seconds`` — the
+    monitoring question behind the reference's file-tail liveness
+    alarms (a source that stops emitting is indistinguishable from a
+    healthy-but-quiet one until the gap length crosses a threshold).
+    Complements ``gapfill_counts`` (which FILLS small gaps for
+    plotting) by REPORTING the large ones.
+
+    Returns (key, gap_start, gap_end, gap_sec) — one row per
+    threshold-crossing gap, gap_start/gap_end being the bounding
+    event timestamps. Rows with NULL key or ts are dropped.
+
+    Scale: only (key, ts) survive the scan; the lag window and the
+    post-window filter share ONE exchange on key, and the output is
+    bounded by the number of long gaps, not the event count. Ties on
+    ts are order-ambiguous but harmless: equal timestamps yield a
+    zero-length gap wherever they land, and the pair bridging a tie
+    group has the same gap length whichever tied row borders it.
+    """
+    if min_gap_seconds <= 0:
+        raise ValueError("outage_windows: min_gap_seconds must be > 0")
+    missing = [c for c in (key_col, ts_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"outage_windows: missing columns {missing}")
+    slim = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).cast("timestamp").alias("__ts__"),
+    ).filter(F.col("key").isNotNull() & F.col("__ts__").isNotNull())
+    w = Window.partitionBy("key").orderBy("__ts__")
+    gapped = slim.withColumn("__prev__", F.lag("__ts__").over(w)).withColumn(
+        "gap_sec",
+        (
+            F.unix_timestamp("__ts__") - F.unix_timestamp("__prev__")
+        ).cast("bigint"),
+    )
+    return gapped.filter(F.col("gap_sec") >= min_gap_seconds).select(
+        "key",
+        F.col("__prev__").alias("gap_start"),
+        F.col("__ts__").alias("gap_end"),
+        "gap_sec",
+    )

@@ -1912,3 +1912,135 @@ def prefix_report(
             .alias("share_count"),
         )
     )
+
+
+def tool_loops(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    tool_col: str = "tool",
+    loop_min: int = 3,
+) -> DataFrame:
+    """Stuck-agent report: per conversation, the longest consecutive
+    run of the SAME tool and how many runs reach ``loop_min`` calls —
+    the "agent keeps re-invoking the same tool without progress"
+    defect. The tool sequence is taken over tool-bearing turns only
+    (NULL/empty tool turns — plain dialogue — are skipped, so a loop
+    interrupted only by chat still counts as one run).
+
+    Returns (conv_id, n_tool_turns, n_distinct_tools, max_tool_run,
+    n_loop_runs, has_loop) — has_loop = max_tool_run >= loop_min.
+
+    Scale: only (conv_id, idx, tool) survive the scan; the lag window,
+    the run-grouping running sum, and both aggregate levels all
+    partition by conv_id, so ONE exchange feeds the report (the
+    ``repeated_turn_stats`` lag-flag-sum core applied to the tool
+    column). Reference analog: the self-monitor's plugin-level retry
+    counters (core/monitor/metric_constants/PluginMetrics.cpp) — here
+    the retry artifact is detected from the data itself.
+    """
+    _require(df, [conv_col, idx_col, tool_col], "tool_loops")
+    if loop_min < 2:
+        raise ValueError("tool_loops: loop_min must be >= 2")
+    slim = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.coalesce(F.col(idx_col).cast("bigint"), F.lit(-1)).alias("__idx__"),
+        F.col(tool_col).cast("string").alias("__tool__"),
+    ).filter(F.col("__tool__").isNotNull() & (F.col("__tool__") != ""))
+    order = [F.col("__idx__"), F.col("__tool__")]
+    w = Window.partitionBy("conv_id").orderBy(*order)
+    wrun = (
+        Window.partitionBy("conv_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = (
+        slim.withColumn(
+            "__same__",
+            F.coalesce(
+                F.col("__tool__") == F.lag("__tool__").over(w), F.lit(False)
+            ),
+        )
+        .withColumn(
+            "__run__",
+            F.sum(F.when(F.col("__same__"), 0).otherwise(1)).over(wrun),
+        )
+        .groupBy("conv_id", "__run__")
+        # every row in a run shares one tool, so min == the run's tool
+        .agg(
+            F.count(F.lit(1)).alias("__len__"),
+            F.min("__tool__").alias("__tool__"),
+        )
+    )
+    return runs.groupBy("conv_id").agg(
+        F.sum("__len__").cast("bigint").alias("n_tool_turns"),
+        F.countDistinct("__tool__").cast("bigint").alias("n_distinct_tools"),
+        F.max("__len__").cast("bigint").alias("max_tool_run"),
+        F.sum(
+            F.when(F.col("__len__") >= loop_min, 1).otherwise(0)
+        ).cast("bigint").alias("n_loop_runs"),
+        (F.max("__len__") >= loop_min).alias("has_loop"),
+    )
+
+
+def completion_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Conversation-completion report: does each conversation END with
+    an assistant turn, and how many dangling non-assistant turns trail
+    the last assistant response. A conversation whose final turn is a
+    user question (or an unanswered tool result) is an ABANDONED
+    sample — SFT extraction would silently drop its tail, and serving
+    logs with many of these indicate client-side timeouts.
+
+    Returns (conv_id, n_turns, last_turn_idx, last_role,
+    ends_assistant, trailing_dangling, abandoned); trailing_dangling
+    counts the maximal suffix of non-assistant turns (0 when the
+    conversation ends with the assistant), and abandoned = NOT
+    ends_assistant.
+
+    Scale: only (conv_id, idx, role) survive the scan. The last turn
+    is a struct max — an ordinary aggregate, no window — and the
+    trailing count comes from a reverse running sum of assistant
+    flags; both partition by conv_id, so ONE exchange feeds the
+    report. Ties on (idx, role) are broken by the struct order, which
+    both engines share.
+    """
+    _require(df, [conv_col, idx_col, role_col], "completion_stats")
+    slim = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.coalesce(F.col(idx_col).cast("bigint"), F.lit(-1)).alias("__idx__"),
+        F.coalesce(F.col(role_col), F.lit("")).alias("__role__"),
+    )
+    wdesc = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("__idx__").desc(), F.col("__role__").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_asst = F.when(F.col("__role__") == assistant_role, 1).otherwise(0)
+    tail = slim.withColumn("__seen_asst__", F.sum(is_asst).over(wdesc))
+    return (
+        tail.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+            F.max(F.struct("__idx__", "__role__")).alias("__last__"),
+            F.sum(F.when(F.col("__seen_asst__") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("trailing_dangling"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            F.col("__last__.__idx__").alias("last_turn_idx"),
+            F.col("__last__.__role__").alias("last_role"),
+            (F.col("__last__.__role__") == assistant_role).alias(
+                "ends_assistant"
+            ),
+            "trailing_dangling",
+            (F.col("__last__.__role__") != assistant_role).alias("abandoned"),
+        )
+    )

@@ -1918,3 +1918,72 @@ def length_histogram(
         hi.cast("bigint").alias("hi_chars"),
         "n_docs",
     )
+
+
+def canary_scan(
+    df: DataFrame,
+    canaries: list[str],
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Canary-string contamination scan: count exact substring
+    occurrences of each canary (benchmark GUIDs, tracer strings
+    planted in eval sets a la BIG-bench canary) across the corpus.
+    Complements ``decontaminate`` (shingle overlap vs a benchmark
+    CORPUS) for the degenerate-but-common case where contamination is
+    marked by a literal sentinel string — no shingling, no regex.
+
+    Returns (canary, n_docs, n_hits, first_doc) for canaries with at
+    least one hit, where n_hits counts OCCURRENCES (a doc containing
+    the canary twice contributes 2) via the replace-length identity
+    ``(len(t) - len(replace(t, c, ''))) / len(c)`` — pure integer
+    math inside codegen, one pass per canary over the scan.
+
+    Scale: the canary list is a constant-folded literal array (same
+    contract as token_blocklist_filter); per-doc work is scan-side,
+    text never shuffles, and the aggregate keys on the canary string
+    itself — at most ``len(canaries)`` groups, so the exchange is a
+    few rows per task regardless of corpus size.
+    """
+    if not canaries:
+        raise ValueError("canary_scan: canaries must be non-empty")
+    if any(not c for c in canaries):
+        raise ValueError("canary_scan: empty canary string")
+    if len(set(canaries)) != len(canaries):
+        raise ValueError("canary_scan: duplicate canary strings")
+    missing = [c for c in (id_col, text_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"canary_scan: missing columns {missing}")
+    text = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    hits = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("canary"),
+                (
+                    (F.length(text) - F.length(F.replace(text, F.lit(c))))
+                    / F.lit(len(c))
+                )
+                .cast("bigint")
+                .alias("hits"),
+            )
+            for c in canaries
+        ]
+    )
+    exploded = (
+        df.select(
+            F.col(id_col).alias("__doc__"),
+            F.explode(
+                F.filter(hits, lambda s: s["hits"] > 0)
+            ).alias("__h__"),
+        )
+        .select(
+            F.col("__h__.canary").alias("canary"),
+            F.col("__h__.hits").alias("hits"),
+            "__doc__",
+        )
+    )
+    return exploded.groupBy("canary").agg(
+        F.countDistinct("__doc__").cast("bigint").alias("n_docs"),
+        F.sum("hits").cast("bigint").alias("n_hits"),
+        F.min("__doc__").alias("first_doc"),
+    )

@@ -5919,3 +5919,176 @@ def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return corpus.length_histogram(docs).orderBy("source", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# stuck-agent tool-loop report: a tool column is synthesized on the
+# transcript's tool turns (idx%7<4 -> 'search', else 'fetch') so
+# consecutive tool turns in the same 7-block provably form runs; the
+# run/loop machinery is the repeated-turns lag-flag-sum core on tool
+# ---------------------------------------------------------------------------
+@query(
+    "conv_tool_loops",
+    f"""
+    WITH t AS (
+      SELECT conv_id, coalesce(turn_idx, -1) AS i,
+             CASE WHEN role = 'tool' THEN
+               CASE WHEN turn_idx % 7 < 4 THEN 'search' ELSE 'fetch' END
+             END AS tool
+      FROM ({_TRANSCRIPT_SQL})
+    ), s AS (
+      SELECT conv_id, i, tool FROM t
+      WHERE tool IS NOT NULL AND tool <> ''
+    ), f AS (
+      SELECT conv_id, i, tool,
+             coalesce(tool = lag(tool) OVER w, FALSE) AS same
+      FROM s WINDOW w AS (PARTITION BY conv_id ORDER BY i, tool)
+    ), g AS (
+      SELECT conv_id, tool,
+             sum(CASE WHEN same THEN 0 ELSE 1 END)
+               OVER (PARTITION BY conv_id ORDER BY i, tool
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run
+      FROM f
+    ), runs AS (
+      SELECT conv_id, run, count(*) AS len, min(tool) AS tool
+      FROM g GROUP BY 1, 2
+    )
+    SELECT conv_id,
+           CAST(sum(len) AS BIGINT) AS n_tool_turns,
+           CAST(count(DISTINCT tool) AS BIGINT) AS n_distinct_tools,
+           CAST(max(len) AS BIGINT) AS max_tool_run,
+           CAST(sum(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_loop_runs,
+           max(len) >= 3 AS has_loop
+    FROM runs GROUP BY conv_id ORDER BY conv_id
+    """,
+)
+def q_conv_tool_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    with_tool = t.withColumn(
+        "tool",
+        F.when(
+            F.col("role") == "tool",
+            F.when(F.col("turn_idx") % 7 < 4, "search").otherwise("fetch"),
+        ),
+    )
+    return conversations.tool_loops(with_tool, loop_min=3).orderBy("conv_id")
+
+
+# ---------------------------------------------------------------------------
+# conversation-completion (abandonment) report: role synthesis gives
+# natural variety in the final turn's role, so both branches of the
+# abandoned flag and nonzero trailing-dangling counts occur
+# ---------------------------------------------------------------------------
+@query(
+    "conv_abandoned",
+    f"""
+    WITH t AS (
+      SELECT conv_id, coalesce(turn_idx, -1) AS i,
+             coalesce(role, '') AS r
+      FROM ({_TRANSCRIPT_SQL})
+    ), s AS (
+      SELECT conv_id, i, r,
+             sum(CASE WHEN r = 'assistant' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY conv_id ORDER BY i DESC, r DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS seen_asst,
+             first_value(i) OVER (PARTITION BY conv_id
+                                  ORDER BY i DESC, r DESC) AS last_i,
+             first_value(r) OVER (PARTITION BY conv_id
+                                  ORDER BY i DESC, r DESC) AS last_r
+      FROM t
+    )
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           min(last_i) AS last_turn_idx,
+           min(last_r) AS last_role,
+           min(last_r) = 'assistant' AS ends_assistant,
+           CAST(sum(CASE WHEN seen_asst = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS trailing_dangling,
+           min(last_r) <> 'assistant' AS abandoned
+    FROM s GROUP BY conv_id ORDER BY conv_id
+    """,
+)
+def q_conv_abandoned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    return conversations.completion_stats(t).orderBy("conv_id")
+
+
+# ---------------------------------------------------------------------------
+# silence-gap (outage) report over events: per event_type, every
+# inter-event gap >= 2h (45 rows at sf0.01 — nonzero but bounded)
+# ---------------------------------------------------------------------------
+@query(
+    "events_outage_windows",
+    """
+    WITH s AS (
+      SELECT CAST(event_type AS VARCHAR) AS key, ts,
+             lag(ts) OVER (PARTITION BY event_type ORDER BY ts) AS prev
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT key, prev AS gap_start, ts AS gap_end,
+           CAST(date_diff('second', prev, ts) AS BIGINT) AS gap_sec
+    FROM s
+    WHERE date_diff('second', prev, ts) >= 7200
+    ORDER BY key, gap_start, gap_end
+    """,
+)
+def q_events_outage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.outage_windows(
+        ev, "event_type", "ts", min_gap_seconds=7200
+    ).orderBy("key", "gap_start", "gap_end")
+
+
+# ---------------------------------------------------------------------------
+# canary-string contamination scan: two sentinels are INJECTED on
+# deterministic docs on BOTH engines (every 7th doc gets canary A —
+# every 21st twice, so n_hits > n_docs is exercised; every 13th gets
+# canary B); a third canary is scanned for and provably absent
+# ---------------------------------------------------------------------------
+_CANARY_A = "CANARY-GUID-77f3a9"
+_CANARY_B = "BENCH-SENTINEL-2b41"
+_CANARY_INJECT_SQL = f"""coalesce(text, '')
+          || CASE WHEN doc_id % 7 = 0 THEN ' {_CANARY_A}' ELSE '' END
+          || CASE WHEN doc_id % 21 = 0 THEN ' {_CANARY_A}' ELSE '' END
+          || CASE WHEN doc_id % 13 = 0 THEN ' {_CANARY_B}' ELSE '' END"""
+
+
+@query(
+    "corpus_canary_scan",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_CANARY_INJECT_SQL} AS text FROM documents
+    ), h AS (
+      SELECT doc_id, c.canary,
+             CAST((length(text) - length(replace(text, c.canary, '')))
+                  // length(c.canary) AS BIGINT) AS hits
+      FROM t CROSS JOIN (VALUES ('{_CANARY_A}'), ('{_CANARY_B}'),
+                                ('ABSENT-CANARY-000')) AS c(canary)
+    )
+    SELECT canary,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(hits) AS BIGINT) AS n_hits,
+           min(doc_id) AS first_doc
+    FROM h WHERE hits > 0
+    GROUP BY canary ORDER BY canary
+    """,
+)
+def q_corpus_canary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, " " + _CANARY_A).otherwise(""),
+            F.when(F.col("doc_id") % 21 == 0, " " + _CANARY_A).otherwise(""),
+            F.when(F.col("doc_id") % 13 == 0, " " + _CANARY_B).otherwise(""),
+        ),
+    )
+    return corpus.canary_scan(
+        injected, [_CANARY_A, _CANARY_B, "ABSENT-CANARY-000"],
+        id_col="doc_id",
+    ).orderBy("canary")

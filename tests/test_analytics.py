@@ -856,3 +856,47 @@ class TestTemplateDrift:
         out = analytics.template_drift(df, df, "line").collect()[0]
         assert out["status"] == "stable"
         assert out["growth_micro"] == 1_000_000
+
+
+class TestOutageWindows:
+    def test_gaps_detected(self, spark):
+        rows = [
+            ("api", "2024-01-01 00:00:00"),
+            ("api", "2024-01-01 00:30:00"),
+            ("api", "2024-01-01 02:30:00"),  # 2h gap
+            ("api", "2024-01-01 02:40:00"),
+            ("db", "2024-01-01 00:00:00"),
+            ("db", "2024-01-01 00:10:00"),
+        ]
+        df = spark.createDataFrame(rows, "k string, t string").select(
+            "k", F.col("t").cast("timestamp").alias("t"))
+        out = analytics.outage_windows(
+            df, "k", "t", min_gap_seconds=3600).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["key"] == "api" and r["gap_sec"] == 7200
+        assert str(r["gap_start"]) == "2024-01-01 00:30:00"
+        assert str(r["gap_end"]) == "2024-01-01 02:30:00"
+
+    def test_threshold_inclusive_and_nulls_dropped(self, spark):
+        rows = [
+            ("a", "2024-01-01 00:00:00"), ("a", "2024-01-01 01:00:00"),
+            (None, "2024-01-01 00:00:00"), ("a", None),
+        ]
+        df = spark.createDataFrame(rows, "k string, t string").select(
+            "k", F.col("t").cast("timestamp").alias("t"))
+        out = analytics.outage_windows(df, "k", "t", 3600).collect()
+        assert len(out) == 1 and out[0]["gap_sec"] == 3600
+
+    def test_equal_timestamps_no_gap(self, spark):
+        rows = [("a", "2024-01-01 00:00:00")] * 3
+        df = spark.createDataFrame(rows, "k string, t string").select(
+            "k", F.col("t").cast("timestamp").alias("t"))
+        assert analytics.outage_windows(df, "k", "t", 1).count() == 0
+
+    def test_validates(self, spark):
+        df = spark.createDataFrame([("a",)], "k string")
+        with pytest.raises(ValueError, match="missing columns"):
+            analytics.outage_windows(df, "k", "t", 60)
+        with pytest.raises(ValueError, match="min_gap_seconds"):
+            analytics.outage_windows(df, "k", "k", 0)

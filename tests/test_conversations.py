@@ -1095,3 +1095,103 @@ class TestPreferencePairs:
             conversations.preference_pairs(df, max_depth=0)
         with pytest.raises(ValueError, match="max_prefix_group"):
             conversations.preference_pairs(df, max_prefix_group=1)
+
+
+class TestToolLoops:
+    TSCHEMA = "conv_id string, turn_idx int, tool string"
+
+    def test_runs_and_loops(self, spark):
+        rows = [
+            # c1: search x3 (loop), fetch x1, search x2 -> max_run 3,
+            # one loop run at loop_min=3, 2 distinct tools
+            ("c1", 0, "search"), ("c1", 1, "search"), ("c1", 2, "search"),
+            ("c1", 3, "fetch"), ("c1", 4, "search"), ("c1", 5, "search"),
+            # c2: alternating, no loop
+            ("c2", 0, "a"), ("c2", 1, "b"), ("c2", 2, "a"),
+        ]
+        df = spark.createDataFrame(rows, self.TSCHEMA)
+        out = {r["conv_id"]: r.asDict()
+               for r in conversations.tool_loops(df, loop_min=3).collect()}
+        assert out["c1"]["n_tool_turns"] == 6
+        assert out["c1"]["n_distinct_tools"] == 2
+        assert out["c1"]["max_tool_run"] == 3
+        assert out["c1"]["n_loop_runs"] == 1
+        assert out["c1"]["has_loop"] is True
+        assert out["c2"]["max_tool_run"] == 1
+        assert out["c2"]["n_loop_runs"] == 0
+        assert out["c2"]["has_loop"] is False
+
+    def test_null_and_empty_tools_skipped(self, spark):
+        # chat turns between tool calls do not break the run
+        rows = [("c", 0, "x"), ("c", 1, None), ("c", 2, ""), ("c", 3, "x")]
+        df = spark.createDataFrame(rows, self.TSCHEMA)
+        r = conversations.tool_loops(df, loop_min=2).collect()[0]
+        assert r["n_tool_turns"] == 2 and r["max_tool_run"] == 2
+        assert r["has_loop"] is True
+
+    def test_conversation_without_tools_absent(self, spark):
+        rows = [("c", 0, None)]
+        df = spark.createDataFrame(rows, self.TSCHEMA)
+        assert conversations.tool_loops(df).count() == 0
+
+    def test_loop_min_validated(self, spark):
+        df = spark.createDataFrame([("c", 0, "x")], self.TSCHEMA)
+        with pytest.raises(ValueError, match="loop_min"):
+            conversations.tool_loops(df, loop_min=1)
+
+    def test_parallelism_invariant(self, spark):
+        rows = [("c%d" % (i % 3), i, "t%d" % (i % 2)) for i in range(30)]
+        df = spark.createDataFrame(rows, self.TSCHEMA)
+        one = sorted(map(tuple,
+                         conversations.tool_loops(df.coalesce(1)).collect()))
+        par = sorted(map(tuple,
+                         conversations.tool_loops(
+                             df.repartition(7)).collect()))
+        assert one == par
+
+
+class TestCompletionStats:
+    def test_ends_assistant_vs_abandoned(self, spark):
+        rows = [
+            ("c1", 0, "user", "q"), ("c1", 1, "assistant", "a"),
+            ("c2", 0, "user", "q"), ("c2", 1, "assistant", "a"),
+            ("c2", 2, "user", "follow-up?"), ("c2", 3, "tool", "r"),
+            ("c3", 0, "user", "never answered"),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = {r["conv_id"]: r.asDict()
+               for r in conversations.completion_stats(df).collect()}
+        assert out["c1"]["ends_assistant"] is True
+        assert out["c1"]["abandoned"] is False
+        assert out["c1"]["trailing_dangling"] == 0
+        assert out["c1"]["last_role"] == "assistant"
+        assert out["c2"]["abandoned"] is True
+        assert out["c2"]["last_role"] == "tool"
+        assert out["c2"]["last_turn_idx"] == 3
+        assert out["c2"]["trailing_dangling"] == 2
+        assert out["c3"]["trailing_dangling"] == 1
+        assert out["c3"]["n_turns"] == 1
+
+    def test_null_idx_and_role(self, spark):
+        # NULL idx coalesces to -1 (sorts first), NULL role to ''
+        rows = [("c", None, None, "x"), ("c", 0, "assistant", "a")]
+        df = spark.createDataFrame(rows, SCHEMA)
+        r = conversations.completion_stats(df).collect()[0]
+        assert r["last_role"] == "assistant" and r["abandoned"] is False
+
+    def test_tie_broken_by_role(self, spark):
+        # duplicate last idx: struct max picks the greater role string
+        rows = [("c", 1, "assistant", "a"), ("c", 1, "user", "u")]
+        df = spark.createDataFrame(rows, SCHEMA)
+        r = conversations.completion_stats(df).collect()[0]
+        assert r["last_role"] == "user" and r["trailing_dangling"] == 1
+
+    def test_parallelism_invariant(self, spark):
+        rows = [("c%d" % (i % 4), i,
+                 "assistant" if i % 3 else "user", "t") for i in range(40)]
+        df = spark.createDataFrame(rows, SCHEMA)
+        one = sorted(map(tuple, conversations.completion_stats(
+            df.coalesce(1)).collect()))
+        par = sorted(map(tuple, conversations.completion_stats(
+            df.repartition(9)).collect()))
+        assert one == par

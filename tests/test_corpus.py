@@ -1114,3 +1114,40 @@ class TestLanguageMixBySource:
         assert out[("web", "en")]["share_micro"] == 2_000_000 // 3
         assert out[("web", "de")]["share_micro"] == 1_000_000 // 3
         assert out[("books", "de")]["share_micro"] == 1_000_000
+
+
+class TestCanaryScan:
+    def test_occurrence_counts(self, spark):
+        canary = "CANARY-1234"
+        rows = [
+            (1, f"intro {canary} middle {canary} end"),  # 2 occurrences
+            (2, f"only one {canary}"),
+            (3, "clean doc"),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "id bigint, text string")
+        out = corpus.canary_scan(df, [canary, "OTHER-X"]).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["canary"] == canary
+        assert r["n_docs"] == 2 and r["n_hits"] == 3 and r["first_doc"] == 1
+
+    def test_multiple_canaries_and_overlap_free_counting(self, spark):
+        rows = [(1, "aaaa"), (2, "ab ab")]
+        df = spark.createDataFrame(rows, "id bigint, text string")
+        out = {r["canary"]: r.asDict()
+               for r in corpus.canary_scan(df, ["aa", "ab"]).collect()}
+        # replace-based counting is non-overlapping: 'aaaa' has 2 'aa'
+        assert out["aa"]["n_hits"] == 2 and out["aa"]["n_docs"] == 1
+        assert out["ab"]["n_hits"] == 2 and out["ab"]["n_docs"] == 1
+
+    def test_validates(self, spark):
+        df = spark.createDataFrame([(1, "x")], "id bigint, text string")
+        with pytest.raises(ValueError, match="non-empty"):
+            corpus.canary_scan(df, [])
+        with pytest.raises(ValueError, match="empty canary"):
+            corpus.canary_scan(df, ["ok", ""])
+        with pytest.raises(ValueError, match="duplicate"):
+            corpus.canary_scan(df, ["x", "x"])
+        with pytest.raises(ValueError, match="missing columns"):
+            corpus.canary_scan(df.select("id"), ["x"])

@@ -2339,6 +2339,90 @@ def main() -> int:
         "transcript self-join.",
     )
 
+    # 69. stuck-agent tool loops + conversation-completion report
+    # (operators over the plain frame, same fixture-cost note as §64)
+    t69 = t64.withColumn(
+        "tool", F.when(F.col("turn_idx") % 3 == 0, "search").otherwise(None)
+    )
+    q69 = _conv61.tool_loops(t69)
+    p69 = formatted(q69)
+    ex69 = _hash_exchanges(p69)
+    q69c = _conv61.completion_stats(t64)
+    p69c = formatted(q69c)
+    ex69c = _hash_exchanges(p69c)
+    audit(
+        "tool-loop report / completion report (one conv_id exchange each)",
+        q69,
+        [
+            ("tool_loops: exactly ONE hash exchange, on conv_id — the "
+             "lag window, the run-grouping sum, and BOTH aggregate "
+             "levels (incl. the distinct-tool count) reuse it",
+             len(ex69) == 1 and "conv_id" in ex69[0]),
+            ("no exchange carries transcript text in either report "
+             "(only (conv_id, idx, tool/role) survive the scan); "
+             "whole plan codegen",
+             all("text#" not in e and "props#" not in e
+                 for e in ex69 + ex69c)
+             and not re.search(r"EvalPython|InPandas", p69 + p69c)),
+            ("completion_stats: exactly ONE hash exchange, on conv_id "
+             "— the reverse running sum and the struct-max aggregate "
+             "share it",
+             len(ex69c) == 1 and "conv_id" in ex69c[0]),
+        ],
+        "Both are the sessionize lag-flag-sum core over turns: "
+        "tool_loops detects same-tool runs (stuck agents), "
+        "completion_stats finds abandoned tails via a reverse "
+        "assistant-flag running sum plus a struct-max last turn — "
+        "per-conversation state is O(1), no conversation ever "
+        "materializes as a list.",
+    )
+
+    # 70. outage-window report over events
+    q70 = entryq.QUERIES["events_outage_windows"](spark, SF_DIR)
+    p70 = formatted(q70)
+    ex70 = _hash_exchanges(p70)
+    audit(
+        "outage-window (silence gap) report",
+        q70,
+        [
+            ("only (key, ts) ride the hash exchange — the payload "
+             "column never shuffles",
+             all("props#" not in e and "text#" not in e for e in ex70)),
+            ("gap filter sits ABOVE one lag window on one key "
+             "exchange; output is bounded by long-gap count, not "
+             "event count; whole plan codegen",
+             len(ex70) == 1
+             and not re.search(r"EvalPython|InPandas", p70)),
+        ],
+        "The liveness question behind the reference's file-tail "
+        "alarms: a per-key lag(ts) window, a threshold filter, and "
+        "nothing else — at 100 TB the exchange carries two columns "
+        "and the result rows are the rare gaps themselves.",
+    )
+
+    # 71. canary-string contamination scan
+    q71 = entryq.QUERIES["corpus_canary_scan"](spark, SF_DIR)
+    p71 = formatted(q71)
+    ex71 = _hash_exchanges(p71)
+    audit(
+        "canary-string contamination scan",
+        q71,
+        [
+            ("counting is pure scan-side integer math (replace-length "
+             "identity) — no regex engine, no Python, whole plan "
+             "codegen",
+             not re.search(r"EvalPython|InPandas", p71)),
+            ("document text never enters an exchange; the aggregate "
+             "keys on the canary string itself, so every exchange "
+             "carries at most len(canaries) groups per task",
+             all("text#" not in e for e in ex71)),
+        ],
+        "The degenerate-but-common decontamination case: literal "
+        "sentinel strings. The canary list constant-folds into the "
+        "scan projection exactly like token_blocklist_filter's word "
+        "array; cost is one pass over the text bytes per canary.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
