@@ -2044,3 +2044,205 @@ def completion_stats(
             (F.col("__last__.__role__") != assistant_role).alias("abandoned"),
         )
     )
+
+
+def echo_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+    echo_threshold_micro: int = 600_000,
+    max_tokens: int | None = None,
+) -> DataFrame:
+    """Prompt-echo (parroting) report: for every adjacent
+    (user -> assistant) pair, how much of the user's vocabulary the
+    assistant merely repeats back. echo = |distinct(user tokens) AND
+    distinct(assistant tokens)| * 1e6 div |distinct(user tokens)|
+    (token = lowercased whitespace word, the ``tokens_col`` family).
+    High-echo responses are low-information SFT targets — the model
+    learns to restate the question — so prep pipelines gate on this
+    exactly like they gate on boilerplate responses.
+
+    Output is one row per conversation: (conv_id, n_pairs,
+    max_echo_micro, avg_echo_micro, n_echoed, has_echo) where
+    n_echoed counts pairs with echo >= ``echo_threshold_micro`` and
+    avg is the floor-micro mean over pairs (0 when n_pairs = 0 never
+    occurs — conversations without any pair emit no row, matching
+    sft_pairs' universe). A user turn with ZERO tokens scores 0 (no
+    vocabulary to echo), not NULL.
+
+    Scale shape: ONE hash exchange on conv_col, shared by the lead()
+    window and the final aggregate. Unlike sft_pairs this exchange
+    carries the per-turn sorted distinct token ARRAY, not a digest —
+    set intersection is irreducible, the two sets must meet in one
+    task. The payload is bounded by per-turn distinct vocabulary
+    (<= turn length, typically far less), and ``max_tokens`` truncates
+    the sorted array to a hard cap when turns are pathological
+    (cap applied AFTER sort, so it is deterministic and the oracle
+    can mirror it). Intersection/size run scan-side after the window.
+
+    Reference analog: the repeated-content heuristics in the
+    reference's quality stages operate per-event; the pairwise twin
+    here is what the transcripts shape makes possible.
+    """
+    _require(df, [conv_col, idx_col, role_col, text_col], "echo_stats")
+    toks = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                tokens_col(F.coalesce(F.col(text_col).cast("string"), F.lit(""))),
+                F.lower,
+            )
+        )
+    )
+    if max_tokens is not None:
+        toks = F.slice(toks, 1, int(max_tokens))
+    slim = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).cast("bigint").alias("__idx__"),
+        F.col(role_col).alias("__role__"),
+        toks.alias("__toks__"),
+    )
+    # deterministic tiebreak for duplicate (idx, role) rows: the token
+    # array itself (sorted arrays compare element-wise on both engines
+    # only as a last resort — a digest keeps the comparator cheap)
+    slim = slim.withColumn("__tb__", F.md5(F.to_json(F.col("__toks__"))))
+    wt = Window.partitionBy("conv_id").orderBy("__idx__", "__role__", "__tb__")
+    nxt = slim.select(
+        "conv_id",
+        "__idx__",
+        "__role__",
+        "__toks__",
+        F.lead("__idx__").over(wt).alias("__nidx__"),
+        F.lead("__role__").over(wt).alias("__nrole__"),
+        F.lead("__toks__").over(wt).alias("__ntoks__"),
+    )
+    pairs = nxt.filter(
+        (F.col("__role__") == prompt_role)
+        & (F.col("__nrole__") == response_role)
+        & (F.col("__nidx__") == F.col("__idx__") + 1)
+    )
+    # floor-micro via integer div (never float division — the
+    # quality_score bit-parity rationale)
+    scored = pairs.select(
+        "conv_id",
+        F.size("__toks__").cast("bigint").alias("__nu__"),
+        F.size(F.array_intersect("__toks__", "__ntoks__"))
+        .cast("bigint")
+        .alias("__nh__"),
+    ).select(
+        "conv_id",
+        F.when(F.col("__nu__") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.expr("__nh__ * 1000000 div __nu__"))
+        .alias("__echo__"),
+    )
+    return (
+        scored.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.max("__echo__").cast("bigint").alias("max_echo_micro"),
+            F.sum("__echo__").cast("bigint").alias("__sum__"),
+            F.sum(
+                F.when(
+                    F.col("__echo__") >= echo_threshold_micro, 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_echoed"),
+        )
+        .select(
+            "conv_id",
+            "n_pairs",
+            "max_echo_micro",
+            F.expr("__sum__ div n_pairs").alias("avg_echo_micro"),
+            "n_echoed",
+            (F.col("n_echoed") > 0).alias("has_echo"),
+        )
+    )
+
+
+# character class accepted as a "finished" final character: sentence
+# terminators plus closing quotes/brackets/backtick (a fenced block's
+# closing ``` ends with a backtick)
+_TERMINAL_CHARS = ".!?\"')]}`"
+
+
+def truncation_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Cut-off / malformed-ending detector over assistant responses —
+    the SFT hygiene card for context-window truncation and streaming
+    aborts. Four per-turn flags, all scan-side:
+
+    - no_terminal: text with trailing whitespace removed (regexp
+      ``\\s+$`` strip — plain rtrim only strips spaces, not \\n/\\t)
+      is non-empty and its last character
+      is not a sentence terminator / closing quote / bracket /
+      backtick (``_TERMINAL_CHARS``) — mid-sentence cut.
+    - odd_fence: an odd number of \\`\\`\\` fences — an unclosed code
+      block (count via the replace-length identity, no regex).
+    - ellipsis: rtrimmed text ends with '...' — a trailing-off
+      response (the '…' codepoint is normalized to '...' upstream by
+      parse stages; only the ASCII form is tested here).
+    - odd_quote: an odd number of '"' characters — an unterminated
+      quotation.
+
+    Output per conversation: n_assistant, n_no_terminal, n_odd_fence,
+    n_ellipsis, n_odd_quote, n_suspect (turns with ANY flag),
+    suspect_ratio_micro (floor), has_suspect. Conversations with zero
+    assistant turns emit no row (nothing to report on).
+
+    Scale: flags are pure string expressions in codegen; the ONLY
+    shuffle is the partial+final aggregate on conv_col, carrying six
+    counters per conversation. Text never shuffles.
+    """
+    _require(df, [conv_col, role_col, text_col], "truncation_stats")
+    t = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    trimmed = F.regexp_replace(t, r"\s+$", "")
+    last = F.right(trimmed, F.lit(1))
+    no_terminal = (trimmed != "") & (
+        ~last.isin(*[c for c in _TERMINAL_CHARS])
+    )
+    n_fences = (F.length(t) - F.length(F.replace(t, F.lit("```")))) / 3
+    odd_fence = (n_fences.cast("bigint") % 2) == 1
+    ellipsis = F.endswith(trimmed, F.lit("..."))
+    n_quotes = F.length(t) - F.length(F.replace(t, F.lit('"')))
+    odd_quote = (n_quotes.cast("bigint") % 2) == 1
+    flags = df.filter(F.col(role_col) == assistant_role).select(
+        F.col(conv_col).alias("conv_id"),
+        no_terminal.cast("long").alias("__no_term__"),
+        odd_fence.cast("long").alias("__fence__"),
+        ellipsis.cast("long").alias("__ell__"),
+        odd_quote.cast("long").alias("__quote__"),
+    )
+    suspect = (
+        (F.col("__no_term__") + F.col("__fence__") + F.col("__ell__")
+         + F.col("__quote__")) > 0
+    ).cast("long")
+    agg = flags.withColumn("__suspect__", suspect).groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assistant"),
+        F.sum("__no_term__").cast("bigint").alias("n_no_terminal"),
+        F.sum("__fence__").cast("bigint").alias("n_odd_fence"),
+        F.sum("__ell__").cast("bigint").alias("n_ellipsis"),
+        F.sum("__quote__").cast("bigint").alias("n_odd_quote"),
+        F.sum("__suspect__").cast("bigint").alias("n_suspect"),
+    )
+    return agg.select(
+        "conv_id",
+        "n_assistant",
+        "n_no_terminal",
+        "n_odd_fence",
+        "n_ellipsis",
+        "n_odd_quote",
+        "n_suspect",
+        F.expr("n_suspect * 1000000 div n_assistant").alias(
+            "suspect_ratio_micro"
+        ),
+        (F.col("n_suspect") > 0).alias("has_suspect"),
+    )

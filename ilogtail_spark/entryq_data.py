@@ -6092,3 +6092,169 @@ def q_corpus_canary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         injected, [_CANARY_A, _CANARY_B, "ABSENT-CANARY-000"],
         id_col="doc_id",
     ).orderBy("canary")
+
+
+# ---------------------------------------------------------------------------
+# prompt-echo (parroting) report: texts are synthesized per-role on
+# BOTH engines so echoing pairs provably exist — conv_id%3==0
+# assistants repeat the user's topic tokens (echo 714285), others
+# answer with disjoint vocabulary (echo 0); every 11th user turn is
+# emptied to exercise the zero-token guard
+# ---------------------------------------------------------------------------
+_ECHO_CASE = """CASE
+      WHEN role = 'user' AND turn_idx % 11 = 5 THEN ''
+      WHEN role = 'user' THEN concat('please explain topic ',
+           CAST(conv_id % 7 AS VARCHAR), ' alpha beta gamma')
+      WHEN role = 'assistant' AND conv_id % 3 = 0 THEN concat('topic ',
+           CAST(conv_id % 7 AS VARCHAR), ' alpha beta gamma explained')
+      WHEN role = 'assistant' THEN 'unrelated reply delta epsilon'
+      ELSE text END"""
+
+
+def _inject_echo(t: DataFrame) -> DataFrame:
+    """DataFrame twin of _ECHO_CASE."""
+    return t.withColumn(
+        "text",
+        F.when(
+            (F.col("role") == "user") & (F.col("turn_idx") % 11 == 5),
+            F.lit(""),
+        )
+        .when(
+            F.col("role") == "user",
+            F.concat(
+                F.lit("please explain topic "),
+                (F.col("conv_id") % 7).cast("string"),
+                F.lit(" alpha beta gamma"),
+            ),
+        )
+        .when(
+            (F.col("role") == "assistant") & (F.col("conv_id") % 3 == 0),
+            F.concat(
+                F.lit("topic "),
+                (F.col("conv_id") % 7).cast("string"),
+                F.lit(" alpha beta gamma explained"),
+            ),
+        )
+        .when(F.col("role") == "assistant", F.lit("unrelated reply delta epsilon"))
+        .otherwise(F.col("text")),
+    )
+
+
+@query(
+    "conv_echo_stats",
+    f"""
+    WITH t0 AS (
+      {_TRANSCRIPT_SQL}
+    ), t AS (
+      SELECT conv_id, turn_idx AS i, role, {_ECHO_CASE} AS text FROM t0
+    ), a AS (
+      SELECT conv_id, i, role,
+             list_sort(list_distinct(list_filter(
+               string_split_regex(lower(coalesce(text, '')), '\\s+'),
+               x -> x <> ''))) AS toks
+      FROM t
+    ), p AS (
+      SELECT conv_id, i, role, toks,
+             lead(i) OVER w AS ni, lead(role) OVER w AS nrole,
+             lead(toks) OVER w AS ntoks
+      FROM a WINDOW w AS (PARTITION BY conv_id ORDER BY i, role)
+    ), e AS (
+      SELECT conv_id,
+             CASE WHEN len(toks) = 0 THEN 0
+                  ELSE len(list_intersect(toks, ntoks)) * 1000000
+                       // len(toks) END AS echo
+      FROM p WHERE role = 'user' AND nrole = 'assistant' AND ni = i + 1
+    )
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(max(echo) AS BIGINT) AS max_echo_micro,
+           CAST(sum(echo) // count(*) AS BIGINT) AS avg_echo_micro,
+           CAST(sum(CASE WHEN echo >= 600000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_echoed,
+           sum(CASE WHEN echo >= 600000 THEN 1 ELSE 0 END) > 0 AS has_echo
+    FROM e GROUP BY conv_id ORDER BY conv_id
+    """,
+)
+def q_conv_echo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _inject_echo(_as_transcript(spark, sf_dir, inject=False))
+    return conversations.echo_stats(t).orderBy("conv_id")
+
+
+# ---------------------------------------------------------------------------
+# cut-off response detector: assistant texts are synthesized per
+# turn_idx%5 on BOTH engines so every flag fires — 0 clean, 1 mid-
+# sentence cut, 2 unclosed code fence (also no terminal), 3 trailing
+# ellipsis, 4 unterminated quotation
+# ---------------------------------------------------------------------------
+_TRUNC_CASE = """CASE WHEN role = 'assistant' THEN
+      CASE turn_idx % 5
+        WHEN 0 THEN 'All done.'
+        WHEN 1 THEN 'It stops abruptly'
+        WHEN 2 THEN concat('Here is code: ``', '`py x = 1')
+        WHEN 3 THEN 'And then...'
+        ELSE 'He said "it works.'
+      END
+    ELSE text END"""
+
+
+def _inject_truncation(t: DataFrame) -> DataFrame:
+    """DataFrame twin of _TRUNC_CASE."""
+    m = F.col("turn_idx") % 5
+    return t.withColumn(
+        "text",
+        F.when(
+            F.col("role") == "assistant",
+            F.when(m == 0, F.lit("All done."))
+            .when(m == 1, F.lit("It stops abruptly"))
+            .when(m == 2, F.lit("Here is code: ```py x = 1"))
+            .when(m == 3, F.lit("And then..."))
+            .otherwise(F.lit('He said "it works.')),
+        ).otherwise(F.col("text")),
+    )
+
+
+@query(
+    "conv_truncated",
+    f"""
+    WITH t0 AS (
+      {_TRANSCRIPT_SQL}
+    ), t AS (
+      SELECT conv_id, role, {_TRUNC_CASE} AS text FROM t0
+    ), f AS (
+      SELECT conv_id,
+             CASE WHEN regexp_replace(text, '\\s+$', '') <> ''
+                  AND right(regexp_replace(text, '\\s+$', ''), 1) NOT IN
+                      ('.', '!', '?', '"', '''', ')', ']', '}}', '`')
+                  THEN 1 ELSE 0 END AS no_term,
+             CASE WHEN ((length(text)
+                         - length(replace(text, '``' || '`', ''))) // 3)
+                        % 2 = 1
+                  THEN 1 ELSE 0 END AS fence,
+             CASE WHEN ends_with(regexp_replace(text, '\\s+$', ''), '...') THEN 1 ELSE 0 END
+               AS ell,
+             CASE WHEN (length(text)
+                        - length(replace(text, '"', ''))) % 2 = 1
+                  THEN 1 ELSE 0 END AS quo
+      FROM t WHERE role = 'assistant'
+    ), g AS (
+      SELECT conv_id, no_term, fence, ell, quo,
+             CASE WHEN no_term + fence + ell + quo > 0 THEN 1 ELSE 0 END
+               AS suspect
+      FROM f
+    )
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_assistant,
+           CAST(sum(no_term) AS BIGINT) AS n_no_terminal,
+           CAST(sum(fence) AS BIGINT) AS n_odd_fence,
+           CAST(sum(ell) AS BIGINT) AS n_ellipsis,
+           CAST(sum(quo) AS BIGINT) AS n_odd_quote,
+           CAST(sum(suspect) AS BIGINT) AS n_suspect,
+           CAST(sum(suspect) * 1000000 // count(*) AS BIGINT)
+             AS suspect_ratio_micro,
+           sum(suspect) > 0 AS has_suspect
+    FROM g GROUP BY conv_id ORDER BY conv_id
+    """,
+)
+def q_conv_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _inject_truncation(_as_transcript(spark, sf_dir, inject=False))
+    return conversations.truncation_stats(t).orderBy("conv_id")

@@ -1195,3 +1195,134 @@ class TestCompletionStats:
         par = sorted(map(tuple, conversations.completion_stats(
             df.repartition(9)).collect()))
         assert one == par
+
+
+class TestEchoStats:
+    def test_containment_math(self, spark):
+        rows = [
+            # full echo: assistant repeats every user token (plus more)
+            ("c1", 0, "user", "alpha beta gamma"),
+            ("c1", 1, "assistant", "alpha beta gamma and more words"),
+            # partial echo 1/3
+            ("c1", 2, "user", "one two three"),
+            ("c1", 3, "assistant", "two unrelated reply"),
+            # non-adjacent user->assistant (gap) is NOT a pair
+            ("c2", 0, "user", "x y"),
+            ("c2", 2, "assistant", "x y"),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = {r["conv_id"]: r.asDict()
+               for r in conversations.echo_stats(df).collect()}
+        assert out["c1"]["n_pairs"] == 2
+        assert out["c1"]["max_echo_micro"] == 1_000_000
+        # pair scores are 1_000_000 and 333_333 -> floor avg 666_666
+        assert out["c1"]["avg_echo_micro"] == 666_666
+        assert out["c1"]["n_echoed"] == 1 and out["c1"]["has_echo"] is True
+        assert "c2" not in out  # gap pair excluded -> no pairs -> no row
+
+    def test_case_insensitive_and_dedup(self, spark):
+        # repeated user tokens count once; case-folded match
+        rows = [
+            ("c", 0, "user", "Foo foo FOO bar"),
+            ("c", 1, "assistant", "foo something"),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        r = conversations.echo_stats(df).collect()[0]
+        # distinct user tokens {foo, bar}; hit {foo} -> 500000
+        assert r["max_echo_micro"] == 500_000
+
+    def test_empty_user_turn_scores_zero(self, spark):
+        rows = [
+            ("c", 0, "user", "   "),
+            ("c", 1, "assistant", "whatever"),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        r = conversations.echo_stats(df).collect()[0]
+        assert r["n_pairs"] == 1 and r["max_echo_micro"] == 0
+        assert r["has_echo"] is False
+
+    def test_max_tokens_cap(self, spark):
+        # cap applies AFTER sorting, so it keeps the lexicographically
+        # first tokens deterministically
+        rows = [
+            ("c", 0, "user", "a b c d"),
+            ("c", 1, "assistant", "c d"),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        full = conversations.echo_stats(df).collect()[0]
+        assert full["max_echo_micro"] == 500_000
+        capped = conversations.echo_stats(df, max_tokens=2).collect()[0]
+        # user toks capped to {a, b}; assistant toks {c, d} -> 0 hits
+        assert capped["max_echo_micro"] == 0
+
+    def test_parallelism_invariant(self, spark):
+        rows = [
+            ("c%d" % (i % 4), i // 4 * 2 + j, role, "tok%d w%d" % (i % 5, j))
+            for i in range(40)
+            for j, role in enumerate(["user", "assistant"])
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        one = sorted(map(tuple,
+                         conversations.echo_stats(df.coalesce(1)).collect()))
+        par = sorted(map(tuple,
+                         conversations.echo_stats(
+                             df.repartition(7)).collect()))
+        assert one == par
+
+
+class TestTruncationStats:
+    def test_flags(self, spark):
+        rows = [
+            ("c", 0, "assistant", "All done."),            # clean
+            ("c", 1, "assistant", "It stops abruptly"),    # no terminal
+            ("c", 2, "assistant", "code: ```py x = 1"),    # odd fence (+no term)
+            ("c", 3, "assistant", "And then..."),          # ellipsis
+            ("c", 4, "assistant", 'He said "it works.'),   # odd quote
+            ("c", 5, "user", "never counted"),             # wrong role
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        r = conversations.truncation_stats(df).collect()[0]
+        assert r["n_assistant"] == 5
+        assert r["n_no_terminal"] == 2
+        assert r["n_odd_fence"] == 1
+        assert r["n_ellipsis"] == 1
+        assert r["n_odd_quote"] == 1
+        assert r["n_suspect"] == 4
+        assert r["suspect_ratio_micro"] == 800_000
+        assert r["has_suspect"] is True
+
+    def test_balanced_fences_and_quotes_clean(self, spark):
+        rows = [
+            ("c", 0, "assistant", 'He said "done" and left: ```x``` ok.'),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        r = conversations.truncation_stats(df).collect()[0]
+        assert r["n_suspect"] == 0 and r["has_suspect"] is False
+
+    def test_trailing_whitespace_rtrimmed(self, spark):
+        rows = [("c", 0, "assistant", "Finished.   \n\t")]
+        df = spark.createDataFrame(rows, SCHEMA)
+        r = conversations.truncation_stats(df).collect()[0]
+        assert r["n_no_terminal"] == 0
+
+    def test_empty_and_null_text_not_flagged(self, spark):
+        rows = [("c", 0, "assistant", ""), ("c", 1, "assistant", None)]
+        df = spark.createDataFrame(rows, SCHEMA)
+        r = conversations.truncation_stats(df).collect()[0]
+        assert r["n_assistant"] == 2 and r["n_suspect"] == 0
+
+    def test_no_assistant_turns_no_row(self, spark):
+        rows = [("c", 0, "user", "hi")]
+        df = spark.createDataFrame(rows, SCHEMA)
+        assert conversations.truncation_stats(df).count() == 0
+
+    def test_parallelism_invariant(self, spark):
+        texts = ["Done.", "cut", "x ```", "y...", 'z "q']
+        rows = [("c%d" % (i % 3), i, "assistant", texts[i % 5])
+                for i in range(30)]
+        df = spark.createDataFrame(rows, SCHEMA)
+        one = sorted(map(tuple, conversations.truncation_stats(
+            df.coalesce(1)).collect()))
+        par = sorted(map(tuple, conversations.truncation_stats(
+            df.repartition(7)).collect()))
+        assert one == par

@@ -2423,6 +2423,46 @@ def main() -> int:
         "array; cost is one pass over the text bytes per canary.",
     )
 
+    # 72. prompt-echo report + truncation (cut-off response) report
+    # (operators over the plain frame, same fixture-cost note as §64)
+    q72 = _conv61.echo_stats(t64)
+    p72 = formatted(q72)
+    ex72 = _hash_exchanges(p72)
+    q72t = _conv61.truncation_stats(t64)
+    p72t = formatted(q72t)
+    ex72t = _hash_exchanges(p72t)
+    audit(
+        "prompt-echo report / truncation report",
+        q72,
+        [
+            ("echo_stats: exactly ONE hash exchange, on conv_id — the "
+             "lead() window and the per-conversation aggregate share "
+             "it; the payload is the sorted distinct token ARRAY "
+             "(set intersection is irreducible), never the raw text "
+             "column",
+             len(ex72) == 1 and "conv_id" in ex72[0]
+             and all("text#" not in e and "props#" not in e
+                     for e in ex72)),
+            ("truncation_stats: exactly ONE hash exchange, on conv_id "
+             "— a partial+final aggregate carrying six counters; the "
+             "four flags are scan-side string expressions",
+             len(ex72t) == 1 and "conv_id" in ex72t[0]
+             and all("text#" not in e and "props#" not in e
+                     for e in ex72t)),
+            ("no Python in either plan — tokenize/intersect are array "
+             "expressions, fence/quote counts use the replace-length "
+             "identity; whole plan codegen",
+             not re.search(r"EvalPython|InPandas", p72 + p72t)),
+        ],
+        "Two SFT hygiene cards: echo_stats scores assistant parroting "
+        "as token-set containment over adjacent pairs (the sft_pairs "
+        "adjacency rule), shipping per-turn vocabularies — bounded by "
+        "max_tokens when turns are pathological — through the one "
+        "conv_id exchange; truncation_stats reduces each assistant "
+        "turn to four integer flags at the scan, so the exchange "
+        "carries counters regardless of turn length.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
