@@ -37,7 +37,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _FRONT = [
     # round-5 new queries first (never driver-checked), then the
     # r04-unsampled rotation ordered oldest-driver-check first
-    "conv_echo_stats", "conv_truncated",
+    "conv_echo_stats", "conv_truncated", "conv_faq_topk",
+    "events_concentration",
     "conv_tool_loops", "conv_abandoned", "events_outage_windows",
     "corpus_canary_scan",
     "conv_tool_chains", "conv_repeated_responses", "corpus_split_leakage",

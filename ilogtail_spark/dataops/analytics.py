@@ -1327,3 +1327,83 @@ def outage_windows(
         F.col("__ts__").alias("gap_end"),
         "gap_sec",
     )
+
+
+def concentration_report(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    top_k: int = 10,
+) -> DataFrame:
+    """Per-group key-concentration card — how dominated each event
+    type is by its hottest keys. The skew question behind every
+    partitioning decision in this repo (salting thresholds, AQE skew
+    joins, the shardhash aggregator): BEFORE picking a strategy you
+    measure whether the top key owns 2% or 80% of the group.
+
+    Output per ``type_col`` value: n_events, n_keys (distinct),
+    top1_share_micro, topk_share_micro (share owned by the ``top_k``
+    hottest keys), n_keys_half (the minimum number of hottest keys
+    that together cover >= 50% of events — the 'how many tenants is
+    half the traffic' number). Shares are floor-micro integers; key
+    rank order is (count DESC, key ASC), a total order, so every
+    number is engine-reproducible.
+
+    Scale shape: stage 1 is a combiner-fed count on (type, key) —
+    the only pass over raw rows. Stage 2 windows + aggregates over
+    the per-key COUNT table, partitioned by type: the sort cost is
+    per-type distinct-key cardinality, not event count (the
+    grouped_quantiles value-domain argument). Both stage-2 steps
+    share one exchange on type.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    counts = (
+        df.select(
+            F.col(type_col).alias("gtype"),
+            F.col(key_col).cast("string").alias("__key__"),
+        )
+        .groupBy("gtype", "__key__")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+    )
+    w = Window.partitionBy("gtype").orderBy(
+        F.col("__n__").desc(), F.col("__key__").asc()
+    )
+    ranked = counts.select(
+        "gtype",
+        "__n__",
+        F.row_number().over(w).alias("__rank__"),
+        F.sum("__n__")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("__cum__"),
+        F.sum("__n__")
+        .over(Window.partitionBy("gtype"))
+        .alias("__tot__"),
+    )
+    agg = ranked.groupBy("gtype").agg(
+        F.sum("__n__").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max(F.when(F.col("__rank__") == 1, F.col("__n__")))
+        .cast("bigint")
+        .alias("__top1__"),
+        F.sum(F.when(F.col("__rank__") <= top_k, F.col("__n__")).otherwise(0))
+        .cast("bigint")
+        .alias("__topk__"),
+        F.min(
+            F.when(
+                F.col("__cum__") * 2 >= F.col("__tot__"), F.col("__rank__")
+            )
+        )
+        .cast("bigint")
+        .alias("n_keys_half"),
+    )
+    return agg.select(
+        F.col("gtype").alias(type_col),
+        "n_events",
+        "n_keys",
+        F.expr("__top1__ * 1000000 div n_events").alias("top1_share_micro"),
+        F.expr("__topk__ * 1000000 div n_events").alias(
+            f"top{top_k}_share_micro"
+        ),
+        "n_keys_half",
+    )

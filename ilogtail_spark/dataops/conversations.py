@@ -2246,3 +2246,60 @@ def truncation_stats(
         ),
         (F.col("n_suspect") > 0).alias("has_suspect"),
     )
+
+
+def top_user_prompts(
+    df: DataFrame,
+    k: int = 20,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    prompt_role: str = "user",
+    normalize: bool = True,
+) -> DataFrame:
+    """FAQ mining: the ``k`` most frequent user prompts across the
+    corpus, grouped by md5 of the C4-style normalized form
+    (``dedup.normalize_expr`` — case / punctuation / whitespace
+    variants of the same question count as one prompt; pass
+    ``normalize=False`` for byte-exact grouping). The canned-question
+    census drives cache design, intent routing, and eval-set
+    decontamination (the most-asked prompts are exactly the ones that
+    leak into benchmarks).
+
+    Output: (prompt_md5, n_turns, n_convs, min_chars, max_chars,
+    first_conv), ordered by (n_turns DESC, prompt_md5 ASC) — a total
+    order, so the LIMIT cut is deterministic — with char bounds
+    measured on the RAW text (the spread shows how much the variants
+    differ). NULL-text turns are skipped (nothing to mine).
+
+    Scale shape: text digests at the scan; the shuffle carries
+    (digest, conv_id, chars). The distinct-conversation count is the
+    standard two-phase distinct aggregate on the digest key, and the
+    top-k cut is TakeOrderedAndProject — no global sort materializes.
+    """
+    from ilogtail_spark.dataops.dedup import normalize_expr
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    _require(df, [conv_col, role_col, text_col], "top_user_prompts")
+    t = F.col(text_col).cast("string")
+    keyed = (
+        df.filter((F.col(role_col) == prompt_role) & t.isNotNull())
+        .select(
+            F.md5(normalize_expr(t) if normalize else t).alias("prompt_md5"),
+            F.col(conv_col).alias("__conv__"),
+            F.length(t).cast("bigint").alias("__ch__"),
+        )
+    )
+    return (
+        keyed.groupBy("prompt_md5")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+            F.countDistinct("__conv__").cast("bigint").alias("n_convs"),
+            F.min("__ch__").alias("min_chars"),
+            F.max("__ch__").alias("max_chars"),
+            F.min("__conv__").alias("first_conv"),
+        )
+        .orderBy(F.col("n_turns").desc(), F.col("prompt_md5").asc())
+        .limit(k)
+    )

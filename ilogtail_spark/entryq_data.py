@@ -6258,3 +6258,99 @@ def _inject_truncation(t: DataFrame) -> DataFrame:
 def q_conv_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _inject_truncation(_as_transcript(spark, sf_dir, inject=False))
     return conversations.truncation_stats(t).orderBy("conv_id")
+
+
+# ---------------------------------------------------------------------------
+# FAQ mining: user-turn texts are synthesized on BOTH engines so
+# cross-conversation heavy hitters exist — two trivial variants of
+# the password question (collapsed by normalization), one weather
+# question, and the natural long-tail props for the rest
+# ---------------------------------------------------------------------------
+_FAQ_CASE = """CASE
+      WHEN role = 'user' AND (conv_id + turn_idx) % 4 = 0
+        THEN 'How do I reset my password?'
+      WHEN role = 'user' AND (conv_id + turn_idx) % 4 = 1
+        THEN 'how do i reset my password!!'
+      WHEN role = 'user' AND (conv_id + turn_idx) % 4 = 2
+        THEN 'What is the weather'
+      ELSE text END"""
+
+
+def _inject_faq(t: DataFrame) -> DataFrame:
+    """DataFrame twin of _FAQ_CASE."""
+    m = (F.col("conv_id") + F.col("turn_idx")) % 4
+    is_user = F.col("role") == "user"
+    return t.withColumn(
+        "text",
+        F.when(is_user & (m == 0), F.lit("How do I reset my password?"))
+        .when(is_user & (m == 1), F.lit("how do i reset my password!!"))
+        .when(is_user & (m == 2), F.lit("What is the weather"))
+        .otherwise(F.col("text")),
+    )
+
+
+@query(
+    "conv_faq_topk",
+    f"""
+    WITH t0 AS (
+      {_TRANSCRIPT_SQL}
+    ), t AS (
+      SELECT conv_id, {_FAQ_CASE} AS text FROM t0 WHERE role = 'user'
+    ), n AS (
+      SELECT conv_id,
+             md5(trim(regexp_replace(lower(text), '[^\\p{{L}}\\p{{N}}]+',
+                                     ' ', 'g'))) AS prompt_md5,
+             CAST(length(text) AS BIGINT) AS ch
+      FROM t WHERE text IS NOT NULL
+    )
+    SELECT prompt_md5,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           min(ch) AS min_chars, max(ch) AS max_chars,
+           min(conv_id) AS first_conv
+    FROM n GROUP BY prompt_md5
+    ORDER BY n_turns DESC, prompt_md5 ASC LIMIT 5
+    """,
+)
+def q_conv_faq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _inject_faq(_as_transcript(spark, sf_dir, inject=False))
+    return conversations.top_user_prompts(t, k=5)
+
+
+# ---------------------------------------------------------------------------
+# key-concentration card over events: the natural user_id skew of the
+# events table is the fixture (no injection needed)
+# ---------------------------------------------------------------------------
+@query(
+    "events_concentration",
+    """
+    WITH c AS (
+      SELECT event_type AS gtype, CAST(user_id AS VARCHAR) AS k,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT gtype, n,
+             row_number() OVER w AS rnk,
+             sum(n) OVER (PARTITION BY gtype ORDER BY n DESC, k ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             sum(n) OVER (PARTITION BY gtype) AS tot
+      FROM c WINDOW w AS (PARTITION BY gtype ORDER BY n DESC, k ASC)
+    )
+    SELECT gtype AS event_type,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(CASE WHEN rnk = 1 THEN n END) * 1000000 // sum(n)
+                AS BIGINT) AS top1_share_micro,
+           CAST(sum(CASE WHEN rnk <= 3 THEN n ELSE 0 END) * 1000000
+                // sum(n) AS BIGINT) AS top3_share_micro,
+           CAST(min(CASE WHEN cum * 2 >= tot THEN rnk END) AS BIGINT)
+             AS n_keys_half
+    FROM r GROUP BY gtype ORDER BY event_type
+    """,
+)
+def q_events_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.concentration_report(
+        ev, key_col="user_id", type_col="event_type", top_k=3
+    ).orderBy("event_type")

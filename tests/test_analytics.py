@@ -900,3 +900,49 @@ class TestOutageWindows:
             analytics.outage_windows(df, "k", "t", 60)
         with pytest.raises(ValueError, match="min_gap_seconds"):
             analytics.outage_windows(df, "k", "k", 0)
+
+
+class TestConcentrationReport:
+    SCHEMA = "event_type string, user_id long"
+
+    def test_shares_and_half(self, spark):
+        from ilogtail_spark.dataops import analytics
+        # type A: key 1 x6, key 2 x2, keys 3..4 x1 -> total 10
+        rows = ([("A", 1)] * 6 + [("A", 2)] * 2 + [("A", 3), ("A", 4)]
+                + [("B", 9)])
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        out = {r["event_type"]: r.asDict()
+               for r in analytics.concentration_report(
+                   df, top_k=2).collect()}
+        a = out["A"]
+        assert a["n_events"] == 10 and a["n_keys"] == 4
+        assert a["top1_share_micro"] == 600_000
+        assert a["top2_share_micro"] == 800_000
+        assert a["n_keys_half"] == 1
+        b = out["B"]
+        assert b["top1_share_micro"] == 1_000_000 and b["n_keys_half"] == 1
+
+    def test_tie_break_by_key(self, spark):
+        from ilogtail_spark.dataops import analytics
+        # two keys with equal counts: rank order (count desc, key asc)
+        rows = [("A", 2), ("A", 1)]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        r = analytics.concentration_report(df, top_k=1).collect()[0]
+        assert r["top1_share_micro"] == 500_000
+        assert r["n_keys_half"] == 1  # first key alone reaches 50%
+
+    def test_top_k_validated(self, spark):
+        from ilogtail_spark.dataops import analytics
+        df = spark.createDataFrame([("A", 1)], self.SCHEMA)
+        with pytest.raises(ValueError, match="top_k"):
+            analytics.concentration_report(df, top_k=0)
+
+    def test_parallelism_invariant(self, spark):
+        from ilogtail_spark.dataops import analytics
+        rows = [("T%d" % (i % 3), i % 17) for i in range(300)]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        one = sorted(map(tuple, analytics.concentration_report(
+            df.coalesce(1)).collect()))
+        par = sorted(map(tuple, analytics.concentration_report(
+            df.repartition(7)).collect()))
+        assert one == par

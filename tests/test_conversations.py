@@ -1326,3 +1326,48 @@ class TestTruncationStats:
         par = sorted(map(tuple, conversations.truncation_stats(
             df.repartition(7)).collect()))
         assert one == par
+
+
+class TestTopUserPrompts:
+    def test_normalized_grouping_and_order(self, spark):
+        rows = [
+            ("c1", 0, "user", "Reset my password?"),
+            ("c1", 2, "user", "reset my password!!"),
+            ("c2", 0, "user", "Reset my password?"),
+            ("c2", 2, "user", "weather today"),
+            ("c3", 0, "user", "weather today"),
+            ("c3", 1, "assistant", "Reset my password?"),  # wrong role
+            ("c3", 2, "user", None),                        # skipped
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = conversations.top_user_prompts(df, k=10).collect()
+        assert [r["n_turns"] for r in out] == [3, 2]
+        top = out[0]
+        assert top["n_convs"] == 2
+        assert top["min_chars"] == 18 and top["max_chars"] == 19
+        assert top["first_conv"] == "c1"
+
+    def test_k_cut_deterministic(self, spark):
+        rows = [("c", i, "user", f"q{i}") for i in range(10)]
+        df = spark.createDataFrame(rows, SCHEMA)
+        # all singletons: the cut must be by md5 ascending
+        got = [r["prompt_md5"]
+               for r in conversations.top_user_prompts(df, k=3).collect()]
+        assert got == sorted(got) and len(got) == 3
+
+    def test_raw_mode(self, spark):
+        rows = [
+            ("c", 0, "user", "Hi!"),
+            ("c", 1, "user", "hi"),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        assert conversations.top_user_prompts(df, k=9).count() == 1
+        assert (
+            conversations.top_user_prompts(df, k=9, normalize=False).count()
+            == 2
+        )
+
+    def test_k_validated(self, spark):
+        df = spark.createDataFrame([("c", 0, "user", "x")], SCHEMA)
+        with pytest.raises(ValueError, match="k must be"):
+            conversations.top_user_prompts(df, k=0)

@@ -2463,6 +2463,54 @@ def main() -> int:
         "carries counters regardless of turn length.",
     )
 
+    # 73. FAQ mining (top user prompts) + key-concentration card
+    q73 = _conv61.top_user_prompts(t64, k=5)
+    p73 = formatted(q73)
+    ex73 = _hash_exchanges(p73)
+    from ilogtail_spark.dataops import analytics as _an73
+    q73c = _an73.concentration_report(
+        entryq._t(spark, SF_DIR, "events"), top_k=3
+    )
+    p73c = formatted(q73c)
+    ex73c = _hash_exchanges(p73c)
+    audit(
+        "FAQ mining (top user prompts) / key-concentration card",
+        q73,
+        [
+            ("top_user_prompts: every hash exchange keys on the "
+             "prompt digest (text digests at the scan and never "
+             "shuffles); the distinct-conversation count is the "
+             "standard two-phase distinct aggregate",
+             len(ex73) >= 1
+             and all("prompt_md5" in e for e in ex73)
+             and all("text#" not in e and "props#" not in e
+                     for e in ex73)),
+            ("the top-k cut is TakeOrderedAndProject — no global "
+             "sort materializes for a LIMIT",
+             "TakeOrderedAndProject" in p73),
+            ("concentration_report: exactly TWO exchanges — the "
+             "(type, key) count (the only pass over raw rows, "
+             "combiner-fed) then the per-type window+aggregate over "
+             "the count-reduced key table (partition keys parsed "
+             "from hashpartitioning args, not the block's Input line)",
+             len(ex73c) == 2
+             and "__key__"
+             in ex73c[0].split("hashpartitioning(")[1].split(")")[0]
+             and "gtype"
+             in ex73c[1].split("hashpartitioning(")[1].split(")")[0]
+             and "__key__"
+             not in ex73c[1].split("hashpartitioning(")[1].split(")")[0]),
+            ("no Python in either plan; whole plan codegen",
+             not re.search(r"EvalPython|InPandas", p73 + p73c)),
+        ],
+        "FAQ mining groups normalized user prompts by digest and cuts "
+        "top-k deterministically ((n_turns DESC, md5 ASC) is a total "
+        "order); the concentration card windows over per-key COUNTS, "
+        "so its sort cost is distinct-key cardinality, not event "
+        "count — the measurement that justifies every salting/skew "
+        "decision elsewhere in the repo.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
