@@ -1407,3 +1407,85 @@ def concentration_report(
         ),
         "n_keys_half",
     )
+
+
+def slo_burn(
+    df: DataFrame,
+    error_types: list[str] | tuple[str, ...] = ("error",),
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    slo_error_micro: int = 10_000,
+    window_buckets: int = 6,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Error-budget burn-rate card — the SRE alert rule ("the error
+    ratio over the trailing N hours exceeds the SLO target")
+    popularized by the Google SRE workbook's multiwindow burn alerts.
+    All math is exact integer: per-bucket error ratios are floor-micro
+    ints, the burn factor is ``win_err_micro * 1e6 div
+    slo_error_micro`` (a two-step floor — the metric's DEFINITION, so
+    every engine and the oracle agree bit-for-bit; win_err_micro <=
+    1e6 keeps the product far from bigint overflow at any scale).
+
+    Per bucket (optionally per ``group_col``): n_total, n_errors,
+    err_micro, win_total / win_errors / win_err_micro over the
+    trailing ``window_buckets`` OBSERVED buckets (rows, inclusive of
+    the current one; empty buckets produce no rows — silence is
+    outage_windows' job), burn_micro, and is_burning (burn_micro >=
+    1e6, i.e. the windowed error ratio is over target).
+
+    Scale shape: raw events collapse to per-bucket (total, error)
+    counts in ONE combiner-fed aggregate — the only pass over rows.
+    The trailing window then walks the AGGREGATED bucket table:
+    without ``group_col`` that is a single global series (bounded by
+    wall-clock — ~9k rows per hourly year), so the single-partition
+    window is a non-issue by cardinality; pass ``group_col`` (tenant,
+    service) to shard the series when you need per-key budgets.
+    """
+    if window_buckets < 1:
+        raise ValueError("window_buckets must be >= 1")
+    if slo_error_micro < 1:
+        raise ValueError("slo_error_micro must be >= 1")
+    if bucket.lower() not in _TRUNC_UNITS:
+        raise ValueError(
+            f"bucket must be one of {sorted(_TRUNC_UNITS)}, got {bucket!r}"
+        )
+    err = F.col(type_col).isin(*list(error_types)).cast("long")
+    gcols = [F.col(group_col).alias("group_key")] if group_col else []
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            *gcols,
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(err).cast("bigint").alias("n_errors"),
+        )
+    )
+    w = (
+        (
+            Window.partitionBy("group_key")
+            if group_col
+            else Window.partitionBy()
+        )
+        .orderBy("bucket_ts")
+        .rowsBetween(-(window_buckets - 1), 0)
+    )
+    out = counts.select(
+        *(["group_key"] if group_col else []),
+        "bucket_ts",
+        "n_total",
+        "n_errors",
+        F.expr("n_errors * 1000000 div n_total").alias("err_micro"),
+        F.sum("n_total").over(w).cast("bigint").alias("win_total"),
+        F.sum("n_errors").over(w).cast("bigint").alias("win_errors"),
+    )
+    out = out.withColumn(
+        "win_err_micro", F.expr("win_errors * 1000000 div win_total")
+    ).withColumn(
+        "burn_micro",
+        F.expr(f"win_err_micro * 1000000 div {int(slo_error_micro)}"),
+    )
+    return out.withColumn("is_burning", F.col("burn_micro") >= 1_000_000)

@@ -2303,3 +2303,73 @@ def top_user_prompts(
         .orderBy(F.col("n_turns").desc(), F.col("prompt_md5").asc())
         .limit(k)
     )
+
+
+def system_prompt_census(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    system_role: str = "system",
+) -> DataFrame:
+    """System-prompt census: how many distinct system prompts the
+    corpus contains and how conversations distribute over them — the
+    'how many templates is this dataset really' question that decides
+    whether shared-prefix dedup (``prefix_report`` /
+    ``preference_pairs``' hot-prefix cap) matters, and which personas
+    dominate an SFT mix.
+
+    Each conversation contributes its FIRST system turn (min turn_idx
+    among ``system_role`` turns, digest as tiebreak for duplicate
+    indices); conversations without one contribute nothing. Groups
+    key on md5 of the raw text. Output: (prompt_md5, n_convs,
+    n_chars, share_micro, first_conv) ordered by (n_convs DESC,
+    prompt_md5 ASC); share_micro is the floor-micro share of
+    system-bearing conversations, so shares sum to <= 1e6 exactly.
+
+    Scale shape: text digests at the scan; the per-conversation
+    struct-min is an ordinary aggregate on conv_col (no window), and
+    the census is a second aggregate on the digest — both combiner-
+    fed. The share window runs over the CENSUS table (one row per
+    distinct prompt), so its single partition is bounded by template
+    cardinality, not conversations.
+    """
+    _require(
+        df, [conv_col, idx_col, role_col, text_col], "system_prompt_census"
+    )
+    t = F.col(text_col).cast("string")
+    firsts = (
+        df.filter(F.col(role_col) == system_role)
+        .select(
+            F.col(conv_col).alias("__conv__"),
+            F.struct(
+                F.col(idx_col).cast("bigint").alias("idx"),
+                F.md5(t).alias("d"),
+                F.length(t).cast("bigint").alias("ch"),
+            ).alias("__s__"),
+        )
+        .groupBy("__conv__")
+        .agg(F.min("__s__").alias("__first__"))
+    )
+    census = firsts.groupBy(
+        F.col("__first__.d").alias("prompt_md5")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_convs"),
+        F.min("__first__.ch").alias("n_chars"),
+        F.min("__conv__").alias("first_conv"),
+    )
+    wall = Window.partitionBy()
+    return (
+        census.withColumn(
+            "__tot__", F.sum("n_convs").over(wall)
+        )
+        .select(
+            "prompt_md5",
+            "n_convs",
+            "n_chars",
+            F.expr("n_convs * 1000000 div __tot__").alias("share_micro"),
+            "first_conv",
+        )
+        .orderBy(F.col("n_convs").desc(), F.col("prompt_md5").asc())
+    )

@@ -6354,3 +6354,103 @@ def q_events_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.concentration_report(
         ev, key_col="user_id", type_col="event_type", top_k=3
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# SLO error-budget burn: natural fixture — the events table's hourly
+# error ratio oscillates around 190k micro, so slo=200k with a
+# 6-bucket window yields both burning and healthy hours
+# ---------------------------------------------------------------------------
+@query(
+    "events_slo_burn",
+    """
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS bucket_ts,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_errors
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), w AS (
+      SELECT bucket_ts, n_total, n_errors,
+             CAST(n_errors * 1000000 // n_total AS BIGINT) AS err_micro,
+             CAST(sum(n_total) OVER tw AS BIGINT) AS win_total,
+             CAST(sum(n_errors) OVER tw AS BIGINT) AS win_errors
+      FROM b WINDOW tw AS (ORDER BY bucket_ts
+                           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT bucket_ts, n_total, n_errors, err_micro, win_total, win_errors,
+           CAST(win_errors * 1000000 // win_total AS BIGINT)
+             AS win_err_micro,
+           CAST((win_errors * 1000000 // win_total) * 1000000 // 200000
+                AS BIGINT) AS burn_micro,
+           (win_errors * 1000000 // win_total) * 1000000 // 200000
+             >= 1000000 AS is_burning
+    FROM w ORDER BY bucket_ts
+    """,
+)
+def q_events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.slo_burn(
+        ev, slo_error_micro=200_000, window_buckets=6
+    ).orderBy("bucket_ts")
+
+
+# ---------------------------------------------------------------------------
+# system-prompt census: system-turn texts synthesized per conv_id%3 on
+# BOTH engines so three persona templates with distinct shares exist
+# ---------------------------------------------------------------------------
+_SYSPROMPT_CASE = """CASE WHEN role = 'system' THEN
+      CASE conv_id % 4
+        WHEN 1 THEN 'You are a coding assistant.'
+        WHEN 2 THEN 'You are a terse assistant.'
+        ELSE 'You are a helpful assistant.'
+      END
+    ELSE text END"""
+
+
+def _inject_sysprompt(t: DataFrame) -> DataFrame:
+    """DataFrame twin of _SYSPROMPT_CASE."""
+    m = F.col("conv_id") % 4
+    return t.withColumn(
+        "text",
+        F.when(
+            F.col("role") == "system",
+            F.when(m == 1, F.lit("You are a coding assistant."))
+            .when(m == 2, F.lit("You are a terse assistant."))
+            .otherwise(F.lit("You are a helpful assistant.")),
+        ).otherwise(F.col("text")),
+    )
+
+
+@query(
+    "conv_system_prompts",
+    f"""
+    WITH t0 AS (
+      {_TRANSCRIPT_SQL}
+    ), t AS (
+      SELECT conv_id, turn_idx, role, {_SYSPROMPT_CASE} AS text FROM t0
+    ), s AS (
+      SELECT conv_id, md5(text) AS d,
+             CAST(length(text) AS BIGINT) AS ch,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY turn_idx, md5(text)) AS rn
+      FROM t WHERE role = 'system'
+    ), f AS (
+      SELECT conv_id, d, ch FROM s WHERE rn = 1
+    ), c AS (
+      SELECT d AS prompt_md5,
+             CAST(count(*) AS BIGINT) AS n_convs,
+             min(ch) AS n_chars,
+             min(conv_id) AS first_conv
+      FROM f GROUP BY d
+    )
+    SELECT prompt_md5, n_convs, n_chars,
+           CAST(n_convs * 1000000 // sum(n_convs) OVER () AS BIGINT)
+             AS share_micro,
+           first_conv
+    FROM c ORDER BY n_convs DESC, prompt_md5
+    """,
+)
+def q_conv_system_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _inject_sysprompt(_as_transcript(spark, sf_dir, inject=False))
+    return conversations.system_prompt_census(t)

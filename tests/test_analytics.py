@@ -946,3 +946,85 @@ class TestConcentrationReport:
         par = sorted(map(tuple, analytics.concentration_report(
             df.repartition(7)).collect()))
         assert one == par
+
+
+class TestSloBurn:
+    SCHEMA = "event_type string, ts timestamp, svc string"
+
+    @staticmethod
+    def _rows():
+        from datetime import datetime
+        rows = []
+        # hours 0-2: 10% errors (healthy at slo 20%); hours 3-5: 50%
+        for h in range(6):
+            err = 1 if h < 3 else 5
+            for i in range(10):
+                rows.append((
+                    "error" if i < err else "ok",
+                    datetime(2024, 1, 1, h, i), "a",
+                ))
+        return rows
+
+    def test_burn_flips(self, spark):
+        from ilogtail_spark.dataops import analytics
+        df = spark.createDataFrame(self._rows(), self.SCHEMA)
+        out = sorted(
+            analytics.slo_burn(
+                df, slo_error_micro=200_000, window_buckets=3
+            ).collect(),
+            key=lambda r: r["bucket_ts"],
+        )
+        assert len(out) == 6
+        # hour 2: window = hours 0-2, 3/30 errors -> 100000 micro,
+        # burn 500000 -> healthy
+        assert out[2]["win_err_micro"] == 100_000
+        assert out[2]["burn_micro"] == 500_000
+        assert out[2]["is_burning"] is False
+        # hour 5: window = hours 3-5, 15/30 -> 500000, burn 2.5e6
+        assert out[5]["win_err_micro"] == 500_000
+        assert out[5]["is_burning"] is True
+        # per-bucket ratio exact
+        assert out[0]["err_micro"] == 100_000
+        assert out[5]["err_micro"] == 500_000
+
+    def test_window_shorter_at_series_start(self, spark):
+        from ilogtail_spark.dataops import analytics
+        df = spark.createDataFrame(self._rows(), self.SCHEMA)
+        r0 = sorted(
+            analytics.slo_burn(df, window_buckets=3).collect(),
+            key=lambda r: r["bucket_ts"],
+        )[0]
+        assert r0["win_total"] == 10  # only its own bucket observed
+
+    def test_group_col(self, spark):
+        from ilogtail_spark.dataops import analytics
+        from datetime import datetime
+        rows = [
+            ("error", datetime(2024, 1, 1, 0), "a"),
+            ("ok", datetime(2024, 1, 1, 0), "b"),
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        out = {r["group_key"]: r for r in analytics.slo_burn(
+            df, group_col="svc", slo_error_micro=500_000
+        ).collect()}
+        assert out["a"]["is_burning"] is True
+        assert out["b"]["is_burning"] is False
+
+    def test_validation(self, spark):
+        from ilogtail_spark.dataops import analytics
+        df = spark.createDataFrame([], self.SCHEMA)
+        with pytest.raises(ValueError, match="window_buckets"):
+            analytics.slo_burn(df, window_buckets=0)
+        with pytest.raises(ValueError, match="slo_error_micro"):
+            analytics.slo_burn(df, slo_error_micro=0)
+        with pytest.raises(ValueError, match="bucket must"):
+            analytics.slo_burn(df, bucket="fortnight")
+
+    def test_parallelism_invariant(self, spark):
+        from ilogtail_spark.dataops import analytics
+        df = spark.createDataFrame(self._rows(), self.SCHEMA)
+        one = sorted(map(tuple, analytics.slo_burn(
+            df.coalesce(1)).collect()))
+        par = sorted(map(tuple, analytics.slo_burn(
+            df.repartition(5)).collect()))
+        assert one == par

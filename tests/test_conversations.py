@@ -1371,3 +1371,45 @@ class TestTopUserPrompts:
         df = spark.createDataFrame([("c", 0, "user", "x")], SCHEMA)
         with pytest.raises(ValueError, match="k must be"):
             conversations.top_user_prompts(df, k=0)
+
+
+class TestSystemPromptCensus:
+    def test_census_shares_and_first_turn(self, spark):
+        rows = [
+            ("c1", 0, "system", "You are A."),
+            ("c1", 5, "system", "late override ignored"),
+            ("c2", 0, "system", "You are A."),
+            ("c3", 0, "system", "You are B."),
+            ("c4", 0, "user", "no system turn"),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = conversations.system_prompt_census(df).collect()
+        assert [r["n_convs"] for r in out] == [2, 1]
+        top = out[0]
+        assert top["n_chars"] == 10
+        assert top["share_micro"] == 666_666
+        assert top["first_conv"] == "c1"
+        assert out[1]["share_micro"] == 333_333
+
+    def test_first_by_index_not_row_order(self, spark):
+        rows = [
+            ("c", 7, "system", "later"),
+            ("c", 2, "system", "earlier"),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = conversations.system_prompt_census(df).collect()
+        assert len(out) == 1 and out[0]["n_chars"] == len("earlier")
+
+    def test_no_system_turns_empty(self, spark):
+        df = spark.createDataFrame([("c", 0, "user", "x")], SCHEMA)
+        assert conversations.system_prompt_census(df).count() == 0
+
+    def test_parallelism_invariant(self, spark):
+        rows = [("c%d" % i, 0, "system", "p%d" % (i % 3))
+                for i in range(30)]
+        df = spark.createDataFrame(rows, SCHEMA)
+        one = sorted(map(tuple, conversations.system_prompt_census(
+            df.coalesce(1)).collect()))
+        par = sorted(map(tuple, conversations.system_prompt_census(
+            df.repartition(7)).collect()))
+        assert one == par

@@ -2511,6 +2511,51 @@ def main() -> int:
         "decision elsewhere in the repo.",
     )
 
+    # 74. SLO burn-rate card + system-prompt census
+    q74 = entryq.QUERIES["events_slo_burn"](spark, SF_DIR)
+    p74 = formatted(q74)
+    ex74 = _hash_exchanges(p74)
+    # t64's role CASE never yields 'system' — Catalyst would
+    # constant-fold the census to empty; audit the plan shape with
+    # system_role='user' (identical plan, non-empty branch)
+    q74c = _conv61.system_prompt_census(t64, system_role="user")
+    p74c = formatted(q74c)
+    ex74c = _hash_exchanges(p74c)
+    audit(
+        "SLO burn-rate card / system-prompt census",
+        q74,
+        [
+            ("slo_burn: exactly ONE hash exchange — the per-bucket "
+             "(total, error) partial counts keyed on the date_trunc "
+             "grouping expression, the only pass over raw rows; the "
+             "trailing window then walks the AGGREGATED bucket table "
+             "(single partition bounded by wall-clock hours, not "
+             "event volume)",
+             len(ex74) == 1
+             and ("_groupingexpression" in ex74[0]
+                  or "bucket_ts" in ex74[0])
+             and "count#" in ex74[0] and "sum#" in ex74[0]),
+            ("system_prompt_census: text digests at the scan — no "
+             "exchange carries the text column (the first shuffles "
+             "only the partial struct-min buffer: digest + idx + "
+             "chars); two combiner-fed aggregates (per-conversation "
+             "struct-min, then the digest census); the share window "
+             "runs over the census table (one row per distinct "
+             "prompt)",
+             len(ex74c) == 2
+             and all("text#" not in e and "props#" not in e
+                     for e in ex74c)),
+            ("no Python in either plan; whole plan codegen",
+             not re.search(r"EvalPython|InPandas", p74 + p74c)),
+        ],
+        "The burn card is rate_spikes' count-then-window shape with "
+        "ratio-of-sums semantics and exact two-step floor-micro burn "
+        "math; the census answers the how-many-templates question "
+        "that sizes prefix_report / preference_pairs' hot-prefix "
+        "caps, with shares computed over the template-cardinality "
+        "census, never the conversations.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
