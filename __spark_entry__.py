@@ -37,6 +37,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _FRONT = [
     # round-5 new queries first (never driver-checked), then the
     # r04-unsampled rotation ordered oldest-driver-check first
+    "events_slo_burn", "conv_system_prompts",
+    "events_seasonal_profile", "events_first_seen",
+    "events_cooccurrence", "events_burstiness",
     "conv_echo_stats", "conv_truncated", "conv_faq_topk",
     "events_concentration",
     "conv_tool_loops", "conv_abandoned", "events_outage_windows",

@@ -1489,3 +1489,306 @@ def slo_burn(
         F.expr(f"win_err_micro * 1000000 div {int(slo_error_micro)}"),
     )
     return out.withColumn("is_burning", F.col("burn_micro") >= 1_000_000)
+
+
+def seasonal_profile(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Day-of-week x hour-of-day load heatmap — the capacity-planning
+    card ("what does a normal Tuesday 14:00 look like") behind every
+    traffic-seasonality dashboard. The day-of-week is computed with
+    pure integer epoch-day arithmetic, ``(epoch_day + 4) mod 7`` with
+    0 = Sunday (day 0 = 1970-01-01 was a Thursday), so every engine
+    agrees without touching locale-dependent dayofweek builtins
+    (Spark counts Sunday=1, DuckDB Sunday=0 — the classic off-by-one
+    oracle trap).
+
+    Per (dow, hour) cell (optionally per ``group_col``): n_events,
+    n_days (distinct calendar dates observed in the cell — the
+    denominator that makes short capture windows comparable),
+    per_day_micro (n_events * 1e6 div n_days: average events per
+    observed day, floor-micro), share_micro (cell share of all
+    events). Rows with NULL timestamps are excluded.
+
+    Scale shape: ONE combiner-fed aggregate over raw rows keyed on
+    (dow, hour, date) — at most 168 x observed-days groups — then a
+    168-row rollup; the share window runs over the 168-row heatmap,
+    never the events. The heavy work is the scan itself.
+    """
+    gcols = [F.col(group_col).alias("group_key")] if group_col else []
+    dow = F.pmod(
+        F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01")) + 4,
+        F.lit(7),
+    ).cast("int")
+    cells = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            *gcols,
+            dow.alias("dow"),
+            F.hour(F.col(ts_col)).alias("hour"),
+            F.col(ts_col).cast("date").alias("__d__"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n__"))
+        .groupBy(*(["group_key"] if group_col else []), "dow", "hour")
+        .agg(
+            F.sum("__n__").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+    )
+    wall = (
+        Window.partitionBy("group_key")
+        if group_col
+        else Window.partitionBy()
+    )
+    return cells.withColumn(
+        "__tot__", F.sum("n_events").over(wall)
+    ).select(
+        *(["group_key"] if group_col else []),
+        "dow",
+        "hour",
+        "n_events",
+        "n_days",
+        F.expr("n_events * 1000000 div n_days").alias("per_day_micro"),
+        F.expr("n_events * 1000000 div __tot__").alias("share_micro"),
+    )
+
+
+def first_seen_curve(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "day",
+) -> DataFrame:
+    """New-vs-returning curve — per bucket: how many distinct keys
+    were active, how many appeared for the FIRST time ever, and the
+    cumulative distinct-key count. The growth card every product /
+    fleet dashboard opens with ("daily actives, split new vs
+    returning"), and the operational twin of a log pipeline's
+    first-seen host census.
+
+    Output per bucket_ts: n_active (distinct keys), n_new (keys whose
+    earliest bucket is this one), n_returning (= n_active - n_new),
+    cum_keys (running sum of n_new — the exact cumulative distinct).
+    Buckets are OBSERVED buckets only. NULL keys/timestamps excluded.
+
+    Scale shape: raw rows collapse map-side to distinct (key, bucket)
+    pairs — the only row-volume shuffle, keyed on both columns so no
+    hot-key task. First-seen is then a per-key min over the PAIR
+    table, and both counts are combiner-fed aggregates on bucket_ts.
+    The cumulative window walks the bucket table (bounded by
+    wall-clock, not volume).
+    """
+    if bucket.lower() not in _TRUNC_UNITS:
+        raise ValueError(
+            f"bucket must be one of {sorted(_TRUNC_UNITS)}, got {bucket!r}"
+        )
+    pairs = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col).alias("__k__"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+        )
+        .distinct()
+    )
+    active = pairs.groupBy("bucket_ts").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active")
+    )
+    new = (
+        pairs.groupBy("__k__")
+        .agg(F.min("bucket_ts").alias("bucket_ts"))
+        .groupBy("bucket_ts")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    )
+    curve = active.join(new, "bucket_ts", "left").select(
+        "bucket_ts",
+        "n_active",
+        F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint").alias("n_new"),
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return curve.select(
+        "bucket_ts",
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+        F.sum("n_new").over(w).cast("bigint").alias("cum_keys"),
+    )
+
+
+def cooccurrence_report(
+    df: DataFrame,
+    type_col: str = "event_type",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Event-type co-occurrence — which types show up TOGETHER in the
+    same (key, bucket) cell, the "what else fires when this error
+    fires" triage card (the batch analog of alert-correlation rules).
+
+    A cell is one (key, time-bucket) pair that saw a type at least
+    once. For every unordered type pair a < b: n_both (cells holding
+    both), n_a / n_b (cells holding each), and jaccard_micro =
+    n_both * 1e6 div (n_a + n_b - n_both) — exact floor-micro set
+    similarity of the two types' cell sets. Ordered by n_both DESC,
+    then (type_a, type_b). NULL types/keys/timestamps excluded.
+
+    Scale shape: raw rows collapse in ONE combiner-fed collect_set
+    aggregate keyed on (key, bucket) — the only row-volume shuffle
+    (a naive cells-self-join would rescan and reshuffle the input
+    once per join leg). Each cell's sorted type set then expands
+    SCAN-SIDE to its C(T, 2) unordered pairs plus T unary markers
+    (T = types in that cell — type cardinality, not row count), and
+    one tiny aggregate over those items yields pair and per-type cell
+    counts together; the count table (<= T^2 rows) is lazily
+    localCheckpointed so the pair rows and the two broadcast per-type
+    legs reuse it instead of recomputing the scan.
+    """
+    if bucket.lower() not in _TRUNC_UNITS:
+        raise ValueError(
+            f"bucket must be one of {sorted(_TRUNC_UNITS)}, got {bucket!r}"
+        )
+    t = F.col(type_col).cast("string")
+    cellsets = (
+        df.filter(
+            F.col(ts_col).isNotNull()
+            & F.col(key_col).isNotNull()
+            & t.isNotNull()
+        )
+        .groupBy(
+            F.col(key_col).alias("__k__"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("__b__"),
+        )
+        .agg(F.sort_array(F.collect_set(t)).alias("__ts__"))
+    )
+    # per cell: unordered pairs (a < b holds — the set is sorted) and
+    # one (a, NULL) marker per type, so a single groupBy counts both
+    items = cellsets.select(
+        F.explode(
+            F.expr(
+                "concat("
+                " flatten(transform(__ts__, (x, i) ->"
+                "  transform(slice(__ts__, i + 2, size(__ts__)),"
+                "   y -> struct(x AS a, y AS b)))),"
+                " transform(__ts__, x ->"
+                "  struct(x AS a, CAST(NULL AS STRING) AS b)))"
+            )
+        ).alias("__i__")
+    )
+    counts = (
+        items.groupBy(
+            F.col("__i__.a").alias("type_a"),
+            F.col("__i__.b").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    both = counts.filter(F.col("type_b").isNotNull()).withColumnRenamed(
+        "n", "n_both"
+    )
+    per_type = counts.filter(F.col("type_b").isNull()).select(
+        F.col("type_a").alias("__t__"), F.col("n").alias("__n__")
+    )
+    na = F.broadcast(
+        per_type.select(
+            F.col("__t__").alias("type_a"), F.col("__n__").alias("n_a")
+        )
+    )
+    nb = F.broadcast(
+        per_type.select(
+            F.col("__t__").alias("type_b"), F.col("__n__").alias("n_b")
+        )
+    )
+    return (
+        both.join(na, "type_a")
+        .join(nb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr("n_both * 1000000 div (n_a + n_b - n_both)").alias(
+                "jaccard_micro"
+            ),
+        )
+        .orderBy(F.col("n_both").desc(), "type_a", "type_b")
+    )
+
+
+def burstiness_report(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    min_events: int = 3,
+) -> DataFrame:
+    """Per-key inter-arrival burstiness — is this key's traffic
+    steady (heartbeat), Poisson (organic), or bursty (retry storm,
+    scraper)? The classifier is the squared coefficient of variation
+    of consecutive gaps: cv2 < 1 regular, ~ 1 Poisson, >> 1 bursty
+    (Goh & Barabasi's burstiness measure without its square root, so
+    the math stays exact integer).
+
+    Per key with at least ``min_events`` events (>= 2 gaps): n_events,
+    span_ms (first to last), mean_gap_ms (floor), and cv2_micro =
+    (n_gaps * sum(gap^2) - sum(gap)^2) * 1e6 div sum(gap)^2 — the
+    population variance over mean^2 in exact DECIMAL(38,0) math
+    (gaps in ms: n * sum_sq <= n * span^2 stays under 10^38 up to
+    ~10^10 events per key-year). Keys whose events all share one
+    timestamp (sum = 0) report cv2_micro NULL. Gap multiset depends
+    only on sorted timestamps, so ties need no tiebreak column.
+
+    Scale shape: ONE shuffle on key_col; the per-key sort is each
+    key's own events (the sessionize-style bound — shard upstream by
+    day first if a single key can exceed a task); gap moments then
+    collapse in the same aggregate. Output is one row per key.
+    """
+    if min_events < 3:
+        raise ValueError(
+            f"burstiness_report: min_events must be >= 3, got {min_events}"
+        )
+    w = Window.partitionBy("__k__").orderBy("__ms__")
+    gaps = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col).alias("__k__"),
+            # unix_millis only takes TIMESTAMP — the ltz cast is a
+            # no-op there and pins NTZ columns to the session zone
+            # (UTC per session.py; all outputs are gap DIFFERENCES,
+            # so a constant zone offset cancels regardless)
+            F.unix_millis(F.col(ts_col).cast("timestamp_ltz")).alias(
+                "__ms__"
+            ),
+        )
+        .withColumn("__gap__", F.col("__ms__") - F.lag("__ms__").over(w))
+    )
+    agg = (
+        gaps.groupBy("__k__")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.max("__ms__") - F.min("__ms__")).alias("span_ms"),
+            F.sum("__gap__").cast("decimal(38,0)").alias("__s__"),
+            F.sum(
+                F.col("__gap__").cast("decimal(38,0)")
+                * F.col("__gap__").cast("decimal(38,0)")
+            ).alias("__s2__"),
+            F.count("__gap__").cast("bigint").alias("__ng__"),
+        )
+        .filter(F.col("n_events") >= min_events)
+    )
+    return agg.select(
+        F.col("__k__").alias(key_col),
+        "n_events",
+        "span_ms",
+        F.expr("CAST(__s__ div __ng__ AS BIGINT)").alias("mean_gap_ms"),
+        F.expr(
+            "CASE WHEN __s__ = 0 THEN NULL ELSE CAST("
+            "(__ng__ * __s2__ - __s__ * __s__) * 1000000 div "
+            "(__s__ * __s__) AS BIGINT) END"
+        ).alias("cv2_micro"),
+    )

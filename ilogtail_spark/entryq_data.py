@@ -6454,3 +6454,121 @@ def _inject_sysprompt(t: DataFrame) -> DataFrame:
 def q_conv_system_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _inject_sysprompt(_as_transcript(spark, sf_dir, inject=False))
     return conversations.system_prompt_census(t)
+
+
+# ---------------------------------------------------------------------------
+# seasonality heatmap / first-seen curve / co-occurrence / burstiness:
+# the capacity-planning + triage + growth cards over the events table
+# ---------------------------------------------------------------------------
+@query(
+    "events_seasonal_profile",
+    """
+    WITH c AS (
+      SELECT CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   + 4) % 7 AS INT) AS dow,
+             CAST(extract(hour FROM ts) AS INT) AS hour,
+             CAST(ts AS DATE) AS d, count(*) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
+    ), g AS (
+      SELECT dow, hour, CAST(sum(n) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM c GROUP BY 1, 2
+    )
+    SELECT dow, hour, n_events, n_days,
+           CAST(n_events * 1000000 // n_days AS BIGINT) AS per_day_micro,
+           CAST(n_events * 1000000 // sum(n_events) OVER () AS BIGINT)
+             AS share_micro
+    FROM g ORDER BY dow, hour
+    """,
+)
+def q_events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.seasonal_profile(ev).orderBy("dow", "hour")
+
+
+@query(
+    "events_first_seen",
+    """
+    WITH p AS (
+      SELECT DISTINCT user_id AS k, date_trunc('day', ts) AS bucket_ts
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), a AS (
+      SELECT bucket_ts, CAST(count(*) AS BIGINT) AS n_active
+      FROM p GROUP BY 1
+    ), f AS (
+      SELECT k, min(bucket_ts) AS bucket_ts FROM p GROUP BY 1
+    ), n AS (
+      SELECT bucket_ts, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1
+    ), c AS (
+      SELECT a.bucket_ts, a.n_active,
+             CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new
+      FROM a LEFT JOIN n USING (bucket_ts)
+    )
+    SELECT bucket_ts, n_active, n_new,
+           CAST(n_active - n_new AS BIGINT) AS n_returning,
+           CAST(sum(n_new) OVER (ORDER BY bucket_ts
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_keys
+    FROM c ORDER BY bucket_ts
+    """,
+)
+def q_events_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.first_seen_curve(ev).orderBy("bucket_ts")
+
+
+@query(
+    "events_cooccurrence",
+    """
+    WITH cells AS (
+      SELECT DISTINCT user_id AS k, date_trunc('hour', ts) AS b,
+             event_type AS t
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+    ), bo AS (
+      SELECT l.t AS type_a, r.t AS type_b, CAST(count(*) AS BIGINT) AS n_both
+      FROM cells l JOIN cells r ON l.k = r.k AND l.b = r.b AND l.t < r.t
+      GROUP BY 1, 2
+    ), pt AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY 1
+    )
+    SELECT type_a, type_b, n_both, a.n AS n_a, b.n AS n_b,
+           CAST(n_both * 1000000 // (a.n + b.n - n_both) AS BIGINT)
+             AS jaccard_micro
+    FROM bo JOIN pt a ON a.t = type_a JOIN pt b ON b.t = type_b
+    ORDER BY n_both DESC, type_a, type_b
+    """,
+)
+def q_events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.cooccurrence_report(ev)
+
+
+@query(
+    "events_burstiness",
+    """
+    WITH g AS (
+      SELECT user_id AS k, epoch_ms(ts) AS ms,
+             epoch_ms(ts) - lag(epoch_ms(ts))
+               OVER (PARTITION BY user_id ORDER BY ts) AS gap
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), a AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max(ms) - min(ms) AS BIGINT) AS span_ms,
+             CAST(sum(gap) AS HUGEINT) AS s,
+             sum(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS s2,
+             CAST(count(gap) AS HUGEINT) AS ng
+      FROM g GROUP BY 1
+    )
+    SELECT k AS user_id, n_events, span_ms,
+           CAST(s // ng AS BIGINT) AS mean_gap_ms,
+           CASE WHEN s = 0 THEN NULL
+                ELSE CAST((ng * s2 - s * s) * 1000000 // (s * s) AS BIGINT)
+           END AS cv2_micro
+    FROM a WHERE n_events >= 3 ORDER BY user_id
+    """,
+)
+def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.burstiness_report(ev).orderBy("user_id")

@@ -1028,3 +1028,182 @@ class TestSloBurn:
         par = sorted(map(tuple, analytics.slo_burn(
             df.repartition(5)).collect()))
         assert one == par
+
+
+class TestSeasonalProfile:
+    SCHEMA = "event_type string, ts timestamp, svc string"
+
+    @staticmethod
+    def _rows():
+        from datetime import datetime
+        # 2024-01-01 and 2024-01-08 are Mondays (dow=1, Sunday=0)
+        return [
+            ("ok", datetime(2024, 1, 1, 10, 0), "a"),
+            ("ok", datetime(2024, 1, 1, 10, 30), "a"),
+            ("ok", datetime(2024, 1, 8, 10, 5), "a"),
+            ("ok", datetime(2024, 1, 8, 10, 6), "a"),
+            ("ok", datetime(2024, 1, 8, 10, 7), "b"),
+            ("ok", datetime(2024, 1, 2, 3, 0), "b"),   # Tuesday 03:00
+            ("ok", None, "a"),                          # excluded
+        ]
+
+    def test_cells_and_shares(self, spark):
+        from ilogtail_spark.dataops import analytics
+        df = spark.createDataFrame(self._rows(), self.SCHEMA)
+        out = {(r["dow"], r["hour"]): r
+               for r in analytics.seasonal_profile(df).collect()}
+        assert set(out) == {(1, 10), (2, 3)}
+        mon = out[(1, 10)]
+        assert mon["n_events"] == 5 and mon["n_days"] == 2
+        assert mon["per_day_micro"] == 2_500_000
+        assert mon["share_micro"] == 833_333  # 5/6 floor-micro
+        tue = out[(2, 3)]
+        assert tue["n_events"] == 1 and tue["n_days"] == 1
+        assert tue["share_micro"] == 166_666
+
+    def test_group_col(self, spark):
+        from ilogtail_spark.dataops import analytics
+        df = spark.createDataFrame(self._rows(), self.SCHEMA)
+        out = analytics.seasonal_profile(df, group_col="svc").collect()
+        a = [r for r in out if r["group_key"] == "a"]
+        # group a: 4 events, all in (Mon, 10) -> share 1e6
+        assert sum(r["n_events"] for r in a) == 4
+        assert all(r["share_micro"] == 1_000_000 for r in a)
+
+    def test_parallelism_invariant(self, spark):
+        from ilogtail_spark.dataops import analytics
+        df = spark.createDataFrame(self._rows(), self.SCHEMA)
+        one = sorted(map(tuple, analytics.seasonal_profile(
+            df.coalesce(1)).collect()))
+        par = sorted(map(tuple, analytics.seasonal_profile(
+            df.repartition(5)).collect()))
+        assert one == par
+
+
+class TestFirstSeenCurve:
+    SCHEMA = "user_id bigint, ts timestamp"
+
+    def test_new_vs_returning(self, spark):
+        from datetime import datetime
+        from ilogtail_spark.dataops import analytics
+        rows = [
+            (1, datetime(2024, 1, 1, 5)), (2, datetime(2024, 1, 1, 6)),
+            (1, datetime(2024, 1, 2, 5)),
+            (3, datetime(2024, 1, 3, 5)),
+            (None, datetime(2024, 1, 3, 6)), (3, None),
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        out = sorted(analytics.first_seen_curve(df).collect(),
+                     key=lambda r: r["bucket_ts"])
+        assert [(r["n_active"], r["n_new"], r["n_returning"], r["cum_keys"])
+                for r in out] == [(2, 2, 0, 2), (1, 0, 1, 2), (1, 1, 0, 3)]
+
+    def test_validation(self, spark):
+        from ilogtail_spark.dataops import analytics
+        df = spark.createDataFrame([], self.SCHEMA)
+        with pytest.raises(ValueError, match="bucket must"):
+            analytics.first_seen_curve(df, bucket="fortnight")
+
+    def test_parallelism_invariant(self, spark):
+        from datetime import datetime
+        from ilogtail_spark.dataops import analytics
+        rows = [(i % 7, datetime(2024, 1, 1 + i % 9, 5)) for i in range(40)]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        one = sorted(map(tuple, analytics.first_seen_curve(
+            df.coalesce(1)).collect()))
+        par = sorted(map(tuple, analytics.first_seen_curve(
+            df.repartition(7)).collect()))
+        assert one == par
+
+
+class TestCooccurrenceReport:
+    SCHEMA = "event_type string, user_id bigint, ts timestamp"
+
+    def test_pairs_and_jaccard(self, spark):
+        from datetime import datetime
+        from ilogtail_spark.dataops import analytics
+        h1, h2 = datetime(2024, 1, 1, 10, 1), datetime(2024, 1, 1, 11, 1)
+        rows = [
+            ("a", 1, h1), ("b", 1, h1), ("c", 1, h1),
+            ("a", 1, h1),              # dup in cell — counted once
+            ("a", 2, h2), ("b", 2, h2),
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        out = analytics.cooccurrence_report(df).collect()
+        rows_by_pair = {(r["type_a"], r["type_b"]): r for r in out}
+        ab = rows_by_pair[("a", "b")]
+        assert ab["n_both"] == 2 and ab["n_a"] == 2 and ab["n_b"] == 2
+        assert ab["jaccard_micro"] == 1_000_000
+        ac = rows_by_pair[("a", "c")]
+        assert ac["n_both"] == 1 and ac["jaccard_micro"] == 500_000
+        # ordering: n_both DESC then names
+        assert out[0]["type_a"] == "a" and out[0]["type_b"] == "b"
+
+    def test_single_type_cells_emit_nothing(self, spark):
+        from datetime import datetime
+        from ilogtail_spark.dataops import analytics
+        df = spark.createDataFrame(
+            [("a", 1, datetime(2024, 1, 1, 1)),
+             ("a", 2, datetime(2024, 1, 1, 2))], self.SCHEMA)
+        assert analytics.cooccurrence_report(df).count() == 0
+
+    def test_parallelism_invariant(self, spark):
+        from datetime import datetime
+        from ilogtail_spark.dataops import analytics
+        rows = [("t%d" % (i % 4), i % 5, datetime(2024, 1, 1, i % 12))
+                for i in range(60)]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        one = sorted(map(tuple, analytics.cooccurrence_report(
+            df.coalesce(1)).collect()))
+        par = sorted(map(tuple, analytics.cooccurrence_report(
+            df.repartition(7)).collect()))
+        assert one == par
+
+
+class TestBurstinessReport:
+    SCHEMA = "user_id bigint, ts timestamp"
+
+    def test_regular_vs_bursty(self, spark):
+        from datetime import datetime, timedelta
+        from ilogtail_spark.dataops import analytics
+        t0 = datetime(2024, 1, 1)
+        rows = (
+            # key 1: perfectly regular 1s gaps -> cv2 = 0
+            [(1, t0 + timedelta(seconds=i)) for i in range(4)]
+            # key 2: gaps 0s and 2s -> mean 1000ms, cv2 = 1e6
+            + [(2, t0), (2, t0), (2, t0 + timedelta(seconds=2))]
+            # key 3: all same ts -> sum 0 -> cv2 NULL
+            + [(3, t0), (3, t0), (3, t0)]
+            # key 4: only 2 events -> dropped at min_events=3
+            + [(4, t0), (4, t0 + timedelta(seconds=1))]
+        )
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        out = {r["user_id"]: r
+               for r in analytics.burstiness_report(df).collect()}
+        assert set(out) == {1, 2, 3}
+        assert out[1]["cv2_micro"] == 0
+        assert out[1]["mean_gap_ms"] == 1000
+        assert out[1]["span_ms"] == 3000
+        assert out[2]["cv2_micro"] == 1_000_000
+        assert out[2]["mean_gap_ms"] == 1000
+        assert out[3]["cv2_micro"] is None
+        assert out[3]["span_ms"] == 0
+
+    def test_validation(self, spark):
+        from ilogtail_spark.dataops import analytics
+        df = spark.createDataFrame([], self.SCHEMA)
+        with pytest.raises(ValueError, match="min_events"):
+            analytics.burstiness_report(df, min_events=2)
+
+    def test_parallelism_invariant(self, spark):
+        from datetime import datetime, timedelta
+        from ilogtail_spark.dataops import analytics
+        t0 = datetime(2024, 1, 1)
+        rows = [(i % 6, t0 + timedelta(seconds=(i * 37) % 101))
+                for i in range(60)]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        one = sorted(map(tuple, analytics.burstiness_report(
+            df.coalesce(1)).collect()))
+        par = sorted(map(tuple, analytics.burstiness_report(
+            df.repartition(7)).collect()))
+        assert one == par

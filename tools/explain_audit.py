@@ -2556,6 +2556,109 @@ def main() -> int:
         "census, never the conversations.",
     )
 
+    # 75. seasonality heatmap / first-seen curve / co-occurrence /
+    # burstiness
+    from ilogtail_spark.dataops import analytics as _an75
+
+    q75s = entryq.QUERIES["events_seasonal_profile"](spark, SF_DIR)
+    p75s = formatted(q75s)
+    ex75s = _hash_exchanges(p75s)
+    q75f = entryq.QUERIES["events_first_seen"](spark, SF_DIR)
+    p75f = formatted(q75f)
+    ex75f = _hash_exchanges(p75f)
+    q75c = entryq.QUERIES["events_cooccurrence"](spark, SF_DIR)
+    p75c = formatted(q75c)
+    ex75c = _hash_exchanges(p75c)
+    # the co-occurrence UPSTREAM (hidden behind its lazy
+    # localCheckpoint in the final plan): rebuild the pre-checkpoint
+    # stage to assert its shuffle shape
+    _ev75 = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    _cells75 = (
+        _ev75.filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .groupBy(
+            F.col("user_id").alias("__k__"),
+            F.date_trunc("hour", F.col("ts")).alias("__b__"),
+        )
+        .agg(F.sort_array(F.collect_set("event_type")).alias("__ts__"))
+    )
+    _items75 = _cells75.select(
+        F.explode(
+            F.expr(
+                "concat("
+                " flatten(transform(__ts__, (x, i) ->"
+                "  transform(slice(__ts__, i + 2, size(__ts__)),"
+                "   y -> struct(x AS a, y AS b)))),"
+                " transform(__ts__, x ->"
+                "  struct(x AS a, CAST(NULL AS STRING) AS b)))"
+            )
+        ).alias("__i__")
+    )
+    p75up = formatted(
+        _items75.groupBy(
+            F.col("__i__.a").alias("type_a"),
+            F.col("__i__.b").alias("type_b"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    ex75up = _hash_exchanges(p75up)
+    q75b = entryq.QUERIES["events_burstiness"](spark, SF_DIR)
+    p75b = formatted(q75b)
+    ex75b = _hash_exchanges(p75b)
+    audit(
+        "seasonality heatmap / first-seen curve / co-occurrence / "
+        "burstiness",
+        q75s,
+        [
+            ("seasonal_profile: two combiner-fed aggregates — "
+             "(dow, hour, date) cells then the 168-row heatmap "
+             "rollup; the share window runs over the heatmap, never "
+             "the events; no text/props column in any exchange",
+             len(ex75s) == 2
+             and all("props#" not in e for e in ex75s)),
+            ("first_seen_curve: the distinct (key, bucket) pair "
+             "shuffle is the ONLY row-volume exchange (keyed on both "
+             "columns — no hot-key task); first-seen min, the two "
+             "bucket counts, and the join all run over the pair or "
+             "bucket tables",
+             len(ex75f) == 4
+             and sum("__k__" in e and "bucket_ts" in e
+                     for e in ex75f) == 1
+             and all("props#" not in e for e in ex75f)),
+            ("cooccurrence upstream: ONE row-volume exchange (the "
+             "(key, bucket) collect_set cells) plus the tiny "
+             "(type_a, type_b) item count — pair generation is "
+             "scan-side array math over each cell's sorted type set",
+             # Catalyst folds the __k__/__b__ aliases into the raw
+             # column + a grouping expression in the exchange key
+             len(ex75up) == 2
+             and sum("user_id#" in e or "__k__" in e
+                     for e in ex75up) == 1),
+            ("cooccurrence downstream reuses the checkpointed count "
+             "table: ZERO hash exchanges after the checkpoint; the "
+             "two per-type legs broadcast",
+             len(ex75c) == 0
+             and len(re.findall(r"BroadcastExchange \(\d+\)", p75c))
+             == 2),
+            ("burstiness: ONE exchange on the key carrying only "
+             "(key, epoch-ms) — 16 bytes a row; the per-key gap "
+             "window and the moment aggregate share it",
+             len(ex75b) == 1 and "__ms__" in ex75b[0]
+             and "props#" not in ex75b[0]),
+            ("no Python anywhere in the four plans",
+             not re.search(r"EvalPython|InPandas",
+                           p75s + p75f + p75c + p75up + p75b)),
+        ],
+        "The heatmap and curve are bounded-output cards (168 cells / "
+        "observed buckets); co-occurrence turns a would-be 4-scan "
+        "cells self-join into one collect_set pass plus driver-small "
+        "broadcast joins; burstiness' cv2 is exact DECIMAL(38,0) "
+        "moment math over millisecond gaps, so Poisson-vs-bursty "
+        "classification is engine-reproducible bit-for-bit.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
