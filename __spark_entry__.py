@@ -40,6 +40,8 @@ _FRONT = [
     "events_slo_burn", "conv_system_prompts",
     "events_seasonal_profile", "events_first_seen",
     "events_cooccurrence", "events_burstiness",
+    "text_script_mix", "conv_cost_report", "conv_branching",
+    "corpus_packing_efficiency",
     "conv_echo_stats", "conv_truncated", "conv_faq_topk",
     "events_concentration",
     "conv_tool_loops", "conv_abandoned", "events_outage_windows",

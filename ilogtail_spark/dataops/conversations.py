@@ -2373,3 +2373,138 @@ def system_prompt_census(
         )
         .orderBy(F.col("n_convs").desc(), F.col("prompt_md5").asc())
     )
+
+
+def cost_report(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    rate_in_micro_per_1k: int = 3_000,
+    rate_out_micro_per_1k: int = 15_000,
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Per-conversation API-cost card with CONTEXT REPLAY: every
+    assistant turn is billed for all tokens that preceded it (chat
+    APIs re-send the whole history each call), so a conversation's
+    prompt bill grows quadratically with its length — the number this
+    report exists to surface before the invoice does.
+
+    Per conversation: n_turns, prompt_tokens (whitespace tokens in
+    non-assistant turns — the single-pass lower bound), completion_
+    tokens (assistant turns), replay_prompt_tokens (sum over
+    assistant turns of ALL tokens before that turn in canonical
+    order — what the API actually charges as input), and cost_micro =
+    replay_prompt_tokens * rate_in div 1000 + completion_tokens *
+    rate_out div 1000 (two independent floors — the DEFINITION, so
+    engines agree bit-for-bit; rates are micro-currency per 1k
+    tokens). Canonical turn order is (idx, role, text digest), the
+    same engine-stable tiebreak as repeated_turn_stats.
+
+    Scale shape: token counts are scan-side; ONE exchange on conv_id
+    feeds both the replay running-sum window and the final aggregate;
+    the 128-bit DECIMAL products keep cost exact past 10^31
+    token-micro units.
+    """
+    _require(df, [conv_col, idx_col, role_col, text_col], "cost_report")
+    from ilogtail_spark.dataops.dedup import tokens_col
+
+    t = F.col(text_col).cast("string")
+    slim = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.coalesce(F.col(idx_col).cast("bigint"), F.lit(-1)).alias(
+            "__idx__"
+        ),
+        F.coalesce(F.col(role_col), F.lit("")).alias("__role__"),
+        F.coalesce(F.md5(t), F.lit("")).alias("__d__"),
+        F.size(tokens_col(F.coalesce(t, F.lit("")))).cast("bigint").alias(
+            "__tok__"
+        ),
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("__idx__", "__role__", "__d__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_a = F.col("__role__") == assistant_role
+    flagged = slim.withColumn(
+        "__before__", F.coalesce(F.sum("__tok__").over(w), F.lit(0))
+    )
+    agg = flagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.sum(F.when(~is_a, F.col("__tok__")).otherwise(0))
+        .cast("bigint")
+        .alias("prompt_tokens"),
+        F.sum(F.when(is_a, F.col("__tok__")).otherwise(0))
+        .cast("bigint")
+        .alias("completion_tokens"),
+        F.sum(F.when(is_a, F.col("__before__")).otherwise(0))
+        .cast("bigint")
+        .alias("replay_prompt_tokens"),
+    )
+    return agg.withColumn(
+        "cost_micro",
+        F.expr(
+            "CAST(CAST(replay_prompt_tokens AS DECIMAL(38,0)) * "
+            f"{int(rate_in_micro_per_1k)} div 1000 + "
+            "CAST(completion_tokens AS DECIMAL(38,0)) * "
+            f"{int(rate_out_micro_per_1k)} div 1000 AS BIGINT)"
+        ),
+    )
+
+
+def branching_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Regeneration/branching report: per conversation, how many turn
+    SLOTS hold more than one distinct message — the export artifact a
+    "regenerate response" or edited-and-resent turn leaves behind
+    (several rows sharing one (turn_idx, role) with different text).
+    The sibling rows silently double training data if the exporter is
+    trusted blindly; repeated_turn_stats cannot see them because the
+    siblings are identical in POSITION, not adjacent in content.
+
+    Per conversation: n_slots (distinct (turn_idx, role) positions),
+    n_messages (distinct (turn_idx, role, digest) variants — exact
+    duplicates of one variant count once), n_branch_points (slots
+    with >= 2 variants), max_siblings (most variants in one slot),
+    has_branches.
+
+    Scale shape: text digests at the scan; the variant set collapses
+    map-side via a distinct on (conv, idx, role, digest) — the only
+    row-volume shuffle, keyed on all four columns so even a mega-
+    conversation spreads across tasks — then two combiner-fed
+    aggregates (per-slot variant count, per-conversation rollup) over
+    the successively smaller slot and partial tables. On input
+    already clustered by conversation (the usual transcript shape)
+    Catalyst satisfies all three distributions from the upstream
+    exchange and the whole report rides it.
+    """
+    _require(df, [conv_col, idx_col, role_col, text_col],
+             "branching_stats")
+    variants = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.coalesce(F.col(idx_col).cast("bigint"), F.lit(-1)).alias(
+            "__idx__"
+        ),
+        F.coalesce(F.col(role_col), F.lit("")).alias("__role__"),
+        F.coalesce(F.md5(F.col(text_col).cast("string")), F.lit(""))
+        .alias("__d__"),
+    ).distinct()
+    slots = variants.groupBy("conv_id", "__idx__", "__role__").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nv__")
+    )
+    return slots.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_slots"),
+        F.sum("__nv__").cast("bigint").alias("n_messages"),
+        F.sum(F.when(F.col("__nv__") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_branch_points"),
+        F.max("__nv__").cast("bigint").alias("max_siblings"),
+        (F.max("__nv__") >= 2).alias("has_branches"),
+    )

@@ -1987,3 +1987,59 @@ def canary_scan(
         F.sum("hits").cast("bigint").alias("n_hits"),
         F.min("__doc__").alias("first_doc"),
     )
+
+
+def packing_efficiency(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Shard-utilization report over :func:`pack_token_budget`'s
+    assignment — the QA card that answers "did the packing plan
+    actually produce even training shards, and how much budget does
+    the overflow rule cost?" before a multi-day tokenization run
+    bakes the layout in.
+
+    Per shard: n_docs, n_tokens, fill_micro (= n_tokens * 1e6 div
+    budget — >= 1e6 for every shard except possibly the last, by the
+    first-token assignment rule), overflow_tokens (= n_tokens -
+    budget; negative only on an underfull final shard), and is_last.
+    Ordered by shard_id.
+
+    Scale shape: inherits pack_token_budget's two-phase distributed
+    prefix sum (no single-partition global window); the report itself
+    is one combiner-fed aggregate on shard_id over (id, n_tokens,
+    shard_id) rows plus a window over the SHARD table (bounded by
+    corpus_tokens / budget, not documents).
+    """
+    if budget <= 0:
+        raise ValueError(
+            f"packing_efficiency: budget must be > 0, got {budget}"
+        )
+    packed = pack_token_budget(
+        df, budget, text_col=text_col, id_col=id_col,
+        num_partitions=num_partitions,
+    )
+    shards = packed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    wall = Window.partitionBy()
+    return (
+        shards.withColumn("__mx__", F.max("shard_id").over(wall))
+        .select(
+            "shard_id",
+            "n_docs",
+            "n_tokens",
+            F.expr(f"n_tokens * 1000000 div {int(budget)}").alias(
+                "fill_micro"
+            ),
+            (F.col("n_tokens") - F.lit(int(budget))).alias(
+                "overflow_tokens"
+            ),
+            (F.col("shard_id") == F.col("__mx__")).alias("is_last"),
+        )
+        .orderBy("shard_id")
+    )

@@ -971,3 +971,72 @@ def readability(
         )
         .alias("flesch_micro"),
     )
+
+
+# script classes counted by script_mix: explicit char classes valid in
+# BOTH Java regex (Spark) and RE2 (DuckDB) — the literal CJK/Cyrillic
+# range chars avoid the \uXXXX-vs-\x{XXXX} dialect split, and the
+# explicit whitespace class dodges the \s definition drift between
+# engines
+SCRIPT_CLASSES = [
+    ("latin", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("space", "[ \t\n\r\f]"),
+    ("cjk", "[一-鿿]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+]
+
+
+def script_mix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode-script composition card — what fraction of each
+    document is Latin letters, digits, whitespace, CJK, Cyrillic, or
+    other. The mixed-script / wrong-script detector that catches
+    mojibake, script-spoofed spam, and mislabeled-language documents
+    before they reach lang_id (which assumes one dominant script).
+
+    Per document: n_chars (codepoints) and floor-micro shares
+    latin_micro / digit_micro / space_micro / cjk_micro /
+    cyrillic_micro / other_micro (other = codepoints matching none of
+    the classes, counted exactly — not a residual of floored shares,
+    so the seven columns are each independently exact). Empty or NULL
+    text reports n_chars 0 and NULL shares.
+
+    Scale shape: pure scan-side Column expressions — each class count
+    is ``length(text) - length(regexp_replace(text, class, ''))``,
+    whole-stage-codegen string work with zero shuffles; the classes
+    live in :data:`SCRIPT_CLASSES` so the oracle uses the identical
+    patterns.
+    """
+    t = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    n = F.length(t)
+    counts = {
+        name: n - F.length(F.regexp_replace(t, pat, ""))
+        for name, pat in SCRIPT_CLASSES
+    }
+    other = n - sum(counts.values())
+    names = [name for name, _ in SCRIPT_CLASSES] + ["other"]
+    step = df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_chars"),
+        *[counts[name].cast("bigint").alias(f"__{name}__")
+          for name, _ in SCRIPT_CLASSES],
+        other.cast("bigint").alias("__other__"),
+    )
+
+    def micro(name: str) -> Column:
+        # exact floor-micro: integer `div`, never float divide; NULL
+        # when the document is empty
+        return F.expr(
+            f"CASE WHEN n_chars > 0 THEN __{name}__ * 1000000 "
+            "div n_chars END"
+        ).cast("bigint")
+
+    return step.select(
+        F.col(id_col),
+        "n_chars",
+        *[micro(name).alias(f"{name}_micro") for name in names],
+    )

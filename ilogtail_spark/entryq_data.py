@@ -6572,3 +6572,181 @@ def q_events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return analytics.burstiness_report(ev).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# script-mix card: oracle class-count SQL interpolated at import time
+# from textstats.SCRIPT_CLASSES so the two engines can never drift
+# (control chars in the whitespace class are escaped for the SQL
+# literal via DuckDB's E'...' escape-string syntax)
+# ---------------------------------------------------------------------------
+def _sql_pat(pat: str) -> str:
+    esc = (
+        pat.replace("\\", "\\\\").replace("'", "''")
+        .replace("\t", "\\t").replace("\n", "\\n")
+        .replace("\r", "\\r").replace("\f", "\\f")
+    )
+    return f"E'{esc}'"
+
+
+_SCRIPT_CNT_SQL = ",\n             ".join(
+    f"CAST(length(t) - length(regexp_replace(t, {_sql_pat(p)}, '', 'g'))"
+    f" AS BIGINT) AS __{n}__"
+    for n, p in textstats.SCRIPT_CLASSES
+)
+_SCRIPT_MICRO_SQL = ",\n           ".join(
+    f"CAST(CASE WHEN n_chars > 0 THEN __{n}__ * 1000000 // n_chars END"
+    f" AS BIGINT) AS {n}_micro"
+    for n, _ in textstats.SCRIPT_CLASSES
+)
+_SCRIPT_OTHER_SQL = " - ".join(
+    ["n_chars"] + [f"__{n}__" for n, _ in textstats.SCRIPT_CLASSES]
+)
+
+
+@query(
+    "text_script_mix",
+    f"""
+    WITH s AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents
+    ), c AS (
+      SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+             {_SCRIPT_CNT_SQL}
+      FROM s
+    )
+    SELECT doc_id, n_chars,
+           {_SCRIPT_MICRO_SQL},
+           CAST(CASE WHEN n_chars > 0 THEN ({_SCRIPT_OTHER_SQL})
+                * 1000000 // n_chars END AS BIGINT) AS other_micro
+    FROM c ORDER BY doc_id
+    """,
+)
+def q_text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.script_mix(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# context-replay cost card over the transcript fixture
+# ---------------------------------------------------------------------------
+@query(
+    "conv_cost_report",
+    f"""
+    WITH t AS (
+      {{transcript}}
+    ), s AS (
+      SELECT conv_id,
+             coalesce(CAST(turn_idx AS BIGINT), -1) AS idx,
+             coalesce(role, '') AS role,
+             coalesce(md5(text), '') AS d,
+             CAST(len(list_filter(string_split_regex(coalesce(text, ''),
+                  '\\s+'), x -> x <> '')) AS BIGINT) AS tok
+      FROM t
+    ), w AS (
+      SELECT conv_id, role, tok,
+             coalesce(sum(tok) OVER (PARTITION BY conv_id
+                                     ORDER BY idx, role, d
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS bef
+      FROM s
+    ), a AS (
+      SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+             CAST(sum(CASE WHEN role <> 'assistant' THEN tok ELSE 0 END)
+                  AS BIGINT) AS prompt_tokens,
+             CAST(sum(CASE WHEN role = 'assistant' THEN tok ELSE 0 END)
+                  AS BIGINT) AS completion_tokens,
+             CAST(sum(CASE WHEN role = 'assistant' THEN bef ELSE 0 END)
+                  AS BIGINT) AS replay_prompt_tokens
+      FROM w GROUP BY 1
+    )
+    SELECT conv_id, n_turns, prompt_tokens, completion_tokens,
+           replay_prompt_tokens,
+           CAST(CAST(replay_prompt_tokens AS HUGEINT) * 3000 // 1000
+                + CAST(completion_tokens AS HUGEINT) * 15000 // 1000
+                AS BIGINT) AS cost_micro
+    FROM a ORDER BY conv_id
+    """.format(transcript=_TRANSCRIPT_SQL),
+)
+def q_conv_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    return conversations.cost_report(t).orderBy("conv_id")
+
+
+# ---------------------------------------------------------------------------
+# branching/regeneration card — the inject=True fixture's shifted idx
+# rows create genuine duplicate (idx, role) slots
+# ---------------------------------------------------------------------------
+@query(
+    "conv_branching",
+    f"""
+    WITH t AS (
+      SELECT user_id AS conv_id,
+             (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1)
+               + CASE WHEN event_id % 19 = 0 THEN 1 ELSE 0 END AS turn_idx,
+             {_ROLE_CASE} AS role,
+             props AS text
+      FROM events
+    ), v AS (
+      SELECT DISTINCT conv_id,
+             coalesce(CAST(turn_idx AS BIGINT), -1) AS idx,
+             coalesce(role, '') AS role,
+             coalesce(md5(text), '') AS d
+      FROM t
+    ), slots AS (
+      SELECT conv_id, idx, role, CAST(count(*) AS BIGINT) AS nv
+      FROM v GROUP BY 1, 2, 3
+    )
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_slots,
+           CAST(sum(nv) AS BIGINT) AS n_messages,
+           CAST(sum(CASE WHEN nv >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_branch_points,
+           CAST(max(nv) AS BIGINT) AS max_siblings,
+           max(nv) >= 2 AS has_branches
+    FROM slots GROUP BY conv_id ORDER BY conv_id
+    """,
+)
+def q_conv_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=True)
+    return conversations.branching_stats(t).orderBy("conv_id")
+
+
+# ---------------------------------------------------------------------------
+# shard-utilization report over the token-budget packing plan
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_packing_efficiency",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS c
+      FROM toks
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor((c - n_tokens) / 4000.0) AS BIGINT) AS shard_id
+      FROM cum
+    ), shards AS (
+      SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM packed GROUP BY 1
+    )
+    SELECT shard_id, n_docs, n_tokens,
+           CAST(n_tokens * 1000000 // 4000 AS BIGINT) AS fill_micro,
+           CAST(n_tokens - 4000 AS BIGINT) AS overflow_tokens,
+           shard_id = max(shard_id) OVER () AS is_last
+    FROM shards ORDER BY shard_id
+    """,
+)
+def q_corpus_packing_efficiency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return corpus.packing_efficiency(
+        _t(spark, sf_dir, "documents"), budget=4000
+    )

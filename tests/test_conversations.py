@@ -1413,3 +1413,77 @@ class TestSystemPromptCensus:
         par = sorted(map(tuple, conversations.system_prompt_census(
             df.repartition(7)).collect()))
         assert one == par
+
+
+class TestCostReport:
+    def test_replay_billing(self, spark):
+        rows = [
+            ("c", 0, "system", "sys prompt here"),        # 3 tokens
+            ("c", 1, "user", "hi there"),                 # 2 tokens
+            ("c", 2, "assistant", "hello you two"),       # 3 tokens
+            ("c", 3, "user", "bye"),                      # 1 token
+            ("c", 4, "assistant", "farewell"),            # 1 token
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        r = conversations.cost_report(df).collect()[0]
+        assert r["n_turns"] == 5
+        assert r["prompt_tokens"] == 6
+        assert r["completion_tokens"] == 4
+        # turn 2 sees 5 before it; turn 4 sees 5+3+1 = 9
+        assert r["replay_prompt_tokens"] == 14
+        # 14 * 3000 div 1000 + 4 * 15000 div 1000 = 42 + 60
+        assert r["cost_micro"] == 102
+
+    def test_floor_is_per_component(self, spark):
+        df = spark.createDataFrame(
+            [("c", 0, "user", "a"), ("c", 1, "assistant", "b")], SCHEMA)
+        r = conversations.cost_report(
+            df, rate_in_micro_per_1k=1, rate_out_micro_per_1k=999
+        ).collect()[0]
+        # replay 1 * 1 div 1000 = 0; completion 1 * 999 div 1000 = 0
+        assert r["cost_micro"] == 0
+
+    def test_parallelism_invariant(self, spark):
+        rows = [("c%d" % (i % 5), i % 9,
+                 "assistant" if i % 2 else "user", "w " * (i % 4))
+                for i in range(40)]
+        df = spark.createDataFrame(rows, SCHEMA)
+        one = sorted(map(tuple, conversations.cost_report(
+            df.coalesce(1)).collect()))
+        par = sorted(map(tuple, conversations.cost_report(
+            df.repartition(7)).collect()))
+        assert one == par
+
+
+class TestBranchingStats:
+    def test_detects_regenerated_slot(self, spark):
+        rows = [
+            ("c", 0, "user", "q"),
+            ("c", 1, "assistant", "answer v1"),
+            ("c", 1, "assistant", "answer v2"),   # regenerated sibling
+            ("c", 1, "assistant", "answer v1"),   # exact dup of v1
+            ("c", 2, "user", "ok"),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        r = conversations.branching_stats(df).collect()[0]
+        assert r["n_slots"] == 3
+        assert r["n_messages"] == 4     # v1 dup collapses
+        assert r["n_branch_points"] == 1
+        assert r["max_siblings"] == 2
+        assert r["has_branches"] is True
+
+    def test_same_idx_different_role_not_a_branch(self, spark):
+        rows = [("c", 0, "user", "x"), ("c", 0, "tool", "y")]
+        df = spark.createDataFrame(rows, SCHEMA)
+        r = conversations.branching_stats(df).collect()[0]
+        assert r["n_branch_points"] == 0 and r["has_branches"] is False
+
+    def test_parallelism_invariant(self, spark):
+        rows = [("c%d" % (i % 4), i % 3, "assistant", "t%d" % (i % 5))
+                for i in range(40)]
+        df = spark.createDataFrame(rows, SCHEMA)
+        one = sorted(map(tuple, conversations.branching_stats(
+            df.coalesce(1)).collect()))
+        par = sorted(map(tuple, conversations.branching_stats(
+            df.repartition(7)).collect()))
+        assert one == par

@@ -1151,3 +1151,41 @@ class TestCanaryScan:
             corpus.canary_scan(df, ["x", "x"])
         with pytest.raises(ValueError, match="missing columns"):
             corpus.canary_scan(df.select("id"), ["x"])
+
+
+class TestPackingEfficiency:
+    def test_even_corpus_fills_exactly(self, spark):
+        df = spark.createDataFrame(
+            [(i, " ".join(["w"] * 10)) for i in range(100)],
+            "doc_id long, text string",
+        )
+        out = sorted(
+            corpus.packing_efficiency(df, budget=250).collect(),
+            key=lambda r: r["shard_id"],
+        )
+        assert [r["shard_id"] for r in out] == [0, 1, 2, 3]
+        for r in out:
+            assert r["n_docs"] == 25
+            assert r["n_tokens"] == 250
+            assert r["fill_micro"] == 1_000_000
+            assert r["overflow_tokens"] == 0
+        assert [r["is_last"] for r in out] == [False, False, False, True]
+
+    def test_overflow_and_underfull_tail(self, spark):
+        # 3 docs of 7 tokens, budget 10: doc0+doc1 start in shard 0
+        # (cum-before 0 and 7), doc2 starts at 14 -> shard 1
+        df = spark.createDataFrame(
+            [(i, " ".join(["w"] * 7)) for i in range(3)],
+            "doc_id long, text string",
+        )
+        out = {r["shard_id"]: r
+               for r in corpus.packing_efficiency(df, budget=10).collect()}
+        assert out[0]["n_tokens"] == 14 and out[0]["overflow_tokens"] == 4
+        assert out[0]["fill_micro"] == 1_400_000
+        assert out[1]["n_tokens"] == 7 and out[1]["overflow_tokens"] == -3
+        assert out[1]["is_last"] is True
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([], "doc_id long, text string")
+        with pytest.raises(ValueError, match="budget"):
+            corpus.packing_efficiency(df, budget=0)

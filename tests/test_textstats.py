@@ -152,3 +152,38 @@ class TestReadability:
         assert (got[2]["n_words"], got[2]["flesch_micro"]) == (0, 0)
         # sentence floor: no terminal punctuation still scores
         assert got[3]["n_sentences"] == 1
+
+
+class TestScriptMix:
+    def test_mixed_script_doc(self, spark):
+        from ilogtail_spark.dataops import textstats
+        df = spark.createDataFrame(
+            [(1, "Hello 世界 123 Привет!"),
+             (2, ""), (3, None)],
+            "doc_id bigint, text string",
+        )
+        out = {r["doc_id"]: r
+               for r in textstats.script_mix(df).collect()}
+        r1 = out[1]
+        assert r1["n_chars"] == 20
+        assert r1["latin_micro"] == 250_000      # 5/20
+        assert r1["digit_micro"] == 150_000      # 3/20
+        assert r1["space_micro"] == 150_000      # 3/20
+        assert r1["cjk_micro"] == 100_000        # 2/20
+        assert r1["cyrillic_micro"] == 300_000   # 6/20
+        assert r1["other_micro"] == 50_000       # the '!'
+        for d in (2, 3):
+            assert out[d]["n_chars"] == 0
+            assert out[d]["latin_micro"] is None
+            assert out[d]["other_micro"] is None
+
+    def test_shares_are_independent_floors(self, spark):
+        from ilogtail_spark.dataops import textstats
+        # 3 latin / 7 chars: floor-micro, not rounded
+        df = spark.createDataFrame(
+            [(1, "abc 123")], "doc_id bigint, text string")
+        r = textstats.script_mix(df).collect()[0]
+        assert r["latin_micro"] == 428_571
+        assert r["digit_micro"] == 428_571
+        assert r["space_micro"] == 142_857
+        assert r["other_micro"] == 0

@@ -2659,6 +2659,63 @@ def main() -> int:
         "classification is engine-reproducible bit-for-bit.",
     )
 
+    # 76. script mix / cost report / branching / packing efficiency
+    from ilogtail_spark.dataops import corpus as _corp76
+    from ilogtail_spark.dataops import textstats as _ts76
+
+    _docs76 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p76m = formatted(_ts76.script_mix(_docs76))
+    q76c = _conv61.cost_report(t64)
+    p76c = formatted(q76c)
+    ex76c = _hash_exchanges(p76c)
+    q76b = _conv61.branching_stats(t64)
+    p76b = formatted(q76b)
+    ex76b = _hash_exchanges(p76b)
+    q76p = _corp76.packing_efficiency(_docs76, budget=4000)
+    p76p = formatted(q76p)
+    ex76p = _hash_exchanges(p76p)
+    audit(
+        "script mix / cost report / branching / packing efficiency",
+        q76c,
+        [
+            ("script_mix: ZERO shuffles — six regexp class counts "
+             "and the floor-micro shares are pure scan-side codegen "
+             "string work",
+             "Exchange" not in p76m),
+            ("cost_report: ONE exchange on conv_id feeds both the "
+             "context-replay running sum and the rollup; the shuffle "
+             "carries token counts and digests, never message text",
+             len(ex76c) == 1
+             and "conv_id" in ex76c[0]
+             and "text#" not in ex76c[0] and "props#" not in ex76c[0]),
+            ("branching_stats over an arbitrary frame: the variant "
+             "distinct keys on all FOUR columns (a mega-conversation "
+             "spreads across tasks), then the slot and conversation "
+             "rollups shuffle successively smaller tables; no "
+             "exchange carries text (on conv-clustered input the "
+             "registry plan collapses to one reused exchange)",
+             len(ex76b) == 3
+             and sum("__d__" in e for e in ex76b) == 1
+             and all("text#" not in e and "props#" not in e
+                     for e in ex76b)),
+            ("packing_efficiency: inherits the two-phase distributed "
+             "prefix sum (per-partition totals broadcast back, no "
+             "global single-partition window over documents) plus "
+             "one shard_id rollup",
+             len(ex76p) == 2
+             and sum("shard_id" in e for e in ex76p) == 1),
+            ("no Python in any of the four plans",
+             not re.search(r"EvalPython|InPandas",
+                           p76m + p76c + p76b + p76p)),
+        ],
+        "cost_report makes the quadratic context-replay bill exact "
+        "(DECIMAL products, two independent floors); branching_stats "
+        "catches regenerate-response sibling rows that position-"
+        "blind content dedup misses; packing_efficiency grades the "
+        "shard plan before tokenization bakes it in; script_mix's "
+        "class patterns are shared verbatim with the DuckDB oracle.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
