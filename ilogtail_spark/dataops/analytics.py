@@ -1792,3 +1792,166 @@ def burstiness_report(
             "(__s__ * __s__) AS BIGINT) END"
         ).alias("cv2_micro"),
     )
+
+
+def retry_storms(
+    df: DataFrame,
+    identity_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    window_sec: int = 600,
+    min_run: int = 3,
+) -> DataFrame:
+    """Duplicate-delivery / retry-storm detection: per identity key
+    (the column set that makes two rows "the same delivery" — e.g.
+    (user_id, event_type), or a payload digest), find maximal chains
+    of consecutive rows where every inter-arrival gap is at most
+    ``window_sec``. Every row after a chain's head is a RETRY; a
+    chain of at least ``min_run`` rows is a STORM. This is the
+    at-least-once-delivery hygiene card behind every collector
+    pipeline: the reference's sender retries on throttling
+    (`core/plugin/flusher/sls/FlusherSLS.h` send-retry/backoff), so
+    the table downstream always carries some duplicate deliveries —
+    this measures whether they are background noise or a storm.
+
+    Output, one row per identity key with at least one retry:
+    identity cols, n_rows, n_runs (maximal chains, singletons
+    included), n_retries (= n_rows - n_runs), n_storms (chains with
+    >= min_run rows), max_run (longest chain), retry_share_micro
+    (floor micro share of rows that are retries). Rows with NULL ts
+    are dropped; tied timestamps are safe: equal ts permute only
+    inside a zero-gap group, and the multiset of adjacent gaps —
+    hence every count here — is permutation-invariant.
+
+    Scale shape: only identity cols + one epoch-seconds long survive
+    the scan. ONE exchange on the identity hash: the lag window, the
+    run-id running sum, the (identity, run) collapse, and the final
+    per-identity aggregate all reuse it (hash(identity) co-locates
+    the superset key (identity, run), so EnsureRequirements inserts
+    no second shuffle — asserted in PLANS.md). Per-task sort state
+    is one identity's rows; identities are delivery keys, orders of
+    magnitude finer than a tenant, so no salting is needed. Output
+    is bounded by the number of retrying identities.
+    """
+    identity_cols = identity_cols or ["user_id", "event_type"]
+    if window_sec <= 0:
+        raise ValueError("retry_storms: window_sec must be > 0")
+    if min_run < 2:
+        raise ValueError(f"retry_storms: min_run must be >= 2, got {min_run}")
+    missing = [c for c in (*identity_cols, ts_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"retry_storms: missing columns {missing}")
+    slim = df.filter(F.col(ts_col).isNotNull()).select(
+        *identity_cols,
+        # micros, not unix_timestamp: second-floor truncation would
+        # make a 600.4s gap compare as 600 and flip the flag between
+        # engines; the ltz cast pins NTZ columns to the session UTC
+        # (gaps are differences, so the zone offset cancels anyway)
+        F.unix_micros(F.col(ts_col).cast("timestamp_ltz")).alias("__s__"),
+    )
+    w = Window.partitionBy(*identity_cols).orderBy("__s__")
+    flagged = slim.withColumn(
+        "__head__",
+        F.when(
+            (F.col("__s__") - F.lag("__s__").over(w))
+            <= F.lit(int(window_sec) * 1_000_000),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "__run__",
+        F.sum("__head__").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = flagged.groupBy(*identity_cols, "__run__").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__len__")
+    )
+    agg = (
+        runs.groupBy(*identity_cols)
+        .agg(
+            F.sum("__len__").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+            F.sum(
+                F.when(F.col("__len__") >= min_run, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_storms"),
+            F.max("__len__").cast("bigint").alias("max_run"),
+        )
+        .filter(F.col("n_rows") > F.col("n_runs"))
+    )
+    return agg.select(
+        *identity_cols,
+        "n_rows",
+        "n_runs",
+        (F.col("n_rows") - F.col("n_runs")).cast("bigint").alias("n_retries"),
+        "n_storms",
+        "max_run",
+        F.expr("(n_rows - n_runs) * 1000000 div n_rows").alias(
+            "retry_share_micro"
+        ),
+    )
+
+
+JSON_KEY_RE = '"([^"]+)"\\s*:'
+
+
+def json_key_census(
+    df: DataFrame,
+    type_col: str = "event_type",
+    json_col: str = "props",
+) -> DataFrame:
+    """Schema-drift census over a semi-structured payload column: for
+    each (type, top-level-ish JSON key) pair, how many rows of that
+    type carry the key and what presence share that is. The hygiene
+    card you read BEFORE writing a parse config — the reference's
+    processor_json expands whatever keys arrive
+    (`plugins/processor/json/processor_json.go` ExpandJSON) and a
+    producer that starts emitting a new key silently widens every
+    downstream row; this census is how that drift gets noticed.
+    Compose with profile_diff/template_drift for the when.
+
+    Keys are lifted with one regexp (`"([^\"]+)"\\s*:` — every quoted
+    string immediately followed by a colon, so nested keys count
+    too; that is deliberate: drift in nested payloads matters as
+    much) and de-duplicated per row, so n_rows counts ROWS carrying
+    the key, not occurrences. NULL payloads simply contribute no
+    keys but still count toward the type's row total.
+
+    Output: (type_col, key, n_rows, n_type_rows, presence_micro),
+    one row per observed (type, key).
+
+    Scale shape: the regexp + array_distinct run scan-side; only
+    (type, key) pairs shuffle into a combiner-fed count, and the
+    per-type row totals are a second tiny aggregate broadcast back
+    onto the census — payload text never leaves the scan. Output is
+    bounded by the observed key vocabulary, not the row count.
+    """
+    missing = [c for c in (type_col, json_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"json_key_census: missing columns {missing}")
+    totals = df.groupBy(F.col(type_col).alias("__t__")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_type_rows")
+    )
+    census = (
+        df.select(
+            F.col(type_col).alias("__t__"),
+            F.explode(
+                F.array_distinct(
+                    F.regexp_extract_all(
+                        F.coalesce(F.col(json_col), F.lit("")),
+                        F.lit(JSON_KEY_RE),
+                        1,
+                    )
+                )
+            ).alias("key"),
+        )
+        .groupBy("__t__", "key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    return census.join(F.broadcast(totals), "__t__").select(
+        F.col("__t__").alias(type_col),
+        "key",
+        "n_rows",
+        "n_type_rows",
+        F.expr("n_rows * 1000000 div n_type_rows").alias("presence_micro"),
+    )

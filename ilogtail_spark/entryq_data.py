@@ -6750,3 +6750,119 @@ def q_corpus_packing_efficiency(
     return corpus.packing_efficiency(
         _t(spark, sf_dir, "documents"), budget=4000
     )
+
+
+# ---------------------------------------------------------------------------
+# retry-storm (duplicate-delivery) card — injected bursts: every
+# event_id % 211 == 0 row is re-delivered at +30 s and +70 s, so
+# guaranteed >= 3-row chains sit on top of the natural tight gaps
+# ---------------------------------------------------------------------------
+@query(
+    "events_retry_storms",
+    """
+    WITH base AS (
+      SELECT user_id, event_type, ts FROM events
+      UNION ALL
+      SELECT user_id, event_type, ts + INTERVAL 30 SECOND
+      FROM events WHERE event_id % 211 = 0
+      UNION ALL
+      SELECT user_id, event_type, ts + INTERVAL 70 SECOND
+      FROM events WHERE event_id % 211 = 0
+    ), s AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM base
+    ), f AS (
+      SELECT user_id, event_type, us,
+             CASE WHEN us - lag(us) OVER (PARTITION BY user_id, event_type
+                                          ORDER BY us) <= 600000000
+                  THEN 0 ELSE 1 END AS head
+      FROM s
+    ), r AS (
+      SELECT user_id, event_type,
+             sum(head) OVER (PARTITION BY user_id, event_type ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS run
+      FROM f
+    ), runs AS (
+      SELECT user_id, event_type, run, count(*) AS len
+      FROM r GROUP BY 1, 2, 3
+    ), a AS (
+      SELECT user_id, event_type,
+             CAST(sum(len) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_runs,
+             CAST(sum(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_storms,
+             CAST(max(len) AS BIGINT) AS max_run
+      FROM runs GROUP BY 1, 2
+    )
+    SELECT user_id, event_type, n_rows, n_runs,
+           CAST(n_rows - n_runs AS BIGINT) AS n_retries, n_storms, max_run,
+           CAST((n_rows - n_runs) * 1000000 // n_rows AS BIGINT)
+             AS retry_share_micro
+    FROM a WHERE n_rows > n_runs ORDER BY user_id, event_type
+    """,
+)
+def q_events_retry_storms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    burst = ev.filter(F.col("event_id") % 211 == 0)
+    replayed = ev.select("user_id", "event_type", "ts")
+    for shift in (30, 70):
+        replayed = replayed.unionByName(
+            burst.select(
+                "user_id",
+                "event_type",
+                F.expr(f"ts + INTERVAL {shift} SECONDS").alias("ts"),
+            )
+        )
+    return analytics.retry_storms(
+        replayed,
+        identity_cols=["user_id", "event_type"],
+        window_sec=600,
+        min_run=3,
+    ).orderBy("user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# JSON key census — injected payload drift: %13 rows swap to a
+# session-only payload, %5 rows grow a trace key, %7 rows a retry key
+# (ordered CASE so the shapes are disjoint and deterministic)
+# ---------------------------------------------------------------------------
+_PROPS_DRIFT_SQL = """CASE
+        WHEN event_id % 13 = 0 THEN '{"session": "s"}'
+        WHEN event_id % 5 = 0
+          THEN replace(props, '}', ', "trace": "abc"}')
+        WHEN event_id % 7 = 0
+          THEN replace(props, '}', ', "retry": 1}')
+        ELSE props END"""
+
+
+@query(
+    "events_key_census",
+    f"""
+    WITH drift AS (
+      SELECT event_type, {_PROPS_DRIFT_SQL} AS props FROM events
+    ), keys AS (
+      SELECT event_type, unnest(list_distinct(regexp_extract_all(
+               coalesce(props, ''), '"([^"]+)"\\s*:', 1))) AS key
+      FROM drift
+    ), census AS (
+      SELECT event_type, key, CAST(count(*) AS BIGINT) AS n_rows
+      FROM keys GROUP BY 1, 2
+    ), totals AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_type_rows
+      FROM drift GROUP BY 1
+    )
+    SELECT c.event_type, c.key, c.n_rows, t.n_type_rows,
+           CAST(c.n_rows * 1000000 // t.n_type_rows AS BIGINT)
+             AS presence_micro
+    FROM census c JOIN totals t USING (event_type)
+    ORDER BY event_type, key
+    """,
+)
+def q_events_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr(_PROPS_DRIFT_SQL).alias("props"),
+    )
+    return analytics.json_key_census(ev).orderBy("event_type", "key")

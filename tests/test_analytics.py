@@ -1207,3 +1207,125 @@ class TestBurstinessReport:
         par = sorted(map(tuple, analytics.burstiness_report(
             df.repartition(7)).collect()))
         assert one == par
+
+
+class TestRetryStorms:
+    SCHEMA = "user_id int, event_type string, ts timestamp"
+
+    def _df(self, spark, gaps, uid=1, etype="error"):
+        from datetime import datetime, timedelta
+        t0 = datetime(2024, 1, 1)
+        rows, cur = [], 0
+        for g in gaps:
+            cur += g
+            rows.append((uid, etype, t0 + timedelta(seconds=cur)))
+        return spark.createDataFrame(rows, self.SCHEMA)
+
+    def test_runs_retries_and_storms(self, spark):
+        # gaps (s) after the first event: chain1 = 3 rows (storm),
+        # then a 2000 s break, chain2 = 2 rows (retry but no storm)
+        df = self._df(spark, [0, 100, 100, 2000, 50])
+        r = analytics.retry_storms(
+            df, ["user_id", "event_type"], window_sec=600, min_run=3
+        ).collect()
+        assert len(r) == 1
+        row = r[0]
+        assert (row["n_rows"], row["n_runs"]) == (5, 2)
+        assert row["n_retries"] == 3
+        assert row["n_storms"] == 1
+        assert row["max_run"] == 3
+        assert row["retry_share_micro"] == 600_000
+    def test_no_retries_filtered_out(self, spark):
+        df = self._df(spark, [0, 5000, 5000])
+        assert analytics.retry_storms(df, window_sec=600).count() == 0
+
+    def test_sub_second_gap_not_floored(self, spark):
+        # 600.4 s gap: second-floored math would call it a retry
+        from datetime import datetime, timedelta
+        t0 = datetime(2024, 1, 1)
+        rows = [(1, "e", t0),
+                (1, "e", t0 + timedelta(seconds=600, microseconds=400_000))]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        assert analytics.retry_storms(df, window_sec=600).count() == 0
+
+    def test_identities_are_independent(self, spark):
+        from datetime import datetime, timedelta
+        t0 = datetime(2024, 1, 1)
+        # interleaved users: each alone has gaps > window
+        rows = [(u, "e", t0 + timedelta(seconds=i * 400))
+                for i, u in enumerate([1, 2, 1, 2, 1, 2])]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        assert analytics.retry_storms(df, window_sec=600).count() == 0
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([], self.SCHEMA)
+        with pytest.raises(ValueError, match="window_sec"):
+            analytics.retry_storms(df, window_sec=0)
+        with pytest.raises(ValueError, match="min_run"):
+            analytics.retry_storms(df, min_run=1)
+        with pytest.raises(ValueError, match="missing"):
+            analytics.retry_storms(df, identity_cols=["nope"])
+
+    def test_single_exchange_plan(self, spark):
+        df = self._df(spark, [0, 100, 100])
+        plan = analytics.retry_storms(
+            df, ["user_id", "event_type"]
+        )._jdf.queryExecution().executedPlan().toString()
+        import re
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+    def test_parallelism_invariant(self, spark):
+        from datetime import datetime, timedelta
+        t0 = datetime(2024, 1, 1)
+        rows = [(i % 5, "t%d" % (i % 2),
+                 t0 + timedelta(seconds=(i * 313) % 7919))
+                for i in range(80)]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        one = sorted(map(tuple, analytics.retry_storms(
+            df.coalesce(1), window_sec=900).collect()))
+        par = sorted(map(tuple, analytics.retry_storms(
+            df.repartition(7), window_sec=900).collect()))
+        assert one == par
+
+
+class TestJsonKeyCensus:
+    SCHEMA = "event_type string, props string"
+
+    def test_census_counts_rows_not_occurrences(self, spark):
+        rows = [
+            ("a", '{"k": 1, "k": 2}'),          # duplicate key: 1 row
+            ("a", '{"k": 3, "trace": "t"}'),
+            ("a", None),                          # no keys, counts in total
+            ("b", '{"nested": {"inner": 1}}'),
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        out = {(r["event_type"], r["key"]): r
+               for r in analytics.json_key_census(df).collect()}
+        assert out[("a", "k")]["n_rows"] == 2
+        assert out[("a", "k")]["n_type_rows"] == 3
+        assert out[("a", "k")]["presence_micro"] == 666_666
+        assert out[("a", "trace")]["n_rows"] == 1
+        # nested keys are counted too (deliberate)
+        assert out[("b", "nested")]["n_rows"] == 1
+        assert out[("b", "inner")]["n_rows"] == 1
+
+    def test_non_key_quoted_strings_ignored(self, spark):
+        df = spark.createDataFrame(
+            [("a", '{"k": "value with spaces"}')], self.SCHEMA)
+        out = [r["key"] for r in analytics.json_key_census(df).collect()]
+        assert out == ["k"]
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([], self.SCHEMA)
+        with pytest.raises(ValueError, match="missing"):
+            analytics.json_key_census(df, json_col="nope")
+
+    def test_parallelism_invariant(self, spark):
+        rows = [("t%d" % (i % 3), '{"k%d": 1, "c": 2}' % (i % 5))
+                for i in range(60)]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        one = sorted(map(tuple, analytics.json_key_census(
+            df.coalesce(1)).collect()))
+        par = sorted(map(tuple, analytics.json_key_census(
+            df.repartition(7)).collect()))
+        assert one == par

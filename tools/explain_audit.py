@@ -2716,6 +2716,51 @@ def main() -> int:
         "class patterns are shared verbatim with the DuckDB oracle.",
     )
 
+    # 77. retry-storm (duplicate-delivery) card / JSON key census
+    from ilogtail_spark.dataops import analytics as _an77
+
+    _ev77 = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    q77r = _an77.retry_storms(
+        _ev77, ["user_id", "event_type"], window_sec=600, min_run=3
+    )
+    p77r = formatted(q77r)
+    ex77r = _hash_exchanges(p77r)
+    q77k = _an77.json_key_census(_ev77)
+    p77k = formatted(q77k)
+    ex77k = _hash_exchanges(p77k)
+    audit(
+        "retry-storm card / JSON key census",
+        q77r,
+        [
+            ("retry_storms: ONE exchange on the identity hash — the "
+             "lag window, the run-id running sum, the (identity, "
+             "run) collapse, and the per-identity rollup all reuse "
+             "it (hash(identity) co-locates the superset grouping "
+             "key, so EnsureRequirements adds no second shuffle)",
+             len(ex77r) == 1 and "user_id" in ex77r[0]),
+            ("retry_storms shuffle carries identity + one epoch-"
+             "micros long, never value/props payload",
+             "props#" not in ex77r[0] and "value#" not in ex77r[0]),
+            ("json_key_census: regexp + array_distinct + explode run "
+             "scan-side; the only hash exchanges are the (type, key) "
+             "census count and the tiny per-type totals, and the "
+             "totals come back as a BROADCAST join",
+             len(ex77k) == 2
+             and all("props#" not in e for e in ex77k)
+             and len(re.findall(r"BroadcastExchange \(\d+\)", p77k))
+             == 1),
+            ("no Python in either plan",
+             not re.search(r"EvalPython|InPandas", p77r + p77k)),
+        ],
+        "retry_storms is the at-least-once-delivery hygiene card "
+        "(the reference's sender retries on throttling, so the "
+        "downstream table always carries re-deliveries): run/chain "
+        "math in exact micros so a 600.4 s gap never second-floors "
+        "into a retry. json_key_census lifts payload keys with one "
+        "regexp and counts ROWS per (type, key) — the schema-drift "
+        "census read before any parse-config change.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
