@@ -38,6 +38,7 @@ _FRONT = [
     # round-5 new queries first (never driver-checked), then the
     # r04-unsampled rotation ordered oldest-driver-check first
     "events_retry_storms", "events_key_census",
+    "conv_rephrase", "conv_loss_mask",
     "events_slo_burn", "conv_system_prompts",
     "events_seasonal_profile", "events_first_seen",
     "events_cooccurrence", "events_burstiness",

@@ -2508,3 +2508,168 @@ def branching_stats(
         F.max("__nv__").cast("bigint").alias("max_siblings"),
         (F.max("__nv__") >= 2).alias("has_branches"),
     )
+
+
+def rephrase_report(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    role: str = "user",
+    max_chars: int = 200,
+    sim_threshold_micro: int = 600_000,
+) -> DataFrame:
+    """User-retry (rephrase) report: per conversation, how similar
+    consecutive turns OF ONE ROLE are — the "user asked the same
+    thing again, slightly reworded" signal. repeated_turn_stats
+    catches EXACT adjacent repeats; this catches the near-misses
+    ("how do I reset my password" -> "how can I reset my password")
+    that mean the previous answer did not land. In SFT curation,
+    high-rephrase conversations are the ones whose assistant turns
+    should NOT be up-weighted.
+
+    Similarity per consecutive same-role pair is Levenshtein over
+    the first ``max_chars`` characters, normalized to floor micros:
+    sim = (maxlen - dist) * 1e6 div maxlen, with both-empty pairs
+    defined as 1e6 (identical). The edit distance runs JVM-side
+    (``F.levenshtein`` — codegen, no Python), and the same function
+    exists verbatim in DuckDB, so the oracle shares the math.
+
+    Output per conversation with >= 2 such turns: (conv_id,
+    n_role_turns, n_pairs, n_rephrases [sim >= threshold],
+    n_exact_repeats [dist == 0], max_sim_micro).
+
+    Scale shape: ONE exchange on conv_id feeds the lag window and
+    the rollup. The shuffle payload is the CAPPED prefix (max_chars
+    chars, default 200) plus a digest for tie ordering — the one
+    conversations-module shuffle that carries any text, bounded by
+    design and documented here; raise max_chars knowingly.
+    """
+    _require(df, [conv_col, idx_col, role_col, text_col],
+             "rephrase_report")
+    if max_chars < 1:
+        raise ValueError(
+            f"rephrase_report: max_chars must be >= 1, got {max_chars}"
+        )
+    if not 0 <= sim_threshold_micro <= 1_000_000:
+        raise ValueError(
+            "rephrase_report: sim_threshold_micro must be in [0, 1e6], "
+            f"got {sim_threshold_micro}"
+        )
+    slim = df.filter(F.col(role_col) == role).select(
+        F.col(conv_col).alias("conv_id"),
+        F.coalesce(F.col(idx_col).cast("bigint"), F.lit(-1)).alias("__idx__"),
+        F.coalesce(F.md5(F.col(text_col).cast("string")), F.lit("")).alias(
+            "__d__"
+        ),
+        F.substring(
+            F.coalesce(F.col(text_col), F.lit("")), 1, max_chars
+        ).alias("__s__"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("__idx__", "__d__")
+    paired = slim.withColumn("__prev__", F.lag("__s__").over(w))
+    scored = paired.select(
+        "conv_id",
+        F.when(F.col("__prev__").isNull(), None)
+        .otherwise(F.levenshtein("__s__", "__prev__"))
+        .cast("bigint")
+        .alias("__dist__"),
+        F.greatest(F.length("__s__"), F.length("__prev__"))
+        .cast("bigint")
+        .alias("__ml__"),
+    )
+    sim = F.when(F.col("__dist__").isNull(), None).otherwise(
+        F.when(F.col("__ml__") == 0, F.lit(1_000_000)).otherwise(
+            F.expr("(__ml__ - __dist__) * 1000000 div __ml__")
+        )
+    )
+    agg = (
+        scored.withColumn("__sim__", sim)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_role_turns"),
+            F.count("__sim__").cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.when(
+                    F.col("__sim__") >= sim_threshold_micro, 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_rephrases"),
+            F.sum(F.when(F.col("__dist__") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exact_repeats"),
+            F.max("__sim__").cast("bigint").alias("max_sim_micro"),
+        )
+        .filter(F.col("n_pairs") > 0)
+    )
+    return agg
+
+
+def loss_mask_spans(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    sep_len: int = 1,
+    mask_role: str = "assistant",
+) -> DataFrame:
+    """Trainer-facing loss-mask span table: when a conversation's
+    turns are concatenated (in the canonical engine-stable order,
+    ``sep_len`` separator characters between turns) into one training
+    sample, which character span does each turn occupy and is it a
+    LOSS span (the role being trained on, default assistant) or a
+    context span? This is the offsets file every SFT tokenizer
+    consumes next to the packed text — computing it here means the
+    packer never re-scans the corpus to find span boundaries.
+
+    Output, one row per turn: (conv_id, turn_idx, role, start_off,
+    end_off [exclusive, = start + turn length], masked [True = LOSS
+    span], text_md5 [joins the span back to its turn without moving
+    text]). NULL text counts as length 0; offsets are chars, not
+    bytes — swap in octet_length upstream for byte-addressed
+    tokenizers.
+
+    Scale shape: text collapses to (length, digest) at the scan; ONE
+    exchange on conv_id drives the running-sum window, and the output
+    adds two longs per turn. The packed text itself never shuffles —
+    pack_conversations emits it, this emits the offsets, and both
+    order turns identically ((idx, role, digest)), so the spans are
+    valid against the packed sample by construction.
+    """
+    _require(df, [conv_col, idx_col, role_col, text_col],
+             "loss_mask_spans")
+    if sep_len < 0:
+        raise ValueError(
+            f"loss_mask_spans: sep_len must be >= 0, got {sep_len}"
+        )
+    slim = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.coalesce(F.col(idx_col).cast("bigint"), F.lit(-1)).alias("__idx__"),
+        F.coalesce(F.col(role_col), F.lit("")).alias("role"),
+        F.coalesce(F.md5(F.col(text_col).cast("string")), F.lit("")).alias(
+            "text_md5"
+        ),
+        F.coalesce(F.length(F.col(text_col)), F.lit(0))
+        .cast("bigint")
+        .alias("__len__"),
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("__idx__", "role", "text_md5")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(
+        F.sum(F.col("__len__") + F.lit(int(sep_len))).over(w), F.lit(0)
+    )
+    return slim.select(
+        "conv_id",
+        F.col("__idx__").alias("turn_idx"),
+        "role",
+        start.cast("bigint").alias("start_off"),
+        (start + F.col("__len__")).cast("bigint").alias("end_off"),
+        (F.col("role") == mask_role).alias("masked"),
+        "text_md5",
+    )

@@ -6866,3 +6866,88 @@ def q_events_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_PROPS_DRIFT_SQL).alias("props"),
     )
     return analytics.json_key_census(ev).orderBy("event_type", "key")
+
+
+# ---------------------------------------------------------------------------
+# user-rephrase (near-retry) report — natural fixture: consecutive
+# user-turn payloads differ by a couple of digits, so the normalized
+# Levenshtein similarity lands both sides of the 0.6 threshold
+# ---------------------------------------------------------------------------
+@query(
+    "conv_rephrase",
+    f"""
+    WITH t AS (
+      {_TRANSCRIPT_SQL}
+    ), u AS (
+      SELECT conv_id, coalesce(CAST(turn_idx AS BIGINT), -1) AS idx,
+             coalesce(md5(text), '') AS d,
+             substr(coalesce(text, ''), 1, 200) AS s
+      FROM t WHERE role = 'user'
+    ), p AS (
+      SELECT conv_id, s,
+             lag(s) OVER (PARTITION BY conv_id ORDER BY idx, d) AS ps
+      FROM u
+    ), m AS (
+      SELECT conv_id,
+             CASE WHEN ps IS NULL THEN NULL
+                  ELSE CAST(levenshtein(s, ps) AS BIGINT) END AS dist,
+             CAST(greatest(length(s), length(ps)) AS BIGINT) AS ml
+      FROM p
+    ), sc AS (
+      SELECT conv_id, dist,
+             CASE WHEN dist IS NULL THEN NULL
+                  WHEN ml = 0 THEN 1000000
+                  ELSE (ml - dist) * 1000000 // ml END AS sim
+      FROM m
+    )
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_role_turns,
+           CAST(count(sim) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN sim >= 600000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rephrases,
+           CAST(sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_repeats,
+           CAST(max(sim) AS BIGINT) AS max_sim_micro
+    FROM sc GROUP BY conv_id HAVING count(sim) > 0 ORDER BY conv_id
+    """,
+)
+def q_conv_rephrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    return conversations.rephrase_report(t).orderBy("conv_id")
+
+
+# ---------------------------------------------------------------------------
+# loss-mask span table — the offsets file next to the packed SFT
+# sample: per turn, its char span in the concatenated conversation
+# and whether it is a loss (assistant) span
+# ---------------------------------------------------------------------------
+@query(
+    "conv_loss_mask",
+    f"""
+    WITH t AS (
+      {_TRANSCRIPT_SQL}
+    ), s AS (
+      SELECT conv_id, coalesce(CAST(turn_idx AS BIGINT), -1) AS idx,
+             coalesce(role, '') AS role,
+             coalesce(md5(text), '') AS text_md5,
+             CAST(coalesce(length(text), 0) AS BIGINT) AS len
+      FROM t
+    ), o AS (
+      SELECT conv_id, idx, role, text_md5, len,
+             CAST(coalesce(sum(len + 1) OVER (
+                    PARTITION BY conv_id ORDER BY idx, role, text_md5
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS start_off
+      FROM s
+    )
+    SELECT conv_id, idx AS turn_idx, role, start_off,
+           CAST(start_off + len AS BIGINT) AS end_off,
+           role = 'assistant' AS masked, text_md5
+    FROM o ORDER BY conv_id, turn_idx, role, text_md5
+    """,
+)
+def q_conv_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    return conversations.loss_mask_spans(t).orderBy(
+        "conv_id", "turn_idx", "role", "text_md5"
+    )

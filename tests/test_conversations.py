@@ -1487,3 +1487,113 @@ class TestBranchingStats:
         par = sorted(map(tuple, conversations.branching_stats(
             df.repartition(7)).collect()))
         assert one == par
+
+
+class TestRephraseReport:
+    def test_near_and_exact_pairs(self, spark):
+        rows = [
+            ("c", 0, "user", "how do I reset my password"),
+            ("c", 1, "assistant", "click forgot password"),
+            ("c", 2, "user", "how can I reset my password"),   # near
+            ("c", 3, "user", "how can I reset my password"),   # exact
+            ("c", 4, "user", "completely different topic xyz"),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        r = conversations.rephrase_report(df).collect()[0]
+        assert r["n_role_turns"] == 4
+        assert r["n_pairs"] == 3
+        # pair1: dist 2 over 27 -> 925925; pair2: 0 -> 1e6; pair3 low
+        assert r["n_rephrases"] == 2
+        assert r["n_exact_repeats"] == 1
+        assert r["max_sim_micro"] == 1_000_000
+
+    def test_both_empty_pair_is_identical(self, spark):
+        rows = [("c", 0, "user", ""), ("c", 1, "user", "")]
+        df = spark.createDataFrame(rows, SCHEMA)
+        r = conversations.rephrase_report(df).collect()[0]
+        assert r["max_sim_micro"] == 1_000_000
+        assert r["n_exact_repeats"] == 1
+
+    def test_single_turn_conversations_filtered(self, spark):
+        rows = [("a", 0, "user", "x"), ("b", 0, "user", "y")]
+        df = spark.createDataFrame(rows, SCHEMA)
+        assert conversations.rephrase_report(df).count() == 0
+
+    def test_cap_bounds_comparison(self, spark):
+        # identical 4-char prefixes, divergence after max_chars
+        rows = [("c", 0, "user", "abcdXXXX"), ("c", 1, "user", "abcdYYYY")]
+        df = spark.createDataFrame(rows, SCHEMA)
+        r = conversations.rephrase_report(df, max_chars=4).collect()[0]
+        assert r["n_exact_repeats"] == 1
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([], SCHEMA)
+        with pytest.raises(ValueError, match="max_chars"):
+            conversations.rephrase_report(df, max_chars=0)
+        with pytest.raises(ValueError, match="sim_threshold"):
+            conversations.rephrase_report(df, sim_threshold_micro=2_000_000)
+
+    def test_parallelism_invariant(self, spark):
+        rows = [("c%d" % (i % 5), i, "user", "msg %d common tail" % (i % 7))
+                for i in range(60)]
+        df = spark.createDataFrame(rows, SCHEMA)
+        one = sorted(map(tuple, conversations.rephrase_report(
+            df.coalesce(1)).collect()))
+        par = sorted(map(tuple, conversations.rephrase_report(
+            df.repartition(7)).collect()))
+        assert one == par
+
+
+class TestLossMaskSpans:
+    def test_offsets_and_mask(self, spark):
+        rows = [
+            ("c", 0, "user", "hello"),        # len 5  -> [0, 5)
+            ("c", 1, "assistant", "hi!"),     # len 3  -> [6, 9)
+            ("c", 2, "user", None),           # len 0  -> [10, 10)
+            ("c", 3, "assistant", "bye"),     # len 3  -> [11, 14)
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = {r["turn_idx"]: r
+               for r in conversations.loss_mask_spans(df).collect()}
+        assert (out[0]["start_off"], out[0]["end_off"]) == (0, 5)
+        assert (out[1]["start_off"], out[1]["end_off"]) == (6, 9)
+        assert (out[2]["start_off"], out[2]["end_off"]) == (10, 10)
+        assert (out[3]["start_off"], out[3]["end_off"]) == (11, 14)
+        assert [out[i]["masked"] for i in range(4)] == [
+            False, True, False, True]
+
+    def test_sep_len_zero_packs_tight(self, spark):
+        rows = [("c", 0, "user", "ab"), ("c", 1, "assistant", "cd")]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = sorted(
+            (r["start_off"], r["end_off"])
+            for r in conversations.loss_mask_spans(df, sep_len=0).collect()
+        )
+        assert out == [(0, 2), (2, 4)]
+
+    def test_spans_match_packed_text(self, spark):
+        # the span table must index correctly into the join of the
+        # turn texts with a 1-char separator in the same order
+        rows = [("c", 0, "user", "aa"), ("c", 1, "assistant", "bbb"),
+                ("c", 2, "user", "c")]
+        df = spark.createDataFrame(rows, SCHEMA)
+        packed = "aa|bbb|c"
+        texts = {0: "aa", 1: "bbb", 2: "c"}
+        for r in conversations.loss_mask_spans(df).collect():
+            assert packed[r["start_off"]:r["end_off"]] == texts[r["turn_idx"]]
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([], SCHEMA)
+        with pytest.raises(ValueError, match="sep_len"):
+            conversations.loss_mask_spans(df, sep_len=-1)
+
+    def test_parallelism_invariant(self, spark):
+        rows = [("c%d" % (i % 4), i % 6,
+                 "assistant" if i % 2 else "user", "t" * (i % 9))
+                for i in range(48)]
+        df = spark.createDataFrame(rows, SCHEMA)
+        one = sorted(map(tuple, conversations.loss_mask_spans(
+            df.coalesce(1)).collect()))
+        par = sorted(map(tuple, conversations.loss_mask_spans(
+            df.repartition(7)).collect()))
+        assert one == par

@@ -2761,6 +2761,41 @@ def main() -> int:
         "census read before any parse-config change.",
     )
 
+    # 78. user-rephrase report / loss-mask span table
+    q78r = _conv61.rephrase_report(t64)
+    p78r = formatted(q78r)
+    ex78r = _hash_exchanges(p78r)
+    q78m = _conv61.loss_mask_spans(t64)
+    p78m = formatted(q78m)
+    ex78m = _hash_exchanges(p78m)
+    audit(
+        "user-rephrase report / loss-mask span table",
+        q78r,
+        [
+            ("rephrase_report: ONE exchange on conv_id shared by the "
+             "lag window and the rollup; the JVM levenshtein runs "
+             "post-shuffle on CAPPED 200-char prefixes (the one "
+             "documented text-carrying conversations shuffle)",
+             len(ex78r) == 1 and "conv_id" in ex78r[0]),
+            ("rephrase similarity math is integer micro div — no "
+             "Python anywhere",
+             not re.search(r"EvalPython|InPandas", p78r)),
+            ("loss_mask_spans: ONE exchange on conv_id for the "
+             "running-sum window; text collapses to (length, digest) "
+             "at the scan and never shuffles",
+             len(ex78m) == 1 and "conv_id" in ex78m[0]
+             and "text#" not in ex78m[0] and "props#" not in ex78m[0]),
+            ("no Python in the span plan",
+             not re.search(r"EvalPython|InPandas", p78m)),
+        ],
+        "rephrase_report catches near-miss user retries that "
+        "repeated_turn_stats' exact adjacency cannot (normalized "
+        "Levenshtein >= threshold, both-empty = identical); "
+        "loss_mask_spans emits the per-turn char spans + loss mask "
+        "for the packed SFT sample in the same canonical turn order "
+        "as pack_conversations, so spans are valid by construction.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
