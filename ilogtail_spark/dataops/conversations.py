@@ -2673,3 +2673,83 @@ def loss_mask_spans(
         (F.col("role") == mask_role).alias("masked"),
         "text_md5",
     )
+
+
+RESOLUTION_POS_RE = (
+    "(?i)(thanks|thank you|that works|works now|perfect|solved|resolved)"
+)
+RESOLUTION_NEG_RE = (
+    "(?i)(still not|still doesn't|still broken|not working|"
+    "doesn't work|same error|no luck)"
+)
+
+
+def resolution_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    role: str = "user",
+    pos_pattern: str = RESOLUTION_POS_RE,
+    neg_pattern: str = RESOLUTION_NEG_RE,
+) -> DataFrame:
+    """Conversation-outcome card: did the user walk away satisfied?
+    Structure-based hygiene (completion_stats' dangling-turn report)
+    cannot tell "resolved" from "gave up" — this reads the CONTENT of
+    the user's turns for closure markers instead. Positive markers
+    ("thanks", "that works", "solved") and negative markers ("still
+    not working", "same error") are matched per user turn scan-side;
+    the verdict comes from the LAST user turn, with negative winning
+    ties ("thanks, but still broken" is unresolved — politeness is
+    not closure).
+
+    Output per conversation with >= 1 ``role`` turn: (conv_id,
+    n_user_turns, n_pos_turns, n_neg_turns, outcome) where outcome is
+    'unresolved' (last user turn negative), 'resolved' (positive),
+    else 'unknown'. The default patterns are deliberately simple
+    alternations (same semantics under Java regex and RE2, shared
+    with the DuckDB oracle) — swap in product-specific markers via
+    the parameters; a trained classifier slots in the same way the
+    textstats lang-id heuristic documents.
+
+    Scale shape: both regexes collapse each turn to two booleans at
+    the scan; ONE exchange on conv_id feeds the last-turn window and
+    the rollup, and no text survives past the scan projection.
+    """
+    _require(df, [conv_col, idx_col, role_col, text_col],
+             "resolution_stats")
+    turns = df.filter(F.col(role_col) == role).select(
+        F.col(conv_col).alias("conv_id"),
+        F.coalesce(F.col(idx_col).cast("bigint"), F.lit(-1)).alias("__idx__"),
+        F.coalesce(F.md5(F.col(text_col).cast("string")), F.lit("")).alias(
+            "__d__"
+        ),
+        F.coalesce(F.col(text_col), F.lit(""))
+        .rlike(pos_pattern)
+        .alias("__pos__"),
+        F.coalesce(F.col(text_col), F.lit(""))
+        .rlike(neg_pattern)
+        .alias("__neg__"),
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("__idx__").desc(), F.col("__d__").desc()
+    )
+    ranked = turns.withColumn("__rn__", F.row_number().over(w))
+    return ranked.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_user_turns"),
+        F.sum(F.when(F.col("__pos__"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos_turns"),
+        F.sum(F.when(F.col("__neg__"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_neg_turns"),
+        F.max(
+            F.when(
+                F.col("__rn__") == 1,
+                F.when(F.col("__neg__"), "unresolved")
+                .when(F.col("__pos__"), "resolved")
+                .otherwise("unknown"),
+            )
+        ).alias("outcome"),
+    )

@@ -2043,3 +2043,81 @@ def packing_efficiency(
         )
         .orderBy("shard_id")
     )
+
+
+def novelty_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document shingle novelty — "is the tail of this corpus
+    still adding anything?": for each document, how many of its
+    distinct word ``shingle_n``-grams appear for the FIRST time in
+    the corpus order (first owner = minimum ``id_col`` carrying the
+    shingle). A corpus whose late documents trend toward
+    novelty_micro 0 is re-crawling itself; dedup thresholds and
+    crawl-frontier budgets get tuned against exactly this curve.
+    Complements dup_windows (which finds the REPEATED spans) by
+    scoring what each document contributes that is NEW.
+
+    Output, one row per document with at least one shingle (docs
+    shorter than ``shingle_n`` tokens emit no row — nothing to
+    score): (id_col, n_shingles [distinct], n_novel [first-owned],
+    n_seen_before, novelty_micro [floor micro share]).
+
+    Scale shape: shingles hash to 32-hex digests scan-side (shared
+    tokenizer with the minhash family, so the same text always
+    yields the same shingle set); the distinct and the min-owner
+    aggregate shuffle only (id, digest) pairs; the owner table joins
+    back on the digest reusing that exchange; per-doc rollup is the
+    only other shuffle. Raw shingle text never leaves the scan, and
+    no state grows with corpus size beyond the distinct-shingle
+    vocabulary.
+    """
+    missing = [c for c in (text_col, id_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"novelty_curve: missing columns {missing}")
+    if shingle_n < 1:
+        raise ValueError(
+            f"novelty_curve: shingle_n must be >= 1, got {shingle_n}"
+        )
+    toks = df.select(
+        F.col(id_col),
+        tokens_col(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks__"),
+    )
+    dist = (
+        toks.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        shingles_from_tokens(F.col("__toks__"), shingle_n),
+                        F.md5,
+                    )
+                )
+            ).alias("__sg__"),
+        )
+    )
+    owners = dist.groupBy("__sg__").agg(F.min(id_col).alias("__owner__"))
+    per_doc = (
+        dist.join(owners, "__sg__")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("__owner__") == F.col(id_col), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_shingles",
+        "n_novel",
+        (F.col("n_shingles") - F.col("n_novel"))
+        .cast("bigint")
+        .alias("n_seen_before"),
+        F.expr("n_novel * 1000000 div n_shingles").alias("novelty_micro"),
+    )

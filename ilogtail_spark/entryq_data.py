@@ -6951,3 +6951,114 @@ def q_conv_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversations.loss_mask_spans(t).orderBy(
         "conv_id", "turn_idx", "role", "text_md5"
     )
+
+
+# ---------------------------------------------------------------------------
+# conversation-outcome (resolution) card — marker injection on
+# (conv_id + turn_idx) % 7: pos / neg / pos-and-neg (neg must win)
+# ---------------------------------------------------------------------------
+_RESOLUTION_CASE = """CASE
+      WHEN role = 'user' AND (conv_id + turn_idx) % 7 = 0
+        THEN 'thanks, that works now!'
+      WHEN role = 'user' AND (conv_id + turn_idx) % 7 = 1
+        THEN 'still not working, same error'
+      WHEN role = 'user' AND (conv_id + turn_idx) % 7 = 2
+        THEN 'Thanks, but still not working'
+      ELSE text END"""
+
+
+def _inject_resolution(t: DataFrame) -> DataFrame:
+    """DataFrame twin of _RESOLUTION_CASE."""
+    m = (F.col("conv_id") + F.col("turn_idx")) % 7
+    is_user = F.col("role") == "user"
+    return t.withColumn(
+        "text",
+        F.when(is_user & (m == 0), F.lit("thanks, that works now!"))
+        .when(is_user & (m == 1), F.lit("still not working, same error"))
+        .when(is_user & (m == 2), F.lit("Thanks, but still not working"))
+        .otherwise(F.col("text")),
+    )
+
+
+def _sql_pat(p: str) -> str:
+    return p.replace("'", "''")
+
+
+@query(
+    "conv_resolution",
+    f"""
+    WITH t0 AS (
+      {_TRANSCRIPT_SQL}
+    ), t AS (
+      SELECT conv_id, turn_idx, role, {_RESOLUTION_CASE} AS text FROM t0
+    ), u AS (
+      SELECT conv_id, coalesce(CAST(turn_idx AS BIGINT), -1) AS idx,
+             coalesce(md5(text), '') AS d,
+             regexp_matches(coalesce(text, ''),
+                            '{_sql_pat(conversations.RESOLUTION_POS_RE)}')
+               AS pos,
+             regexp_matches(coalesce(text, ''),
+                            '{_sql_pat(conversations.RESOLUTION_NEG_RE)}')
+               AS neg
+      FROM t WHERE role = 'user'
+    ), r AS (
+      SELECT conv_id, pos, neg,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY idx DESC, d DESC) AS rn
+      FROM u
+    )
+    SELECT conv_id, CAST(count(*) AS BIGINT) AS n_user_turns,
+           CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos_turns,
+           CAST(sum(CASE WHEN neg THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_neg_turns,
+           max(CASE WHEN rn = 1 THEN
+                 CASE WHEN neg THEN 'unresolved'
+                      WHEN pos THEN 'resolved'
+                      ELSE 'unknown' END END) AS outcome
+    FROM r GROUP BY conv_id ORDER BY conv_id
+    """,
+)
+def q_conv_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _inject_resolution(_as_transcript(spark, sf_dir, inject=False))
+    return conversations.resolution_stats(t).orderBy("conv_id")
+
+
+# ---------------------------------------------------------------------------
+# corpus novelty curve — per-doc first-owned shingle share (natural
+# fixture: the documents table's repeated boilerplate spans make
+# later docs markedly less novel)
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_novelty",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(col="coalesce(text, '')")} AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(range(len(w) - 2),
+                       i -> md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])))
+                  ELSE [] END AS s
+      FROM toks
+    ), d AS (
+      SELECT doc_id, unnest(s) AS sg FROM sh
+    ), own AS (
+      SELECT sg, min(doc_id) AS owner FROM d GROUP BY sg
+    ), per AS (
+      SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN o.owner = d.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM d JOIN own o USING (sg) GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_shingles, n_novel,
+           CAST(n_shingles - n_novel AS BIGINT) AS n_seen_before,
+           CAST(n_novel * 1000000 // n_shingles AS BIGINT) AS novelty_micro
+    FROM per ORDER BY doc_id
+    """,
+)
+def q_corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.novelty_curve(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).orderBy("doc_id")

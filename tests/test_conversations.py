@@ -1597,3 +1597,59 @@ class TestLossMaskSpans:
         par = sorted(map(tuple, conversations.loss_mask_spans(
             df.repartition(7)).collect()))
         assert one == par
+
+
+class TestResolutionStats:
+    def test_outcomes(self, spark):
+        rows = [
+            # resolved: last user turn says thanks
+            ("a", 0, "user", "how do I do X"),
+            ("a", 1, "assistant", "like this"),
+            ("a", 2, "user", "thanks, that works now"),
+            # unresolved: last user turn negative
+            ("b", 0, "user", "it crashes"),
+            ("b", 1, "assistant", "try Y"),
+            ("b", 2, "user", "still not working"),
+            # unknown: no markers in the last user turn
+            ("c", 0, "user", "what about Z"),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = {r["conv_id"]: r
+               for r in conversations.resolution_stats(df).collect()}
+        assert out["a"]["outcome"] == "resolved"
+        assert out["a"]["n_pos_turns"] == 1
+        assert out["b"]["outcome"] == "unresolved"
+        assert out["c"]["outcome"] == "unknown"
+
+    def test_negative_wins_ties(self, spark):
+        rows = [("a", 0, "user", "Thanks, but still not working")]
+        df = spark.createDataFrame(rows, SCHEMA)
+        r = conversations.resolution_stats(df).collect()[0]
+        assert r["outcome"] == "unresolved"
+        assert (r["n_pos_turns"], r["n_neg_turns"]) == (1, 1)
+
+    def test_verdict_reads_last_turn_only(self, spark):
+        rows = [
+            ("a", 0, "user", "thanks, solved"),
+            ("a", 1, "user", "actually a new question"),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        r = conversations.resolution_stats(df).collect()[0]
+        assert r["outcome"] == "unknown"
+        assert r["n_pos_turns"] == 1
+
+    def test_no_user_turns_no_row(self, spark):
+        df = spark.createDataFrame(
+            [("a", 0, "assistant", "hello")], SCHEMA)
+        assert conversations.resolution_stats(df).count() == 0
+
+    def test_parallelism_invariant(self, spark):
+        texts = ["thanks a lot", "still broken", "hmm", "works now"]
+        rows = [("c%d" % (i % 5), i, "user", texts[i % 4])
+                for i in range(40)]
+        df = spark.createDataFrame(rows, SCHEMA)
+        one = sorted(map(tuple, conversations.resolution_stats(
+            df.coalesce(1)).collect()))
+        par = sorted(map(tuple, conversations.resolution_stats(
+            df.repartition(7)).collect()))
+        assert one == par

@@ -1189,3 +1189,55 @@ class TestPackingEfficiency:
         df = spark.createDataFrame([], "doc_id long, text string")
         with pytest.raises(ValueError, match="budget"):
             corpus.packing_efficiency(df, budget=0)
+
+
+class TestNoveltyCurve:
+    SCHEMA = "doc_id long, text string"
+
+    def test_first_owner_wins(self, spark):
+        from ilogtail_spark.dataops import corpus
+        rows = [
+            (1, "a b c d"),          # shingles: abc, bcd -> both novel
+            (2, "a b c x"),          # abc seen, bcx novel
+            (3, "a b c d"),          # all seen
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        out = {r["doc_id"]: r for r in corpus.novelty_curve(df).collect()}
+        assert (out[1]["n_shingles"], out[1]["n_novel"]) == (2, 2)
+        assert out[1]["novelty_micro"] == 1_000_000
+        assert (out[2]["n_shingles"], out[2]["n_novel"]) == (2, 1)
+        assert out[2]["novelty_micro"] == 500_000
+        assert (out[3]["n_novel"], out[3]["n_seen_before"]) == (0, 2)
+
+    def test_short_docs_emit_no_row(self, spark):
+        from ilogtail_spark.dataops import corpus
+        df = spark.createDataFrame([(1, "a b"), (2, None)], self.SCHEMA)
+        assert corpus.novelty_curve(df).count() == 0
+
+    def test_within_doc_repeats_count_once(self, spark):
+        from ilogtail_spark.dataops import corpus
+        df = spark.createDataFrame([(1, "a b c a b c a b c")], self.SCHEMA)
+        r = corpus.novelty_curve(df).collect()[0]
+        # distinct shingles of the 9-token text: abc, bca, cab
+        assert r["n_shingles"] == 3
+        assert r["n_novel"] == 3
+
+    def test_validation(self, spark):
+        from ilogtail_spark.dataops import corpus
+        df = spark.createDataFrame([], self.SCHEMA)
+        with pytest.raises(ValueError, match="missing"):
+            corpus.novelty_curve(df, text_col="nope")
+        with pytest.raises(ValueError, match="shingle_n"):
+            corpus.novelty_curve(df, shingle_n=0)
+
+    def test_parallelism_invariant(self, spark):
+        from ilogtail_spark.dataops import corpus
+        rows = [(i, "w%d w%d w%d w%d" % (i % 7, (i + 1) % 7, (i + 2) % 7,
+                                         (i + 3) % 7))
+                for i in range(40)]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        one = sorted(map(tuple, corpus.novelty_curve(
+            df.coalesce(1)).collect()))
+        par = sorted(map(tuple, corpus.novelty_curve(
+            df.repartition(7)).collect()))
+        assert one == par

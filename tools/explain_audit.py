@@ -2796,6 +2796,57 @@ def main() -> int:
         "as pack_conversations, so spans are valid by construction.",
     )
 
+    # 79. resolution (outcome) card / corpus novelty curve
+    from ilogtail_spark.dataops import corpus as _corp79
+
+    q79r = _conv61.resolution_stats(t64)
+    p79r = formatted(q79r)
+    ex79r = _hash_exchanges(p79r)
+    _docs79 = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    q79n = _corp79.novelty_curve(_docs79)
+    p79n = formatted(q79n)
+    ex79n = _hash_exchanges(p79n)
+    audit(
+        "resolution (outcome) card / corpus novelty curve",
+        q79r,
+        [
+            ("resolution_stats: both marker regexes collapse to two "
+             "booleans at the scan; ONE exchange on conv_id shared "
+             "by the last-turn window and the rollup; no text past "
+             "the scan projection",
+             len(ex79r) == 1 and "conv_id" in ex79r[0]
+             and "text#" not in ex79r[0] and "props#" not in ex79r[0]),
+            ("novelty_curve: shingles hash to digests scan-side "
+             "(per-row array_distinct, no distinct shuffle); the "
+             "owner aggregate shuffles digests once and at this "
+             "scale AQE BROADCASTS the owner table back (no probe-"
+             "side exchange; at 100 TB it degrades to a second "
+             "digest exchange, same key); raw shingle text never "
+             "shuffles",
+             all("text#" not in e for e in ex79n)
+             and (
+                 sum("__sg__" in e for e in ex79n) >= 2
+                 or (
+                     sum("__sg__" in e for e in ex79n) == 1
+                     and "BroadcastExchange" in p79n
+                 )
+             )),
+            ("novelty per-doc rollup shuffles only (id, digest, "
+             "owner) longs/hexes",
+             len(ex79n) <= 4),
+            ("no Python in either plan",
+             not re.search(r"EvalPython|InPandas", p79r + p79n)),
+        ],
+        "resolution_stats reads CONTENT closure markers (negative "
+        "wins ties — politeness is not closure) where "
+        "completion_stats reads STRUCTURE; novelty_curve scores what "
+        "each document adds that is new (first-owner = min doc_id "
+        "per shingle digest), the curve crawl budgets are tuned "
+        "against.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
