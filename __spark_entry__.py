@@ -40,6 +40,7 @@ _FRONT = [
     "events_retry_storms", "events_key_census",
     "conv_rephrase", "conv_loss_mask",
     "conv_resolution", "corpus_novelty",
+    "events_top_users", "events_trend",
     "events_slo_burn", "conv_system_prompts",
     "events_seasonal_profile", "events_first_seen",
     "events_cooccurrence", "events_burstiness",

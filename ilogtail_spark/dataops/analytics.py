@@ -1955,3 +1955,145 @@ def json_key_census(
         "n_type_rows",
         F.expr("n_rows * 1000000 div n_type_rows").alias("presence_micro"),
     )
+
+
+def top_per_group(
+    df: DataFrame,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    n: int = 3,
+) -> DataFrame:
+    """Named top-N keys per group — concentration_report says HOW
+    skewed each group is; this names WHO: per ``group_col`` value,
+    the ``n`` hottest ``key_col`` values with their counts, ranks,
+    and floor-micro group shares. The per-sink companion of the
+    global hotkey_stats (plans/skew.py) and the card a router/salting
+    decision reads after concentration_report flags a group.
+
+    Output: (group_col, rank [1-based], key, n_rows, share_micro),
+    rank order (count DESC, key ASC) — a total order, so every engine
+    returns the identical rows. NULL keys count like any other value
+    (rendered as NULL); NULL groups form their own group.
+
+    Scale shape: stage 1 is the combiner-fed (group, key) count —
+    the only pass over raw rows. Stage 2 ranks the count-reduced key
+    table per group: the rank window and the group-total window share
+    ONE exchange on group, and the filter keeps n rows per group, so
+    output is n * |groups|. A single mega-group's distinct-key table
+    sorts in one task — that table is already count-collapsed, the
+    same value-domain bound grouped_quantiles rides.
+    """
+    if n < 1:
+        raise ValueError(f"top_per_group: n must be >= 1, got {n}")
+    missing = [c for c in (group_col, key_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"top_per_group: missing columns {missing}")
+    counts = (
+        df.select(
+            F.col(group_col).alias("__g__"),
+            F.col(key_col).cast("string").alias("key"),
+        )
+        .groupBy("__g__", "key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    wr = Window.partitionBy("__g__").orderBy(
+        F.col("n_rows").desc(), F.col("key").asc_nulls_last()
+    )
+    ranked = counts.select(
+        "__g__",
+        "key",
+        "n_rows",
+        F.row_number().over(wr).alias("rank"),
+        F.sum("n_rows").over(Window.partitionBy("__g__")).alias("__tot__"),
+    )
+    return ranked.filter(F.col("rank") <= n).select(
+        F.col("__g__").alias(group_col),
+        F.col("rank").cast("bigint").alias("rank"),
+        "key",
+        "n_rows",
+        F.expr("n_rows * 1000000 div __tot__").alias("share_micro"),
+    )
+
+
+def trend_report(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """Per-key traffic-trend card: the exact least-squares slope of
+    per-bucket row counts over the bucket index — "whose volume is
+    rising?" triage that a point-in-time spike detector
+    (rate_spikes) cannot answer. slope = (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx^2) over (x = absolute bucket index = epoch div
+    bucket_seconds, y = bucket count); the slope is shift-invariant,
+    so absolute indices keep the math one-pass with no per-key min
+    subtraction, and every product stays exact in DECIMAL(38,0).
+
+    Reported as slope_micro_per_bucket = (1e6 * num) div den.
+    Negative slopes make the rounding mode load-bearing: Spark's
+    `div` and DuckDB's INTEGER `//` both truncate toward zero
+    (DuckDB floors only for FLOAT operands — verified `(-7)//2 = -3`
+    but `(-7.0)//2 = -3.5 -> -4`), so the all-integer pipeline here
+    is bit-identical across engines on falling trends — exactly the
+    half you page on. Keys with fewer than 2 distinct buckets emit
+    no row (a single point has no trend). Output: (key, n_buckets,
+    n_rows, slope_micro_per_bucket).
+
+    Scale shape: stage 1 is the combiner-fed (key, bucket) count;
+    stage 2 collapses each key's bucket series into five moments in
+    one aggregate. State per key is O(1); the bucket table is
+    time-bounded (one row per key-bucket), never row-scale.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("trend_report: bucket_seconds must be > 0")
+    missing = [c for c in (key_col, ts_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"trend_report: missing columns {missing}")
+    per_bucket = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.unix_micros(F.col(ts_col).cast("timestamp_ltz")).alias(
+                "__us__"
+            ),
+        )
+        .select(
+            "key",
+            # integer div end-to-end (no double rounding at bucket
+            # boundaries); micros are non-negative in-domain so div
+            # == floor here
+            F.expr(f"__us__ div {int(bucket_seconds) * 1_000_000}").alias(
+                "__x__"
+            ),
+        )
+        .groupBy("key", "__x__")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__y__"))
+    )
+    d = "cast(__x__ as decimal(38,0))"
+    dy = "cast(__y__ as decimal(38,0))"
+    moments = per_bucket.groupBy("key").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n__"),
+        F.expr(f"sum({d})").cast("decimal(38,0)").alias("__sx__"),
+        F.expr(f"sum({dy})").cast("decimal(38,0)").alias("__sy__"),
+        F.expr(f"sum({d} * {dy})").cast("decimal(38,0)").alias("__sxy__"),
+        F.expr(f"sum({d} * {d})").cast("decimal(38,0)").alias("__sxx__"),
+    )
+    return (
+        moments.filter(F.col("__n__") >= 2)
+        .withColumn(
+            "__num__",
+            F.expr("(__n__ * __sxy__ - __sx__ * __sy__) * 1000000"),
+        )
+        .withColumn("__den__", F.expr("__n__ * __sxx__ - __sx__ * __sx__"))
+        .select(
+            F.col("key").alias(key_col),
+            F.col("__n__").cast("bigint").alias("n_buckets"),
+            F.col("__sy__").cast("bigint").alias("n_rows"),
+            # den > 0 for >= 2 distinct buckets; truncating div
+            # matches the oracle's integer `//` on negatives
+            F.expr("CAST(__num__ div __den__ AS BIGINT)").alias(
+                "slope_micro_per_bucket"
+            ),
+        )
+    )

@@ -7062,3 +7062,68 @@ def q_corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.novelty_curve(
         _t(spark, sf_dir, "documents").select("doc_id", "text")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# named top-N keys per group — natural user_id skew fixture
+# ---------------------------------------------------------------------------
+@query(
+    "events_top_users",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(user_id AS VARCHAR) AS key,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT event_type, key, n_rows,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n_rows DESC, key ASC) AS rank,
+             sum(n_rows) OVER (PARTITION BY event_type) AS tot
+      FROM c
+    )
+    SELECT event_type, CAST(rank AS BIGINT) AS rank, key, n_rows,
+           CAST(n_rows * 1000000 // tot AS BIGINT) AS share_micro
+    FROM r WHERE rank <= 3 ORDER BY event_type, rank
+    """,
+)
+def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.top_per_group(
+        ev, group_col="event_type", key_col="user_id", n=3
+    ).orderBy("event_type", "rank")
+
+
+# ---------------------------------------------------------------------------
+# per-type daily-volume trend — exact least-squares slope; the 30-day
+# fixture's noise yields rising AND falling slopes, exercising the
+# floor-division (not truncation) parity on negatives
+# ---------------------------------------------------------------------------
+@query(
+    "events_trend",
+    """
+    WITH b AS (
+      SELECT event_type AS key, epoch_us(ts) // 86400000000 AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), m AS (
+      SELECT key,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx
+      FROM b GROUP BY 1
+    )
+    SELECT key AS event_type,
+           CAST(n AS BIGINT) AS n_buckets,
+           CAST(sy AS BIGINT) AS n_rows,
+           CAST(((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+                AS BIGINT) AS slope_micro_per_bucket
+    FROM m WHERE n >= 2 ORDER BY event_type
+    """,
+)
+def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.trend_report(
+        ev, key_col="event_type", bucket_seconds=86_400
+    ).orderBy("event_type")

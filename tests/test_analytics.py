@@ -1329,3 +1329,99 @@ class TestJsonKeyCensus:
         par = sorted(map(tuple, analytics.json_key_census(
             df.repartition(7)).collect()))
         assert one == par
+
+
+class TestTopPerGroup:
+    def test_rank_and_share(self, spark):
+        rows = ([("a", 1)] * 5 + [("a", 2)] * 3 + [("a", 3)] * 2
+                + [("b", 9)])
+        df = spark.createDataFrame(rows, "event_type string, user_id int")
+        out = {(r["event_type"], r["rank"]): r
+               for r in analytics.top_per_group(df, n=2).collect()}
+        assert out[("a", 1)]["key"] == "1"
+        assert out[("a", 1)]["n_rows"] == 5
+        assert out[("a", 1)]["share_micro"] == 500_000
+        assert out[("a", 2)]["key"] == "2"
+        assert ("a", 3) not in out          # n=2 cut
+        assert out[("b", 1)]["share_micro"] == 1_000_000
+
+    def test_tie_breaks_by_key_asc(self, spark):
+        rows = [("a", 5), ("a", 2), ("a", 2), ("a", 5)]
+        df = spark.createDataFrame(rows, "event_type string, user_id int")
+        out = {r["rank"]: r["key"]
+               for r in analytics.top_per_group(df, n=2).collect()}
+        assert (out[1], out[2]) == ("2", "5")
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([], "event_type string, user_id int")
+        with pytest.raises(ValueError, match="n must"):
+            analytics.top_per_group(df, n=0)
+        with pytest.raises(ValueError, match="missing"):
+            analytics.top_per_group(df, key_col="nope")
+
+    def test_parallelism_invariant(self, spark):
+        rows = [("g%d" % (i % 3), i % 11) for i in range(99)]
+        df = spark.createDataFrame(rows, "event_type string, user_id int")
+        one = sorted(map(tuple, analytics.top_per_group(
+            df.coalesce(1), n=4).collect()))
+        par = sorted(map(tuple, analytics.top_per_group(
+            df.repartition(7), n=4).collect()))
+        assert one == par
+
+
+class TestTrendReport:
+    SCHEMA = "event_type string, ts timestamp"
+
+    def _df(self, spark, day_counts, key="e"):
+        from datetime import datetime, timedelta
+        t0 = datetime(2024, 1, 1)
+        rows = []
+        for day, cnt in enumerate(day_counts):
+            for j in range(cnt):
+                rows.append((key, t0 + timedelta(days=day, seconds=j)))
+        return spark.createDataFrame(rows, self.SCHEMA)
+
+    def test_exact_positive_slope(self, spark):
+        # counts 1,2,3 over days 0,1,2 -> slope exactly 1/bucket
+        df = self._df(spark, [1, 2, 3])
+        r = analytics.trend_report(df).collect()[0]
+        assert r["n_buckets"] == 3
+        assert r["n_rows"] == 6
+        assert r["slope_micro_per_bucket"] == 1_000_000
+
+    def test_negative_slope(self, spark):
+        # counts 7,2,2 over days 0..2: n=3 sx=3 sy=11 sxy=6 sxx=5
+        # num = 3*6 - 3*11 = -15, den = 3*5 - 9 = 6 -> -2.5/bucket
+        # (negative-remainder engine parity is pinned by the
+        # events_trend oracle, whose natural slopes fall both ways)
+        df = self._df(spark, [7, 2, 2])
+        r = analytics.trend_report(df).collect()[0]
+        assert r["slope_micro_per_bucket"] == -2_500_000
+
+    def test_single_bucket_no_row(self, spark):
+        df = self._df(spark, [5])
+        assert analytics.trend_report(df).count() == 0
+
+    def test_flat_series_zero_slope(self, spark):
+        df = self._df(spark, [3, 3, 3, 3])
+        assert analytics.trend_report(
+            df).collect()[0]["slope_micro_per_bucket"] == 0
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([], self.SCHEMA)
+        with pytest.raises(ValueError, match="bucket_seconds"):
+            analytics.trend_report(df, bucket_seconds=0)
+        with pytest.raises(ValueError, match="missing"):
+            analytics.trend_report(df, key_col="nope")
+
+    def test_parallelism_invariant(self, spark):
+        from datetime import datetime, timedelta
+        t0 = datetime(2024, 1, 1)
+        rows = [("k%d" % (i % 3), t0 + timedelta(hours=(i * 7) % 96))
+                for i in range(120)]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        one = sorted(map(tuple, analytics.trend_report(
+            df.coalesce(1)).collect()))
+        par = sorted(map(tuple, analytics.trend_report(
+            df.repartition(7)).collect()))
+        assert one == par

@@ -2847,6 +2847,44 @@ def main() -> int:
         "against.",
     )
 
+    # 80. top-N-per-group / per-key trend slope
+    q80t = _an77.top_per_group(_ev77, "event_type", "user_id", n=3)
+    p80t = formatted(q80t)
+    ex80t = _hash_exchanges(p80t)
+    q80s = _an77.trend_report(_ev77, key_col="event_type")
+    p80s = formatted(q80s)
+    ex80s = _hash_exchanges(p80s)
+    audit(
+        "top-N-per-group / per-key trend slope",
+        q80t,
+        [
+            ("top_per_group: stage 1 is the combiner-fed (group, "
+             "key) count — the only raw-row pass; the rank and "
+             "group-total windows share ONE exchange on group over "
+             "the count-reduced key table",
+             len(ex80t) == 2
+             and sum(
+                 "hashpartitioning(__g__" in e
+                 and "key#" not in e.split("hashpartitioning", 1)[1]
+                 for e in ex80t
+             ) == 1),
+            ("trend_report: (key, bucket) count then a five-moment "
+             "collapse — two count-reduced exchanges, O(1) state "
+             "per key, all DECIMAL(38,0) products",
+             len(ex80s) == 2),
+            ("neither shuffle carries props/value payload",
+             all("props#" not in e and "value#" not in e
+                 for e in ex80t + ex80s)),
+            ("no Python in either plan",
+             not re.search(r"EvalPython|InPandas", p80t + p80s)),
+        ],
+        "top_per_group NAMES the hot keys concentration_report only "
+        "sizes; trend_report is the exact least-squares slope over "
+        "per-bucket counts (integer `div` on both engines truncates "
+        "toward zero — verified, so falling trends agree "
+        "bit-for-bit).",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
