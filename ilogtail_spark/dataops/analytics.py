@@ -1796,7 +1796,7 @@ def burstiness_report(
 
 def retry_storms(
     df: DataFrame,
-    identity_cols: list[str] | None = None,
+    identity_cols: list[str] | None = None,  # None -> (user_id, event_type)
     ts_col: str = "ts",
     window_sec: int = 600,
     min_run: int = 3,
@@ -1832,7 +1832,13 @@ def retry_storms(
     magnitude finer than a tenant, so no salting is needed. Output
     is bounded by the number of retrying identities.
     """
-    identity_cols = identity_cols or ["user_id", "event_type"]
+    if identity_cols is None:
+        identity_cols = ["user_id", "event_type"]
+    if not identity_cols:
+        raise ValueError(
+            "retry_storms: identity_cols must name at least one column "
+            "(got an empty list)"
+        )
     if window_sec <= 0:
         raise ValueError("retry_storms: window_sec must be > 0")
     if min_run < 2:
@@ -2033,12 +2039,14 @@ def trend_report(
     Reported as slope_micro_per_bucket = (1e6 * num) div den.
     Negative slopes make the rounding mode load-bearing: Spark's
     `div` and DuckDB's INTEGER `//` both truncate toward zero
-    (DuckDB floors only for FLOAT operands — verified `(-7)//2 = -3`
-    but `(-7.0)//2 = -3.5 -> -4`), so the all-integer pipeline here
-    is bit-identical across engines on falling trends — exactly the
-    half you page on. Keys with fewer than 2 distinct buckets emit
-    no row (a single point has no trend). Output: (key, n_buckets,
-    n_rows, slope_micro_per_bucket).
+    (verified: `(-7)//2 = -3` in DuckDB, same as Spark `div`; with
+    FLOAT operands DuckDB's `//` returns the plain quotient `-3.5`
+    instead, so keep every operand integer). The all-integer
+    pipeline here is therefore bit-identical across engines on
+    falling trends — exactly the half you page on. Keys with fewer
+    than 2 distinct buckets emit no row (a single point has no
+    trend). Output: (key, n_buckets, n_rows,
+    slope_micro_per_bucket).
 
     Scale shape: stage 1 is the combiner-fed (key, bucket) count;
     stage 2 collapses each key's bucket series into five moments in

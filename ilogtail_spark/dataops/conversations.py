@@ -2635,9 +2635,14 @@ def loss_mask_spans(
     Scale shape: text collapses to (length, digest) at the scan; ONE
     exchange on conv_id drives the running-sum window, and the output
     adds two longs per turn. The packed text itself never shuffles —
-    pack_conversations emits it, this emits the offsets, and both
-    order turns identically ((idx, role, digest)), so the spans are
-    valid against the packed sample by construction.
+    this table only makes sense against a packer that concatenates
+    turns in the SAME canonical order the repo's conversation
+    operators all share (coalesced idx, then role, then text digest —
+    the _ordered_turn_seq order), with ``sep_len`` separator chars
+    between turns; the span-vs-packed-text identity under that
+    contract is pinned in test. A packer concatenating in raw input
+    order instead would mis-index conversations with duplicate or
+    NULL turn_idx.
     """
     _require(df, [conv_col, idx_col, role_col, text_col],
              "loss_mask_spans")

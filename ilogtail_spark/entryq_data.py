@@ -6770,6 +6770,7 @@ def q_corpus_packing_efficiency(
       FROM events WHERE event_id % 211 = 0
     ), s AS (
       SELECT user_id, event_type, epoch_us(ts) AS us FROM base
+      WHERE ts IS NOT NULL
     ), f AS (
       SELECT user_id, event_type, us,
              CASE WHEN us - lag(us) OVER (PARTITION BY user_id, event_type
@@ -7095,8 +7096,9 @@ def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # per-type daily-volume trend — exact least-squares slope; the 30-day
-# fixture's noise yields rising AND falling slopes, exercising the
-# floor-division (not truncation) parity on negatives
+# fixture's noise yields rising AND falling slopes, pinning the
+# negative-quotient parity (both engines' integer division truncates
+# toward zero — see trend_report's docstring)
 # ---------------------------------------------------------------------------
 @query(
     "events_trend",

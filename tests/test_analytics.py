@@ -1265,6 +1265,8 @@ class TestRetryStorms:
             analytics.retry_storms(df, min_run=1)
         with pytest.raises(ValueError, match="missing"):
             analytics.retry_storms(df, identity_cols=["nope"])
+        with pytest.raises(ValueError, match="at least one column"):
+            analytics.retry_storms(df, identity_cols=[])
 
     def test_single_exchange_plan(self, spark):
         df = self._df(spark, [0, 100, 100])

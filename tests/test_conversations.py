@@ -1502,7 +1502,8 @@ class TestRephraseReport:
         r = conversations.rephrase_report(df).collect()[0]
         assert r["n_role_turns"] == 4
         assert r["n_pairs"] == 3
-        # pair1: dist 2 over 27 -> 925925; pair2: 0 -> 1e6; pair3 low
+        # pair1: dist('do'->'can') = 3 over maxlen 27 -> 888888;
+        # pair2: dist 0 -> 1e6; pair3 well below the 0.6 threshold
         assert r["n_rephrases"] == 2
         assert r["n_exact_repeats"] == 1
         assert r["max_sim_micro"] == 1_000_000

@@ -2740,7 +2740,9 @@ def main() -> int:
              len(ex77r) == 1 and "user_id" in ex77r[0]),
             ("retry_storms shuffle carries identity + one epoch-"
              "micros long, never value/props payload",
-             "props#" not in ex77r[0] and "value#" not in ex77r[0]),
+             len(ex77r) == 1
+             and "props#" not in ex77r[0]
+             and "value#" not in ex77r[0]),
             ("json_key_census: regexp + array_distinct + explode run "
              "scan-side; the only hash exchanges are the (type, key) "
              "census count and the tiny per-type totals, and the "
@@ -2792,8 +2794,9 @@ def main() -> int:
         "repeated_turn_stats' exact adjacency cannot (normalized "
         "Levenshtein >= threshold, both-empty = identical); "
         "loss_mask_spans emits the per-turn char spans + loss mask "
-        "for the packed SFT sample in the same canonical turn order "
-        "as pack_conversations, so spans are valid by construction.",
+        "for a packer that concatenates in the repo's canonical "
+        "(idx, role, digest) turn order — the span-vs-packed-text "
+        "identity under that contract is pinned in test.",
     )
 
     # 79. resolution (outcome) card / corpus novelty curve
