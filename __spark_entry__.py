@@ -41,6 +41,7 @@ _FRONT = [
     "conv_rephrase", "conv_loss_mask",
     "conv_resolution", "corpus_novelty",
     "events_top_users", "events_trend",
+    "streaming_retry_storms", "events_enrich_miss",
     "events_slo_burn", "conv_system_prompts",
     "events_seasonal_profile", "events_first_seen",
     "events_cooccurrence", "events_burstiness",

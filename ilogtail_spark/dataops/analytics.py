@@ -2105,3 +2105,71 @@ def trend_report(
             ),
         )
     )
+
+
+def referential_audit(
+    df: DataFrame,
+    dim: DataFrame,
+    fk_col: str = "user_id",
+    pk_col: str = "c_custkey",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Enrich-miss (referential-integrity) audit: per event type, how
+    many rows carry a foreign key with NO match in the dimension
+    table. Every broadcast-enrich stage in this repo (dict_map,
+    lookup_join, geoip) has a fill/missing policy — this is the card
+    that MEASURES the miss rate before you pick one, and the alarm
+    when an upstream id-space change (new tenant prefix, truncated
+    key) silently turns an enrich stage into a no-op. Reference
+    analog: processor_dict_map rows that match nothing keep their
+    fields untouched (plugins/processor/dictmap) — invisible unless
+    counted.
+
+    NULL foreign keys count as orphans (they match nothing — the
+    miss policy fires on them identically); n_orphan_keys counts
+    DISTINCT non-null orphan key values, so n_orphans >>
+    n_orphan_keys means few bad keys at high volume (fix upstream)
+    while n_orphans ~ n_orphan_keys means a diffuse id-space drift.
+
+    Output per type: (type_col, n_rows, n_orphans, orphan_micro,
+    n_orphan_keys).
+
+    Scale shape: the dimension collapses to its DISTINCT key column
+    and BROADCASTS — the fact table never shuffles for the join; the
+    per-type rollup is the only hash exchange, carrying (type, flag,
+    key). The two-phase distinct count on orphan keys is the
+    standard countDistinct expansion on the count-reduced side.
+    """
+    missing = [c for c in (fk_col, type_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"referential_audit: missing columns {missing}")
+    if pk_col not in dim.columns:
+        raise ValueError(
+            f"referential_audit: dimension is missing column {pk_col}"
+        )
+    keys = dim.select(F.col(pk_col).alias("__pk__")).distinct()
+    joined = df.select(
+        F.col(type_col).alias("__t__"), F.col(fk_col).alias("__fk__")
+    ).join(
+        F.broadcast(keys),
+        F.col("__fk__") == F.col("__pk__"),
+        "left",
+    )
+    agg = joined.groupBy("__t__").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("__pk__").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_orphans"),
+        F.countDistinct(
+            F.when(F.col("__pk__").isNull(), F.col("__fk__"))
+        )
+        .cast("bigint")
+        .alias("n_orphan_keys"),
+    )
+    return agg.select(
+        F.col("__t__").alias(type_col),
+        "n_rows",
+        "n_orphans",
+        F.expr("n_orphans * 1000000 div n_rows").alias("orphan_micro"),
+        "n_orphan_keys",
+    )

@@ -7129,3 +7129,128 @@ def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.trend_report(
         ev, key_col="event_type", bucket_seconds=86_400
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# streaming retry-storm twin — same +30 s/+70 s replay injection as
+# events_retry_storms; one row per CLOSED storm chain, the trailing
+# open chain per identity is withheld pending state (oracle excludes
+# each identity's last run)
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_retry_storms",
+    """
+    WITH base AS (
+      SELECT user_id, event_type, ts FROM events
+      UNION ALL
+      SELECT user_id, event_type, ts + INTERVAL 30 SECOND
+      FROM events WHERE event_id % 211 = 0
+      UNION ALL
+      SELECT user_id, event_type, ts + INTERVAL 70 SECOND
+      FROM events WHERE event_id % 211 = 0
+    ), s AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM base
+      WHERE ts IS NOT NULL
+    ), f AS (
+      SELECT user_id, event_type, us,
+             CASE WHEN us - lag(us) OVER (PARTITION BY user_id, event_type
+                                          ORDER BY us) <= 600000000
+                  THEN 0 ELSE 1 END AS head
+      FROM s
+    ), r AS (
+      SELECT user_id, event_type, us,
+             sum(head) OVER (PARTITION BY user_id, event_type ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS run
+      FROM f
+    ), runs AS (
+      SELECT user_id, event_type, run,
+             min(us) AS run_started_us, max(us) AS run_ended_us,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM r GROUP BY 1, 2, 3
+    ), mx AS (
+      SELECT user_id, event_type, max(run) AS mr
+      FROM runs GROUP BY 1, 2
+    )
+    SELECT r.user_id, r.event_type, r.run_started_us, r.run_ended_us,
+           r.n_rows
+    FROM runs r JOIN mx USING (user_id, event_type)
+    WHERE r.run < mx.mr AND r.n_rows >= 3
+    ORDER BY user_id, event_type, run_started_us
+    """,
+)
+def q_streaming_retry_storms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ilogtail_spark.streaming.stream import streaming_retry_storms
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    burst = ev.filter(F.col("event_id") % 211 == 0)
+    replayed = ev.select("user_id", "event_type", "ts")
+    for shift in (30, 70):
+        replayed = replayed.unionByName(
+            burst.select(
+                "user_id",
+                "event_type",
+                F.expr(f"ts + INTERVAL {shift} SECONDS").alias("ts"),
+            )
+        )
+    out = _drain_two_batch_stream(
+        spark,
+        replayed,
+        "user_id long, event_type string, ts timestamp",
+        lambda s: streaming_retry_storms(
+            s, ["user_id", "event_type"], window_sec=600, min_run=3
+        ),
+    )
+    return out.select(
+        "user_id", "event_type", "run_started_us", "run_ended_us", "n_rows"
+    ).orderBy("user_id", "event_type", "run_started_us")
+
+
+# ---------------------------------------------------------------------------
+# enrich-miss (referential) audit — injected id-space drift: %31
+# rows shift out of the dimension domain, %97 rows carry a NULL key
+# ---------------------------------------------------------------------------
+@query(
+    "events_enrich_miss",
+    """
+    WITH drift AS (
+      SELECT event_type,
+             CASE WHEN event_id % 31 = 0 THEN user_id + 1000000
+                  WHEN event_id % 97 = 0 THEN NULL
+                  ELSE user_id END AS user_id
+      FROM events
+    ), keys AS (
+      SELECT DISTINCT c_custkey AS pk FROM customer
+    ), j AS (
+      SELECT e.event_type, e.user_id AS fk, k.pk
+      FROM drift e LEFT JOIN keys k ON e.user_id = k.pk
+    ), a AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphans,
+             CAST(count(DISTINCT CASE WHEN pk IS NULL THEN fk END)
+                  AS BIGINT) AS n_orphan_keys
+      FROM j GROUP BY 1
+    )
+    SELECT event_type, n_rows, n_orphans,
+           CAST(n_orphans * 1000000 // n_rows AS BIGINT) AS orphan_micro,
+           n_orphan_keys
+    FROM a ORDER BY event_type
+    """,
+)
+def q_events_enrich_miss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # id-space drift injection: %31 rows shift out of the dimension
+    # domain, %97 rows lose their key entirely (NULL-orphan branch)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("event_id") % 31 == 0, F.col("user_id") + 1_000_000)
+        .when(F.col("event_id") % 97 == 0, F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+    )
+    cust = _t(spark, sf_dir, "customer")
+    return analytics.referential_audit(
+        ev, cust, fk_col="user_id", pk_col="c_custkey"
+    ).orderBy("event_type")

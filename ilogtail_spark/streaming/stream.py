@@ -653,3 +653,111 @@ def streaming_new_templates(
         out = out.withWatermark(ts_col, watermark)
         return out.dropDuplicatesWithinWatermark(["template"])
     return out.dropDuplicates(["template"])
+
+
+def streaming_retry_storms(
+    stream_df: DataFrame,
+    identity_cols: list[str] | None = None,  # None -> (user_id, event_type)
+    ts_col: str = "ts",
+    window_sec: int = 600,
+    min_run: int = 3,
+):
+    """Stateful streaming twin of :func:`dataops.analytics.
+    retry_storms`: detect duplicate-delivery storms ON the live
+    stream, one emitted row per CLOSED storm chain (a maximal run of
+    same-identity rows with inter-arrival gaps <= ``window_sec`` that
+    reached ``min_run`` rows). The batch twin sizes the problem after
+    the fact; this is the alarm while the sender is still retrying.
+
+    State per identity = the OPEN chain only (started_us, last_us,
+    n_rows — three scalars, no row buffering, so state is
+    O(identities)). A chain closes when a later same-identity row
+    arrives more than ``window_sec`` after the chain's last row; the
+    trailing open chain stays pending (the same withheld-partial
+    contract as streaming_sessionize — bound identity cardinality
+    with an upstream TTL if it is unbounded). Chains shorter than
+    ``min_run`` close silently: output is bounded by the storm count,
+    not the row count.
+
+    Rows inside one micro-batch are folded in (ts-sorted) order, so
+    output is invariant to Arrow chunking and partition order; across
+    batches the fold is arrival-ordered (time-ordered feeds — a
+    tailed log's natural order — give exact batch parity; the oracle
+    pins it over a midpoint-cut two-batch drain). Null timestamps are
+    dropped, matching the batch twin.
+
+    Output: (identity cols..., run_started_us, run_ended_us, n_rows).
+
+    Precondition: UTC session zone (get_spark pins it) — same Arrow
+    timestamp convention as streaming_sessionize.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if identity_cols is None:
+        identity_cols = ["user_id", "event_type"]
+    if not identity_cols:
+        raise ValueError(
+            "streaming_retry_storms: identity_cols must name at least "
+            "one column (got an empty list)"
+        )
+    if window_sec <= 0:
+        raise ValueError("streaming_retry_storms: window_sec must be > 0")
+    if min_run < 2:
+        raise ValueError(
+            f"streaming_retry_storms: min_run must be >= 2, got {min_run}"
+        )
+    by_name = {
+        f.name: f.dataType.simpleString() for f in stream_df.schema.fields
+    }
+    id_schema = ", ".join(
+        f"{c} {by_name.get(c, 'string')}" for c in identity_cols
+    )
+    out_schema = (
+        f"{id_schema}, run_started_us bigint, run_ended_us bigint, "
+        "n_rows bigint"
+    )
+    state_schema = "started_us bigint, last_us bigint, n_rows bigint"
+    window_us = int(window_sec) * 1_000_000
+
+    def folder(key, pdfs, state: GroupState):
+        if state.exists:
+            started, last, n = state.get
+        else:
+            started, last, n = None, None, 0
+        ts_list: list[int] = []
+        for pdf in pdfs:
+            pdf = pdf[pdf[ts_col].notna()]
+            ts_list.extend((pdf[ts_col].astype("int64") // 1000).tolist())
+        ts_list.sort()
+        rows: list[tuple] = []
+        for t_us in ts_list:
+            if started is None:
+                started, last, n = t_us, t_us, 1
+            elif t_us - last <= window_us:
+                last = max(last, t_us)
+                n += 1
+            else:
+                if n >= min_run:
+                    rows.append((*key, started, last, n))
+                started, last, n = t_us, t_us, 1
+        if started is not None:
+            state.update((started, last, n))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    *identity_cols, "run_started_us", "run_ended_us",
+                    "n_rows",
+                ],
+            )
+
+    return stream_df.groupBy(
+        *[F.col(c) for c in identity_cols]
+    ).applyInPandasWithState(
+        folder,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1427,3 +1427,48 @@ class TestTrendReport:
         par = sorted(map(tuple, analytics.trend_report(
             df.repartition(7)).collect()))
         assert one == par
+
+
+class TestReferentialAudit:
+    def test_orphans_and_null_keys(self, spark):
+        ev = spark.createDataFrame(
+            [("a", 1), ("a", 1), ("a", 99), ("a", None), ("b", 2)],
+            "event_type string, user_id int")
+        dim = spark.createDataFrame(
+            [(1,), (2,), (2,)], "c_custkey int")
+        out = {r["event_type"]: r
+               for r in analytics.referential_audit(ev, dim).collect()}
+        a = out["a"]
+        # orphans: 99 and NULL; distinct non-null orphan keys: just 99
+        assert (a["n_rows"], a["n_orphans"], a["n_orphan_keys"]) == (4, 2, 1)
+        assert a["orphan_micro"] == 500_000
+        b = out["b"]
+        assert (b["n_orphans"], b["n_orphan_keys"]) == (0, 0)
+
+    def test_duplicate_dim_keys_do_not_multiply_rows(self, spark):
+        ev = spark.createDataFrame(
+            [("a", 1)], "event_type string, user_id int")
+        dim = spark.createDataFrame(
+            [(1,), (1,), (1,)], "c_custkey int")
+        r = analytics.referential_audit(ev, dim).collect()[0]
+        assert (r["n_rows"], r["n_orphans"]) == (1, 0)
+
+    def test_validation(self, spark):
+        ev = spark.createDataFrame([], "event_type string, user_id int")
+        dim = spark.createDataFrame([], "c_custkey int")
+        with pytest.raises(ValueError, match="missing"):
+            analytics.referential_audit(ev, dim, fk_col="nope")
+        with pytest.raises(ValueError, match="dimension is missing"):
+            analytics.referential_audit(ev, dim, pk_col="nope")
+
+    def test_parallelism_invariant(self, spark):
+        ev = spark.createDataFrame(
+            [("t%d" % (i % 3), i % 17) for i in range(100)],
+            "event_type string, user_id int")
+        dim = spark.createDataFrame(
+            [(k,) for k in range(0, 17, 2)], "c_custkey int")
+        one = sorted(map(tuple, analytics.referential_audit(
+            ev.coalesce(1), dim).collect()))
+        par = sorted(map(tuple, analytics.referential_audit(
+            ev.repartition(7), dim).collect()))
+        assert one == par

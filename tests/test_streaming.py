@@ -526,3 +526,71 @@ class TestStreamingNewTemplates:
             "panic in alpha",
             "req <NUM> from <IP>",
         ]
+
+
+def test_streaming_retry_storms_spans_batches_and_withholds_tail(
+    spark, tmp_path
+):
+    """A storm chain straddling the micro-batch cut is emitted ONCE
+    with combined stats; sub-min_run chains close silently; each
+    identity's trailing open chain stays in state."""
+    import datetime as dt
+    import time as _time
+
+    from ilogtail_spark.streaming.stream import streaming_retry_storms
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, event_type string, ts timestamp"
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(secs, user=1, etype="error"):
+        return (user, etype, t0 + dt.timedelta(seconds=secs))
+
+    # user 1: chain of 4 rows straddling the cut (0,100 | 200,300),
+    # then >window jump to 5000 + one retry at 5050 (open 2-chain,
+    # withheld). user 2: a 2-row chain closed by a late row -> below
+    # min_run, silent.
+    spark.createDataFrame(
+        [ev(0), ev(100), ev(0, user=2), ev(50, user=2)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [ev(200), ev(300), ev(5000), ev(5050), ev(9000, user=2)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    (
+        streaming_retry_storms(stream, window_sec=600, min_run=3)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 1  # only user 1's closed 4-row storm
+    r = rows[0]
+    assert (r["user_id"], r["event_type"]) == (1, "error")
+    assert r["n_rows"] == 4
+    assert (r["run_ended_us"] - r["run_started_us"]) == 300_000_000
+
+
+def test_streaming_retry_storms_validation(spark):
+    from ilogtail_spark.streaming.stream import streaming_retry_storms
+
+    df = spark.createDataFrame(
+        [], "user_id long, event_type string, ts timestamp")
+    with pytest.raises(ValueError, match="window_sec"):
+        streaming_retry_storms(df, window_sec=0)
+    with pytest.raises(ValueError, match="min_run"):
+        streaming_retry_storms(df, min_run=1)
+    with pytest.raises(ValueError, match="at least one column"):
+        streaming_retry_storms(df, identity_cols=[])

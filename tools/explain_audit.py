@@ -2888,6 +2888,41 @@ def main() -> int:
         "bit-for-bit).",
     )
 
+    # 81. enrich-miss (referential) audit
+    _cust81 = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    q81 = _an77.referential_audit(
+        _ev77, _cust81, fk_col="user_id", pk_col="c_custkey"
+    )
+    p81 = formatted(q81)
+    ex81 = _hash_exchanges(p81)
+    audit(
+        "enrich-miss (referential) audit",
+        q81,
+        [
+            ("dimension collapses to DISTINCT keys and BROADCASTS — "
+             "the fact side never shuffles for the join",
+             "BroadcastHashJoin" in p81
+             and len(re.findall(r"BroadcastExchange \(\d+\)", p81)) == 1),
+            ("only count-reduced exchanges remain: the dim-side "
+             "distinct and the per-type rollup (with its two-phase "
+             "countDistinct expand) — none carries props/value",
+             all("props#" not in e and "value#" not in e for e in ex81)),
+            ("customer scan prunes to the key column",
+             "ReadSchema: struct<c_custkey" in p81),
+            ("no Python in the plan",
+             not re.search(r"EvalPython|InPandas", p81)),
+        ],
+        "The card that MEASURES an enrich stage's miss rate before "
+        "picking a fill/missing policy (NULL fks count as orphans; "
+        "n_orphans >> n_orphan_keys separates few-bad-keys from "
+        "diffuse id-space drift). Its streaming twin, "
+        "streaming_retry_storms (stream.py), carries three scalars "
+        "of state per identity and emits one row per closed storm "
+        "chain — O(identities) state, storm-bounded output; its "
+        "cross-batch parity is pinned by the midpoint-cut oracle "
+        "drain.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
