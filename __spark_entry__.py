@@ -42,6 +42,7 @@ _FRONT = [
     "conv_resolution", "corpus_novelty",
     "events_top_users", "events_trend",
     "streaming_retry_storms", "events_enrich_miss",
+    "events_k_anonymity", "corpus_license_scan",
     "events_slo_burn", "conv_system_prompts",
     "events_seasonal_profile", "events_first_seen",
     "events_cooccurrence", "events_burstiness",

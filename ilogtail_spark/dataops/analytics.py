@@ -2173,3 +2173,63 @@ def referential_audit(
         F.expr("n_orphans * 1000000 div n_rows").alias("orphan_micro"),
         "n_orphan_keys",
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """K-anonymity card over a quasi-identifier column set: before a
+    table (or a training corpus derived from it) leaves the
+    pipeline, how many rows sit in QI-groups smaller than ``k`` —
+    i.e. are re-identifiable by joining the quasi-identifiers
+    against an outside dataset? The release-hygiene companion of the
+    PII scanners (text_pii_flags finds identifiers IN the text; this
+    measures identifiability OF the row set).
+
+    NULLs in QI columns group together (a NULL zip is itself a
+    bucket). Output is ONE row: (n_rows, n_groups, n_small_groups
+    [size < k], n_small_rows, small_rows_micro, min_group,
+    max_group) — the decision numbers for generalize/suppress.
+
+    Scale shape: one combiner-fed count on the QI tuple (the only
+    raw-row pass), then a single global rollup over the GROUP-SIZE
+    table — the wide state is the distinct-QI cardinality, never row
+    count. The final aggregate is one row; no data joins back, so
+    nothing row-scale moves twice.
+    """
+    if k < 2:
+        raise ValueError(f"k_anonymity_report: k must be >= 2, got {k}")
+    if not qi_cols:
+        raise ValueError(
+            "k_anonymity_report: qi_cols must name at least one column"
+        )
+    missing = [c for c in qi_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"k_anonymity_report: missing columns {missing}")
+    sizes = df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n__")
+    )
+    return sizes.agg(
+        F.sum("__n__").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("__n__") < k, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_small_groups"),
+        F.sum(F.when(F.col("__n__") < k, F.col("__n__")).otherwise(0))
+        .cast("bigint")
+        .alias("n_small_rows"),
+        F.min("__n__").cast("bigint").alias("min_group"),
+        F.max("__n__").cast("bigint").alias("max_group"),
+    ).select(
+        "n_rows",
+        "n_groups",
+        "n_small_groups",
+        "n_small_rows",
+        F.expr("n_small_rows * 1000000 div n_rows").alias(
+            "small_rows_micro"
+        ),
+        "min_group",
+        "max_group",
+    )

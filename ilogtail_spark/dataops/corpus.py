@@ -2121,3 +2121,74 @@ def novelty_curve(
         .alias("n_seen_before"),
         F.expr("n_novel * 1000000 div n_shingles").alias("novelty_micro"),
     )
+
+
+LICENSE_CLASSES: list[tuple[str, str]] = [
+    ("copyright", r"(?i)(copyright|\(c\)|©|all rights reserved)"),
+    ("cc", r"(?i)(creative commons|cc-by)"),
+    ("gpl", r"(?i)(gnu general public license|\bgpl\b)"),
+    ("confidential", r"(?i)(confidential|proprietary|do not distribute)"),
+]
+
+
+def license_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    classes: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """License / rights-marker census per source: how much of each
+    source carries copyright lines, open-license grants (CC/GPL), or
+    confidentiality markers — the compliance card a training-data
+    release reads next to the PII and canary scans (canary_scan
+    finds PLANTED strings; this counts the organic rights language
+    that decides whether a source may be trained on at all). Marker
+    classes are (name, regex) pairs, deliberately simple
+    alternations (Java-regex/RE2-identical, shared with the oracle);
+    swap in counsel-approved patterns via ``classes``.
+
+    Output per source: n_docs, one ``<name>_docs`` count per class,
+    flagged_docs (docs matching ANY class), flagged_micro. A doc can
+    count toward several classes (a GPL header almost always also
+    says "copyright").
+
+    Scale shape: every class regex collapses to a boolean at the
+    scan; ONE combiner-fed rollup on source is the only shuffle and
+    carries a handful of ints per row. Text never leaves the scan.
+    """
+    classes = LICENSE_CLASSES if classes is None else classes
+    if not classes:
+        raise ValueError(
+            "license_scan: classes must name at least one (name, regex)"
+        )
+    missing = [c for c in (text_col, source_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"license_scan: missing columns {missing}")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    flags = df.select(
+        F.col(source_col).alias("source"),
+        *[t.rlike(pat).alias(f"__{name}__") for name, pat in classes],
+    )
+    any_flag = None
+    for name, _ in classes:
+        c = F.col(f"__{name}__")
+        any_flag = c if any_flag is None else (any_flag | c)
+    agg = flags.withColumn("__any__", any_flag).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[
+            F.sum(F.when(F.col(f"__{name}__"), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{name}_docs")
+            for name, _ in classes
+        ],
+        F.sum(F.when(F.col("__any__"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("flagged_docs"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        *[f"{name}_docs" for name, _ in classes],
+        "flagged_docs",
+        F.expr("flagged_docs * 1000000 div n_docs").alias("flagged_micro"),
+    )

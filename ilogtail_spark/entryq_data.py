@@ -7254,3 +7254,122 @@ def q_events_enrich_miss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.referential_audit(
         ev, cust, fk_col="user_id", pk_col="c_custkey"
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity release card — QI = (user_id, event_type); the natural
+# fixture's group-size spread puts rows on both sides of k=5
+# ---------------------------------------------------------------------------
+@query(
+    "events_k_anonymity",
+    """
+    WITH g AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_groups,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS n_small_rows,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1000000
+                // sum(n) AS BIGINT) AS small_rows_micro,
+           CAST(min(n) AS BIGINT) AS min_group,
+           CAST(max(n) AS BIGINT) AS max_group
+    FROM g
+    """,
+)
+def q_events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.k_anonymity_report(
+        ev, qi_cols=["user_id", "event_type"], k=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# license-marker census — injected rights language on doc_id mod
+# (ordered CASE: one marker class appended per doc)
+# ---------------------------------------------------------------------------
+_LICENSE_CASE = """CASE
+      WHEN doc_id % 13 = 0 THEN coalesce(text, '')
+        || ' © 2024 Example Corp. All rights reserved.'
+      WHEN doc_id % 17 = 0 THEN coalesce(text, '')
+        || ' Licensed under CC-BY 4.0 (Creative Commons).'
+      WHEN doc_id % 19 = 0 THEN coalesce(text, '')
+        || ' This document is confidential; do not distribute.'
+      WHEN doc_id % 23 = 0 THEN coalesce(text, '')
+        || ' Distributed under the GNU General Public License.'
+      ELSE text END"""
+
+
+def _inject_license(docs: DataFrame) -> DataFrame:
+    """DataFrame twin of _LICENSE_CASE."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(t, F.lit(" © 2024 Example Corp. All rights reserved.")),
+        )
+        .when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(
+                t, F.lit(" Licensed under CC-BY 4.0 (Creative Commons).")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 19 == 0,
+            F.concat(
+                t, F.lit(" This document is confidential; do not distribute.")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 23 == 0,
+            F.concat(
+                t, F.lit(" Distributed under the GNU General Public License.")
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+
+
+_LICENSE_FLAG_SQL = ",\n             ".join(
+    "regexp_matches(coalesce(text, ''), '{pat}') AS f_{name}".format(
+        pat=pat.replace("'", "''"), name=name
+    )
+    for name, pat in corpus.LICENSE_CLASSES
+)
+_LICENSE_AGG_SQL = ",\n           ".join(
+    "CAST(sum(CASE WHEN f_{name} THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS {name}_docs".format(name=name)
+    for name, _ in corpus.LICENSE_CLASSES
+)
+_LICENSE_ANY_SQL = " OR ".join(
+    f"f_{name}" for name, _ in corpus.LICENSE_CLASSES
+)
+
+
+@query(
+    "corpus_license_scan",
+    f"""
+    WITH d AS (
+      SELECT source, {_LICENSE_CASE} AS text FROM documents
+    ), f AS (
+      SELECT source,
+             {_LICENSE_FLAG_SQL}
+      FROM d
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {_LICENSE_AGG_SQL},
+           CAST(sum(CASE WHEN {_LICENSE_ANY_SQL} THEN 1 ELSE 0 END)
+                AS BIGINT) AS flagged_docs,
+           CAST(sum(CASE WHEN {_LICENSE_ANY_SQL} THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS flagged_micro
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def q_corpus_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _inject_license(_t(spark, sf_dir, "documents"))
+    return corpus.license_scan(docs).orderBy("source")

@@ -1472,3 +1472,43 @@ class TestReferentialAudit:
         par = sorted(map(tuple, analytics.referential_audit(
             ev.repartition(7), dim).collect()))
         assert one == par
+
+
+class TestKAnonymityReport:
+    def test_small_group_accounting(self, spark):
+        rows = ([(1, "a")] * 6 + [(2, "a")] * 3 + [(3, "b")] * 1)
+        df = spark.createDataFrame(rows, "user_id int, event_type string")
+        r = analytics.k_anonymity_report(
+            df, ["user_id", "event_type"], k=5).collect()[0]
+        assert r["n_rows"] == 10
+        assert r["n_groups"] == 3
+        assert r["n_small_groups"] == 2       # sizes 3 and 1
+        assert r["n_small_rows"] == 4
+        assert r["small_rows_micro"] == 400_000
+        assert (r["min_group"], r["max_group"]) == (1, 6)
+
+    def test_nulls_form_their_own_group(self, spark):
+        rows = [(None, "a")] * 5 + [(1, "a")]
+        df = spark.createDataFrame(rows, "user_id int, event_type string")
+        r = analytics.k_anonymity_report(
+            df, ["user_id", "event_type"], k=5).collect()[0]
+        assert r["n_groups"] == 2
+        assert r["n_small_rows"] == 1          # only the (1, a) singleton
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([], "user_id int, event_type string")
+        with pytest.raises(ValueError, match="k must"):
+            analytics.k_anonymity_report(df, ["user_id"], k=1)
+        with pytest.raises(ValueError, match="at least one column"):
+            analytics.k_anonymity_report(df, [], k=5)
+        with pytest.raises(ValueError, match="missing"):
+            analytics.k_anonymity_report(df, ["nope"], k=5)
+
+    def test_parallelism_invariant(self, spark):
+        rows = [(i % 13, "t%d" % (i % 3)) for i in range(100)]
+        df = spark.createDataFrame(rows, "user_id int, event_type string")
+        one = analytics.k_anonymity_report(
+            df.coalesce(1), ["user_id", "event_type"]).collect()
+        par = analytics.k_anonymity_report(
+            df.repartition(7), ["user_id", "event_type"]).collect()
+        assert sorted(map(tuple, one)) == sorted(map(tuple, par))

@@ -1241,3 +1241,54 @@ class TestNoveltyCurve:
         par = sorted(map(tuple, corpus.novelty_curve(
             df.repartition(7)).collect()))
         assert one == par
+
+
+class TestLicenseScan:
+    SCHEMA = "doc_id long, text string, source string"
+
+    def test_classes_and_any_flag(self, spark):
+        from ilogtail_spark.dataops import corpus
+        rows = [
+            (1, "plain text", "s"),
+            (2, "Copyright 2020 Acme. All rights reserved.", "s"),
+            (3, "released under the GNU General Public License", "s"),
+            (4, "this is CONFIDENTIAL and proprietary", "s"),
+            (5, "dual: Creative Commons AND copyright notice", "s"),
+            (6, None, "s"),
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        r = corpus.license_scan(df).collect()[0]
+        assert r["n_docs"] == 6
+        assert r["copyright_docs"] == 2      # docs 2 and 5
+        assert r["cc_docs"] == 1
+        assert r["gpl_docs"] == 1
+        assert r["confidential_docs"] == 1
+        assert r["flagged_docs"] == 4        # doc 5 counts once
+        assert r["flagged_micro"] == 666_666
+
+    def test_gpl_word_boundary(self, spark):
+        from ilogtail_spark.dataops import corpus
+        df = spark.createDataFrame(
+            [(1, "the gplv3 acronym alone", "s"),
+             (2, "licensed as GPL today", "s")], self.SCHEMA)
+        r = corpus.license_scan(df).collect()[0]
+        assert r["gpl_docs"] == 1            # \bgpl\b: doc 2 only
+
+    def test_validation(self, spark):
+        from ilogtail_spark.dataops import corpus
+        df = spark.createDataFrame([], self.SCHEMA)
+        with pytest.raises(ValueError, match="missing"):
+            corpus.license_scan(df, source_col="nope")
+        with pytest.raises(ValueError, match="at least one"):
+            corpus.license_scan(df, classes=[])
+
+    def test_parallelism_invariant(self, spark):
+        from ilogtail_spark.dataops import corpus
+        rows = [(i, "copyright x" if i % 3 == 0 else "plain",
+                 "s%d" % (i % 4)) for i in range(40)]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        one = sorted(map(tuple, corpus.license_scan(
+            df.coalesce(1)).collect()))
+        par = sorted(map(tuple, corpus.license_scan(
+            df.repartition(7)).collect()))
+        assert one == par

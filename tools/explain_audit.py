@@ -2923,6 +2923,45 @@ def main() -> int:
         "drain.",
     )
 
+    # 82. k-anonymity release card / license-marker census
+    q82k = _an77.k_anonymity_report(
+        _ev77, ["user_id", "event_type"], k=5
+    )
+    p82k = formatted(q82k)
+    ex82k = _hash_exchanges(p82k)
+    _docs82 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q82l = _corp79.license_scan(_docs82)
+    p82l = formatted(q82l)
+    ex82l = _hash_exchanges(p82l)
+    audit(
+        "k-anonymity release card / license-marker census",
+        q82k,
+        [
+            ("k_anonymity: one combiner-fed QI count (the only raw-"
+             "row pass), then a SINGLE-ROW global rollup over the "
+             "group-size table — wide state is distinct-QI "
+             "cardinality, and the single-partition exchange moves "
+             "per-partition partials only",
+             len(ex82k) == 1
+             and "SinglePartition" in p82k),
+            ("k_anonymity shuffles carry no props/value payload",
+             all("props#" not in e and "value#" not in e
+                 for e in ex82k)),
+            ("license_scan: four class regexes collapse to booleans "
+             "at the scan; ONE combiner-fed rollup on source is the "
+             "only shuffle; text never leaves the scan",
+             len(ex82l) == 1 and "text#" not in ex82l[0]),
+            ("no Python in either plan",
+             not re.search(r"EvalPython|InPandas", p82k + p82l)),
+        ],
+        "k_anonymity_report measures re-identifiability of the row "
+        "set (the release companion of the in-text PII scanners); "
+        "license_scan counts organic rights language per source — "
+        "canary_scan finds planted strings, this finds the "
+        "copyright/CC/GPL/confidentiality markers that decide "
+        "whether a source may be trained on.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
