@@ -2233,3 +2233,100 @@ def k_anonymity_report(
         "min_group",
         "max_group",
     )
+
+
+def mttr_report(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    error_value: str = "error",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Incident-recovery (MTTR) card per identity key: an incident
+    OPENS at an error event whose previous event (in (ts, order)
+    order) was not an error — consecutive errors extend the same
+    incident, they don't open new ones — and CLOSES at the first
+    subsequent non-error event (the recovery signal). The ops
+    question behind the reference's alarm/self-monitor counters
+    (`core/monitor/AlarmManager.h` tracks error counts; operators
+    triage with "how long until it RECOVERED"): retry_storms finds
+    duplicate deliveries, outage_windows finds silence — this
+    measures time-to-heal.
+
+    Output per key with >= 1 incident: (key, n_incidents,
+    n_recovered, n_open [incidents never followed by a non-error
+    event], mean_ttr_us, max_ttr_us). TTR is exact epoch-microsecond
+    arithmetic (a 600.4 s recovery never second-floors — the
+    retry_storms lesson) and mean_ttr_us is integer `div` over the
+    recovered incidents (NULL when none recovered), so every number
+    is engine-reproducible. Rows with NULL key/ts are dropped;
+    ``order_col`` breaks ts ties into a total order on both engines.
+
+    Scale shape: only (key, ts, order, is_error) survive the scan.
+    The open-flag lag window, the reverse running-min recovery
+    window, and the final rollup all partition on key — ONE hash
+    exchange on key feeds all three (the two window sorts reuse the
+    exchange; the aggregate is combiner-fed above it). State per
+    task is O(1) per window frame; output is bounded by keys with
+    incidents, never row count.
+    """
+    missing = [
+        c for c in (key_col, ts_col, type_col, order_col)
+        if c not in df.columns
+    ]
+    if missing:
+        raise ValueError(f"mttr_report: missing columns {missing}")
+    slim = df.select(
+        F.col(key_col).alias("key"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us__"),
+        F.col(order_col).alias("__ord__"),
+        (F.col(type_col) == error_value).alias("__err__"),
+    ).filter(F.col("key").isNotNull() & F.col("__us__").isNotNull())
+    w = Window.partitionBy("key").orderBy("__us__", "__ord__")
+    w_rev = (
+        Window.partitionBy("key")
+        .orderBy(F.col("__us__").desc(), F.col("__ord__").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = slim.withColumn("__prev_err__", F.lag("__err__").over(w)).withColumn(
+        "__rec_us__",
+        F.min(F.when(~F.col("__err__"), F.col("__us__"))).over(w_rev),
+    )
+    incidents = marked.filter(
+        F.col("__err__")
+        & (F.col("__prev_err__").isNull() | ~F.col("__prev_err__"))
+    ).select(
+        "key",
+        F.col("__us__").alias("__open__"),
+        F.col("__rec_us__").alias("__rec__"),
+    )
+    return (
+        incidents.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_incidents"),
+            F.count("__rec__").cast("bigint").alias("n_recovered"),
+            (F.count(F.lit(1)) - F.count("__rec__"))
+            .cast("bigint")
+            .alias("n_open"),
+            F.sum(F.col("__rec__") - F.col("__open__"))
+            .cast("bigint")
+            .alias("__sum_ttr__"),
+            F.max(F.col("__rec__") - F.col("__open__"))
+            .cast("bigint")
+            .alias("max_ttr_us"),
+        )
+        .select(
+            "key",
+            "n_incidents",
+            "n_recovered",
+            "n_open",
+            F.when(
+                F.col("n_recovered") > 0,
+                F.expr("__sum_ttr__ div n_recovered"),
+            )
+            .cast("bigint")
+            .alias("mean_ttr_us"),
+            "max_ttr_us",
+        )
+    )

@@ -2758,3 +2758,76 @@ def resolution_stats(
             )
         ).alias("outcome"),
     )
+
+
+def markdown_census(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    role: str = "assistant",
+) -> DataFrame:
+    """Formatting census over one role's turns (default: assistant
+    responses) — the training-mixture question "how much of this
+    corpus is code / structured markdown vs plain prose?" that
+    decides sampling weights before SFT packing. Counts four marker
+    families per conversation:
+
+    - ``n_code_blocks``: fenced code blocks — triple-backtick marker
+      count // 2, so an unclosed trailing fence (truncation_stats'
+      signal) is NOT a block here;
+    - ``n_bullet_lines``: lines starting ``"- "``;
+    - ``n_heading_lines``: lines starting ``"#"``;
+    - ``n_links``: ``](`` occurrences (the markdown link/image pivot);
+
+    plus n_turns (the role's turns) and n_md_turns (turns with any
+    marker). Every count is the replace-length identity or a
+    line-prefix filter — integer codegen expressions with no regex,
+    so Java/RE2/DuckDB can't diverge on syntax. Conversations with
+    zero ``role`` turns emit no row.
+
+    Scale shape: each turn collapses to five small integers at the
+    scan (text never shuffles); ONE combiner-fed hash aggregate on
+    conv_id is the only exchange. A trained code-detector slots in
+    the same way the lang-id heuristic documents.
+    """
+    _require(df, [conv_col, role_col, text_col], "markdown_census")
+    t = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    fence_markers = (
+        F.length(t) - F.length(F.replace(t, F.lit("```"), F.lit("")))
+    ) / F.lit(3)
+    lines = F.split(t, "\n")
+    bullets = F.size(
+        F.filter(lines, lambda x: F.substring(x, 1, 2) == F.lit("- "))
+    )
+    headings = F.size(
+        F.filter(lines, lambda x: F.substring(x, 1, 1) == F.lit("#"))
+    )
+    links = (
+        F.length(t) - F.length(F.replace(t, F.lit("]("), F.lit("")))
+    ) / F.lit(2)
+    turns = df.filter(F.col(role_col) == role).select(
+        F.col(conv_col).alias("conv_id"),
+        (fence_markers.cast("bigint") / F.lit(2))
+        .cast("bigint")
+        .alias("__blocks__"),
+        bullets.cast("bigint").alias("__bullets__"),
+        headings.cast("bigint").alias("__headings__"),
+        links.cast("bigint").alias("__links__"),
+    )
+    any_md = (
+        (F.col("__blocks__") > 0)
+        | (F.col("__bullets__") > 0)
+        | (F.col("__headings__") > 0)
+        | (F.col("__links__") > 0)
+    )
+    return turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.sum(F.when(any_md, 1).otherwise(0)).cast("bigint").alias(
+            "n_md_turns"
+        ),
+        F.sum("__blocks__").cast("bigint").alias("n_code_blocks"),
+        F.sum("__bullets__").cast("bigint").alias("n_bullet_lines"),
+        F.sum("__headings__").cast("bigint").alias("n_heading_lines"),
+        F.sum("__links__").cast("bigint").alias("n_links"),
+    )

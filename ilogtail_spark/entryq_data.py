@@ -7373,3 +7373,120 @@ _LICENSE_ANY_SQL = " OR ".join(
 def q_corpus_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _inject_license(_t(spark, sf_dir, "documents"))
     return corpus.license_scan(docs).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# incident-recovery (MTTR) card: natural fixture — the events table
+# interleaves 'error' rows with other types per user, so incidents
+# open, recover, and (for users whose LAST events are errors) stay
+# open; exact epoch-micro TTR, event_id breaks ts ties on both engines
+# ---------------------------------------------------------------------------
+@query(
+    "events_mttr",
+    """
+    WITH s AS (
+      SELECT user_id AS key, epoch_us(ts) AS us, event_id AS ord,
+             (event_type = 'error') AS is_err
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), m AS (
+      SELECT key, us, is_err,
+             lag(is_err) OVER (PARTITION BY key ORDER BY us, ord)
+               AS prev_err,
+             min(CASE WHEN NOT is_err THEN us END)
+               OVER (PARTITION BY key ORDER BY us DESC, ord DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS rec_us
+      FROM s
+    ), inc AS (
+      SELECT key, us AS open_us, rec_us FROM m
+      WHERE is_err AND (prev_err IS NULL OR NOT prev_err)
+    )
+    SELECT key,
+           CAST(count(*) AS BIGINT) AS n_incidents,
+           CAST(count(rec_us) AS BIGINT) AS n_recovered,
+           CAST(count(*) - count(rec_us) AS BIGINT) AS n_open,
+           CAST(CASE WHEN count(rec_us) > 0
+                     THEN sum(rec_us - open_us) // count(rec_us)
+                END AS BIGINT) AS mean_ttr_us,
+           CAST(max(rec_us - open_us) AS BIGINT) AS max_ttr_us
+    FROM inc GROUP BY key ORDER BY key
+    """,
+)
+def q_events_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.mttr_report(ev).orderBy("key")
+
+
+# ---------------------------------------------------------------------------
+# markdown/code formatting census: markers are INJECTED on assistant
+# turns by (conv_id + turn_idx) % 5 on BOTH engines — a fenced block,
+# bullets + a link, a heading, and a DANGLING fence (must floor to 0
+# blocks); plain props JSON carries none of the four markers
+# ---------------------------------------------------------------------------
+_MD_CASE = """CASE
+      WHEN role = 'assistant' AND (conv_id + turn_idx) % 5 = 0
+        THEN text || chr(10) || '```python' || chr(10) || 'print(1)'
+             || chr(10) || '```'
+      WHEN role = 'assistant' AND (conv_id + turn_idx) % 5 = 1
+        THEN '- first' || chr(10) || '- second' || chr(10)
+             || 'see [doc](https://example.com)'
+      WHEN role = 'assistant' AND (conv_id + turn_idx) % 5 = 2
+        THEN '# Summary' || chr(10) || text
+      WHEN role = 'assistant' AND (conv_id + turn_idx) % 5 = 3
+        THEN 'prose with ``` one dangling fence'
+      ELSE text END"""
+
+
+def _inject_markdown(t: DataFrame) -> DataFrame:
+    """DataFrame twin of _MD_CASE."""
+    m = (F.col("conv_id") + F.col("turn_idx")) % 5
+    is_a = F.col("role") == "assistant"
+    return t.withColumn(
+        "text",
+        F.when(
+            is_a & (m == 0),
+            F.concat(F.col("text"), F.lit("\n```python\nprint(1)\n```")),
+        )
+        .when(is_a & (m == 1),
+              F.lit("- first\n- second\nsee [doc](https://example.com)"))
+        .when(is_a & (m == 2), F.concat(F.lit("# Summary\n"), F.col("text")))
+        .when(is_a & (m == 3), F.lit("prose with ``` one dangling fence"))
+        .otherwise(F.col("text")),
+    )
+
+
+@query(
+    "conv_markdown_census",
+    f"""
+    WITH t0 AS (
+      {_TRANSCRIPT_SQL}
+    ), t AS (
+      SELECT conv_id, {_MD_CASE} AS text
+      FROM t0 WHERE role = 'assistant'
+    ), a AS (
+      SELECT conv_id,
+             CAST((length(x) - length(replace(x, '```', ''))) // 3
+                  AS BIGINT) // 2 AS blocks,
+             CAST(len(list_filter(string_split(x, chr(10)),
+                                  l -> l LIKE '- %')) AS BIGINT) AS bullets,
+             CAST(len(list_filter(string_split(x, chr(10)),
+                                  l -> l LIKE '#%')) AS BIGINT) AS headings,
+             CAST((length(x) - length(replace(x, '](', ''))) // 2
+                  AS BIGINT) AS links
+      FROM (SELECT conv_id, coalesce(text, '') AS x FROM t)
+    )
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(CASE WHEN blocks > 0 OR bullets > 0 OR headings > 0
+                              OR links > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_md_turns,
+           CAST(sum(blocks) AS BIGINT) AS n_code_blocks,
+           CAST(sum(bullets) AS BIGINT) AS n_bullet_lines,
+           CAST(sum(headings) AS BIGINT) AS n_heading_lines,
+           CAST(sum(links) AS BIGINT) AS n_links
+    FROM a GROUP BY conv_id ORDER BY conv_id
+    """,
+)
+def q_conv_markdown_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _inject_markdown(_as_transcript(spark, sf_dir, inject=False))
+    return conversations.markdown_census(t).orderBy("conv_id")

@@ -1512,3 +1512,68 @@ class TestKAnonymityReport:
         par = analytics.k_anonymity_report(
             df.repartition(7), ["user_id", "event_type"]).collect()
         assert sorted(map(tuple, one)) == sorted(map(tuple, par))
+
+
+class TestMttrReport:
+    SCHEMA = "user_id long, ts string, event_type string, event_id long"
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, self.SCHEMA).select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"),
+            "event_type", "event_id")
+
+    def test_open_recover_and_consecutive_errors(self, spark):
+        rows = [
+            # u1: ok, err, err (same incident), ok (recovery), err (open)
+            (1, "2024-01-01 00:00:00", "view", 0),
+            (1, "2024-01-01 00:01:00", "error", 1),
+            (1, "2024-01-01 00:02:00", "error", 2),
+            (1, "2024-01-01 00:03:30", "view", 3),
+            (1, "2024-01-01 00:10:00", "error", 4),
+            # u2: never errors -> no row
+            (2, "2024-01-01 00:00:00", "view", 5),
+        ]
+        out = {r["key"]: r for r in
+               analytics.mttr_report(self._df(spark, rows)).collect()}
+        assert set(out) == {1}
+        r = out[1]
+        assert r["n_incidents"] == 2
+        assert r["n_recovered"] == 1 and r["n_open"] == 1
+        # incident opened 00:01:00, recovered 00:03:30 -> 150 s
+        assert r["mean_ttr_us"] == 150_000_000
+        assert r["max_ttr_us"] == 150_000_000
+
+    def test_exact_micros_no_second_floor(self, spark):
+        rows = [
+            (1, "2024-01-01 00:00:00.200000", "error", 0),
+            (1, "2024-01-01 00:00:00.900001", "click", 1),
+        ]
+        r = analytics.mttr_report(self._df(spark, rows)).collect()[0]
+        assert r["mean_ttr_us"] == 700_001
+
+    def test_all_open_mean_null(self, spark):
+        rows = [(1, "2024-01-01 00:00:00", "error", 0)]
+        r = analytics.mttr_report(self._df(spark, rows)).collect()[0]
+        assert r["n_incidents"] == 1 and r["n_open"] == 1
+        assert r["mean_ttr_us"] is None and r["max_ttr_us"] is None
+
+    def test_ts_tie_broken_by_order_col(self, spark):
+        # error and recovery share a timestamp: event_id orders them,
+        # so the recovery counts with TTR 0
+        rows = [
+            (1, "2024-01-01 00:00:00", "error", 10),
+            (1, "2024-01-01 00:00:00", "view", 11),
+        ]
+        r = analytics.mttr_report(self._df(spark, rows)).collect()[0]
+        assert r["n_recovered"] == 1 and r["mean_ttr_us"] == 0
+
+    def test_null_key_ts_dropped_and_validates(self, spark):
+        rows = [
+            (None, "2024-01-01 00:00:00", "error", 0),
+            (1, None, "error", 1),
+        ]
+        assert analytics.mttr_report(self._df(spark, rows)).count() == 0
+        import pytest as _pt
+        with _pt.raises(ValueError, match="missing columns"):
+            analytics.mttr_report(
+                spark.createDataFrame([(1,)], "user_id long"))

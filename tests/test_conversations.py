@@ -1654,3 +1654,47 @@ class TestResolutionStats:
         par = sorted(map(tuple, conversations.resolution_stats(
             df.repartition(7)).collect()))
         assert one == par
+
+
+class TestMarkdownCensus:
+    SCHEMA = "conv_id long, role string, text string"
+
+    def test_counts_all_marker_families(self, spark):
+        rows = [
+            (1, "assistant",
+             "intro\n```py\nx=1\n```\n- a\n- b\n# H\nsee [d](u) [e](v)"),
+            (1, "assistant", "plain prose, no markers"),
+            (1, "user", "- user bullets never counted"),
+            (2, "assistant", "``` dangling fence only"),
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        out = {r["conv_id"]: r
+               for r in conversations.markdown_census(df).collect()}
+        r1 = out[1]
+        assert r1["n_turns"] == 2 and r1["n_md_turns"] == 1
+        assert r1["n_code_blocks"] == 1
+        assert r1["n_bullet_lines"] == 2
+        assert r1["n_heading_lines"] == 1
+        assert r1["n_links"] == 2
+        r2 = out[2]  # one marker floors to zero blocks, not an md turn
+        assert r2["n_code_blocks"] == 0 and r2["n_md_turns"] == 0
+
+    def test_no_role_turns_no_row_and_null_text(self, spark):
+        rows = [(1, "user", "- x"), (2, "assistant", None)]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        out = {r["conv_id"]: r
+               for r in conversations.markdown_census(df).collect()}
+        assert set(out) == {2}
+        assert out[2]["n_turns"] == 1 and out[2]["n_md_turns"] == 0
+
+    def test_bullet_needs_dash_space_prefix(self, spark):
+        # "-x" and mid-line " - " are not bullet LINES; "#x" is a heading
+        rows = [(1, "assistant", "-x\nno - here\n#x")]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        r = conversations.markdown_census(df).collect()[0]
+        assert r["n_bullet_lines"] == 0 and r["n_heading_lines"] == 1
+
+    def test_validates(self, spark):
+        df = spark.createDataFrame([(1,)], "conv_id long")
+        with pytest.raises(ValueError, match="markdown_census"):
+            conversations.markdown_census(df)

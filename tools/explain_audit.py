@@ -2962,6 +2962,48 @@ def main() -> int:
         "whether a source may be trained on.",
     )
 
+    # 83. MTTR (incident recovery) card / markdown-code census
+    from ilogtail_spark.dataops import conversations as _conv83
+
+    q83m = _an77.mttr_report(_ev77)
+    p83m = formatted(q83m)
+    ex83m = _hash_exchanges(p83m)
+    _t83 = _ev77.selectExpr(
+        "user_id AS conv_id", "event_id AS turn_idx",
+        "CASE WHEN event_type IN ('view','purchase') THEN 'assistant' "
+        "ELSE 'user' END AS role", "props AS text",
+    )
+    q83c = _conv83.markdown_census(_t83)
+    p83c = formatted(q83c)
+    ex83c = _hash_exchanges(p83c)
+    audit(
+        "MTTR (incident recovery) card / markdown-code census",
+        q83m,
+        [
+            ("mttr_report: ONE hash exchange on key feeds the "
+             "open-flag lag window, the reverse running-min recovery "
+             "window, AND the combiner-fed rollup (the two sorts "
+             "reuse the exchange; no re-shuffle above)",
+             len(ex83m) == 1 and "hashpartitioning(key" in ex83m[0]),
+            ("mttr shuffle carries no props/value payload",
+             all("props#" not in e and "value#" not in e
+                 for e in ex83m)),
+            ("markdown_census: every marker count is an integer "
+             "replace-length / line-prefix expression at the scan; "
+             "ONE combiner-fed exchange on conv_id, text never "
+             "shuffles",
+             len(ex83c) == 1 and "text#" not in ex83c[0]),
+            ("no Python in either plan",
+             not re.search(r"EvalPython|InPandas", p83m + p83c)),
+        ],
+        "mttr_report measures time-to-heal (retry_storms finds "
+        "duplicate deliveries, outage_windows finds silence; this "
+        "closes the triage triangle) in exact epoch-micro integer "
+        "arithmetic; markdown_census is the code/markdown "
+        "training-mixture card over assistant turns, all four "
+        "marker families regex-free.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
