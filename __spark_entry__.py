@@ -38,6 +38,7 @@ _FRONT = [
     # round-5 new queries first (never driver-checked), then the
     # r04-unsampled rotation ordered oldest-driver-check first
     "events_mttr", "conv_markdown_census",
+    "events_changepoints", "events_diversity",
     "events_retry_storms", "events_key_census",
     "conv_rephrase", "conv_loss_mask",
     "conv_resolution", "corpus_novelty",

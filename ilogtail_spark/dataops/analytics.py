@@ -2330,3 +2330,162 @@ def mttr_report(
             "max_ttr_us",
         )
     )
+
+
+def changepoint_report(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Per-key level-shift (change-point) card: the bucket boundary
+    that maximizes |mean rate before − mean rate after| over the
+    key's per-bucket counts — the "WHEN did this source's volume
+    step?" triage that trend_report (gradual slope) and rate_spikes
+    (single-bucket z-score) both miss. A config rollout that doubles
+    a source's log rate shows up as the argmax boundary with
+    before/after rates attached.
+
+    For each key, buckets PRESENT in the data are ordered and every
+    split point r (2..B) is scored: shift = |floor-micro
+    mean(buckets < r) − floor-micro mean(buckets >= r)|. The best
+    split (shift DESC, earliest bucket ASC — a total order) is
+    reported as (key, n_buckets, n_rows, split_ts [first bucket of
+    the AFTER regime], rate_before_micro, rate_after_micro,
+    shift_micro). Rates are events-per-present-bucket in floor-micro
+    integers; empty buckets are absent from the mean (gapfill_counts
+    is the dense-grid view), which is the right denominator for
+    bursty sources. All arithmetic is DECIMAL(38,0) products with
+    truncating `div` (the trend_report parity rules), so both
+    engines agree bit-for-bit. Keys with < 2 present buckets emit no
+    row.
+
+    Scale shape: stage 1 is the combiner-fed (key, bucket) count —
+    the only raw-row pass. Stage 2 windows over the bucket table
+    partition on key (cumsum, totals, argmax all share ONE
+    count-reduced exchange); state is one bucket row per key-bucket,
+    time-bounded, never row-scale.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("changepoint_report: bucket_seconds must be > 0")
+    missing = [c for c in (key_col, ts_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"changepoint_report: missing columns {missing}")
+    per_bucket = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.expr(
+                f"unix_micros(cast({ts_col} as timestamp_ltz)) div "
+                f"{int(bucket_seconds) * 1_000_000}"
+            ).alias("__x__"),
+        )
+        .filter(F.col("key").isNotNull())
+        .groupBy("key", "__x__")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__y__"))
+    )
+    wo = Window.partitionBy("key").orderBy("__x__")
+    wall = Window.partitionBy("key")
+    scored = (
+        per_bucket.withColumn("__rn__", F.row_number().over(wo))
+        .withColumn(
+            "__cum__",
+            F.sum("__y__").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("__B__", F.count(F.lit(1)).over(wall))
+        .withColumn("__S__", F.sum("__y__").over(wall))
+        .filter((F.col("__rn__") >= 2) & (F.col("__B__") >= 2))
+        .withColumn("__cumprev__", F.col("__cum__") - F.col("__y__"))
+        .withColumn(
+            "__before__",
+            F.expr(
+                "cast(__cumprev__ as decimal(38,0)) * 1000000 div "
+                "cast(__rn__ - 1 as decimal(38,0))"
+            ),
+        )
+        .withColumn(
+            "__after__",
+            F.expr(
+                "cast(__S__ - __cumprev__ as decimal(38,0)) * 1000000 div "
+                "cast(__B__ - __rn__ + 1 as decimal(38,0))"
+            ),
+        )
+        .withColumn("__shift__", F.abs(F.col("__before__") - F.col("__after__")))
+    )
+    pick = Window.partitionBy("key").orderBy(
+        F.col("__shift__").desc(), F.col("__x__").asc()
+    )
+    return (
+        scored.withColumn("__pick__", F.row_number().over(pick))
+        .filter(F.col("__pick__") == 1)
+        .select(
+            "key",
+            F.col("__B__").cast("bigint").alias("n_buckets"),
+            F.col("__S__").cast("bigint").alias("n_rows"),
+            F.timestamp_micros(
+                F.col("__x__") * int(bucket_seconds) * 1_000_000
+            ).alias("split_ts"),
+            F.col("__before__").cast("bigint").alias("rate_before_micro"),
+            F.col("__after__").cast("bigint").alias("rate_after_micro"),
+            F.col("__shift__").cast("bigint").alias("shift_micro"),
+        )
+    )
+
+
+def diversity_report(
+    df: DataFrame,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gini–Simpson diversity card per group: 1 − Σ(n_i/N)² over the
+    group's key distribution — the probability two random rows come
+    from DIFFERENT keys — plus the inverse-Simpson "effective number
+    of keys". The corpus-mixing / skew counterpart of
+    concentration_report: concentration names how much the top keys
+    own, diversity compresses the WHOLE distribution into one number
+    a mixture rebalancer can target ("source X looks like 3.2
+    effective tenants, source Y like 900").
+
+    Both numbers are exact rationals evaluated in DECIMAL(38,0):
+    simpson_micro = ((N² − Σn_i²) · 1e6) div N², and
+    effective_keys_micro = (N² · 1e6) div Σn_i² (1e6 = one key's
+    worth). No ln/entropy variant on purpose — Shannon needs libm
+    logs whose last-ulp drift breaks cross-engine floor parity;
+    Simpson is a polynomial, so DuckDB HUGEINT and Spark DECIMAL
+    agree bit-for-bit. NULL keys form their own bucket (the
+    k_anonymity rule). Output per group: (gtype, n_rows, n_keys,
+    simpson_micro, effective_keys_micro).
+
+    Scale shape: one combiner-fed (group, key) count is the only
+    raw-row pass; the moment collapse aggregates the count table
+    with O(1) state per group. At 10^12 rows N² ≈ 10^24 — inside
+    DECIMAL(38,0)/HUGEINT range, which is why the products are not
+    BIGINT.
+    """
+    missing = [c for c in (group_col, key_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"diversity_report: missing columns {missing}")
+    counts = df.groupBy(
+        F.col(group_col).alias("gtype"), F.col(key_col).alias("__k__")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__n__"))
+    moments = counts.groupBy("gtype").agg(
+        F.sum("__n__").cast("decimal(38,0)").alias("__N__"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.expr(
+            "sum(cast(__n__ as decimal(38,0)) * cast(__n__ as decimal(38,0)))"
+        )
+        .cast("decimal(38,0)")
+        .alias("__sum2__"),
+    )
+    return moments.select(
+        "gtype",
+        F.col("__N__").cast("bigint").alias("n_rows"),
+        "n_keys",
+        F.expr(
+            "cast((__N__ * __N__ - __sum2__) * 1000000 div (__N__ * __N__) "
+            "as bigint)"
+        ).alias("simpson_micro"),
+        F.expr(
+            "cast(__N__ * __N__ * 1000000 div __sum2__ as bigint)"
+        ).alias("effective_keys_micro"),
+    )

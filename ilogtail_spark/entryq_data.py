@@ -7490,3 +7490,87 @@ def _inject_markdown(t: DataFrame) -> DataFrame:
 def q_conv_markdown_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _inject_markdown(_as_transcript(spark, sf_dir, inject=False))
     return conversations.markdown_census(t).orderBy("conv_id")
+
+
+# ---------------------------------------------------------------------------
+# change-point (level-shift) card: natural fixture — hourly bucket
+# counts per event_type; every split point scored in DECIMAL/HUGEINT
+# floor-micro means, argmax on (shift DESC, bucket ASC)
+# ---------------------------------------------------------------------------
+@query(
+    "events_changepoints",
+    """
+    WITH b AS (
+      SELECT event_type AS key, epoch_us(ts) // 3600000000 AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ), w AS (
+      SELECT key, x, y,
+             row_number() OVER (PARTITION BY key ORDER BY x) AS rn,
+             sum(y) OVER (PARTITION BY key ORDER BY x
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             count(*) OVER (PARTITION BY key) AS nb,
+             sum(y) OVER (PARTITION BY key) AS st
+      FROM b
+    ), sc AS (
+      SELECT key, x, nb, st,
+             (CAST(cum - y AS HUGEINT) * 1000000)
+               // CAST(rn - 1 AS HUGEINT) AS before_m,
+             ((CAST(st AS HUGEINT) - CAST(cum - y AS HUGEINT)) * 1000000)
+               // CAST(nb - rn + 1 AS HUGEINT) AS after_m
+      FROM w WHERE rn >= 2 AND nb >= 2
+    ), p AS (
+      SELECT key, x, nb, st, before_m, after_m,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY abs(before_m - after_m) DESC, x ASC)
+               AS pick
+      FROM sc
+    )
+    SELECT key, CAST(nb AS BIGINT) AS n_buckets,
+           CAST(st AS BIGINT) AS n_rows,
+           make_timestamp(x * 3600000000) AS split_ts,
+           CAST(before_m AS BIGINT) AS rate_before_micro,
+           CAST(after_m AS BIGINT) AS rate_after_micro,
+           CAST(abs(before_m - after_m) AS BIGINT) AS shift_micro
+    FROM p WHERE pick = 1 ORDER BY key
+    """,
+)
+def q_events_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.changepoint_report(
+        ev, key_col="event_type", bucket_seconds=3600
+    ).orderBy("key")
+
+
+# ---------------------------------------------------------------------------
+# Gini-Simpson diversity / effective-keys card: natural user_id
+# distribution per event_type; all-polynomial DECIMAL/HUGEINT math
+# (no entropy logs — cross-engine ulp drift would break floor parity)
+# ---------------------------------------------------------------------------
+@query(
+    "events_diversity",
+    """
+    WITH c AS (
+      SELECT event_type AS gtype, user_id AS k,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT gtype, CAST(sum(n) AS HUGEINT) AS nn,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS HUGEINT)
+               AS sum2
+      FROM c GROUP BY 1
+    )
+    SELECT gtype, CAST(nn AS BIGINT) AS n_rows, n_keys,
+           CAST((nn * nn - sum2) * 1000000 // (nn * nn) AS BIGINT)
+             AS simpson_micro,
+           CAST(nn * nn * 1000000 // sum2 AS BIGINT)
+             AS effective_keys_micro
+    FROM m ORDER BY gtype
+    """,
+)
+def q_events_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.diversity_report(ev).orderBy("gtype")

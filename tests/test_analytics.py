@@ -1577,3 +1577,86 @@ class TestMttrReport:
         with _pt.raises(ValueError, match="missing columns"):
             analytics.mttr_report(
                 spark.createDataFrame([(1,)], "user_id long"))
+
+
+class TestChangepointReport:
+    SCHEMA = "event_type string, ts string"
+
+    def _df(self, spark, hour_counts):
+        rows = []
+        for key, per_hour in hour_counts.items():
+            for h, n in per_hour.items():
+                rows += [(key, f"2024-01-01 {h:02d}:15:00")] * n
+        return spark.createDataFrame(rows, self.SCHEMA).select(
+            "event_type", F.col("ts").cast("timestamp").alias("ts"))
+
+    def test_step_detected(self, spark):
+        out = analytics.changepoint_report(
+            self._df(spark, {"a": {0: 1, 1: 1, 2: 1, 3: 9, 4: 9}}),
+            bucket_seconds=3600).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n_buckets"] == 5 and r["n_rows"] == 21
+        assert str(r["split_ts"]) == "2024-01-01 03:00:00"
+        assert r["rate_before_micro"] == 1_000_000
+        assert r["rate_after_micro"] == 9_000_000
+        assert r["shift_micro"] == 8_000_000
+
+    def test_tie_breaks_to_earliest_bucket(self, spark):
+        # [5, 1, 5]: split at h1 and h2 both score |5 - 3| = 2e6
+        r = analytics.changepoint_report(
+            self._df(spark, {"a": {0: 5, 1: 1, 2: 5}}),
+            bucket_seconds=3600).collect()[0]
+        assert r["shift_micro"] == 2_000_000
+        assert str(r["split_ts"]) == "2024-01-01 01:00:00"
+
+    def test_floor_micro_means(self, spark):
+        # [2,1,1,1]: split at h2 scores |1.5 - 1|: floors to 1500000
+        # vs 1000000; best remains h1 (|2 - 1| = 1e6)
+        r = analytics.changepoint_report(
+            self._df(spark, {"a": {0: 2, 1: 1, 2: 1, 3: 1}}),
+            bucket_seconds=3600).collect()[0]
+        assert str(r["split_ts"]) == "2024-01-01 01:00:00"
+        assert r["shift_micro"] == 1_000_000
+
+    def test_single_bucket_no_row_and_validates(self, spark):
+        assert analytics.changepoint_report(
+            self._df(spark, {"a": {0: 3}}), bucket_seconds=3600
+        ).count() == 0
+        with pytest.raises(ValueError, match="bucket_seconds"):
+            analytics.changepoint_report(
+                self._df(spark, {"a": {0: 1}}), bucket_seconds=0)
+        with pytest.raises(ValueError, match="missing columns"):
+            analytics.changepoint_report(
+                spark.createDataFrame([(1,)], "x long"))
+
+
+class TestDiversityReport:
+    SCHEMA = "event_type string, user_id long"
+
+    def test_exact_simpson_and_effective(self, spark):
+        rows = [("a", 1)] * 3 + [("a", 2)] + [("b", 9)]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        out = {r["gtype"]: r
+               for r in analytics.diversity_report(df).collect()}
+        a = out["a"]  # N=4, sum2=10
+        assert (a["n_rows"], a["n_keys"]) == (4, 2)
+        assert a["simpson_micro"] == 375_000       # (16-10)*1e6 // 16
+        assert a["effective_keys_micro"] == 1_600_000
+        b = out["b"]  # single key: no diversity, exactly one key
+        assert b["simpson_micro"] == 0
+        assert b["effective_keys_micro"] == 1_000_000
+
+    def test_null_key_is_own_bucket(self, spark):
+        rows = [("a", None), ("a", None), ("a", 3)]
+        r = analytics.diversity_report(
+            spark.createDataFrame(rows, self.SCHEMA)).collect()[0]
+        # N=3, sum2=5 -> simpson (9-5)*1e6//9, effective 9e6//5
+        assert r["n_keys"] == 2
+        assert r["simpson_micro"] == 444_444
+        assert r["effective_keys_micro"] == 1_800_000
+
+    def test_validates(self, spark):
+        with pytest.raises(ValueError, match="missing columns"):
+            analytics.diversity_report(
+                spark.createDataFrame([(1,)], "event_type string"))

@@ -3004,6 +3004,41 @@ def main() -> int:
         "marker families regex-free.",
     )
 
+    # 84. change-point (level-shift) card / Gini-Simpson diversity
+    q84c = _an77.changepoint_report(_ev77, bucket_seconds=3600)
+    p84c = formatted(q84c)
+    ex84c = _hash_exchanges(p84c)
+    q84d = _an77.diversity_report(_ev77)
+    p84d = formatted(q84d)
+    ex84d = _hash_exchanges(p84d)
+    audit(
+        "change-point (level-shift) card / Gini-Simpson diversity",
+        q84c,
+        [
+            ("changepoint: stage 1 is the combiner-fed (key, bucket) "
+             "count — the only raw-row pass; cumsum, totals, and the "
+             "argmax pick all window on key over the bucket table, "
+             "sharing ONE count-reduced exchange",
+             len(ex84c) == 2),
+            ("diversity: one combiner-fed (group, key) count, then "
+             "an O(1)-state moment collapse per group — two "
+             "count-reduced exchanges, DECIMAL(38,0) products",
+             len(ex84d) == 2),
+            ("neither shuffle carries props/value payload",
+             all("props#" not in e and "value#" not in e
+                 for e in ex84c + ex84d)),
+            ("no Python in either plan",
+             not re.search(r"EvalPython|InPandas", p84c + p84d)),
+        ],
+        "changepoint_report finds WHEN a source's volume stepped "
+        "(trend_report sees gradual slopes, rate_spikes single "
+        "buckets — a rollout-sized level shift is this card's job); "
+        "diversity_report compresses each group's key distribution "
+        "into Simpson diversity + effective-key count, "
+        "polynomial-only so floor-micro parity survives both "
+        "engines (no entropy logs by design).",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
