@@ -39,6 +39,7 @@ _FRONT = [
     # r04-unsampled rotation ordered oldest-driver-check first
     "events_mttr", "conv_markdown_census",
     "events_changepoints", "events_diversity",
+    "retrieval_ndcg", "events_l_diversity",
     "events_retry_storms", "events_key_census",
     "conv_rephrase", "conv_loss_mask",
     "conv_resolution", "corpus_novelty",

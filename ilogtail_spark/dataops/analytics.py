@@ -2489,3 +2489,70 @@ def diversity_report(
             "cast(__N__ * __N__ * 1000000 div __sum2__ as bigint)"
         ).alias("effective_keys_micro"),
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """L-diversity card — k_anonymity_report's second axis: a QI
+    group can be large (k-anonymous) and still leak, if every row in
+    it shares the same SENSITIVE value ("all five people in that
+    zip+age bucket have the same diagnosis" — the homogeneity
+    attack). Per QI group this measures the number of DISTINCT
+    sensitive values; groups below ``l`` are weak.
+
+    Output is ONE row: (n_rows, n_groups, n_weak_groups [distinct
+    sensitive < l], n_weak_rows, weak_rows_micro, min_l, max_l).
+    NULL QI values form their own bucket (the k_anonymity rule);
+    NULL sensitive values do NOT count as a diversity value (a
+    group of all-NULL sensitives has l = 0 — unknown is not
+    diverse), matching COUNT(DISTINCT) on both engines.
+
+    Scale shape: one combiner-fed (QI, sensitive) count collapses
+    the raw rows — the widest state is distinct (QI, sensitive)
+    pairs; the per-group (n, l) reduction and the single-row rollup
+    both aggregate already-reduced tables. No row-scale data moves
+    twice, and the two-phase distinct never expands: it is an exact
+    aggregate over the pair table.
+    """
+    if l < 2:
+        raise ValueError(f"l_diversity_report: l must be >= 2, got {l}")
+    if not qi_cols:
+        raise ValueError(
+            "l_diversity_report: qi_cols must name at least one column"
+        )
+    missing = [c for c in [*qi_cols, sensitive_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"l_diversity_report: missing columns {missing}")
+    pairs = df.groupBy(
+        *qi_cols, F.col(sensitive_col).alias("__s__")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__n__"))
+    groups = pairs.groupBy(*qi_cols).agg(
+        F.sum("__n__").cast("bigint").alias("__rows__"),
+        F.count(F.when(F.col("__s__").isNotNull(), 1))
+        .cast("bigint")
+        .alias("__l__"),
+    )
+    return groups.agg(
+        F.sum("__rows__").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("__l__") < l, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_weak_groups"),
+        F.sum(F.when(F.col("__l__") < l, F.col("__rows__")).otherwise(0))
+        .cast("bigint")
+        .alias("n_weak_rows"),
+        F.min("__l__").cast("bigint").alias("min_l"),
+        F.max("__l__").cast("bigint").alias("max_l"),
+    ).select(
+        "n_rows",
+        "n_groups",
+        "n_weak_groups",
+        "n_weak_rows",
+        F.expr("n_weak_rows * 1000000 div n_rows").alias("weak_rows_micro"),
+        "min_l",
+        "max_l",
+    )

@@ -297,3 +297,111 @@ def eval_at_k(
             F.expr(f"CAST({10**9} DIV first_rel_rank AS BIGINT)"), F.lit(0)
         ).alias("mrr_nano"),
     )
+
+
+def dcg_weights(k: int) -> tuple[list[int], list[int]]:
+    """Micro-int DCG discount table for ranks 1..k plus its prefix
+    sums (the ideal-DCG lookup): w_r = round(1e6 / log2(r + 1)).
+    Computed ONCE here in Python and embedded as INTEGER LITERALS on
+    both engines (the hyperplane/centroid constant-folding trick),
+    so the logarithm never executes inside either engine — the one
+    place last-ulp libm drift could break cross-engine parity is
+    compiled away. k is eval-sized (<= tens), so the table is a
+    trivially broadcastable literal array."""
+    import math
+
+    if k <= 0:
+        raise ValueError(f"dcg_weights: k must be > 0, got {k}")
+    w = [round(1_000_000 / math.log2(r + 1)) for r in range(1, k + 1)]
+    prefix, acc = [], 0
+    for x in w:
+        acc += x
+        prefix.append(acc)
+    return w, prefix
+
+
+def ndcg_at_k(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Rank-position-aware retrieval eval: binary-relevance NDCG@k
+    per query — the card eval_at_k cannot produce, because
+    precision@k is position-blind (a run that buries its one
+    relevant hit at rank k scores the same p@k as one that leads
+    with it; NDCG separates them). DCG = Σ rel_r · w_r with the
+    w_r = 1e6/log2(r+1) discount table from :func:`dcg_weights`;
+    IDCG places the query's n_rel relevant docs at ranks 1..min(
+    n_rel, k) — i.e. the discount prefix sum — and ndcg_micro =
+    DCG·1e6 div IDCG. All integers end-to-end: the discount table is
+    a Python-computed literal shared verbatim with the SQL oracle,
+    sums are bigint (order-independent at any parallelism), division
+    truncates. Same input contract and defensive dedup as
+    eval_at_k; a query with no judgments reports NULL ndcg
+    (undefined, not zero), a judged query with no retrieved
+    relevant doc reports 0.
+
+    Output: (query_id, n_rel, dcg_micro, idcg_micro, ndcg_micro).
+
+    Scale shape: identical to eval_at_k — rank-cut results
+    aggregate k-bounded rows, the relevance mark is a
+    judgment-sized equi-join, per-query reduction is one
+    combiner-fed groupBy; the discount arrays ride the plan as
+    constant-folded literals.
+    """
+    if k <= 0:
+        raise ValueError(f"ndcg_at_k: k must be > 0, got {k}")
+    weights, prefix = dcg_weights(k)
+    wlit = F.array(*[F.lit(x) for x in weights])
+    plit = F.array(*[F.lit(x) for x in prefix])
+    rel = (
+        qrels.select(F.col(query_col), F.col(id_col))
+        .distinct()
+        .withColumn("__rel__", F.lit(1))
+    )
+    cut = (
+        results.filter(F.col(rank_col) <= k)
+        .groupBy(query_col, id_col)
+        .agg(F.min(rank_col).cast("int").alias("__rank__"))
+    )
+    marked = cut.join(rel, [query_col, id_col], "left")
+    per_q = marked.groupBy(query_col).agg(
+        F.sum(
+            F.when(
+                F.col("__rel__") == 1,
+                F.element_at(wlit, F.col("__rank__")),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("__dcg__")
+    )
+    totals = rel.groupBy(query_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rel")
+    )
+    universe = (
+        results.select(query_col)
+        .unionByName(qrels.select(query_col))
+        .distinct()
+    )
+    j = universe.join(per_q, query_col, "left").join(totals, query_col, "left")
+    n_rel = F.coalesce(F.col("n_rel"), F.lit(0)).cast("bigint")
+    dcg = F.coalesce(F.col("__dcg__"), F.lit(0)).cast("bigint")
+    idcg = F.when(
+        n_rel > 0,
+        F.element_at(plit, F.least(n_rel, F.lit(k)).cast("int")),
+    ).cast("bigint")
+    return j.select(
+        F.col(query_col),
+        n_rel.alias("n_rel"),
+        dcg.alias("dcg_micro"),
+        idcg.alias("idcg_micro"),
+    ).withColumn(
+        "ndcg_micro",
+        F.when(
+            F.col("n_rel") > 0,
+            F.expr("1000000 * dcg_micro div idcg_micro"),
+        ).cast("bigint"),
+    )

@@ -7574,3 +7574,107 @@ def q_events_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return analytics.diversity_report(ev).orderBy("gtype")
+
+
+# ---------------------------------------------------------------------------
+# NDCG@k: same probe/qrels construction as retrieval_eval_at_k; the
+# 1/log2(r+1) discount table is computed ONCE in Python
+# (retrieval.dcg_weights) and embedded as integer literals in BOTH
+# engines, so no logarithm ever runs inside either engine
+# ---------------------------------------------------------------------------
+def _ndcg_oracle(k: int = 5, qmod: int = 97, qrem: int = 5) -> str:
+    w, p = retrieval.dcg_weights(k)
+    wl = "[" + ", ".join(map(str, w)) + "]"
+    pl = "[" + ", ".join(map(str, p)) + "]"
+    toks = SQL_TOKENS.format(col="lower(text)")
+    return f"""
+    WITH results AS ({_bm25_oracle(k)}), probes AS (
+      SELECT doc_id AS query_id,
+             array_to_string(({toks})[1:8], ' ') AS qtext
+      FROM documents WHERE doc_id % {qmod} = {qrem}
+    ), qrels AS (
+      SELECT DISTINCT p.query_id, d.doc_id
+      FROM documents d CROSS JOIN probes p
+      WHERE position(p.qtext IN lower(d.text)) > 0
+    ), marked AS (
+      SELECT r.query_id, r.rank,
+             CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM results r LEFT JOIN qrels q
+        ON q.query_id = r.query_id AND q.doc_id = r.doc_id
+      WHERE r.rank <= {k}
+    ), per_q AS (
+      SELECT query_id,
+             CAST(sum(rel * ({wl})[rank]) AS BIGINT) AS dcg
+      FROM marked GROUP BY query_id
+    ), totals AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+      FROM qrels GROUP BY query_id
+    )
+    SELECT query_id,
+           coalesce(n_rel, 0) AS n_rel,
+           coalesce(dcg, 0) AS dcg_micro,
+           CASE WHEN coalesce(n_rel, 0) > 0
+                THEN CAST(({pl})[least(n_rel, {k})] AS BIGINT) END
+             AS idcg_micro,
+           CASE WHEN coalesce(n_rel, 0) > 0
+                THEN CAST((1000000 * coalesce(dcg, 0))
+                          // ({pl})[least(n_rel, {k})] AS BIGINT) END
+             AS ndcg_micro
+    FROM per_q FULL OUTER JOIN totals USING (query_id)
+    ORDER BY query_id
+    """
+
+
+@query("retrieval_ndcg", _ndcg_oracle())
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    probes = _bm25_probes(docs)
+    results = retrieval.bm25_topk(docs, probes, k=5)
+    qrels = (
+        docs.crossJoin(F.broadcast(probes))
+        .filter(F.instr(F.lower(F.col("text")), F.col("qtext")) > 0)
+        .select("query_id", "doc_id")
+    )
+    return retrieval.ndcg_at_k(results, qrels, k=5).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# l-diversity release card: QI = (user_id, event_type), sensitive =
+# floor(value) % 5 derived deterministically on BOTH engines; natural
+# group sizes put singleton groups below l and busy groups above
+# ---------------------------------------------------------------------------
+@query(
+    "events_l_diversity",
+    """
+    WITH pairs AS (
+      SELECT user_id, event_type,
+             CAST(floor(value) AS BIGINT) % 5 AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    ), groups AS (
+      SELECT user_id, event_type,
+             CAST(sum(n) AS BIGINT) AS rows_,
+             CAST(count(CASE WHEN s IS NOT NULL THEN 1 END) AS BIGINT)
+               AS l
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT CAST(sum(rows_) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_weak_groups,
+           CAST(sum(CASE WHEN l < 2 THEN rows_ ELSE 0 END) AS BIGINT)
+             AS n_weak_rows,
+           CAST((sum(CASE WHEN l < 2 THEN rows_ ELSE 0 END) * 1000000)
+                // sum(rows_) AS BIGINT) AS weak_rows_micro,
+           CAST(min(l) AS BIGINT) AS min_l,
+           CAST(max(l) AS BIGINT) AS max_l
+    FROM groups
+    """,
+)
+def q_events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "sens", F.floor(F.col("value")).cast("bigint") % 5
+    )
+    return analytics.l_diversity_report(
+        ev, ["user_id", "event_type"], "sens", l=2
+    )

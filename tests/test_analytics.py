@@ -1660,3 +1660,30 @@ class TestDiversityReport:
         with pytest.raises(ValueError, match="missing columns"):
             analytics.diversity_report(
                 spark.createDataFrame([(1,)], "event_type string"))
+
+
+class TestLDiversityReport:
+    SCHEMA = "zip string, age string, diag string"
+
+    def test_weak_groups_and_null_rules(self, spark):
+        rows = [
+            ("z1", "a", "flu"), ("z1", "a", "flu"), ("z1", "a", "cold"),
+            ("z2", "b", "flu"), ("z2", "b", "flu"),        # homogeneous
+            ("z3", "c", None), ("z3", "c", None),          # all-NULL: l=0
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        r = analytics.l_diversity_report(
+            df, ["zip", "age"], "diag", l=2).collect()[0]
+        assert (r["n_rows"], r["n_groups"]) == (7, 3)
+        assert r["n_weak_groups"] == 2 and r["n_weak_rows"] == 4
+        assert r["weak_rows_micro"] == (4 * 1_000_000) // 7
+        assert (r["min_l"], r["max_l"]) == (0, 2)
+
+    def test_validates(self, spark):
+        df = spark.createDataFrame([("a", "b", "c")], self.SCHEMA)
+        with pytest.raises(ValueError, match="l must be >= 2"):
+            analytics.l_diversity_report(df, ["zip"], "diag", l=1)
+        with pytest.raises(ValueError, match="qi_cols"):
+            analytics.l_diversity_report(df, [], "diag")
+        with pytest.raises(ValueError, match="missing columns"):
+            analytics.l_diversity_report(df, ["nope"], "diag")

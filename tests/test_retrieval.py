@@ -201,3 +201,57 @@ class TestEvalAtKReviewRegressions:
         out = retrieval.eval_at_k(results, qrels, k=10).collect()
         assert len(out) == 1
         assert (out[0]["query_id"], out[0]["p_at_k_micro"]) == (5, 0)
+
+
+class TestNdcgAtK:
+    def _frames(self, spark, results, qrels):
+        r = spark.createDataFrame(
+            results, "query_id long, doc_id long, rank long")
+        q = spark.createDataFrame(qrels, "query_id long, doc_id long")
+        return r, q
+
+    def test_weights_table(self):
+        w, p = retrieval.dcg_weights(3)
+        assert w == [1_000_000, 630_930, 500_000]
+        assert p == [1_000_000, 1_630_930, 2_130_930]
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            retrieval.dcg_weights(0)
+
+    def test_position_aware_and_edges(self, spark):
+        results = [
+            (1, 10, 1), (1, 20, 2), (1, 30, 3),   # rel at ranks 2, 3
+            (3, 40, 1),                            # no judgments
+            (4, 50, 1),                            # perfect ranking
+        ]
+        qrels = [(1, 20), (1, 30), (2, 60), (4, 50)]
+        r, q = self._frames(spark, results, qrels)
+        out = {x["query_id"]: x
+               for x in retrieval.ndcg_at_k(r, q, k=3).collect()}
+        one = out[1]
+        assert one["dcg_micro"] == 630_930 + 500_000
+        assert one["idcg_micro"] == 1_630_930
+        assert one["ndcg_micro"] == (1_130_930 * 10**6) // 1_630_930
+        # judged but nothing retrieved: zero, not missing
+        two = out[2]
+        assert two["dcg_micro"] == 0 and two["ndcg_micro"] == 0
+        # no judgments: undefined, not zero
+        three = out[3]
+        assert three["n_rel"] == 0 and three["ndcg_micro"] is None
+        # perfect single-hit ranking scores exactly 1.0
+        assert out[4]["ndcg_micro"] == 1_000_000
+
+    def test_duplicate_results_collapse_to_best_rank(self, spark):
+        r, q = self._frames(
+            spark, [(1, 10, 3), (1, 10, 1)], [(1, 10)])
+        out = retrieval.ndcg_at_k(r, q, k=3).collect()[0]
+        assert out["dcg_micro"] == 1_000_000
+        assert out["ndcg_micro"] == 1_000_000
+
+    def test_idcg_caps_at_k(self, spark):
+        # 5 relevant docs, k=3: ideal list only has 3 slots
+        qrels = [(1, d) for d in range(5)]
+        r, q = self._frames(spark, [(1, 0, 1)], qrels)
+        out = retrieval.ndcg_at_k(r, q, k=3).collect()[0]
+        assert out["n_rel"] == 5
+        assert out["idcg_micro"] == 2_130_930

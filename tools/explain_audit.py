@@ -3039,6 +3039,60 @@ def main() -> int:
         "engines (no entropy logs by design).",
     )
 
+    # 85. NDCG@k retrieval eval / l-diversity release card
+    from ilogtail_spark.dataops import retrieval as _ret85
+    from ilogtail_spark.entryq_data import _bm25_probes as _probes85
+
+    _docs85 = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    _pr85 = _probes85(_docs85)
+    _res85 = _ret85.bm25_topk(_docs85, _pr85, k=5)
+    _qr85 = (
+        _docs85.crossJoin(F.broadcast(_pr85))
+        .filter(F.instr(F.lower(F.col("text")), F.col("qtext")) > 0)
+        .select("query_id", "doc_id")
+    )
+    q85n = _ret85.ndcg_at_k(_res85, _qr85, k=5)
+    p85n = formatted(q85n)
+    ex85n = _hash_exchanges(p85n)
+    q85l = _an77.l_diversity_report(
+        _ev77.withColumn(
+            "sens", F.floor(F.col("value")).cast("bigint") % 5
+        ),
+        ["user_id", "event_type"],
+        "sens",
+        l=2,
+    )
+    p85l = formatted(q85l)
+    ex85l = _hash_exchanges(p85l)
+    audit(
+        "NDCG@k retrieval eval / l-diversity release card",
+        q85n,
+        [
+            ("ndcg: the discount table rides the plan as constant-"
+             "folded literals (no log() call in either engine) and "
+             "no post-scan hash exchange carries document text",
+             all("text#" not in e for e in ex85n)),
+            ("l_diversity: (QI, sensitive) combiner-fed count is "
+             "the only raw-row pass; the per-group reduction and "
+             "the single-row rollup aggregate already-reduced "
+             "tables (SinglePartition moves partials only)",
+             len(ex85l) == 2 and "SinglePartition" in p85l),
+            ("l_diversity shuffles carry no props payload",
+             all("props#" not in e for e in ex85l)),
+            ("no Python in either plan",
+             not re.search(r"EvalPython|InPandas", p85n + p85l)),
+        ],
+        "ndcg_at_k adds the rank-position-aware eval eval_at_k "
+        "cannot express (precision@k is position-blind); the "
+        "1/log2(r+1) discounts are Python-computed micro-int "
+        "literals shared verbatim with the DuckDB oracle. "
+        "l_diversity_report is k_anonymity's second axis: a "
+        "k-anonymous group whose sensitive attribute is homogeneous "
+        "still leaks, and this counts those groups.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
