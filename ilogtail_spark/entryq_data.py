@@ -7678,3 +7678,41 @@ def q_events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.l_diversity_report(
         ev, ["user_id", "event_type"], "sens", l=2
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming outage twin — a gap emits when its CLOSING event arrives,
+# so a full two-batch drain equals the batch card row-for-row (no
+# withheld-trailing exclusion, unlike sessionize/retry-storm twins);
+# the midpoint cut exercises a gap SPANNING the batch boundary
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_outage_windows",
+    """
+    WITH s AS (
+      SELECT CAST(event_type AS VARCHAR) AS key, ts,
+             lag(ts) OVER (PARTITION BY event_type ORDER BY ts) AS prev
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT key, epoch_us(prev) AS gap_start_us, epoch_us(ts) AS gap_end_us,
+           CAST(epoch_us(ts) // 1000000 - epoch_us(prev) // 1000000
+                AS BIGINT) AS gap_sec
+    FROM s
+    WHERE epoch_us(ts) // 1000000 - epoch_us(prev) // 1000000 >= 7200
+    ORDER BY key, gap_start_us, gap_end_us
+    """,
+)
+def q_streaming_outage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ilogtail_spark.streaming.stream import streaming_outage_windows
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    out = _drain_two_batch_stream(
+        spark,
+        ev,
+        "event_type string, ts timestamp",
+        lambda s: streaming_outage_windows(
+            s, "event_type", "ts", min_gap_seconds=7200
+        ),
+    )
+    return out.orderBy("key", "gap_start_us", "gap_end_us")

@@ -761,3 +761,89 @@ def streaming_retry_storms(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_outage_windows(
+    stream_df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    min_gap_seconds: int = 3600,
+):
+    """Stateful streaming twin of :func:`dataops.analytics.
+    outage_windows`: report silence gaps ON the live stream — the
+    file-tail liveness alarm while the source is still quiet, not
+    the post-mortem. A gap is emitted the moment its CLOSING event
+    arrives (a gap is unknowable before the source speaks again),
+    so unlike the sessionize/retry-storm twins NOTHING is withheld:
+    a full drain equals the batch card row-for-row, and the oracle
+    is the batch oracle itself. The one semantic difference is
+    inherent: a source that never recovers never emits — pair with
+    a state-TTL alarm for the still-silent case.
+
+    State per key = last_us (ONE scalar — O(keys), no row
+    buffering). Gap length is floor-second arithmetic
+    (us div 1e6 deltas), mirroring the batch twin's
+    ``unix_timestamp`` subtraction exactly, threshold inclusive.
+    Rows inside one micro-batch fold ts-sorted (Arrow-chunking
+    invariant); across batches the fold is arrival-ordered —
+    time-ordered feeds give exact batch parity. NULL key/ts rows
+    are dropped, matching the batch twin.
+
+    Output: (key, gap_start_us, gap_end_us, gap_sec).
+
+    Precondition: UTC session zone (get_spark pins it).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if min_gap_seconds <= 0:
+        raise ValueError(
+            "streaming_outage_windows: min_gap_seconds must be > 0"
+        )
+    if key_col not in stream_df.columns or ts_col not in stream_df.columns:
+        raise ValueError(
+            f"streaming_outage_windows: missing columns "
+            f"{[c for c in (key_col, ts_col) if c not in stream_df.columns]}"
+        )
+    key_type = {
+        f.name: f.dataType.simpleString() for f in stream_df.schema.fields
+    }[key_col]
+    out_schema = (
+        f"key {key_type}, gap_start_us bigint, gap_end_us bigint, "
+        "gap_sec bigint"
+    )
+    state_schema = "last_us bigint"
+
+    def folder(key, pdfs, state: GroupState):
+        prev = state.get[0] if state.exists else None
+        ts_list: list[int] = []
+        for pdf in pdfs:
+            pdf = pdf[pdf[ts_col].notna()]
+            ts_list.extend((pdf[ts_col].astype("int64") // 1000).tolist())
+        ts_list.sort()
+        rows: list[tuple] = []
+        for t_us in ts_list:
+            if prev is not None:
+                gap = t_us // 1_000_000 - prev // 1_000_000
+                if gap >= min_gap_seconds:
+                    rows.append((*key, prev, t_us, gap))
+            prev = t_us
+        if prev is not None:
+            state.update((prev,))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["key", "gap_start_us", "gap_end_us", "gap_sec"],
+            )
+
+    return (
+        stream_df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            folder,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -594,3 +594,67 @@ def test_streaming_retry_storms_validation(spark):
         streaming_retry_storms(df, min_run=1)
     with pytest.raises(ValueError, match="at least one column"):
         streaming_retry_storms(df, identity_cols=[])
+
+
+def test_streaming_outage_windows_gap_spans_batches(spark, tmp_path):
+    """A silence gap whose closing event arrives in the NEXT
+    micro-batch is emitted once with exact bounds; sub-threshold
+    gaps and NULL keys/timestamps stay silent; a source that never
+    recovers emits nothing."""
+    import datetime as dt
+    import time as _time
+
+    from ilogtail_spark.streaming.stream import streaming_outage_windows
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_type string, ts timestamp"
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ev(secs, key="api"):
+        return (key, t0 + dt.timedelta(seconds=secs))
+
+    # api: events at 0, 10 | (cut) | 7300 -> one 7290 s gap closing
+    # in batch 2. db: small gaps only. quiet: one event then silence
+    # forever -> nothing. NULL key and NULL ts rows are dropped.
+    spark.createDataFrame(
+        [ev(0), ev(10), ev(0, "db"), ev(0, "quiet"), (None, t0),
+         ("api", None)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [ev(7300), ev(100, "db")], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    (
+        streaming_outage_windows(stream, min_gap_seconds=3600)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["key"] == "api" and r["gap_sec"] == 7290
+    assert (r["gap_end_us"] - r["gap_start_us"]) == 7290 * 1_000_000
+
+
+def test_streaming_outage_windows_validation(spark):
+    from ilogtail_spark.streaming.stream import streaming_outage_windows
+
+    df = spark.createDataFrame([], "event_type string, ts timestamp")
+    with pytest.raises(ValueError, match="min_gap_seconds"):
+        streaming_outage_windows(df, min_gap_seconds=0)
+    with pytest.raises(ValueError, match="missing columns"):
+        streaming_outage_windows(df, key_col="nope")
