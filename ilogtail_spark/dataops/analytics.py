@@ -2556,3 +2556,138 @@ def l_diversity_report(
         "min_l",
         "max_l",
     )
+
+
+def apdex_report(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    threshold: float = 10.0,
+) -> DataFrame:
+    """Apdex card per key: the SRE satisfaction ratio over a latency
+    column — satisfied (value <= T), tolerating (T < value <= 4T),
+    frustrated (the rest) — collapsed to apdex_milli = 1000 * (sat +
+    tol/2) / n, computed as (2*sat + tol) * 500 div n so the number
+    is an exact integer on both engines (no float half-weights). The
+    "is it fast ENOUGH" companion of grouped_quantiles: a quantile
+    tells you the p95, Apdex tells you what share of users noticed.
+
+    NULL values are excluded from n (unknown latency is not
+    frustration). Output per key: (key, n, n_satisfied,
+    n_tolerating, n_frustrated, apdex_milli). Keys with zero
+    non-NULL values emit no row.
+
+    Scale shape: three CASE counters in ONE combiner-fed aggregate —
+    the only exchange carries four counters per key, O(1) state,
+    no window, no value-domain sort (the cheapest of the latency
+    cards by construction).
+    """
+    if threshold <= 0:
+        raise ValueError(
+            f"apdex_report: threshold must be > 0, got {threshold}"
+        )
+    missing = [c for c in (key_col, value_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"apdex_report: missing columns {missing}")
+    v = F.col(value_col)
+    agg = (
+        df.filter(v.isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(v <= threshold, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_satisfied"),
+            F.sum(
+                F.when((v > threshold) & (v <= 4 * threshold), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_tolerating"),
+        )
+    )
+    return agg.select(
+        "key",
+        "n",
+        "n_satisfied",
+        "n_tolerating",
+        (F.col("n") - F.col("n_satisfied") - F.col("n_tolerating"))
+        .cast("bigint")
+        .alias("n_frustrated"),
+        F.expr("(2 * n_satisfied + n_tolerating) * 500 div n").alias(
+            "apdex_milli"
+        ),
+    )
+
+
+def exp_histogram(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exponential (power-of-two) value histogram per key — the
+    Prometheus/OTel-native-histogram shape: one bucket per log2 band
+    of the scaled value, carrying count/min/max. The O(1)-state
+    distribution card: grouped_quantiles pays a per-group sort of
+    the value DOMAIN for exact percentiles; this pays nothing but a
+    (key, bucket) count and still answers "what order of magnitude
+    are the latencies, and how heavy is each band?" — the right
+    first look before choosing quantile parameters at 100 TB.
+
+    Buckets: the value is scaled to an integer v = floor(value *
+    scale); bucket = bit_length(v) for v >= 1 (i.e. bucket b spans
+    [2^(b-1), 2^b) in scaled units), bucket 0 holds v = 0, bucket -1
+    holds negative values (timings should not be negative — the
+    band is a data-quality tripwire, not a histogram). bit_length
+    is string-free integer math on both engines (Spark ``bin()``
+    length, DuckDB ``bit_length``-equivalent via log-free formula),
+    so bucket edges can never drift. NULL values are dropped.
+
+    Output per (key, bucket): (key, bucket, lo_scaled [inclusive
+    band floor, NULL for the negative band], n, min_scaled,
+    max_scaled), ordered by the caller.
+
+    Scale shape: bucketing is a scan-side expression; ONE
+    combiner-fed (key, bucket) aggregate is the only exchange, and
+    its cardinality is keys x ~64 buckets regardless of row count.
+    """
+    if scale <= 0:
+        raise ValueError(f"exp_histogram: scale must be > 0, got {scale}")
+    missing = [c for c in (key_col, value_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"exp_histogram: missing columns {missing}")
+    v = F.floor(F.col(value_col) * F.lit(scale)).cast("bigint")
+    bucket = (
+        F.when(v < 0, F.lit(-1))
+        .when(v == 0, F.lit(0))
+        .otherwise(F.length(F.expr(f"bin(floor({value_col} * {scale}))")))
+        .cast("int")
+    )
+    out = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            bucket.alias("bucket"),
+            v.alias("__v__"),
+        )
+        .groupBy("key", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("__v__").cast("bigint").alias("min_scaled"),
+            F.max("__v__").cast("bigint").alias("max_scaled"),
+        )
+    )
+    return out.select(
+        "key",
+        "bucket",
+        F.when(
+            F.col("bucket") > 0,
+            F.expr("shiftleft(cast(1 as bigint), bucket - 1)"),
+        )
+        .when(F.col("bucket") == 0, F.lit(0))
+        .cast("bigint")
+        .alias("lo_scaled"),
+        "n",
+        "min_scaled",
+        "max_scaled",
+    )

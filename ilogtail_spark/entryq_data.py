@@ -7716,3 +7716,65 @@ def q_streaming_outage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.orderBy("key", "gap_start_us", "gap_end_us")
+
+
+# ---------------------------------------------------------------------------
+# Apdex card: T = 10.0 over the natural value spread (0.01..490) —
+# all three bands fire per event_type; exact (2*sat + tol) * 500 div n
+# ---------------------------------------------------------------------------
+@query(
+    "events_apdex",
+    """
+    WITH a AS (
+      SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_satisfied,
+             CAST(sum(CASE WHEN value > 10.0 AND value <= 40.0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_tolerating
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT key, n, n_satisfied, n_tolerating,
+           CAST(n - n_satisfied - n_tolerating AS BIGINT) AS n_frustrated,
+           CAST((2 * n_satisfied + n_tolerating) * 500 // n AS BIGINT)
+             AS apdex_milli
+    FROM a ORDER BY key
+    """,
+)
+def q_events_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.apdex_report(ev, threshold=10.0).orderBy("key")
+
+
+# ---------------------------------------------------------------------------
+# exponential (power-of-two) histogram: micro-scaled values bucketed
+# by integer bit length — bin()-string length on BOTH engines, no
+# libm log anywhere, so bucket edges cannot drift
+# ---------------------------------------------------------------------------
+@query(
+    "events_exp_histogram",
+    """
+    WITH s AS (
+      SELECT event_type AS key,
+             CAST(floor(value * 1000000) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ), b AS (
+      SELECT key,
+             CAST(CASE WHEN v < 0 THEN -1 WHEN v = 0 THEN 0
+                  ELSE length(bin(v)) END AS INT) AS bucket, v
+      FROM s
+    ), g AS (
+      SELECT key, bucket, CAST(count(*) AS BIGINT) AS n,
+             CAST(min(v) AS BIGINT) AS min_scaled,
+             CAST(max(v) AS BIGINT) AS max_scaled
+      FROM b GROUP BY 1, 2
+    )
+    SELECT key, bucket,
+           CAST(CASE WHEN bucket > 0 THEN (1::BIGINT << (bucket - 1))
+                WHEN bucket = 0 THEN 0 END AS BIGINT) AS lo_scaled,
+           n, min_scaled, max_scaled
+    FROM g ORDER BY key, bucket
+    """,
+)
+def q_events_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.exp_histogram(ev).orderBy("key", "bucket")

@@ -1687,3 +1687,58 @@ class TestLDiversityReport:
             analytics.l_diversity_report(df, [], "diag")
         with pytest.raises(ValueError, match="missing columns"):
             analytics.l_diversity_report(df, ["nope"], "diag")
+
+
+class TestApdexReport:
+    SCHEMA = "event_type string, value double"
+
+    def test_bands_and_exact_milli(self, spark):
+        rows = [("a", 5.0), ("a", 10.0), ("a", 15.0), ("a", 40.0),
+                ("a", 41.0), ("a", None), ("b", 1.0)]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        out = {r["key"]: r
+               for r in analytics.apdex_report(df, threshold=10.0).collect()}
+        a = out["a"]  # sat 2 (<=10 inclusive), tol 2 (15, 40), fru 1
+        assert (a["n"], a["n_satisfied"], a["n_tolerating"],
+                a["n_frustrated"]) == (5, 2, 2, 1)
+        assert a["apdex_milli"] == (2 * 2 + 2) * 500 // 5  # 600
+        assert out["b"]["apdex_milli"] == 1000
+
+    def test_validates(self, spark):
+        df = spark.createDataFrame([("a", 1.0)], self.SCHEMA)
+        with pytest.raises(ValueError, match="threshold"):
+            analytics.apdex_report(df, threshold=0)
+        with pytest.raises(ValueError, match="missing columns"):
+            analytics.apdex_report(df, value_col="nope")
+
+
+class TestExpHistogram:
+    SCHEMA = "event_type string, value double"
+
+    def test_power_of_two_bands(self, spark):
+        # scale=1: v = floor(value) -> bit_length buckets
+        rows = [("a", 0.0), ("a", 1.0), ("a", 2.0), ("a", 3.0),
+                ("a", 4.0), ("a", 7.9), ("a", -2.0), ("a", None)]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        out = {r["bucket"]: r
+               for r in analytics.exp_histogram(df, scale=1).collect()}
+        assert out[0]["n"] == 1 and out[0]["lo_scaled"] == 0
+        assert out[1]["n"] == 1 and out[1]["lo_scaled"] == 1   # v=1
+        assert out[2]["n"] == 2 and out[2]["lo_scaled"] == 2   # v=2,3
+        assert out[3]["n"] == 2 and out[3]["lo_scaled"] == 4   # v=4,7
+        assert out[3]["min_scaled"] == 4 and out[3]["max_scaled"] == 7
+        neg = out[-1]
+        assert neg["n"] == 1 and neg["lo_scaled"] is None
+
+    def test_micro_scale_band_edges(self, spark):
+        # 1.0 scaled to 1_000_000 -> bit_length 20 (2^19 <= v < 2^20)
+        df = spark.createDataFrame([("a", 1.0)], self.SCHEMA)
+        r = analytics.exp_histogram(df).collect()[0]
+        assert r["bucket"] == 20 and r["lo_scaled"] == 2 ** 19
+
+    def test_validates(self, spark):
+        df = spark.createDataFrame([("a", 1.0)], self.SCHEMA)
+        with pytest.raises(ValueError, match="scale"):
+            analytics.exp_histogram(df, scale=0)
+        with pytest.raises(ValueError, match="missing columns"):
+            analytics.exp_histogram(df, key_col="nope")

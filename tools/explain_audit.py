@@ -3093,6 +3093,39 @@ def main() -> int:
         "still leaks, and this counts those groups.",
     )
 
+    # 86. Apdex satisfaction card / exponential (pow2) histogram
+    q86a = _an77.apdex_report(_ev77, threshold=10.0)
+    p86a = formatted(q86a)
+    ex86a = _hash_exchanges(p86a)
+    q86h = _an77.exp_histogram(_ev77)
+    p86h = formatted(q86h)
+    ex86h = _hash_exchanges(p86h)
+    audit(
+        "Apdex satisfaction card / exponential (pow2) histogram",
+        q86a,
+        [
+            ("apdex: three CASE counters in ONE combiner-fed "
+             "aggregate — the only exchange carries four counters "
+             "per key, no window, no value-domain sort",
+             len(ex86a) == 1),
+            ("exp_histogram: bit-length bucketing is a scan-side "
+             "expression; ONE combiner-fed (key, bucket) exchange "
+             "whose cardinality is keys x ~64 bands regardless of "
+             "row count",
+             len(ex86h) == 1),
+            ("neither shuffle carries props payload",
+             all("props#" not in e for e in ex86a + ex86h)),
+            ("no Python in either plan",
+             not re.search(r"EvalPython|InPandas", p86a + p86h)),
+        ],
+        "apdex_report answers 'what share of users noticed the "
+        "latency' with the exact (2*sat + tol) * 500 div n integer "
+        "form; exp_histogram is the O(1)-state distribution first "
+        "look (Prometheus-native-histogram shape) whose bucket "
+        "edges come from integer bit length — bin() string length "
+        "on both engines, no libm log anywhere.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
