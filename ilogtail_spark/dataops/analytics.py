@@ -2691,3 +2691,101 @@ def exp_histogram(
         "min_scaled",
         "max_scaled",
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    k: int = 5,
+    min_mad: int = 1,
+) -> DataFrame:
+    """Robust (median/MAD) outlier buckets per key: flag buckets whose
+    count deviates from the key's MEDIAN bucket count by more than
+    ``k`` x the median absolute deviation — the
+    robust-statistics twin of rate_spikes. The trailing-mean rule
+    reacts to the recent past (and a slow ramp drags its baseline
+    up); median/MAD judge against the key's WHOLE distribution and
+    shrug off the outliers themselves (50% breakdown point), so a
+    handful of insane buckets can't hide each other — the
+    distributional "which hours were abnormal, period" card.
+
+    Both medians are exact nearest-rank selections (value at rank
+    ceil(B/2) of the sorted values — the grouped_quantiles
+    rationale: selections are engine-reproducible, interpolations
+    are not), deviations are |y − med| integers, and the flag rule
+    is dev > k · max(MAD, ``min_mad``) in pure integer math —
+    ``min_mad`` floors the scale so a key whose typical bucket is
+    perfectly constant (MAD 0) flags real deviations instead of
+    everything. Only flagged buckets are emitted: (key, bucket_ts,
+    n_events, median, mad).
+
+    Scale shape: the raw stream collapses to (key, bucket) counts in
+    one combiner-fed aggregate; the two rank selections and the flag
+    filter are windows over the bucket table, ALL partitioned on key
+    — one count-reduced exchange, per-key state bounded by the
+    key's bucket count (time-bounded, never row-scale).
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("mad_outliers: bucket_seconds must be > 0")
+    if k < 1:
+        raise ValueError(f"mad_outliers: k must be >= 1, got {k}")
+    if min_mad < 1:
+        raise ValueError(f"mad_outliers: min_mad must be >= 1, got {min_mad}")
+    missing = [c for c in (key_col, ts_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"mad_outliers: missing columns {missing}")
+    per_bucket = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.expr(
+                f"unix_micros(cast({ts_col} as timestamp_ltz)) div "
+                f"{int(bucket_seconds) * 1_000_000}"
+            ).alias("__x__"),
+        )
+        .filter(F.col("key").isNotNull())
+        .groupBy("key", "__x__")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__y__"))
+    )
+    wall = Window.partitionBy("key")
+    w_by_y = Window.partitionBy("key").orderBy("__y__", "__x__")
+    with_med = (
+        per_bucket.withColumn("__B__", F.count(F.lit(1)).over(wall))
+        .withColumn("__ry__", F.row_number().over(w_by_y))
+        .withColumn(
+            "__med__",
+            F.max(
+                F.when(
+                    F.col("__ry__") == F.ceil(F.col("__B__") / 2),
+                    F.col("__y__"),
+                )
+            ).over(wall),
+        )
+        .withColumn("__dev__", F.abs(F.col("__y__") - F.col("__med__")))
+    )
+    w_by_dev = Window.partitionBy("key").orderBy("__dev__", "__x__")
+    with_mad = with_med.withColumn(
+        "__rd__", F.row_number().over(w_by_dev)
+    ).withColumn(
+        "__mad__",
+        F.max(
+            F.when(
+                F.col("__rd__") == F.ceil(F.col("__B__") / 2),
+                F.col("__dev__"),
+            )
+        ).over(wall),
+    )
+    return with_mad.filter(
+        F.col("__dev__")
+        > k * F.greatest(F.col("__mad__"), F.lit(int(min_mad)))
+    ).select(
+        "key",
+        F.timestamp_micros(
+            F.col("__x__") * int(bucket_seconds) * 1_000_000
+        ).alias("bucket_ts"),
+        F.col("__y__").alias("n_events"),
+        F.col("__med__").alias("median"),
+        F.col("__mad__").alias("mad"),
+    )

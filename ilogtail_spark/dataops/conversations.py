@@ -2831,3 +2831,101 @@ def markdown_census(
         F.sum("__headings__").cast("bigint").alias("n_heading_lines"),
         F.sum("__links__").cast("bigint").alias("n_links"),
     )
+
+
+def turn_balance(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    user_role: str = "user",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Per-conversation structural balance card: who does the talking,
+    and does the dialog actually alternate? role_stats answers these
+    for the CORPUS; training-mix filters need them per conversation
+    ("drop assistant monologues", "drop interrogation transcripts
+    where the user never gets an answer"). Content quality is
+    conversation_quality_gate's job — this reads only structure.
+
+    Output per conversation: (conv_id, n_turns, n_user_turns,
+    n_assistant_turns, user_chars, assistant_chars,
+    assistant_char_share_micro [assistant chars / (user + assistant
+    chars), NULL when both are zero], alternation_micro [share of
+    consecutive-turn pairs, in (idx, role, text-digest) order, whose
+    roles differ; NULL for single-turn conversations]). All
+    floor-micro integer divisions; NULL text counts zero chars;
+    roles outside the two named ones count toward n_turns and the
+    alternation chain but neither char sum.
+
+    Scale shape: each turn collapses to (conv_id, idx, role-class,
+    chars, digest) at the scan; the lag window and the rollup share
+    ONE conv_id exchange; text never shuffles (the digest is only
+    the deterministic tie-break, the loss_mask ordering contract).
+    """
+    _require(df, [conv_col, idx_col, role_col, text_col], "turn_balance")
+    t = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    slim = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.coalesce(F.col(idx_col).cast("bigint"), F.lit(-1)).alias("__idx__"),
+        F.coalesce(F.col(role_col), F.lit("")).alias("__role__"),
+        F.length(t).cast("bigint").alias("__ch__"),
+        F.md5(t).alias("__d__"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("__idx__", "__role__", "__d__")
+    lagged = slim.withColumn("__prev_role__", F.lag("__role__").over(w))
+    agg = lagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.sum(F.when(F.col("__role__") == user_role, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_user_turns"),
+        F.sum(F.when(F.col("__role__") == assistant_role, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_assistant_turns"),
+        F.sum(
+            F.when(F.col("__role__") == user_role, F.col("__ch__")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("user_chars"),
+        F.sum(
+            F.when(
+                F.col("__role__") == assistant_role, F.col("__ch__")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("assistant_chars"),
+        F.sum(
+            F.when(
+                F.col("__prev_role__").isNotNull()
+                & (F.col("__role__") != F.col("__prev_role__")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("__alt__"),
+    )
+    return agg.select(
+        "conv_id",
+        "n_turns",
+        "n_user_turns",
+        "n_assistant_turns",
+        "user_chars",
+        "assistant_chars",
+        F.when(
+            F.col("user_chars") + F.col("assistant_chars") > 0,
+            F.expr(
+                "assistant_chars * 1000000 div (user_chars + assistant_chars)"
+            ),
+        )
+        .cast("bigint")
+        .alias("assistant_char_share_micro"),
+        F.when(
+            F.col("n_turns") > 1,
+            F.expr("__alt__ * 1000000 div (n_turns - 1)"),
+        )
+        .cast("bigint")
+        .alias("alternation_micro"),
+    )

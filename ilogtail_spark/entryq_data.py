@@ -7778,3 +7778,116 @@ def q_events_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return analytics.exp_histogram(ev).orderBy("key", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# MAD (median/MAD robust) outlier buckets: spike buckets are INJECTED
+# on both engines — every row whose hour-bucket lands on % 500 == 123
+# is replicated x19, so those buckets stand 20x over the median and
+# only they flag at k = 5
+# ---------------------------------------------------------------------------
+@query(
+    "events_mad_outliers",
+    """
+    WITH base AS (
+      SELECT event_type, ts FROM events
+      UNION ALL
+      SELECT event_type, ts FROM events
+      CROSS JOIN range(19)
+      WHERE (epoch_us(ts) // 3600000000) % 500 = 123
+    ), b AS (
+      SELECT event_type AS key, epoch_us(ts) // 3600000000 AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM base WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ), w1 AS (
+      SELECT key, x, y,
+             count(*) OVER (PARTITION BY key) AS nb,
+             row_number() OVER (PARTITION BY key ORDER BY y, x) AS ry
+      FROM b
+    ), w2 AS (
+      SELECT key, x, y, nb,
+             max(CASE WHEN ry = CAST(ceil(nb / 2.0) AS BIGINT) THEN y END)
+               OVER (PARTITION BY key) AS med
+      FROM w1
+    ), w3 AS (
+      SELECT key, x, y, nb, med, abs(y - med) AS dev,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY abs(y - med), x) AS rd
+      FROM w2
+    ), w4 AS (
+      SELECT key, x, y, med, dev,
+             max(CASE WHEN rd = CAST(ceil(nb / 2.0) AS BIGINT) THEN dev END)
+               OVER (PARTITION BY key) AS mad
+      FROM w3
+    )
+    SELECT key, make_timestamp(x * 3600000000) AS bucket_ts,
+           y AS n_events, med AS median, mad
+    FROM w4 WHERE dev > 5 * greatest(mad, 1)
+    ORDER BY key, bucket_ts
+    """,
+)
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    bucket = F.expr("unix_micros(cast(ts as timestamp_ltz)) div 3600000000")
+    spiked = ev.unionByName(
+        ev.filter(bucket % 500 == 123)
+        .withColumn("__r__", F.explode(F.array_repeat(F.lit(1), 19)))
+        .drop("__r__")
+    )
+    return analytics.mad_outliers(
+        spiked, key_col="event_type", bucket_seconds=3600, k=5
+    ).orderBy("key", "bucket_ts")
+
+
+# ---------------------------------------------------------------------------
+# per-conversation structural balance card: natural transcript
+# reshaping (no injection) — char shares and alternation both spread
+# across the fixture's role mix
+# ---------------------------------------------------------------------------
+@query(
+    "conv_turn_balance",
+    f"""
+    WITH t0 AS (
+      {_TRANSCRIPT_SQL}
+    ), s AS (
+      SELECT conv_id,
+             coalesce(CAST(turn_idx AS BIGINT), -1) AS idx,
+             coalesce(role, '') AS role,
+             CAST(length(coalesce(text, '')) AS BIGINT) AS ch,
+             md5(coalesce(text, '')) AS d
+      FROM t0
+    ), l AS (
+      SELECT conv_id, role, ch,
+             lag(role) OVER (PARTITION BY conv_id ORDER BY idx, role, d)
+               AS prev
+      FROM s
+    ), a AS (
+      SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+             CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_user_turns,
+             CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_assistant_turns,
+             CAST(sum(CASE WHEN role = 'user' THEN ch ELSE 0 END)
+                  AS BIGINT) AS user_chars,
+             CAST(sum(CASE WHEN role = 'assistant' THEN ch ELSE 0 END)
+                  AS BIGINT) AS assistant_chars,
+             CAST(sum(CASE WHEN prev IS NOT NULL AND role <> prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS alt
+      FROM l GROUP BY conv_id
+    )
+    SELECT conv_id, n_turns, n_user_turns, n_assistant_turns,
+           user_chars, assistant_chars,
+           CASE WHEN user_chars + assistant_chars > 0
+                THEN CAST(assistant_chars * 1000000
+                          // (user_chars + assistant_chars) AS BIGINT) END
+             AS assistant_char_share_micro,
+           CASE WHEN n_turns > 1
+                THEN CAST(alt * 1000000 // (n_turns - 1) AS BIGINT) END
+             AS alternation_micro
+    FROM a ORDER BY conv_id
+    """,
+)
+def q_conv_turn_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _as_transcript(spark, sf_dir, inject=False)
+    return conversations.turn_balance(t).orderBy("conv_id")

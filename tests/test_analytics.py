@@ -1742,3 +1742,50 @@ class TestExpHistogram:
             analytics.exp_histogram(df, scale=0)
         with pytest.raises(ValueError, match="missing columns"):
             analytics.exp_histogram(df, key_col="nope")
+
+
+class TestMadOutliers:
+    SCHEMA = "event_type string, ts string"
+
+    def _df(self, spark, hour_counts):
+        rows = []
+        for key, per_hour in hour_counts.items():
+            for h, n in per_hour.items():
+                rows += [(key, f"2024-01-01 {h:02d}:30:00")] * n
+        return spark.createDataFrame(rows, self.SCHEMA).select(
+            "event_type", F.col("ts").cast("timestamp").alias("ts"))
+
+    def test_spike_flagged_median_robust(self, spark):
+        # counts [3,3,4,4,5,50]: median (rank ceil(6/2)=3 of sorted)
+        # = 4, devs [1,1,0,0,1,46], MAD (rank 3) = 1 -> only the 50
+        # flags at k=5 (5*1=5 < 46)
+        out = analytics.mad_outliers(
+            self._df(spark, {"a": {0: 3, 1: 3, 2: 4, 3: 4, 4: 5, 5: 50}}),
+            k=5).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n_events"] == 50 and r["median"] == 4 and r["mad"] == 1
+        assert str(r["bucket_ts"]) == "2024-01-01 05:00:00"
+
+    def test_min_mad_floor_on_constant_series(self, spark):
+        # constant counts + one small bump: MAD 0 floors to 1, so a
+        # +3 bump does NOT flag at k=5 but a +8 bump does
+        out1 = analytics.mad_outliers(
+            self._df(spark, {"a": {h: 5 for h in range(6)} | {6: 8}}),
+            k=5).collect()
+        assert out1 == []
+        out2 = analytics.mad_outliers(
+            self._df(spark, {"a": {h: 5 for h in range(6)} | {6: 13}}),
+            k=5).collect()
+        assert len(out2) == 1 and out2[0]["n_events"] == 13
+
+    def test_validates(self, spark):
+        df = self._df(spark, {"a": {0: 1}})
+        with pytest.raises(ValueError, match="bucket_seconds"):
+            analytics.mad_outliers(df, bucket_seconds=0)
+        with pytest.raises(ValueError, match="k must be"):
+            analytics.mad_outliers(df, k=0)
+        with pytest.raises(ValueError, match="min_mad"):
+            analytics.mad_outliers(df, min_mad=0)
+        with pytest.raises(ValueError, match="missing columns"):
+            analytics.mad_outliers(df, key_col="nope")

@@ -1698,3 +1698,48 @@ class TestMarkdownCensus:
         df = spark.createDataFrame([(1,)], "conv_id long")
         with pytest.raises(ValueError, match="markdown_census"):
             conversations.markdown_census(df)
+
+
+class TestTurnBalance:
+    SCHEMA = "conv_id long, turn_idx long, role string, text string"
+
+    def test_shares_and_alternation(self, spark):
+        rows = [
+            (1, 0, "user", "hi"),            # 2 chars
+            (1, 1, "assistant", "hello!"),   # 6 chars
+            (1, 2, "user", "bye"),           # 3 chars
+            (1, 3, "tool", "ignored chars"),
+            (2, 0, "assistant", "monologue"),
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        out = {r["conv_id"]: r
+               for r in conversations.turn_balance(df).collect()}
+        one = out[1]
+        assert (one["n_turns"], one["n_user_turns"],
+                one["n_assistant_turns"]) == (4, 2, 1)
+        assert (one["user_chars"], one["assistant_chars"]) == (5, 6)
+        assert one["assistant_char_share_micro"] == 6 * 1_000_000 // 11
+        # all 3 adjacent pairs alternate (tool counts in the chain)
+        assert one["alternation_micro"] == 1_000_000
+        two = out[2]  # single turn: alternation undefined
+        assert two["alternation_micro"] is None
+        assert two["assistant_char_share_micro"] == 1_000_000
+
+    def test_same_role_run_and_null_text(self, spark):
+        rows = [(1, 0, "user", "aa"), (1, 1, "user", None),
+                (1, 2, "assistant", "bb")]
+        r = conversations.turn_balance(
+            spark.createDataFrame(rows, self.SCHEMA)).collect()[0]
+        assert r["user_chars"] == 2        # NULL text counts zero
+        assert r["alternation_micro"] == 500_000   # 1 of 2 pairs
+
+    def test_zero_chars_share_null(self, spark):
+        rows = [(1, 0, "tool", "x"), (1, 1, "system", "y")]
+        r = conversations.turn_balance(
+            spark.createDataFrame(rows, self.SCHEMA)).collect()[0]
+        assert r["assistant_char_share_micro"] is None
+
+    def test_validates(self, spark):
+        with pytest.raises(ValueError, match="turn_balance"):
+            conversations.turn_balance(
+                spark.createDataFrame([(1,)], "conv_id long"))

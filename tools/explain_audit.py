@@ -3126,6 +3126,48 @@ def main() -> int:
         "on both engines, no libm log anywhere.",
     )
 
+    # 87. MAD robust outlier buckets / per-conversation turn balance
+    q87m = _an77.mad_outliers(_ev77, bucket_seconds=3600, k=5)
+    p87m = formatted(q87m)
+    ex87m = _hash_exchanges(p87m)
+    _t87 = _ev77.selectExpr(
+        "user_id AS conv_id", "event_id AS turn_idx",
+        "CASE WHEN event_type IN ('view','purchase') THEN 'assistant' "
+        "WHEN event_type = 'click' THEN 'user' ELSE 'tool' END AS role",
+        "props AS text",
+    )
+    from ilogtail_spark.dataops import conversations as _conv87
+
+    q87t = _conv87.turn_balance(_t87)
+    p87t = formatted(q87t)
+    ex87t = _hash_exchanges(p87t)
+    audit(
+        "MAD robust outlier buckets / per-conversation turn balance",
+        q87m,
+        [
+            ("mad_outliers: raw rows collapse to a combiner-fed "
+             "(key, bucket) count; the two nearest-rank selections "
+             "and the flag filter are windows over the bucket table "
+             "sharing ONE count-reduced key exchange",
+             len(ex87m) == 2),
+            ("turn_balance: the lag window and the rollup share one "
+             "conv_id exchange; text collapses to (chars, digest) "
+             "at the scan and never shuffles",
+             len(ex87t) == 1 and "text#" not in ex87t[0]),
+            ("neither shuffle carries props/value payload",
+             all("props#" not in e and "value#" not in e
+                 for e in ex87m)),
+            ("no Python in either plan",
+             not re.search(r"EvalPython|InPandas", p87m + p87t)),
+        ],
+        "mad_outliers is rate_spikes' robust-statistics twin "
+        "(median/MAD have a 50% breakdown point, so the outliers "
+        "can't hide each other); both medians are exact nearest-"
+        "rank selections. turn_balance is the per-conversation "
+        "structural filter (char shares + alternation) that "
+        "role_stats' global card can't answer.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
