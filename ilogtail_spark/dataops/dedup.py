@@ -933,3 +933,162 @@ def cluster_size_histogram(
             .alias("n_docs"),
         )
     )
+
+
+def bloom_positions(digest: Column, k_hashes: int, m_bits: int) -> Column:
+    """The k Bloom positions of a content digest as an array<long>:
+    pos_i = int(md5(i ':' digest)[:15 hex]) % m — the repo's standard
+    md5-prefix integer hash (same construction as the DSIR feature
+    bucketing and the jaccard shingle hash), one independent hash per
+    salt i. Shared by filter build and probe so the two sides can
+    never disagree on the hash family, and mirrored verbatim by the
+    SQL oracle."""
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), digest)), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(int(m_bits)),
+            )
+            for i in range(k_hashes)
+        ]
+    )
+
+
+def bloom_audit(
+    snap_a: DataFrame,
+    snap_b: DataFrame,
+    m_bits: int = 262_144,
+    k_hashes: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-prefilter capacity audit for the incremental dedup path:
+    if snapshot A's content digests were loaded into an m-bit /
+    k-hash Bloom filter and snapshot B probed it before the exact
+    check (the standard new-batch-versus-corpus prefilter at 100 TB
+    — probe the cheap bitmap first, run the exact digest anti-join
+    only on the survivors), what would B actually observe? Reports
+    the MEASURED false-positive rate on this corpus pair plus the
+    filter's fill factor — the two numbers that size m before anyone
+    ships a prefilter, measured instead of taken from the 0.6185^
+    (m/n) formula card.
+
+    The filter is built DISTRIBUTED: the bit set is the distinct
+    position table (<= m rows of one bigint — at modest m you would
+    collect it into a real broadcast bitmap; the table form is the
+    shape that still works when m is billions of bits, and the probe
+    is a position join either way). Probe semantics: a B document is
+    bloom-positive iff ALL k of its positions are set; truth is the
+    exact digest semi-join. NULL-text rows are dropped on both
+    sides; B documents are audited per distinct digest (the filter
+    answers digest membership, and counting per-row would just
+    multiply both counters by the dup factor).
+
+    Output is ONE row: (n_a_digests, n_b_digests, n_bits_set,
+    fill_micro, n_bloom_positive, n_true_dups, n_false_positives,
+    fp_micro) where fp_micro = false positives * 1e6 div the
+    B digests NOT actually in A (NULL when every B digest is a true
+    dup — the rate is undefined, not zero).
+
+    Scale shape: only digests and positions shuffle (32-byte md5s
+    and bigints — the exact-dedup contract; text never leaves
+    either scan). The position join is bounded by k x |B| probe
+    rows against <= m set bits; the truth check is a digest
+    semi-join; the rollup is a single-row aggregate.
+    """
+    if m_bits < 2:
+        raise ValueError(f"bloom_audit: m_bits must be >= 2, got {m_bits}")
+    if k_hashes < 1:
+        raise ValueError(
+            f"bloom_audit: k_hashes must be >= 1, got {k_hashes}"
+        )
+    for side, df in (("snap_a", snap_a), ("snap_b", snap_b)):
+        missing = [c for c in (id_col, text_col) if c not in df.columns]
+        if missing:
+            raise ValueError(f"bloom_audit: {side} missing columns {missing}")
+    a_dig = (
+        snap_a.filter(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col).cast("string")).alias("d"))
+        .distinct()
+    )
+    b_dig = (
+        snap_b.filter(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col).cast("string")).alias("d"))
+        .distinct()
+    )
+    bits = (
+        a_dig.select(
+            F.explode(
+                bloom_positions(F.col("d"), k_hashes, m_bits)
+            ).alias("pos")
+        )
+        .distinct()
+        .withColumn("__set__", F.lit(1))
+    )
+    probes = b_dig.select(
+        "d",
+        F.explode(bloom_positions(F.col("d"), k_hashes, m_bits)).alias(
+            "pos"
+        ),
+    )
+    hit_counts = (
+        probes.join(bits, "pos", "left")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("__k__"),
+            F.sum(F.coalesce(F.col("__set__"), F.lit(0))).alias("__hits__"),
+        )
+        .withColumn("__pos__", F.col("__hits__") == F.col("__k__"))
+    )
+    truth = a_dig.withColumn("__in_a__", F.lit(1))
+    audited = hit_counts.join(truth, "d", "left")
+    counts = audited.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b_digests"),
+        F.sum(F.when(F.col("__pos__"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_positive"),
+        F.sum(F.when(F.col("__in_a__") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true_dups"),
+        F.sum(
+            F.when(F.col("__pos__") & F.col("__in_a__").isNull(), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_false_positives"),
+    )
+    totals = a_dig.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a_digests")
+    )
+    nbits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_bits_set"))
+    return (
+        counts.crossJoin(totals)
+        .crossJoin(nbits)
+        .select(
+            "n_a_digests",
+            "n_b_digests",
+            "n_bits_set",
+            F.expr(f"n_bits_set * 1000000 div {int(m_bits)}").alias(
+                "fill_micro"
+            ),
+            "n_bloom_positive",
+            "n_true_dups",
+            "n_false_positives",
+            F.when(
+                F.col("n_b_digests") > F.col("n_true_dups"),
+                F.expr(
+                    "n_false_positives * 1000000 div "
+                    "(n_b_digests - n_true_dups)"
+                ),
+            )
+            .cast("bigint")
+            .alias("fp_micro"),
+        )
+    )

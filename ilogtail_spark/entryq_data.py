@@ -7891,3 +7891,69 @@ def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_conv_turn_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _as_transcript(spark, sf_dir, inject=False)
     return conversations.turn_balance(t).orderBy("conv_id")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefilter capacity audit: snapshot A = even doc_ids, B = odd;
+# m deliberately TINY (512 bits, k=2) so measured false positives
+# actually occur at bench scale; the hash family (salted md5-prefix
+# ints) is shared verbatim between engines
+# ---------------------------------------------------------------------------
+def _bloom_audit_oracle(m: int = 512, k: int = 2) -> str:
+    return f"""
+    WITH a AS (
+      SELECT DISTINCT md5(text) AS d FROM documents
+      WHERE doc_id % 2 = 0 AND text IS NOT NULL
+    ), b AS (
+      SELECT DISTINCT md5(text) AS d FROM documents
+      WHERE doc_id % 2 = 1 AND text IS NOT NULL
+    ), salts AS (
+      SELECT unnest(range({k})) AS i
+    ), apos AS (
+      SELECT DISTINCT
+        ('0x' || substr(md5(i || ':' || d), 1, 15))::BIGINT % {m} AS pos
+      FROM a CROSS JOIN salts
+    ), bpos AS (
+      SELECT d,
+        ('0x' || substr(md5(i || ':' || d), 1, 15))::BIGINT % {m} AS pos
+      FROM b CROSS JOIN salts
+    ), probe AS (
+      SELECT bpos.d,
+             CAST(count(*) AS BIGINT) AS kk,
+             CAST(sum(CASE WHEN apos.pos IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits
+      FROM bpos LEFT JOIN apos USING (pos) GROUP BY 1
+    ), audited AS (
+      SELECT probe.d, (hits = kk) AS pos_,
+             (a.d IS NOT NULL) AS in_a
+      FROM probe LEFT JOIN a USING (d)
+    ), c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_b_digests,
+             CAST(sum(CASE WHEN pos_ THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_positive,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_dups,
+             CAST(sum(CASE WHEN pos_ AND NOT in_a THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_false_positives
+      FROM audited
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a_digests,
+           n_b_digests,
+           (SELECT CAST(count(*) AS BIGINT) FROM apos) AS n_bits_set,
+           CAST((SELECT count(*) FROM apos) * 1000000 // {m} AS BIGINT)
+             AS fill_micro,
+           n_bloom_positive, n_true_dups, n_false_positives,
+           CASE WHEN n_b_digests > n_true_dups
+                THEN CAST(n_false_positives * 1000000
+                          // (n_b_digests - n_true_dups) AS BIGINT) END
+             AS fp_micro
+    FROM c
+    """
+
+
+@query("dedup_bloom_audit", _bloom_audit_oracle())
+def q_dedup_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    snap_a = docs.filter(F.col("doc_id") % 2 == 0)
+    snap_b = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup.bloom_audit(snap_a, snap_b, m_bits=512, k_hashes=2)

@@ -1224,3 +1224,51 @@ class TestNormalizedDedup:
         df = spark.createDataFrame(rows, "doc_id bigint, text string")
         out = dedup.exact_dedup_normalized(df).collect()
         assert len(out) == 1 and out[0]["dup_count"] == 2
+
+
+class TestBloomAudit:
+    SCHEMA = "doc_id long, text string"
+
+    def test_no_false_negatives_and_clean_misses_at_large_m(self, spark):
+        a = spark.createDataFrame(
+            [(0, "alpha"), (2, "beta"), (4, None)], self.SCHEMA)
+        b = spark.createDataFrame(
+            [(1, "alpha"), (3, "gamma"), (5, "delta")], self.SCHEMA)
+        r = dedup.bloom_audit(a, b, m_bits=2**18, k_hashes=4).collect()[0]
+        # NULL text dropped from A; "alpha" is a true dup and MUST be
+        # bloom-positive (no false negatives, ever)
+        assert r["n_a_digests"] == 2 and r["n_b_digests"] == 3
+        assert r["n_true_dups"] == 1
+        assert r["n_bloom_positive"] >= r["n_true_dups"]
+        # at 2^18 bits / 8 set bits, the two non-dups miss
+        assert r["n_false_positives"] == 0 and r["fp_micro"] == 0
+        assert r["n_bits_set"] <= 2 * 4
+
+    def test_fp_rate_undefined_when_all_dups(self, spark):
+        a = spark.createDataFrame([(0, "x")], self.SCHEMA)
+        b = spark.createDataFrame([(1, "x")], self.SCHEMA)
+        r = dedup.bloom_audit(a, b, m_bits=1024, k_hashes=2).collect()[0]
+        assert r["n_true_dups"] == 1 and r["fp_micro"] is None
+
+    def test_tiny_m_saturates(self, spark):
+        # m=2: every position is 0 or 1; with enough digests both
+        # bits set -> every probe positive, fill = 100%
+        a = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(0, 20, 2)], self.SCHEMA)
+        b = spark.createDataFrame(
+            [(i, f"other {i}") for i in range(1, 20, 2)], self.SCHEMA)
+        r = dedup.bloom_audit(a, b, m_bits=2, k_hashes=2).collect()[0]
+        assert r["fill_micro"] == 1_000_000
+        assert r["n_bloom_positive"] == r["n_b_digests"]
+        assert r["fp_micro"] == 1_000_000
+
+    def test_validates(self, spark):
+        df = spark.createDataFrame([(0, "x")], self.SCHEMA)
+        import pytest as _pt
+        with _pt.raises(ValueError, match="m_bits"):
+            dedup.bloom_audit(df, df, m_bits=1)
+        with _pt.raises(ValueError, match="k_hashes"):
+            dedup.bloom_audit(df, df, k_hashes=0)
+        with _pt.raises(ValueError, match="snap_b missing"):
+            dedup.bloom_audit(
+                df, spark.createDataFrame([(1,)], "doc_id long"))

@@ -3168,6 +3168,40 @@ def main() -> int:
         "role_stats' global card can't answer.",
     )
 
+    # 88. Bloom-prefilter capacity audit
+    _docs88 = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    q88 = _dedup.bloom_audit(
+        _docs88.filter(F.col("doc_id") % 2 == 0),
+        _docs88.filter(F.col("doc_id") % 2 == 1),
+        m_bits=512,
+        k_hashes=2,
+    )
+    p88 = formatted(q88)
+    ex88 = _hash_exchanges(p88)
+    audit(
+        "Bloom-prefilter capacity audit",
+        q88,
+        [
+            ("only digests and positions shuffle — document text "
+             "never leaves either scan (the exact-dedup contract)",
+             all("text#" not in e for e in ex88)),
+            ("the filter is built distributed: the bit set is a "
+             "DISTINCT position table (<= m bigints) and the probe "
+             "is a position join bounded by k x |B| rows",
+             "pos" in p88),
+            ("no Python in the plan",
+             not re.search(r"EvalPython|InPandas", p88)),
+        ],
+        "Measures the false-positive rate and fill factor an m-bit/"
+        "k-hash Bloom prefilter would ACTUALLY see on this corpus "
+        "pair before anyone ships it in front of the exact "
+        "digest anti-join (the incremental-dedup fast path at "
+        "100 TB). The salted md5-prefix hash family is shared "
+        "verbatim between build, probe, and the DuckDB oracle.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
