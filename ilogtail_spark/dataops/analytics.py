@@ -2789,3 +2789,120 @@ def mad_outliers(
         F.col("__med__").alias("median"),
         F.col("__mad__").alias("mad"),
     )
+
+
+def funnel_latency(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Funnel STEP-LATENCY card — funnel_report counts who converted;
+    this measures how long each conversion step took. For every user
+    who reached step k (same strict-sequence semantics: the first
+    step-k event strictly after their step-(k-1) time), the step's
+    gap is t_k − t_{k−1} in exact epoch micros; per step the card
+    reports the converted count, the nearest-rank MEDIAN gap, and
+    the max gap — the "users convert, but the click→purchase leg
+    takes 40 minutes" number that decides where to spend funnel
+    work.
+
+    Output: one row per step 2..K — (step_idx, step, n_users,
+    median_gap_us, max_gap_us). Steps nobody reached emit a zero row
+    with NULL gaps. Median is the value at rank ceil(n/2) of the
+    sorted gaps (ties broken by user id for a total order — the
+    selection is value-identical regardless), so every engine
+    reports the same microsecond.
+
+    Scale shape: reuses funnel_report's level construction — each
+    level is a one-row-per-user (user, ts) frame built by joining a
+    single-step event slice against the previous level; gaps join
+    two one-row-per-user frames. The median windows partition on
+    step_idx (|steps| groups) over the converted-user table — the
+    per-step sort is user-cardinality-bounded; at extreme user
+    counts swap in grouped_quantiles' value-domain form. Raw events
+    never see a window.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct")
+    missing = [
+        c for c in (user_col, type_col, ts_col) if c not in df.columns
+    ]
+    if missing:
+        raise ValueError(f"funnel_latency: missing columns {missing}")
+    narrow = df.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("__u__"),
+        F.col(type_col).alias("__s__"),
+        F.unix_micros(F.col(ts_col).cast("timestamp_ltz")).alias("__t__"),
+    )
+    levels: list[DataFrame] = [
+        narrow.filter(F.col("__s__") == steps[0])
+        .groupBy("__u__")
+        .agg(F.min("__t__").alias("__r__"))
+    ]
+    for k in range(1, len(steps)):
+        step_events = narrow.filter(F.col("__s__") == steps[k]).select(
+            "__u__", "__t__"
+        )
+        levels.append(
+            step_events.join(levels[k - 1], "__u__")
+            .filter(F.col("__t__") > F.col("__r__"))
+            .groupBy("__u__")
+            .agg(F.min("__t__").alias("__r__"))
+        )
+    gaps = None
+    for k in range(1, len(steps)):
+        g = (
+            levels[k]
+            .join(
+                levels[k - 1].select(
+                    "__u__", F.col("__r__").alias("__prev__")
+                ),
+                "__u__",
+            )
+            .select(
+                F.lit(k + 1).alias("step_idx"),
+                "__u__",
+                (F.col("__r__") - F.col("__prev__")).alias("__gap__"),
+            )
+        )
+        gaps = g if gaps is None else gaps.unionByName(g)
+    wall = Window.partitionBy("step_idx")
+    w_rank = Window.partitionBy("step_idx").orderBy("__gap__", "__u__")
+    per_step = (
+        gaps.withColumn("__n__", F.count(F.lit(1)).over(wall))
+        .withColumn("__rn__", F.row_number().over(w_rank))
+        .groupBy("step_idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.max(
+                F.when(
+                    F.col("__rn__") == F.ceil(F.col("__n__") / 2),
+                    F.col("__gap__"),
+                )
+            )
+            .cast("bigint")
+            .alias("median_gap_us"),
+            F.max("__gap__").cast("bigint").alias("max_gap_us"),
+        )
+    )
+    names = df.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps) if i >= 1],
+        "step_idx int, step string",
+    )
+    return (
+        names.join(per_step, "step_idx", "left")
+        .select(
+            "step_idx",
+            "step",
+            F.coalesce(F.col("n_users"), F.lit(0))
+            .cast("bigint")
+            .alias("n_users"),
+            F.col("median_gap_us").cast("bigint").alias("median_gap_us"),
+            F.col("max_gap_us").cast("bigint").alias("max_gap_us"),
+        )
+        .orderBy("step_idx")
+    )

@@ -7957,3 +7957,56 @@ def q_dedup_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap_a = docs.filter(F.col("doc_id") % 2 == 0)
     snap_b = docs.filter(F.col("doc_id") % 2 == 1)
     return dedup.bloom_audit(snap_a, snap_b, m_bits=512, k_hashes=2)
+
+
+# ---------------------------------------------------------------------------
+# funnel step-latency card: same strict-sequence levels as
+# events_funnel (view -> click -> purchase), exact epoch-micro gaps,
+# nearest-rank medians; natural fixture — both steps convert
+# ---------------------------------------------------------------------------
+@query(
+    "events_funnel_latency",
+    """
+    WITH l1 AS (
+      SELECT user_id AS u, min(epoch_us(ts)) AS r FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), l2 AS (
+      SELECT e.user_id AS u, min(epoch_us(e.ts)) AS r
+      FROM events e JOIN l1 ON e.user_id = l1.u
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > l1.r
+      GROUP BY 1
+    ), l3 AS (
+      SELECT e.user_id AS u, min(epoch_us(e.ts)) AS r
+      FROM events e JOIN l2 ON e.user_id = l2.u
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > l2.r
+      GROUP BY 1
+    ), gaps AS (
+      SELECT 2 AS step_idx, l2.u, l2.r - l1.r AS gap
+      FROM l2 JOIN l1 USING (u)
+      UNION ALL
+      SELECT 3 AS step_idx, l3.u, l3.r - l2.r AS gap
+      FROM l3 JOIN l2 USING (u)
+    ), ranked AS (
+      SELECT step_idx, gap,
+             count(*) OVER (PARTITION BY step_idx) AS n,
+             row_number() OVER (PARTITION BY step_idx ORDER BY gap, u)
+               AS rn
+      FROM gaps
+    ), agg AS (
+      SELECT step_idx, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(max(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT)
+                           THEN gap END) AS BIGINT) AS median_gap_us,
+             CAST(max(gap) AS BIGINT) AS max_gap_us
+      FROM ranked GROUP BY 1
+    )
+    SELECT s.step_idx, s.step,
+           CAST(coalesce(a.n_users, 0) AS BIGINT) AS n_users,
+           a.median_gap_us, a.max_gap_us
+    FROM (VALUES (2, 'click'), (3, 'purchase')) AS s(step_idx, step)
+    LEFT JOIN agg a USING (step_idx)
+    ORDER BY s.step_idx
+    """,
+)
+def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.funnel_latency(ev, _FUNNEL_STEPS)

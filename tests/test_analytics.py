@@ -1789,3 +1789,51 @@ class TestMadOutliers:
             analytics.mad_outliers(df, min_mad=0)
         with pytest.raises(ValueError, match="missing columns"):
             analytics.mad_outliers(df, key_col="nope")
+
+
+class TestFunnelLatency:
+    SCHEMA = "user_id long, event_type string, ts string"
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, self.SCHEMA).select(
+            "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+
+    def test_gaps_and_median(self, spark):
+        rows = [
+            # u1: view@0 -> click@10 -> purchase@70 (gaps 10 s, 60 s)
+            (1, "view", "2024-01-01 00:00:00"),
+            (1, "click", "2024-01-01 00:00:10"),
+            (1, "purchase", "2024-01-01 00:01:10"),
+            # u2: view@0 -> click@30 (gap 30 s); no purchase
+            (2, "view", "2024-01-01 00:00:00"),
+            (2, "click", "2024-01-01 00:00:30"),
+            # u3: click BEFORE view -> never converts past step 1
+            (3, "click", "2024-01-01 00:00:00"),
+            (3, "view", "2024-01-01 00:00:05"),
+        ]
+        out = {r["step_idx"]: r for r in analytics.funnel_latency(
+            self._df(spark, rows), ["view", "click", "purchase"]).collect()}
+        two = out[2]
+        assert two["n_users"] == 2
+        # gaps sorted [10s, 30s], median rank ceil(2/2)=1 -> 10 s
+        assert two["median_gap_us"] == 10_000_000
+        assert two["max_gap_us"] == 30_000_000
+        three = out[3]
+        assert three["n_users"] == 1
+        assert three["median_gap_us"] == 60_000_000
+
+    def test_unreached_step_zero_row(self, spark):
+        rows = [(1, "view", "2024-01-01 00:00:00")]
+        out = {r["step_idx"]: r for r in analytics.funnel_latency(
+            self._df(spark, rows), ["view", "click", "purchase"]).collect()}
+        assert set(out) == {2, 3}
+        assert out[2]["n_users"] == 0 and out[2]["median_gap_us"] is None
+
+    def test_validates(self, spark):
+        df = self._df(spark, [(1, "view", "2024-01-01 00:00:00")])
+        with pytest.raises(ValueError, match="at least 2"):
+            analytics.funnel_latency(df, ["view"])
+        with pytest.raises(ValueError, match="distinct"):
+            analytics.funnel_latency(df, ["view", "view"])
+        with pytest.raises(ValueError, match="missing columns"):
+            analytics.funnel_latency(df, ["view", "click"], user_col="nope")

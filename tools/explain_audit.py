@@ -3202,6 +3202,33 @@ def main() -> int:
         "verbatim between build, probe, and the DuckDB oracle.",
     )
 
+    # 89. funnel step-latency card
+    q89 = _an77.funnel_latency(_ev77, ["view", "click", "purchase"])
+    p89 = formatted(q89)
+    ex89 = _hash_exchanges(p89)
+    audit(
+        "funnel step-latency card",
+        q89,
+        [
+            ("every post-shuffle frame is (user, ts): levels are "
+             "one-row-per-user aggregates, gaps join two such "
+             "frames, and no exchange carries props/value payload",
+             all("props#" not in e and "value#" not in e
+                 for e in ex89)),
+            ("raw events never see a window — the median windows "
+             "partition on step_idx over the converted-user table "
+             "only",
+             "Window" in p89),
+            ("no Python in the plan",
+             not re.search(r"EvalPython|InPandas", p89)),
+        ],
+        "funnel_report counts who converted; funnel_latency measures "
+        "how long each leg took (exact epoch-micro gaps, "
+        "nearest-rank medians) — reusing the same strict-sequence "
+        "level construction, so the two cards can never disagree on "
+        "who converted.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
