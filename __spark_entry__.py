@@ -42,7 +42,7 @@ _FRONT = [
     "retrieval_ndcg", "events_l_diversity",
     "streaming_outage_windows", "events_apdex", "events_exp_histogram",
     "events_mad_outliers", "conv_turn_balance", "dedup_bloom_audit",
-    "events_funnel_latency",
+    "events_funnel_latency", "corpus_source_overlap",
     "events_retry_storms", "events_key_census",
     "conv_rephrase", "conv_loss_mask",
     "conv_resolution", "corpus_novelty",

@@ -2192,3 +2192,96 @@ def license_scan(
         "flagged_docs",
         F.expr("flagged_docs * 1000000 div n_docs").alias("flagged_micro"),
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Pairwise source vocabulary-overlap matrix: Jaccard similarity
+    of the (lowercased, whitespace-token) vocabularies of every
+    source pair — the mixture-design question "are two of my
+    sources basically the same corpus?" that per-source cards
+    (lang_mix, distinctive_terms) can't answer because they never
+    compare sources to each other. cross_source_dups finds shared
+    DOCUMENTS; this measures shared LANGUAGE even when no document
+    is duplicated.
+
+    ``min_df`` keeps only tokens appearing in >= min_df documents of
+    a source (per-source document frequency), cutting hapax noise
+    before comparing. Output: one row per unordered pair a < b —
+    (source_a, source_b, vocab_a, vocab_b, n_shared,
+    jaccard_micro = shared·1e6 div (a + b − shared)).
+
+    Scale shape: the raw corpus collapses to DISTINCT (source,
+    token) pairs at the first aggregate (with the doc-frequency
+    count folded in — the only raw-token pass); the pair join runs
+    on the VOCABULARY table (token-cardinality-bounded, text never
+    shuffles), and per-source sizes broadcast back onto the
+    source-pair matrix (|sources|² rows). A hot shared token fans
+    out |sources-containing-it|² pair rows — bounded by the source
+    count squared, not the corpus.
+    """
+    if min_df < 1:
+        raise ValueError(f"source_overlap: min_df must be >= 1, got {min_df}")
+    missing = [c for c in (source_col, text_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"source_overlap: missing columns {missing}")
+    from ilogtail_spark.dataops.dedup import tokens_col
+
+    vocab = (
+        df.filter(
+            F.col(source_col).isNotNull() & F.col(text_col).isNotNull()
+        )
+        .select(
+            F.col(source_col).alias("src"),
+            # array_distinct => one row per (doc, token): the count
+            # below IS the per-source document frequency
+            F.explode(
+                F.array_distinct(
+                    tokens_col(F.lower(F.col(text_col).cast("string")))
+                )
+            ).alias("tok"),
+        )
+        .groupBy("src", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__df__"))
+        .filter(F.col("__df__") >= min_df)
+        .select("src", "tok")
+    )
+    sizes = vocab.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab")
+    )
+    left = vocab.select(F.col("src").alias("a"), "tok")
+    right = vocab.select(F.col("src").alias("b"), "tok")
+    shared = (
+        left.join(right, "tok")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.withColumnRenamed("src", "a")).withColumnRenamed(
+                "vocab", "vocab_a"
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("src", "b")).withColumnRenamed(
+                "vocab", "vocab_b"
+            ),
+            "b",
+        )
+        .select(
+            F.col("a").alias("source_a"),
+            F.col("b").alias("source_b"),
+            "vocab_a",
+            "vocab_b",
+            "n_shared",
+            F.expr(
+                "n_shared * 1000000 div (vocab_a + vocab_b - n_shared)"
+            ).alias("jaccard_micro"),
+        )
+    )

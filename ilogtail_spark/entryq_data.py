@@ -8010,3 +8010,43 @@ def q_dedup_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return analytics.funnel_latency(ev, _FUNNEL_STEPS)
+
+
+# ---------------------------------------------------------------------------
+# pairwise source vocabulary overlap: natural fixture (5 sources,
+# shared corpus language => every pair has a nonzero Jaccard);
+# min_df = 2 exercises the hapax cut on both engines
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_source_overlap",
+    f"""
+    WITH vt AS (
+      SELECT source AS src,
+             unnest(list_distinct({SQL_TOKENS.format(col="lower(text)")}))
+               AS tok
+      FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+    ), vocab AS (
+      SELECT src, tok FROM vt GROUP BY src, tok HAVING count(*) >= 2
+    ), sizes AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS vocab FROM vocab GROUP BY 1
+    ), shared AS (
+      SELECT l.src AS a, r.src AS b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM vocab l JOIN vocab r ON l.tok = r.tok AND l.src < r.src
+      GROUP BY 1, 2
+    )
+    SELECT a AS source_a, b AS source_b,
+           sa.vocab AS vocab_a, sb.vocab AS vocab_b, n_shared,
+           CAST(n_shared * 1000000
+                // (sa.vocab + sb.vocab - n_shared) AS BIGINT)
+             AS jaccard_micro
+    FROM shared
+    JOIN sizes sa ON sa.src = a
+    JOIN sizes sb ON sb.src = b
+    ORDER BY source_a, source_b
+    """,
+)
+def q_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.source_overlap(docs, min_df=2).orderBy(
+        "source_a", "source_b"
+    )

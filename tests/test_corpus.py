@@ -1292,3 +1292,40 @@ class TestLicenseScan:
         par = sorted(map(tuple, corpus.license_scan(
             df.repartition(7)).collect()))
         assert one == par
+
+
+class TestSourceOverlap:
+    SCHEMA = "source string, text string"
+
+    def test_jaccard_and_min_df(self, spark):
+        from ilogtail_spark.dataops import corpus as _c
+        rows = [
+            ("a", "red blue green"), ("a", "red blue"),
+            ("b", "red blue yellow"), ("b", "red blue yellow"),
+            ("c", "purple"),  ("c", "purple"),
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        out = {(r["source_a"], r["source_b"]): r
+               for r in _c.source_overlap(df, min_df=2).collect()}
+        ab = out[("a", "b")]
+        # min_df=2 vocab: a={red,blue}, b={red,blue,yellow}, c={purple}
+        assert (ab["vocab_a"], ab["vocab_b"], ab["n_shared"]) == (2, 3, 2)
+        assert ab["jaccard_micro"] == 2 * 1_000_000 // 3
+        assert ("a", "c") not in out  # disjoint pair emits no row
+
+    def test_duplicate_tokens_in_doc_count_once(self, spark):
+        from ilogtail_spark.dataops import corpus as _c
+        rows = [("a", "x x x"), ("b", "x")]
+        out = _c.source_overlap(
+            spark.createDataFrame(rows, self.SCHEMA), min_df=1).collect()
+        assert len(out) == 1 and out[0]["n_shared"] == 1
+        assert out[0]["jaccard_micro"] == 1_000_000
+
+    def test_validates(self, spark):
+        from ilogtail_spark.dataops import corpus as _c
+        import pytest as _pt
+        df = spark.createDataFrame([("a", "x")], self.SCHEMA)
+        with _pt.raises(ValueError, match="min_df"):
+            _c.source_overlap(df, min_df=0)
+        with _pt.raises(ValueError, match="missing columns"):
+            _c.source_overlap(df, source_col="nope")

@@ -3229,6 +3229,34 @@ def main() -> int:
         "who converted.",
     )
 
+    # 90. pairwise source vocabulary overlap
+    q90 = _corpus.source_overlap(_docs88.sparkSession.read.parquet(
+        f"{SF_DIR}/documents.parquet"
+    ), min_df=2)
+    p90 = formatted(q90)
+    ex90 = _hash_exchanges(p90)
+    audit(
+        "pairwise source vocabulary overlap",
+        q90,
+        [
+            ("the raw corpus collapses to distinct (source, token) "
+             "pairs at the first aggregate; the pair join runs on "
+             "the vocabulary table and text never shuffles",
+             all("text#" not in e for e in ex90)),
+            ("per-source sizes BROADCAST onto the source-pair "
+             "matrix",
+             len(re.findall(r"BroadcastExchange \(\d+\)", p90)) >= 1),
+            ("no Python in the plan",
+             not re.search(r"EvalPython|InPandas", p90)),
+        ],
+        "source_overlap answers the mixture-design question "
+        "cross_source_dups (shared documents) and "
+        "distinctive_terms (per-source) cannot: how much LANGUAGE "
+        "two sources share, as vocabulary Jaccard with a min_df "
+        "hapax cut. Pair fan-out is bounded by sources², not the "
+        "corpus.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
