@@ -8050,3 +8050,80 @@ def q_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.source_overlap(docs, min_df=2).orderBy(
         "source_a", "source_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout audit: natural (time-sorted) layout vs Morton order
+# over (event_id, user_id) on an 8-bit grid, 32 file-sized groups;
+# the Morton bit-interleave formula is generated once and shared
+# structurally with plans/zorder.morton_interleave
+# ---------------------------------------------------------------------------
+def _morton_sql(xb: str, yb: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xb} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({yb} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+def _zorder_oracle(bits: int = 8, n_files: int = 32) -> str:
+    top = (1 << bits) - 1
+    grid = 1 << bits
+    return f"""
+    WITH slim AS (
+      SELECT CAST(event_id AS BIGINT) AS x, CAST(user_id AS BIGINT) AS y
+      FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+    ), mm AS (
+      SELECT min(x) AS lx, max(x) AS hx, min(y) AS ly, max(y) AS hy
+      FROM slim
+    ), b AS (
+      SELECT
+        CASE WHEN hx > lx THEN (x - lx) * {top} // (hx - lx)
+             ELSE 0 END AS xb,
+        CASE WHEN hy > ly THEN (y - ly) * {top} // (hy - ly)
+             ELSE 0 END AS yb
+      FROM slim CROSS JOIN mm
+    ), zt AS (
+      SELECT xb, yb, {_morton_sql("xb", "yb", bits)} AS zv FROM b
+    ), nat AS (
+      SELECT xb, yb, ntile({n_files}) OVER (ORDER BY xb, yb) AS f FROM zt
+    ), zo AS (
+      SELECT xb, yb, ntile({n_files}) OVER (ORDER BY zv, xb, yb) AS f
+      FROM zt
+    ), nsp AS (
+      SELECT f, max(xb) - min(xb) + 1 AS sx, max(yb) - min(yb) + 1 AS sy
+      FROM nat GROUP BY f
+    ), zsp AS (
+      SELECT f, max(xb) - min(xb) + 1 AS sx, max(yb) - min(yb) + 1 AS sy
+      FROM zo GROUP BY f
+    )
+    SELECT layout, dim, n_files, avg_span_micro FROM (
+      SELECT 'natural' AS layout, 'event_id' AS dim,
+             CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(sx) * 1000000 // (count(*) * {grid}) AS BIGINT)
+               AS avg_span_micro
+      FROM nsp
+      UNION ALL
+      SELECT 'natural', 'user_id', CAST(count(*) AS BIGINT),
+             CAST(sum(sy) * 1000000 // (count(*) * {grid}) AS BIGINT)
+      FROM nsp
+      UNION ALL
+      SELECT 'zorder', 'event_id', CAST(count(*) AS BIGINT),
+             CAST(sum(sx) * 1000000 // (count(*) * {grid}) AS BIGINT)
+      FROM zsp
+      UNION ALL
+      SELECT 'zorder', 'user_id', CAST(count(*) AS BIGINT),
+             CAST(sum(sy) * 1000000 // (count(*) * {grid}) AS BIGINT)
+      FROM zsp
+    ) ORDER BY layout, dim
+    """
+
+
+@query("plans_zorder_audit", _zorder_oracle())
+def q_plans_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ilogtail_spark.plans.zorder import zorder_audit
+
+    ev = _t(spark, sf_dir, "events")
+    return zorder_audit(
+        ev, "event_id", "user_id", n_files=32, bits=8
+    ).orderBy("layout", "dim")

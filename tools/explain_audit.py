@@ -3257,6 +3257,34 @@ def main() -> int:
         "corpus.",
     )
 
+    # 91. Z-order layout audit
+    from ilogtail_spark.plans.zorder import zorder_audit as _zaud91
+
+    q91 = _zaud91(_ev77, "event_id", "user_id", n_files=32, bits=8)
+    p91 = formatted(q91)
+    audit(
+        "Z-order (Morton) layout audit",
+        q91,
+        [
+            ("bucketing and the Morton value are scan-side codegen "
+             "expressions (no UDF, no Python)",
+             not re.search(r"EvalPython|InPandas", p91)),
+            ("global min/max is one two-scalar aggregate; the rest "
+             "of the plan works on (xb, yb, z) integer triples — "
+             "no props/value payload in any exchange",
+             all("props#" not in e for e in _hash_exchanges(p91))),
+        ],
+        "Measures what a Z-ordered rewrite would buy BEFORE "
+        "rewriting 100 TB: per-file min/max grid spans under the "
+        "natural single-sort layout vs Morton order — the exact "
+        "quantity parquet/Iceberg range pruning reads. On the bench "
+        "events table the natural layout leaves user_id files "
+        "full-width (avg span 99.8%) while Z-order brings both "
+        "dimensions to 20-32%: point lookups touch a third of the "
+        "files instead of all of them. The audit's sorts stand in "
+        "for the repartitionByRange write path at scale.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
