@@ -99,6 +99,49 @@ def grouped_quantiles(
     )
 
 
+def _funnel_levels(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str,
+    type_col: str,
+    ts_expr: Column,
+) -> list[DataFrame]:
+    """Shared strict-sequence funnel levels: level k is the
+    one-row-per-user (user, time) frame of each user's FIRST step-k
+    event strictly after their level-(k-1) time. ``ts_expr`` is the
+    ordering expression (raw timestamp for funnel_report, epoch
+    micros for funnel_latency) — ONE construction for both cards so
+    conversion membership can never drift between them. Later steps
+    re-join the SINGLE-STEP event slice against the previous level
+    (a single min per step cannot answer "first AFTER t_{k-1}" when
+    events interleave); every post-shuffle frame is (user, time)."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct")
+    narrow = df.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("__u__"),
+        F.col(type_col).alias("__s__"),
+        ts_expr.alias("__t__"),
+    )
+    levels: list[DataFrame] = [
+        narrow.filter(F.col("__s__") == steps[0])
+        .groupBy("__u__")
+        .agg(F.min("__t__").alias("__r__"))
+    ]
+    for k in range(1, len(steps)):
+        step_events = narrow.filter(F.col("__s__") == steps[k]).select(
+            "__u__", "__t__"
+        )
+        levels.append(
+            step_events.join(levels[k - 1], "__u__")
+            .filter(F.col("__t__") > F.col("__r__"))
+            .groupBy("__u__")
+            .agg(F.min("__t__").alias("__r__"))
+        )
+    return levels
+
+
 def funnel_report(
     df: DataFrame,
     steps: list[str],
@@ -128,37 +171,7 @@ def funnel_report(
     raw stream and no per-user sort, and the final report aggregate
     runs over |steps| x |users| tag rows collapsed map-side.
     """
-    if len(steps) < 2:
-        raise ValueError("a funnel needs at least 2 steps")
-    if len(set(steps)) != len(steps):
-        raise ValueError("funnel steps must be distinct")
-    u, t = F.col(user_col), F.col(ts_col)
-    narrow = df.filter(F.col(type_col).isin(list(steps))).select(
-        u.alias("__u__"),
-        F.col(type_col).alias("__s__"),
-        t.alias("__t__"),
-    )
-    # level 1: earliest step-1 event per user. Later steps need "first
-    # occurrence AFTER t_{k-1}" — one min per step in a single pass
-    # cannot answer that when events interleave (click-before-view
-    # must not count) — so each level re-joins the SINGLE-STEP event
-    # slice against the previous level's one-row-per-user frame.
-    # Every post-shuffle frame is (user, ts): narrow at any scale.
-    levels: list[DataFrame] = [
-        narrow.filter(F.col("__s__") == steps[0])
-        .groupBy("__u__")
-        .agg(F.min("__t__").alias("__r__"))
-    ]
-    for k in range(1, len(steps)):
-        step_events = narrow.filter(F.col("__s__") == steps[k]).select(
-            "__u__", "__t__"
-        )
-        levels.append(
-            step_events.join(levels[k - 1], "__u__")
-            .filter(F.col("__t__") > F.col("__r__"))
-            .groupBy("__u__")
-            .agg(F.min("__t__").alias("__r__"))
-        )
+    levels = _funnel_levels(df, steps, user_col, type_col, F.col(ts_col))
     tagged = levels[0].select(
         F.lit(1).alias("step_idx"), F.col("__u__")
     )
@@ -2279,7 +2292,7 @@ def mttr_report(
         raise ValueError(f"mttr_report: missing columns {missing}")
     slim = df.select(
         F.col(key_col).alias("key"),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us__"),
+        F.unix_micros(F.col(ts_col).cast("timestamp_ltz")).alias("__us__"),
         F.col(order_col).alias("__ord__"),
         (F.col(type_col) == error_value).alias("__err__"),
     ).filter(F.col("key").isNotNull() & F.col("__us__").isNotNull())
@@ -2824,35 +2837,18 @@ def funnel_latency(
     counts swap in grouped_quantiles' value-domain form. Raw events
     never see a window.
     """
-    if len(steps) < 2:
-        raise ValueError("a funnel needs at least 2 steps")
-    if len(set(steps)) != len(steps):
-        raise ValueError("funnel steps must be distinct")
     missing = [
         c for c in (user_col, type_col, ts_col) if c not in df.columns
     ]
     if missing:
         raise ValueError(f"funnel_latency: missing columns {missing}")
-    narrow = df.filter(F.col(type_col).isin(list(steps))).select(
-        F.col(user_col).alias("__u__"),
-        F.col(type_col).alias("__s__"),
-        F.unix_micros(F.col(ts_col).cast("timestamp_ltz")).alias("__t__"),
+    levels = _funnel_levels(
+        df,
+        steps,
+        user_col,
+        type_col,
+        F.unix_micros(F.col(ts_col).cast("timestamp_ltz")),
     )
-    levels: list[DataFrame] = [
-        narrow.filter(F.col("__s__") == steps[0])
-        .groupBy("__u__")
-        .agg(F.min("__t__").alias("__r__"))
-    ]
-    for k in range(1, len(steps)):
-        step_events = narrow.filter(F.col("__s__") == steps[k]).select(
-            "__u__", "__t__"
-        )
-        levels.append(
-            step_events.join(levels[k - 1], "__u__")
-            .filter(F.col("__t__") > F.col("__r__"))
-            .groupBy("__u__")
-            .agg(F.min("__t__").alias("__r__"))
-        )
     gaps = None
     for k in range(1, len(steps)):
         g = (

@@ -2229,8 +2229,6 @@ def source_overlap(
     missing = [c for c in (source_col, text_col) if c not in df.columns]
     if missing:
         raise ValueError(f"source_overlap: missing columns {missing}")
-    from ilogtail_spark.dataops.dedup import tokens_col
-
     vocab = (
         df.filter(
             F.col(source_col).isNotNull() & F.col(text_col).isNotNull()

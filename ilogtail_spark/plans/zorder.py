@@ -57,9 +57,13 @@ def grid_bucket(col_name: str, lo: int, hi: int, bits: int) -> Column:
     if span <= 0:
         return F.lit(0).cast("bigint")
     top = (1 << bits) - 1
+    # DECIMAL(38,0) product, not BIGINT: a wide-domain dimension
+    # (epoch micros spanning decades x a 16-bit grid) overflows long
+    # — the changepoint/trend/diversity product rule applies here too
     return F.expr(
-        f"cast(({col_name} - {lo}) as bigint) * {top} div {span}"
-    ).cast("bigint")
+        f"cast(cast(({col_name} - {lo}) as decimal(38,0)) * {top} "
+        f"div cast({span} as decimal(38,0)) as bigint)"
+    )
 
 
 def zorder_audit(

@@ -66,3 +66,23 @@ class TestZorderAudit:
             zorder_audit(df, "a", "b", n_files=1)
         with pytest.raises(ValueError, match="missing columns"):
             zorder_audit(df, "a", "nope")
+
+
+class TestGridBucketWideDomain:
+    def test_no_overflow_on_epoch_micro_spans(self, spark):
+        # ~50 years of epoch micros: span * 65535 would overflow
+        # BIGINT — the DECIMAL(38,0) product must stay exact
+        lo, hi = 1_000_000_000_000_000, 2_600_000_000_000_000
+        df = spark.createDataFrame([(lo,), ((lo + hi) // 2,), (hi,)],
+                                   "v long")
+        out = [r["b"] for r in df.select(
+            grid_bucket("v", lo, hi, 16).alias("b")).collect()]
+        assert out[0] == 0 and out[2] == 65535
+        assert abs(out[1] - 32767) <= 1
+
+    def test_audit_runs_on_timestamp_scale_dims(self, spark):
+        rows = [(1_000_000_000_000_000 + i * 10**12, i % 7)
+                for i in range(64)]
+        df = spark.createDataFrame(rows, "t long, u long")
+        out = zorder_audit(df, "t", "u", n_files=4, bits=16).collect()
+        assert len(out) == 4
