@@ -2902,3 +2902,145 @@ def funnel_latency(
         )
         .orderBy("step_idx")
     )
+
+
+def attribution_report(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: list[str] | None = None,  # None -> ["click", "view"]
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    lookback_sec: int = 86_400,
+) -> DataFrame:
+    """Last-touch attribution card: every conversion event is credited
+    to the user's LATEST preceding touch event (strictly before in
+    (ts, order) order, within ``lookback_sec``); conversions with no
+    in-window touch credit the 'direct' channel. The marketing-
+    analytics question behind funnel_report's strict sequence —
+    funnels count ordered journeys, attribution answers "which
+    channel gets credit for each conversion, and how stale was the
+    touch?".
+
+    Output: one row per channel (each touch type that earned credit,
+    plus 'direct') — (channel, n_conversions, share_micro,
+    median_gap_us, max_gap_us); gaps are exact epoch micros from
+    touch to conversion, nearest-rank medians, NULL for 'direct'.
+
+    Scale shape: the asof union trick — touches and conversions
+    union into one frame and a running last-touch struct (max over a
+    rows-preceding frame of a (us, ord, channel) struct — max picks
+    the latest (ts, ord), O(1) window state) attributes every
+    conversion in ONE pass; one hash exchange on user feeds the
+    window, and the channel rollup aggregates |channels| + 1 groups.
+    No per-conversion join, no per-user sort beyond the shared
+    window sort.
+    """
+    if touch_types is None:
+        touch_types = ["click", "view"]
+    if not touch_types:
+        raise ValueError(
+            "attribution_report: touch_types must name at least one type"
+        )
+    if conversion_type in touch_types:
+        raise ValueError(
+            "attribution_report: conversion_type cannot also be a touch type"
+        )
+    if lookback_sec <= 0:
+        raise ValueError("attribution_report: lookback_sec must be > 0")
+    missing = [
+        c
+        for c in (user_col, type_col, ts_col, order_col)
+        if c not in df.columns
+    ]
+    if missing:
+        raise ValueError(f"attribution_report: missing columns {missing}")
+    slim = (
+        df.filter(
+            F.col(type_col).isin([conversion_type, *touch_types])
+            & F.col(ts_col).isNotNull()
+            & F.col(user_col).isNotNull()
+        )
+        .select(
+            F.col(user_col).alias("__u__"),
+            F.col(type_col).alias("__t__"),
+            F.unix_micros(F.col(ts_col).cast("timestamp_ltz")).alias(
+                "__us__"
+            ),
+            F.col(order_col).cast("bigint").alias("__ord__"),
+        )
+    )
+    w = (
+        Window.partitionBy("__u__")
+        .orderBy("__us__", "__ord__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # the running last-touch is a MAX over a fixed-width sortable
+    # string '<us:020d>|<ord:020d>|<channel>' rather than a struct:
+    # string max is defined identically on every engine, struct
+    # comparison is not a portable contract (both us and ord are
+    # non-negative in-domain, so zero-padding preserves order)
+    touch_key = F.when(
+        F.col("__t__") != conversion_type,
+        F.concat(
+            F.lpad(F.col("__us__").cast("string"), 20, "0"),
+            F.lit("|"),
+            F.lpad(F.col("__ord__").cast("string"), 20, "0"),
+            F.lit("|"),
+            F.col("__t__"),
+        ),
+    )
+    last_us = F.substring(F.col("__last__"), 1, 20).cast("bigint")
+    in_window = F.col("__last__").isNotNull() & (
+        F.col("__us__") - last_us <= int(lookback_sec) * 1_000_000
+    )
+    attributed = (
+        slim.withColumn("__last__", F.max(touch_key).over(w))
+        .filter(F.col("__t__") == conversion_type)
+        .select(
+            "__u__",
+            "__us__",
+            F.when(in_window, F.expr("substring(__last__, 43)"))
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+            F.when(in_window, F.col("__us__") - last_us).alias("__gap__"),
+        )
+    )
+    wall = Window.partitionBy("channel")
+    w_rank = Window.partitionBy("channel").orderBy(
+        "__gap__", "__u__", "__us__"
+    )
+    per_channel = (
+        attributed.withColumn(
+            "__n__", F.count(F.col("__gap__")).over(wall)
+        )
+        .withColumn("__rn__", F.row_number().over(w_rank))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+            F.max(
+                F.when(
+                    F.col("__gap__").isNotNull()
+                    & (
+                        F.col("__rn__")
+                        == F.ceil(F.col("__n__") / 2)
+                    ),
+                    F.col("__gap__"),
+                )
+            )
+            .cast("bigint")
+            .alias("median_gap_us"),
+            F.max("__gap__").cast("bigint").alias("max_gap_us"),
+        )
+    )
+    total = attributed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__tot__")
+    )
+    return per_channel.crossJoin(F.broadcast(total)).select(
+        "channel",
+        "n_conversions",
+        F.expr("n_conversions * 1000000 div __tot__").alias("share_micro"),
+        "median_gap_us",
+        "max_gap_us",
+    )

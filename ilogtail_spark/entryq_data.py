@@ -8127,3 +8127,78 @@ def q_plans_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_audit(
         ev, "event_id", "user_id", n_files=32, bits=8
     ).orderBy("layout", "dim")
+
+
+# ---------------------------------------------------------------------------
+# last-touch attribution: natural fixture (clicks/views interleave
+# purchases per user; 1-day lookback leaves some purchases 'direct');
+# the running last-touch key is a fixed-width sortable string on BOTH
+# engines — string max is a portable contract, struct max is not
+# ---------------------------------------------------------------------------
+@query(
+    "events_attribution",
+    """
+    WITH slim AS (
+      SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us,
+             CAST(event_id AS BIGINT) AS ord
+      FROM events
+      WHERE event_type IN ('purchase', 'click', 'view')
+        AND ts IS NOT NULL AND user_id IS NOT NULL
+    ), keyed AS (
+      SELECT u, t, us, ord,
+             max(CASE WHEN t <> 'purchase'
+                      THEN printf('%020d|%020d|%s', us, ord, t) END)
+               OVER (PARTITION BY u ORDER BY us, ord
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lastk
+      FROM slim
+    ), conv AS (
+      SELECT u, us,
+             CASE WHEN lastk IS NOT NULL
+                       AND us - CAST(substr(lastk, 1, 20) AS BIGINT)
+                           <= 86400000000
+                  THEN substr(lastk, 43) ELSE 'direct' END AS channel,
+             CASE WHEN lastk IS NOT NULL
+                       AND us - CAST(substr(lastk, 1, 20) AS BIGINT)
+                           <= 86400000000
+                  THEN us - CAST(substr(lastk, 1, 20) AS BIGINT) END AS gap
+      FROM keyed WHERE t = 'purchase'
+    ), ranked AS (
+      SELECT channel, gap, u, us,
+             count(gap) OVER (PARTITION BY channel) AS n,
+             row_number() OVER (PARTITION BY channel
+                                ORDER BY gap, u, us) AS rn
+      FROM conv
+    ), agg AS (
+      SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+             CAST(max(CASE WHEN gap IS NOT NULL
+                            AND rn = CAST(ceil(n / 2.0) AS BIGINT)
+                           THEN gap END) AS BIGINT) AS median_gap_us,
+             CAST(max(gap) AS BIGINT) AS max_gap_us
+      FROM ranked GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS tt FROM conv
+    )
+    SELECT channel, n_conversions,
+           CAST(n_conversions * 1000000 // tt AS BIGINT) AS share_micro,
+           CAST(coalesce(median_gap_us, -1) AS BIGINT) AS median_gap_us,
+           CAST(coalesce(max_gap_us, -1) AS BIGINT) AS max_gap_us
+    FROM agg CROSS JOIN tot ORDER BY channel
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = analytics.attribution_report(ev, lookback_sec=86_400)
+    # -1 sentinel for the 'direct' channel's undefined gaps (the
+    # pandas nullable-int stringification caveat, as eval_at_k)
+    return out.select(
+        "channel",
+        "n_conversions",
+        "share_micro",
+        F.coalesce("median_gap_us", F.lit(-1))
+        .cast("bigint")
+        .alias("median_gap_us"),
+        F.coalesce("max_gap_us", F.lit(-1))
+        .cast("bigint")
+        .alias("max_gap_us"),
+    ).orderBy("channel")

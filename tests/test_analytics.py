@@ -1837,3 +1837,61 @@ class TestFunnelLatency:
             analytics.funnel_latency(df, ["view", "view"])
         with pytest.raises(ValueError, match="missing columns"):
             analytics.funnel_latency(df, ["view", "click"], user_col="nope")
+
+
+class TestAttributionReport:
+    SCHEMA = "user_id long, event_type string, ts string, event_id long"
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, self.SCHEMA).select(
+            "user_id", "event_type",
+            F.col("ts").cast("timestamp").alias("ts"), "event_id")
+
+    def test_last_touch_lookback_and_direct(self, spark):
+        rows = [
+            # u1: view@0, click@100 -> purchase@160: last touch=click
+            (1, "view", "2024-01-01 00:00:00", 0),
+            (1, "click", "2024-01-01 00:01:40", 1),
+            (1, "purchase", "2024-01-01 00:02:40", 2),
+            # u2: view, then purchase 2 days later -> outside 1-day
+            # lookback -> direct
+            (2, "view", "2024-01-01 00:00:00", 3),
+            (2, "purchase", "2024-01-03 00:00:00", 4),
+            # u3: purchase with no touches at all -> direct
+            (3, "purchase", "2024-01-01 00:00:00", 5),
+            # error events are neither touch nor conversion
+            (1, "error", "2024-01-01 00:02:00", 6),
+        ]
+        out = {r["channel"]: r for r in analytics.attribution_report(
+            self._df(spark, rows), lookback_sec=86_400).collect()}
+        assert set(out) == {"click", "direct"}
+        c = out["click"]
+        assert c["n_conversions"] == 1
+        assert c["median_gap_us"] == 60_000_000
+        assert c["share_micro"] == 1_000_000 // 3
+        d = out["direct"]
+        assert d["n_conversions"] == 2 and d["median_gap_us"] is None
+
+    def test_ts_tie_touch_strictly_before(self, spark):
+        # touch sharing the conversion's ts but a LOWER event_id is
+        # strictly before in (ts, order) -> attributed, gap 0
+        rows = [
+            (1, "click", "2024-01-01 00:00:00", 10),
+            (1, "purchase", "2024-01-01 00:00:00", 11),
+        ]
+        out = analytics.attribution_report(
+            self._df(spark, rows)).collect()
+        assert len(out) == 1
+        assert out[0]["channel"] == "click" and out[0]["median_gap_us"] == 0
+
+    def test_validates(self, spark):
+        df = self._df(spark, [(1, "view", "2024-01-01 00:00:00", 0)])
+        with pytest.raises(ValueError, match="touch_types"):
+            analytics.attribution_report(df, touch_types=[])
+        with pytest.raises(ValueError, match="cannot also be"):
+            analytics.attribution_report(
+                df, conversion_type="view", touch_types=["view"])
+        with pytest.raises(ValueError, match="lookback_sec"):
+            analytics.attribution_report(df, lookback_sec=0)
+        with pytest.raises(ValueError, match="missing columns"):
+            analytics.attribution_report(df, user_col="nope")

@@ -3285,6 +3285,35 @@ def main() -> int:
         "for the repartitionByRange write path at scale.",
     )
 
+    # 92. last-touch attribution card
+    q92 = _an77.attribution_report(_ev77, lookback_sec=86_400)
+    p92 = formatted(q92)
+    ex92 = _hash_exchanges(p92)
+    audit(
+        "last-touch attribution card",
+        q92,
+        [
+            ("one pass: the asof union trick — the running "
+             "last-touch string max attributes every conversion "
+             "inside ONE user-partitioned window, no per-conversion "
+             "join",
+             "Window" in p92),
+            ("no exchange carries props/value payload",
+             all("props#" not in e and "value#" not in e
+                 for e in ex92)),
+            ("the total for shares BROADCASTS back",
+             len(re.findall(r"BroadcastExchange \(\d+\)", p92)) >= 1),
+            ("no Python in the plan",
+             not re.search(r"EvalPython|InPandas", p92)),
+        ],
+        "attribution_report credits each conversion to the user's "
+        "latest in-lookback touch (ties broken by the order column; "
+        "the running max is a fixed-width sortable STRING because "
+        "struct comparison is not a portable cross-engine "
+        "contract), with per-channel conversion shares and exact "
+        "epoch-micro touch-to-conversion gap medians.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
