@@ -43,7 +43,7 @@ _FRONT = [
     "streaming_outage_windows", "events_apdex", "events_exp_histogram",
     "events_mad_outliers", "conv_turn_balance", "dedup_bloom_audit",
     "events_funnel_latency", "corpus_source_overlap",
-    "plans_zorder_audit", "events_attribution",
+    "plans_zorder_audit", "events_attribution", "events_gap_histogram",
     "events_retry_storms", "events_key_census",
     "conv_rephrase", "conv_loss_mask",
     "conv_resolution", "corpus_novelty",

@@ -3044,3 +3044,75 @@ def attribution_report(
         "median_gap_us",
         "max_gap_us",
     )
+
+
+def gap_histogram(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Inter-arrival-gap histogram per key, in power-of-two
+    microsecond bands — the measurement that should SET every
+    window threshold this repo's other operators take as input:
+    sessionize's gap, outage_windows' min_gap, retry_storms'
+    window_sec, mad_outliers' bucket size are all guesses until you
+    look at the actual gap distribution, and this card is that look
+    at O(keys x 64) output rows.
+
+    Per (key, bucket): (key, bucket, lo_us [inclusive band floor,
+    2^(bucket-1); 0 for the zero-gap band], n, min_gap_us,
+    max_gap_us). Buckets use the exp_histogram bit-length rule —
+    integer-only band edges, identical on every engine. Gaps are
+    exact epoch-micro differences between consecutive events in
+    (ts, order) order; the first event of each key has no gap and
+    contributes nothing; NULL key/ts rows are dropped.
+
+    Scale shape: ONE hash exchange on key feeds the lag window;
+    bucketing is a scan-side expression above it and the (key,
+    bucket) aggregate is combiner-fed on the SAME partitioning (no
+    second exchange). Output cardinality is keys x ~64 bands
+    regardless of row count.
+    """
+    missing = [
+        c for c in (key_col, ts_col, order_col) if c not in df.columns
+    ]
+    if missing:
+        raise ValueError(f"gap_histogram: missing columns {missing}")
+    slim = df.select(
+        F.col(key_col).alias("key"),
+        F.unix_micros(F.col(ts_col).cast("timestamp_ltz")).alias("__us__"),
+        F.col(order_col).alias("__ord__"),
+    ).filter(F.col("key").isNotNull() & F.col("__us__").isNotNull())
+    w = Window.partitionBy("key").orderBy("__us__", "__ord__")
+    gapped = slim.withColumn(
+        "__gap__", F.col("__us__") - F.lag("__us__").over(w)
+    ).filter(F.col("__gap__").isNotNull())
+    bucket = (
+        F.when(F.col("__gap__") == 0, F.lit(0))
+        .otherwise(F.length(F.expr("bin(__gap__)")))
+        .cast("int")
+    )
+    out = (
+        gapped.select("key", bucket.alias("bucket"), "__gap__")
+        .groupBy("key", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("__gap__").cast("bigint").alias("min_gap_us"),
+            F.max("__gap__").cast("bigint").alias("max_gap_us"),
+        )
+    )
+    return out.select(
+        "key",
+        "bucket",
+        F.when(
+            F.col("bucket") > 0,
+            F.expr("shiftleft(cast(1 as bigint), bucket - 1)"),
+        )
+        .when(F.col("bucket") == 0, F.lit(0))
+        .cast("bigint")
+        .alias("lo_us"),
+        "n",
+        "min_gap_us",
+        "max_gap_us",
+    )

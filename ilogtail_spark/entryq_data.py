@@ -8202,3 +8202,41 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_gap_us"),
     ).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# inter-arrival gap histogram (pow2 microsecond bands) — the card
+# that should SET sessionize/outage/retry window thresholds; same
+# bit-length band rule as events_exp_histogram
+# ---------------------------------------------------------------------------
+@query(
+    "events_gap_histogram",
+    """
+    WITH s AS (
+      SELECT event_type AS key, epoch_us(ts) AS us, event_id AS ord
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    ), g AS (
+      SELECT key,
+             us - lag(us) OVER (PARTITION BY key ORDER BY us, ord) AS gap
+      FROM s
+    ), b AS (
+      SELECT key,
+             CAST(CASE WHEN gap = 0 THEN 0
+                  ELSE length(bin(gap)) END AS INT) AS bucket, gap
+      FROM g WHERE gap IS NOT NULL
+    ), a AS (
+      SELECT key, bucket, CAST(count(*) AS BIGINT) AS n,
+             CAST(min(gap) AS BIGINT) AS min_gap_us,
+             CAST(max(gap) AS BIGINT) AS max_gap_us
+      FROM b GROUP BY 1, 2
+    )
+    SELECT key, bucket,
+           CAST(CASE WHEN bucket > 0 THEN (1::BIGINT << (bucket - 1))
+                WHEN bucket = 0 THEN 0 END AS BIGINT) AS lo_us,
+           n, min_gap_us, max_gap_us
+    FROM a ORDER BY key, bucket
+    """,
+)
+def q_events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.gap_histogram(ev).orderBy("key", "bucket")

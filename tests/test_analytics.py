@@ -1895,3 +1895,33 @@ class TestAttributionReport:
             analytics.attribution_report(df, lookback_sec=0)
         with pytest.raises(ValueError, match="missing columns"):
             analytics.attribution_report(df, user_col="nope")
+
+
+class TestGapHistogram:
+    SCHEMA = "event_type string, ts string, event_id long"
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, self.SCHEMA).select(
+            "event_type", F.col("ts").cast("timestamp").alias("ts"),
+            "event_id")
+
+    def test_bands_and_first_event_no_gap(self, spark):
+        rows = [
+            ("a", "2024-01-01 00:00:00.000000", 0),
+            ("a", "2024-01-01 00:00:00.000001", 1),  # gap 1 -> band 1
+            ("a", "2024-01-01 00:00:00.000004", 2),  # gap 3 -> band 2
+            ("a", "2024-01-01 00:00:00.000004", 3),  # gap 0 -> band 0
+            ("b", "2024-01-01 00:00:00", 4),          # single: no gap
+        ]
+        out = {(r["key"], r["bucket"]): r for r in analytics.gap_histogram(
+            self._df(spark, rows)).collect()}
+        assert set(out) == {("a", 0), ("a", 1), ("a", 2)}
+        assert out[("a", 0)]["lo_us"] == 0 and out[("a", 0)]["n"] == 1
+        assert out[("a", 1)]["min_gap_us"] == 1
+        assert out[("a", 2)]["lo_us"] == 2
+        assert out[("a", 2)]["min_gap_us"] == 3
+
+    def test_validates(self, spark):
+        with pytest.raises(ValueError, match="missing columns"):
+            analytics.gap_histogram(
+                spark.createDataFrame([(1,)], "event_id long"))

@@ -3314,6 +3314,31 @@ def main() -> int:
         "epoch-micro touch-to-conversion gap medians.",
     )
 
+    # 93. inter-arrival gap histogram
+    q93 = _an77.gap_histogram(_ev77)
+    p93 = formatted(q93)
+    ex93 = _hash_exchanges(p93)
+    audit(
+        "inter-arrival gap histogram",
+        q93,
+        [
+            ("ONE hash exchange on key feeds the lag window AND the "
+             "combiner-fed (key, bucket) aggregate above it — no "
+             "second exchange",
+             len(ex93) == 1),
+            ("no props/value payload in the shuffle",
+             all("props#" not in e and "value#" not in e
+                 for e in ex93)),
+            ("no Python in the plan",
+             not re.search(r"EvalPython|InPandas", p93)),
+        ],
+        "The measurement that should SET every window threshold the "
+        "other operators take as input (sessionize gap, outage "
+        "min_gap, retry window_sec): the actual inter-arrival "
+        "distribution per key, in the exp_histogram pow2 bands, at "
+        "keys x ~64 output rows.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
