@@ -2283,3 +2283,95 @@ def source_overlap(
             ).alias("jaccard_micro"),
         )
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_steps: int = 10,
+) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve: distinct-token count
+    after each prefix of the corpus in ``id_col`` order, at
+    ``n_steps`` evenly spaced checkpoints — the quantitative "is the
+    corpus tail still adding vocabulary, or just repeating it?"
+    companion of novelty_curve (which scores each DOC's novel-
+    shingle share; this tracks the corpus-level curve a scaling
+    decision reads). A flattening curve says more of the same
+    source adds little; a still-climbing one says the corpus is
+    undersampled.
+
+    Checkpoint s (1..n_steps) covers the first ceil(n_docs·s/steps)
+    documents by id rank. Each token's FIRST document rank maps to
+    its checkpoint via pure integer math (s = (rank·steps + n − 1)
+    div n — the smallest checkpoint whose prefix contains it), a
+    per-step count plus a running sum gives the curve. Output per
+    step: (step, n_docs_prefix, new_tokens [first seen inside this
+    step's slice], vocab_size [cumulative]). NULL-id/text docs are
+    dropped; tokens are the standard lowercased whitespace family.
+
+    Scale shape: the doc-rank window is DOC-bounded (one row per
+    document, not per token — at 10^9+ docs swap in a dense id or a
+    range-partitioned rank; the curve itself only needs rank
+    ORDER, not contiguity). Tokens collapse to (token, min rank) in
+    one combiner-fed aggregate — the only token-cardinality pass —
+    then to n_steps rows; the running sum is a window over
+    ``n_steps`` rows.
+    """
+    if n_steps < 2:
+        raise ValueError(f"vocab_growth: n_steps must be >= 2, got {n_steps}")
+    missing = [c for c in (id_col, text_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"vocab_growth: missing columns {missing}")
+    docs = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(F.col(id_col).alias("__id__"), F.col(text_col).alias("__t__"))
+    ranked = docs.withColumn(
+        "__rank__", F.row_number().over(Window.orderBy("__id__"))
+    )
+    n_docs = ranked.count()
+    if n_docs == 0:
+        raise ValueError("vocab_growth: no usable documents")
+    first_seen = (
+        ranked.select(
+            "__rank__",
+            F.explode(
+                F.array_distinct(tokens_col(F.lower(F.col("__t__"))))
+            ).alias("tok"),
+        )
+        .groupBy("tok")
+        .agg(F.min("__rank__").alias("__fsr__"))
+    )
+    per_step = (
+        first_seen.select(
+            F.expr(
+                f"cast((__fsr__ * {int(n_steps)} + {n_docs} - 1) "
+                f"div {n_docs} as int)"
+            ).alias("step")
+        )
+        .groupBy("step")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_tokens"))
+    )
+    steps = df.sparkSession.range(1, n_steps + 1).select(
+        F.col("id").cast("int").alias("step")
+    )
+    w = Window.orderBy("step").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        steps.join(per_step, "step", "left")
+        .withColumn(
+            "new_tokens",
+            F.coalesce(F.col("new_tokens"), F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "n_docs_prefix",
+            # ceil(n_docs * s / steps) in truncating-div-safe form
+            F.expr(
+                f"cast((cast(step as bigint) * {n_docs} "
+                f"+ {int(n_steps)} - 1) div {int(n_steps)} as bigint)"
+            ),
+        )
+        .withColumn(
+            "vocab_size", F.sum("new_tokens").over(w).cast("bigint")
+        )
+        .select("step", "n_docs_prefix", "new_tokens", "vocab_size")
+    )

@@ -8240,3 +8240,46 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return analytics.gap_histogram(ev).orderBy("key", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# vocabulary-growth (Heaps) curve: 10 checkpoints over doc_id rank;
+# token first-seen rank maps to its checkpoint by pure integer math
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_vocab_growth",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, text,
+             row_number() OVER (ORDER BY doc_id) AS rnk
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS nd FROM docs
+    ), fs AS (
+      SELECT tok, min(rnk) AS fsr FROM (
+        SELECT rnk,
+               unnest(list_distinct({SQL_TOKENS.format(col="lower(text)")}))
+                 AS tok
+        FROM docs
+      ) GROUP BY tok
+    ), per_step AS (
+      SELECT CAST((fsr * 10 + nd - 1) // nd AS INT) AS step,
+             CAST(count(*) AS BIGINT) AS new_tokens
+      FROM fs CROSS JOIN n GROUP BY 1
+    ), grid AS (
+      SELECT unnest(range(1, 11)) AS step
+    )
+    SELECT CAST(g.step AS INT) AS step,
+           CAST((g.step * nd + 9) // 10 AS BIGINT) AS n_docs_prefix,
+           CAST(coalesce(p.new_tokens, 0) AS BIGINT) AS new_tokens,
+           CAST(sum(coalesce(p.new_tokens, 0))
+                OVER (ORDER BY g.step
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS vocab_size
+    FROM grid g CROSS JOIN n LEFT JOIN per_step p ON p.step = g.step
+    ORDER BY step
+    """,
+)
+def q_corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.vocab_growth(docs, n_steps=10).orderBy("step")

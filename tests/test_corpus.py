@@ -1329,3 +1329,38 @@ class TestSourceOverlap:
             _c.source_overlap(df, min_df=0)
         with _pt.raises(ValueError, match="missing columns"):
             _c.source_overlap(df, source_col="nope")
+
+
+class TestVocabGrowth:
+    SCHEMA = "doc_id long, text string"
+
+    def test_curve_and_prefix_math(self, spark):
+        from ilogtail_spark.dataops import corpus as _c
+        rows = [(1, "a b"), (2, "a c"), (3, "a b"), (4, "d")]
+        out = {r["step"]: r for r in _c.vocab_growth(
+            spark.createDataFrame(rows, self.SCHEMA), n_steps=2).collect()}
+        # step 1 = first 2 docs: tokens {a,b,c} all first seen there
+        one = out[1]
+        assert one["n_docs_prefix"] == 2
+        assert one["new_tokens"] == 3 and one["vocab_size"] == 3
+        # step 2 = all 4 docs: only 'd' is new
+        two = out[2]
+        assert two["n_docs_prefix"] == 4
+        assert two["new_tokens"] == 1 and two["vocab_size"] == 4
+
+    def test_empty_steps_zero_and_validates(self, spark):
+        from ilogtail_spark.dataops import corpus as _c
+        import pytest as _pt
+        rows = [(1, "x"), (2, "x"), (3, "x")]
+        out = {r["step"]: r for r in _c.vocab_growth(
+            spark.createDataFrame(rows, self.SCHEMA), n_steps=3).collect()}
+        assert out[1]["vocab_size"] == 1
+        assert out[2]["new_tokens"] == 0 and out[3]["vocab_size"] == 1
+        # ceil prefix math: 3 docs over 3 steps -> 1, 2, 3
+        assert [out[s]["n_docs_prefix"] for s in (1, 2, 3)] == [1, 2, 3]
+        with _pt.raises(ValueError, match="n_steps"):
+            _c.vocab_growth(
+                spark.createDataFrame(rows, self.SCHEMA), n_steps=1)
+        with _pt.raises(ValueError, match="no usable"):
+            _c.vocab_growth(
+                spark.createDataFrame([], self.SCHEMA), n_steps=2)

@@ -3339,6 +3339,33 @@ def main() -> int:
         "keys x ~64 output rows.",
     )
 
+    # 94. vocabulary-growth (Heaps) curve
+    q94 = _corpus.vocab_growth(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"), n_steps=10
+    )
+    p94 = formatted(q94)
+    ex94 = _hash_exchanges(p94)
+    audit(
+        "vocabulary-growth (Heaps) curve",
+        q94,
+        [
+            ("tokens collapse to (token, min rank) in one "
+             "combiner-fed aggregate — the only token-cardinality "
+             "pass; text never shuffles",
+             all("text#" not in e for e in ex94)),
+            ("the doc-rank window is doc-bounded (one row per "
+             "document, never per token)",
+             "Window" in p94),
+            ("no Python in the plan",
+             not re.search(r"EvalPython|InPandas", p94)),
+        ],
+        "The corpus-level 'is the tail still adding vocabulary?' "
+        "curve: distinct-token counts at 10 prefix checkpoints, "
+        "first-seen ranks mapped to checkpoints by pure integer "
+        "math. novelty_curve scores each document; this is the "
+        "scaling-decision view.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
