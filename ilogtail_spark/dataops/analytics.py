@@ -2977,21 +2977,28 @@ def attribution_report(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     # the running last-touch is a MAX over a fixed-width sortable
-    # string '<us:020d>|<ord:020d>|<channel>' rather than a struct:
-    # string max is defined identically on every engine, struct
-    # comparison is not a portable contract (both us and ord are
-    # non-negative in-domain, so zero-padding preserves order)
+    # string '<us+2^62:020d>|<ord+2^62:020d>|<channel>' rather than
+    # a struct: string max is defined identically on every engine,
+    # struct comparison is not a portable contract. The 2^62 offset
+    # keeps the encoding order-preserving for NEGATIVE micros/order
+    # ids too (pre-1970 timestamps would otherwise lpad as
+    # '0000…-123', break string order, and silently mis-credit
+    # 'direct'); |us| and |ord| < 2^62 covers every realistic
+    # domain and the offset sum still fits 20 digits.
+    _OFF = 1 << 62
     touch_key = F.when(
         F.col("__t__") != conversion_type,
         F.concat(
-            F.lpad(F.col("__us__").cast("string"), 20, "0"),
+            F.lpad((F.col("__us__") + _OFF).cast("string"), 20, "0"),
             F.lit("|"),
-            F.lpad(F.col("__ord__").cast("string"), 20, "0"),
+            F.lpad((F.col("__ord__") + _OFF).cast("string"), 20, "0"),
             F.lit("|"),
             F.col("__t__"),
         ),
     )
-    last_us = F.substring(F.col("__last__"), 1, 20).cast("bigint")
+    last_us = F.substring(F.col("__last__"), 1, 20).cast("bigint") - F.lit(
+        _OFF
+    )
     in_window = F.col("__last__").isNotNull() & (
         F.col("__us__") - last_us <= int(lookback_sec) * 1_000_000
     )

@@ -2342,11 +2342,16 @@ def vocab_growth(
         .groupBy("tok")
         .agg(F.min("__rank__").alias("__fsr__"))
     )
+    # smallest checkpoint whose prefix ceil(n_docs*s/steps) contains
+    # rank r: s = (r-1)*steps div n + 1 (NOT ceil(r*steps/n) — the
+    # two only coincide when n_docs % n_steps == 0). bigint cast
+    # before the multiply: row_number is int32 and r*steps would
+    # wrap past ~2^31/steps documents.
     per_step = (
         first_seen.select(
             F.expr(
-                f"cast((__fsr__ * {int(n_steps)} + {n_docs} - 1) "
-                f"div {n_docs} as int)"
+                f"cast((cast(__fsr__ as bigint) - 1) * {int(n_steps)} "
+                f"div {n_docs} + 1 as int)"
             ).alias("step")
         )
         .groupBy("step")

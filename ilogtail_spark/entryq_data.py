@@ -8147,7 +8147,9 @@ def q_plans_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), keyed AS (
       SELECT u, t, us, ord,
              max(CASE WHEN t <> 'purchase'
-                      THEN printf('%020d|%020d|%s', us, ord, t) END)
+                      THEN printf('%020d|%020d|%s',
+                                  us + (1::BIGINT << 62),
+                                  ord + (1::BIGINT << 62), t) END)
                OVER (PARTITION BY u ORDER BY us, ord
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS lastk
@@ -8155,13 +8157,14 @@ def q_plans_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), conv AS (
       SELECT u, us,
              CASE WHEN lastk IS NOT NULL
-                       AND us - CAST(substr(lastk, 1, 20) AS BIGINT)
-                           <= 86400000000
+                       AND us - (CAST(substr(lastk, 1, 20) AS BIGINT)
+                                 - (1::BIGINT << 62)) <= 86400000000
                   THEN substr(lastk, 43) ELSE 'direct' END AS channel,
              CASE WHEN lastk IS NOT NULL
-                       AND us - CAST(substr(lastk, 1, 20) AS BIGINT)
-                           <= 86400000000
-                  THEN us - CAST(substr(lastk, 1, 20) AS BIGINT) END AS gap
+                       AND us - (CAST(substr(lastk, 1, 20) AS BIGINT)
+                                 - (1::BIGINT << 62)) <= 86400000000
+                  THEN us - (CAST(substr(lastk, 1, 20) AS BIGINT)
+                             - (1::BIGINT << 62)) END AS gap
       FROM keyed WHERE t = 'purchase'
     ), ranked AS (
       SELECT channel, gap, u, us,
@@ -8263,7 +8266,7 @@ def q_events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs
       ) GROUP BY tok
     ), per_step AS (
-      SELECT CAST((fsr * 10 + nd - 1) // nd AS INT) AS step,
+      SELECT CAST((CAST(fsr AS BIGINT) - 1) * 10 // nd + 1 AS INT) AS step,
              CAST(count(*) AS BIGINT) AS new_tokens
       FROM fs CROSS JOIN n GROUP BY 1
     ), grid AS (

@@ -1925,3 +1925,21 @@ class TestGapHistogram:
         with pytest.raises(ValueError, match="missing columns"):
             analytics.gap_histogram(
                 spark.createDataFrame([(1,)], "event_id long"))
+
+
+class TestAttributionNegativeDomain:
+    def test_pre_epoch_timestamps_attributed_correctly(self, spark):
+        # negative epoch micros: the offset encoding must keep string
+        # order = numeric order (plain zero-pad would mis-credit
+        # 'direct')
+        rows = [(1, "click", "1969-12-31 23:00:00", 0),
+                (1, "purchase", "1969-12-31 23:30:00", 1)]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts string, "
+            "event_id long").select(
+            "user_id", "event_type",
+            F.col("ts").cast("timestamp").alias("ts"), "event_id")
+        out = analytics.attribution_report(df, lookback_sec=7200).collect()
+        assert len(out) == 1
+        assert out[0]["channel"] == "click"
+        assert out[0]["median_gap_us"] == 1800 * 1_000_000

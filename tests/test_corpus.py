@@ -1348,6 +1348,18 @@ class TestVocabGrowth:
         assert two["n_docs_prefix"] == 4
         assert two["new_tokens"] == 1 and two["vocab_size"] == 4
 
+    def test_non_divisible_checkpoint_mapping(self, spark):
+        # 3 docs over 2 steps: prefix(1) = ceil(3/2) = 2 docs, so a
+        # token first seen in doc 2 belongs to step 1 (the regime
+        # where ceil(rank*steps/n) would mis-assign it to step 2)
+        from ilogtail_spark.dataops import corpus as _c
+        rows = [(1, "a"), (2, "b"), (3, "a")]
+        out = {r["step"]: r for r in _c.vocab_growth(
+            spark.createDataFrame(rows, self.SCHEMA), n_steps=2).collect()}
+        assert out[1]["n_docs_prefix"] == 2
+        assert out[1]["new_tokens"] == 2 and out[1]["vocab_size"] == 2
+        assert out[2]["new_tokens"] == 0 and out[2]["vocab_size"] == 2
+
     def test_empty_steps_zero_and_validates(self, spark):
         from ilogtail_spark.dataops import corpus as _c
         import pytest as _pt
