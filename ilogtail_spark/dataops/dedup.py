@@ -25,7 +25,7 @@ Scale story (100 TB):
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1090,5 +1090,80 @@ def bloom_audit(
             )
             .cast("bigint")
             .alias("fp_micro"),
+        )
+    )
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Keep-BEST representative per near-dup cluster: connected
+    components over the candidate-pair graph pick the clusters,
+    the corpus quality heuristic picks WHICH member survives —
+    (quality DESC, id ASC), a total order. Every keep-min dedup in
+    this module keeps the EARLIEST member; a training-prep pipeline
+    usually wants the best-written one ("five mirrors of the same
+    article — keep the clean copy, not the first-crawled one"), and
+    this is that policy as a first-class operator. Documents in no
+    cluster are implicitly kept and not emitted here — the output
+    is the cluster decision table, one row per cluster:
+    (cluster_id, keep_id, n_members, best_quality_micro).
+
+    Scale shape: the component labels come from
+    :func:`connected_components` (edge-list-only propagation, the
+    corpus never joins into the iteration); quality scoring is the
+    usual one-projection scan stage; the member table is
+    cluster-membership-sized (pairs-bounded, not corpus-bounded),
+    and its rank window + rollup share ONE exchange on the
+    component id. Text never shuffles — only (id, comp, score).
+    """
+    missing = [c for c in (id_col, text_col) if c not in docs.columns]
+    if missing:
+        raise ValueError(
+            f"cluster_representatives: docs missing columns {missing}"
+        )
+    from ilogtail_spark.dataops.textstats import quality_score
+
+    comp = connected_components(pairs, max_iter=max_iter)
+    scored = quality_score(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+    ).select("doc_id", "quality_score_micro")
+    members = comp.join(
+        scored, comp["id"] == scored["doc_id"]
+    ).select(
+        comp["id"].alias("member_id"),
+        "comp",
+        "quality_score_micro",
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.col("quality_score_micro").desc(), F.col("member_id").asc()
+    )
+    ranked = members.withColumn("__rn__", F.row_number().over(w))
+    return (
+        ranked.groupBy("comp")
+        .agg(
+            F.max(
+                F.when(F.col("__rn__") == 1, F.col("member_id"))
+            )
+            .cast("bigint")
+            .alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.max(
+                F.when(F.col("__rn__") == 1, F.col("quality_score_micro"))
+            )
+            .cast("bigint")
+            .alias("best_quality_micro"),
+        )
+        .select(
+            F.col("comp").alias("cluster_id"),
+            "keep_id",
+            "n_members",
+            "best_quality_micro",
         )
     )

@@ -301,10 +301,14 @@ def _near_dedup_oracle(threshold: float = 0.2) -> str:
 # transitive near-dup clustering — connected components over the LSH
 # candidate graph; oracle = recursive-CTE reachability + min id
 # ---------------------------------------------------------------------------
-def _cc_oracle() -> str:
+def _cc_cte() -> str:
+    """CTE chain (for a WITH RECURSIVE) producing ``ccomp`` =
+    (id, comp): the transitive closure of the MinHash candidate-pair
+    graph with min-id component labels. ONE copy shared by the
+    cluster-ids oracle and the cluster-representatives oracle so the
+    closure construction can never drift between them."""
     pairs = _minhash_pairs_oracle().replace("ORDER BY a, b", "")
-    return f"""
-    WITH RECURSIVE cand AS (
+    return f"""cand AS (
 {pairs}
     ), sym AS (
       SELECT a AS x, b AS y FROM cand
@@ -316,11 +320,17 @@ def _cc_oracle() -> str:
       SELECT r.src, e.y FROM reach r JOIN sym e ON r.dst = e.x
     ), nodes AS (
       SELECT DISTINCT x AS id FROM sym
-    )
-    SELECT n.id, least(n.id, min(r.dst)) AS comp
-    FROM nodes n LEFT JOIN reach r ON r.src = n.id
-    GROUP BY n.id
-    ORDER BY n.id
+    ), ccomp AS (
+      SELECT n.id, least(n.id, min(r.dst)) AS comp
+      FROM nodes n LEFT JOIN reach r ON r.src = n.id
+      GROUP BY n.id
+    )"""
+
+
+def _cc_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_cc_cte()}
+    SELECT id, comp FROM ccomp ORDER BY id
     """
 
 
@@ -8286,3 +8296,44 @@ def q_events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return corpus.vocab_growth(docs, n_steps=10).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# keep-BEST cluster representatives: shared CC closure (_cc_cte) +
+# shared quality formula (_QUALITY_FEAT_COLS_SQL/_QUALITY_Q_SQL) —
+# neither construction can drift from its sibling oracles
+# ---------------------------------------------------------------------------
+def _cluster_reps_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_cc_cte()}, qtoks AS (
+      SELECT doc_id, text, {SQL_TOKENS.format(col="text")} AS w
+      FROM documents
+    ), qfeat AS (
+      SELECT doc_id, {_QUALITY_FEAT_COLS_SQL}
+      FROM qtoks
+    ), scored AS (
+      SELECT doc_id, CAST({_QUALITY_Q_SQL} AS BIGINT) AS q FROM qfeat
+    ), members AS (
+      SELECT c.id AS member_id, c.comp, s.q
+      FROM ccomp c JOIN scored s ON s.doc_id = c.id
+    ), ranked AS (
+      SELECT comp, member_id, q,
+             row_number() OVER (PARTITION BY comp
+                                ORDER BY q DESC, member_id) AS rn
+      FROM members
+    )
+    SELECT comp AS cluster_id,
+           CAST(max(CASE WHEN rn = 1 THEN member_id END) AS BIGINT)
+             AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(CASE WHEN rn = 1 THEN q END) AS BIGINT)
+             AS best_quality_micro
+    FROM ranked GROUP BY comp ORDER BY cluster_id
+    """
+
+
+@query("dedup_cluster_reps", _cluster_reps_oracle())
+def q_dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.minhash_candidate_pairs(docs)
+    return dedup.cluster_representatives(docs, pairs).orderBy("cluster_id")

@@ -1272,3 +1272,39 @@ class TestBloomAudit:
         with _pt.raises(ValueError, match="snap_b missing"):
             dedup.bloom_audit(
                 df, spark.createDataFrame([(1,)], "doc_id long"))
+
+
+class TestClusterRepresentatives:
+    def test_best_quality_wins_not_min_id(self, spark):
+        # cluster {1, 2, 3}: doc 3 has the best quality text (long,
+        # stopword-rich, diverse) so it must win despite the highest id
+        junk = "zz " * 4
+        good = ("the quick brown fox jumps over the lazy dog and then "
+                "walks away with a calm and quiet satisfied look today")
+        docs = spark.createDataFrame(
+            [(1, junk), (2, junk + "yy"), (3, good), (9, "unclustered")],
+            "doc_id long, text string")
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+        out = dedup.cluster_representatives(docs, pairs).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["cluster_id"] == 1          # min-id component label
+        assert r["keep_id"] == 3             # best quality, not min id
+        assert r["n_members"] == 3
+        assert r["best_quality_micro"] > 0
+
+    def test_quality_tie_breaks_to_lowest_id(self, spark):
+        docs = spark.createDataFrame(
+            [(5, "same text here"), (4, "same text here")],
+            "doc_id long, text string")
+        pairs = spark.createDataFrame([(4, 5)], "a long, b long")
+        r = dedup.cluster_representatives(docs, pairs).collect()[0]
+        assert r["keep_id"] == 4
+
+    def test_validates(self, spark):
+        import pytest as _pt
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pt.raises(ValueError, match="missing columns"):
+            dedup.cluster_representatives(
+                docs.drop("text"),
+                spark.createDataFrame([(1, 2)], "a long, b long"))

@@ -3366,6 +3366,37 @@ def main() -> int:
         "scaling-decision view.",
     )
 
+    # 95. keep-best cluster representatives
+    _docs95 = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    q95 = _dedup.cluster_representatives(
+        _docs95, _dedup.minhash_candidate_pairs(_docs95)
+    )
+    p95 = formatted(q95)
+    ex95 = _hash_exchanges(p95)
+    audit(
+        "keep-best cluster representatives",
+        q95,
+        [
+            ("text never shuffles — only (id, comp, score) move "
+             "after the scans",
+             all("text#" not in e for e in ex95)),
+            ("the member table's rank window + rollup share one "
+             "exchange on the component id",
+             "Window" in p95),
+            ("no Python in the plan",
+             not re.search(r"EvalPython|InPandas", p95)),
+        ],
+        "Every keep-min dedup keeps the EARLIEST cluster member; "
+        "cluster_representatives keeps the BEST-WRITTEN one "
+        "(quality DESC, id ASC — a total order), composing the "
+        "checkpointed connected-components labels with the corpus "
+        "quality heuristic. The oracle shares the recursive-closure "
+        "CTE with dedup_cluster_ids and the quality formula with "
+        "conv_quality_gate, so neither construction can drift.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
