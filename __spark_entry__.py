@@ -44,7 +44,7 @@ _FRONT = [
     "events_mad_outliers", "conv_turn_balance", "dedup_bloom_audit",
     "events_funnel_latency", "corpus_source_overlap",
     "plans_zorder_audit", "events_attribution", "events_gap_histogram",
-    "corpus_vocab_growth", "dedup_cluster_reps",
+    "corpus_vocab_growth", "dedup_cluster_reps", "events_user_lifetime",
     "events_retry_storms", "events_key_census",
     "conv_rephrase", "conv_loss_mask",
     "conv_resolution", "corpus_novelty",

@@ -3123,3 +3123,55 @@ def gap_histogram(
         "min_gap_us",
         "max_gap_us",
     )
+
+
+def user_lifetime(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user lifecycle card: first/last seen, lifetime, active
+    days, and events per active day — the user-grain table
+    cohort_retention's cohort-grain matrix aggregates away (a
+    retention cell says "40% came back in week 3"; churn triage
+    needs WHICH users went quiet and how dense their activity was
+    while alive). One combiner-fed aggregate; the per-day distinct
+    rides the same groupBy as an exact count over (user, day) pairs.
+
+    Output per user: (user_id, n_events, first_us, last_us,
+    lifetime_sec [floor-second, the outage_windows arithmetic],
+    active_days [distinct UTC dates], events_per_day_micro
+    [n·1e6 div active_days]). NULL user/ts rows are dropped.
+
+    Scale shape: one exchange on user carrying five counters plus
+    the two-phase distinct-day expand over (user, day) — day
+    cardinality per user is time-bounded, so the distinct never
+    sees row-scale state. Output is one row per user.
+    """
+    missing = [c for c in (user_col, ts_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"user_lifetime: missing columns {missing}")
+    slim = df.select(
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp_ltz")).alias("__us__"),
+        F.to_date(F.col(ts_col).cast("timestamp_ltz")).alias("__day__"),
+    ).filter(F.col("user_id").isNotNull() & F.col("__us__").isNotNull())
+    agg = slim.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("__us__").cast("bigint").alias("first_us"),
+        F.max("__us__").cast("bigint").alias("last_us"),
+        F.countDistinct("__day__").cast("bigint").alias("active_days"),
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        "first_us",
+        "last_us",
+        F.expr("last_us div 1000000 - first_us div 1000000")
+        .cast("bigint")
+        .alias("lifetime_sec"),
+        "active_days",
+        F.expr("n_events * 1000000 div active_days").alias(
+            "events_per_day_micro"
+        ),
+    )

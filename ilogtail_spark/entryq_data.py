@@ -8337,3 +8337,30 @@ def q_dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = dedup.minhash_candidate_pairs(docs)
     return dedup.cluster_representatives(docs, pairs).orderBy("cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# per-user lifecycle card: natural fixture; floor-second lifetime,
+# UTC active days, exact events-per-day micro
+# ---------------------------------------------------------------------------
+@query(
+    "events_user_lifetime",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+           CAST(max(epoch_us(ts)) // 1000000
+                - min(epoch_us(ts)) // 1000000 AS BIGINT) AS lifetime_sec,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+           CAST(count(*) * 1000000
+                // count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+             AS events_per_day_micro
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_events_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.user_lifetime(ev).orderBy("user_id")

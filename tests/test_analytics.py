@@ -1943,3 +1943,33 @@ class TestAttributionNegativeDomain:
         assert len(out) == 1
         assert out[0]["channel"] == "click"
         assert out[0]["median_gap_us"] == 1800 * 1_000_000
+
+
+class TestUserLifetime:
+    SCHEMA = "user_id long, ts string"
+
+    def test_lifetime_days_and_density(self, spark):
+        rows = [
+            (1, "2024-01-01 10:00:00"), (1, "2024-01-01 23:59:59"),
+            (1, "2024-01-03 00:00:00.500000"),
+            (2, "2024-01-05 12:00:00"),
+            (None, "2024-01-01 00:00:00"), (3, None),
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA).select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"))
+        out = {r["user_id"]: r
+               for r in analytics.user_lifetime(df).collect()}
+        assert set(out) == {1, 2}
+        one = out[1]
+        assert one["n_events"] == 3 and one["active_days"] == 2
+        # floor-second lifetime: .5s sub-second truncates per side
+        assert one["lifetime_sec"] == (
+            (2 * 86_400 - 10 * 3600))
+        assert one["events_per_day_micro"] == 1_500_000
+        two = out[2]
+        assert two["lifetime_sec"] == 0 and two["active_days"] == 1
+
+    def test_validates(self, spark):
+        with pytest.raises(ValueError, match="missing columns"):
+            analytics.user_lifetime(
+                spark.createDataFrame([(1,)], "user_id long"))

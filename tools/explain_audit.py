@@ -3397,6 +3397,29 @@ def main() -> int:
         "conv_quality_gate, so neither construction can drift.",
     )
 
+    # 96. per-user lifecycle card
+    q96 = _an77.user_lifetime(_ev77)
+    p96 = formatted(q96)
+    ex96 = _hash_exchanges(p96)
+    audit(
+        "per-user lifecycle card",
+        q96,
+        [
+            ("one exchange family on user: five counters plus the "
+             "two-phase distinct-day expand over time-bounded "
+             "(user, day) pairs",
+             all("props#" not in e and "value#" not in e
+                 for e in ex96)),
+            ("no Python in the plan",
+             not re.search(r"EvalPython|InPandas", p96)),
+        ],
+        "user_lifetime is the user-grain table cohort_retention's "
+        "cohort-grain matrix aggregates away: first/last seen, "
+        "floor-second lifetime, distinct active days, and exact "
+        "events-per-active-day — churn triage needs WHICH users "
+        "went quiet, not only the cohort percentage.",
+    )
+
     out = (
         "# PLANS — physical-plan audit of the load-bearing query shapes\n\n"
         "Generated by tools/explain_audit.py (re-run after plan-affecting "
